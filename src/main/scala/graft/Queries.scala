@@ -1,0 +1,577 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One named query: a Spark implementation plus (when SQL-expressible) an
+  * equivalent DuckDB oracle SQL over the same parquet tables.
+  *
+  * Coverage maps to SURVEY.md §2: the reference's operator surface
+  * (scan / filter / project / aggregate / mode / top-k / date split —
+  * /root/reference/airflow/include/loan_spark_etl.py) re-expressed over the
+  * driver's TPC-H-ish testdata, plus the scale extensions (joins, windows,
+  * rollup, dedup, text analysis, similarity search) from SURVEY.md §7.
+  *
+  * Determinism rules used throughout (so DuckDB hash-compare is stable):
+  *   - every query ends in a total ORDER BY;
+  *   - double aggregates are round()ed (2dp money, 4dp ratios) on BOTH sides;
+  *   - ties are broken by an explicit secondary key;
+  *   - integer aggregates are cast so Spark and DuckDB output types agree
+  *     (DuckDB sum(int) is HUGEINT, Spark is long; row_number is BIGINT in
+  *     DuckDB, int in Spark).
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Queries {
+
+  /** Load one of the driver's parquet tables. Plain parquet scan: column
+    * pruning + predicate pushdown reach the scan via Catalyst.
+    *
+    * events.ts is parquet TIMESTAMP(NANOS): with
+    * spark.sql.legacy.parquet.nanosAsLong it arrives as a long of epoch
+    * nanos, which we truncate to micros (same truncation DuckDB applies
+    * casting TIMESTAMP_NS → TIMESTAMP) and restore to TimestampType.
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Elementwise dot product of two float-array columns, accumulated in
+    * double (matches the oracle's CAST(x AS DOUBLE) products). Stays inside
+    * codegen'd higher-order functions — no UDF.
+    */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  private val stopwords = Seq("the", "a", "and", "of", "to")
+  private val stopwordSqlList = stopwords.map(s => s"'$s'").mkString(", ")
+
+  // ---------------------------------------------------------------------
+  // Reference-parity core (SURVEY §2.1/2.4/2.6/2.8)
+  // ---------------------------------------------------------------------
+
+  /** A2/A3/O3 (loan_spark_etl.py:122-129): grouped count+sum, ordered by keys. */
+  private val q01 = QueryDef(
+    "q01_group_agg",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_discount"), 4).as("avg_disc"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           |  round(sum(l_quantity), 2) AS sum_qty,
+           |  round(sum(l_extendedprice), 2) AS sum_price,
+           |  round(avg(l_discount), 4) AS avg_disc
+           |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** A4 (loan_spark_etl.py:115-120): global no-group aggregate fallback. */
+  private val q02 = QueryDef(
+    "q02_global_agg",
+    (s, d) =>
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("cnt"),
+        round(sum("l_extendedprice"), 2).as("total_price"),
+        round(min("l_extendedprice"), 2).as("min_price"),
+        round(max("l_extendedprice"), 2).as("max_price")),
+    Some("""SELECT count(*) AS cnt,
+           |  round(sum(l_extendedprice), 2) AS total_price,
+           |  round(min(l_extendedprice), 2) AS min_price,
+           |  round(max(l_extendedprice), 2) AS max_price
+           |FROM lineitem""".stripMargin))
+
+  /** A1/O1/O2 (loan_spark_etl.py:48-68): mode (most frequent non-null value)
+    * with the deterministic tie-break (count desc, value asc) documented in
+    * SURVEY §7.4.
+    */
+  private val q03 = QueryDef(
+    "q03_mode",
+    (s, d) =>
+      t(s, d, "customer")
+        .filter(col("c_mktsegment").isNotNull)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("c_mktsegment"))
+        .limit(1),
+    Some("""SELECT c_mktsegment, count(*) AS cnt
+           |FROM customer WHERE c_mktsegment IS NOT NULL
+           |GROUP BY 1 ORDER BY cnt DESC, c_mktsegment ASC LIMIT 1""".stripMargin))
+
+  /** O4 (loan_spark_etl.py:212-214): top-k segments by count (email report). */
+  private val q04 = QueryDef(
+    "q04_topk",
+    (s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total_value"))
+        .orderBy(desc("cnt"), asc("user_id"))
+        .limit(10),
+    Some("""SELECT user_id, count(*) AS cnt, round(sum(value), 2) AS total_value
+           |FROM events GROUP BY 1 ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin))
+
+  /** F1-F3 (loan_spark_etl.py:80-83): timestamp → date + HH:mm:ss split. */
+  private val q05 = QueryDef(
+    "q05_date_split",
+    (s, d) =>
+      t(s, d, "events")
+        .select(
+          col("event_id"),
+          to_date(col("ts")).as("event_date"),
+          date_format(col("ts"), "HH:mm:ss").as("event_time"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id, CAST(ts AS DATE) AS event_date,
+           |  strftime(ts, '%H:%M:%S') AS event_time
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  /** P1-P4/F4-F7: filter + projection with arithmetic; predicates push to scan. */
+  private val q06 = QueryDef(
+    "q06_filter_project",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+            col("l_discount") > 0.05)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          // no rounding: the two IEEE ops are bit-identical in any engine,
+          // while round() at a .xx5 boundary is not (HALF_UP on shortest
+          // decimal repr vs round on the raw binary double)
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  l_extendedprice * (1.0 - l_discount) AS revenue
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+           |  AND l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05
+           |ORDER BY 1, 2""".stripMargin))
+
+  /** §2.7 set ops: distinct projection. */
+  private val q07 = QueryDef(
+    "q07_distinct",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT DISTINCT l_returnflag, l_linestatus
+           |FROM lineitem ORDER BY 1, 2""".stripMargin))
+
+  /** §2.7 set ops: UNION (dedup) across two tables. */
+  private val q08 = QueryDef(
+    "q08_union",
+    (s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey").as("k"))
+        .union(t(s, d, "orders").select(col("o_custkey").as("k")))
+        .distinct()
+        .orderBy("k"),
+    Some("""SELECT c_custkey AS k FROM customer
+           |UNION SELECT o_custkey AS k FROM orders ORDER BY k""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Join extensions (SURVEY §2.3 / §7.1 step 9)
+  // ---------------------------------------------------------------------
+
+  /** Star join with broadcast dimensions: region ⋈ nation ⋈ customer ⋈ orders.
+    * Dims are broadcast (no shuffle of the fact side for them); the fact agg
+    * is a partial+final hash aggregate.
+    */
+  private val q10 = QueryDef(
+    "q10_join_star",
+    (s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("r_name"),
+    Some("""SELECT r_name, count(*) AS n_orders,
+           |  round(sum(o_totalprice), 2) AS revenue
+           |FROM orders
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Fact-to-fact equi-join (lineitem ⋈ orders) — shuffle join on orderkey. */
+  private val q11 = QueryDef(
+    "q11_join_fact",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority, count(*) AS n_lines,
+           |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Left-semi join (EXISTS). */
+  private val q12 = QueryDef(
+    "q12_semi_join",
+    (s, d) =>
+      t(s, d, "customer")
+        .join(
+          t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"),
+          "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+           |WHERE EXISTS (SELECT 1 FROM orders
+           |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+           |ORDER BY 1""".stripMargin))
+
+  /** Left-anti join (NOT EXISTS): customers with no pending ('P') orders. */
+  private val q13 = QueryDef(
+    "q13_anti_join",
+    (s, d) =>
+      t(s, d, "customer")
+        .join(
+          t(s, d, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select(col("c_custkey"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders
+           |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+           |ORDER BY 1""".stripMargin))
+
+  /** Left-outer join + per-customer aggregate (zero-order customers kept). */
+  private val q14 = QueryDef(
+    "q14_outer_join",
+    (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+           |  round(coalesce(sum(o_totalprice), 0), 2) AS total
+           |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Window extensions (SURVEY §2.5)
+  // ---------------------------------------------------------------------
+
+  /** Rank-per-group top-3 (the generalized form of the reference's mode). */
+  private val q15 = QueryDef(
+    "q15_window_rank",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+        .orderBy("o_custkey", "rnk")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+           |  SELECT o_custkey, o_orderkey, o_totalprice,
+           |    row_number() OVER (PARTITION BY o_custkey
+           |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+           |  FROM orders) WHERE rnk <= 3
+           |ORDER BY o_custkey, rnk""".stripMargin))
+
+  /** Running (cumulative) sum per key. */
+  private val q16 = QueryDef(
+    "q16_window_running",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .select(
+          col("user_id"),
+          col("event_id"),
+          round(sum("value").over(w), 2).as("running_value"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id,
+           |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+           |FROM events ORDER BY user_id, event_id""".stripMargin))
+
+  /** lag(): per-key delta between consecutive events. */
+  private val q17 = QueryDef(
+    "q17_window_lag",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(
+          col("user_id"),
+          col("event_id"),
+          round(col("value") - lag("value", 1).over(w), 2).as("delta"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id,
+           |  round(value - lag(value) OVER (PARTITION BY user_id
+           |    ORDER BY ts, event_id), 2) AS delta
+           |FROM events ORDER BY user_id, event_id""".stripMargin))
+
+  /** ROLLUP grouping sets. */
+  private val q18 = QueryDef(
+    "q18_rollup",
+    (s, d) =>
+      t(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy(
+          col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+           |  round(sum(o_totalprice), 2) AS total
+           |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+           |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Text analysis / training-data ops (SURVEY §7.1 step 9)
+  // ---------------------------------------------------------------------
+
+  /** Token & char statistics per document. */
+  private val q19 = QueryDef(
+    "q19_text_stats",
+    (s, d) =>
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn(
+          "avg_token_len",
+          round(
+            (col("n_chars_calc") - col("n_tokens") + lit(1)).cast("double") /
+              col("n_tokens"),
+            4))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, length(text) AS n_chars_calc,
+           |  len(string_split(text, ' ')) AS n_tokens,
+           |  round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+           |    / len(string_split(text, ' ')), 4) AS avg_token_len
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Exact dedup: one keeper (min doc_id) per distinct text + copy count. */
+  private val q20 = QueryDef(
+    "q20_dedup_exact",
+    (s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("text"))
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy("doc_id"),
+    Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+           |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin))
+
+  /** Corpus-wide word frequency top-20 (explode/unnest). */
+  private val q21 = QueryDef(
+    "q21_word_topk",
+    (s, d) =>
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("word"))
+        .limit(20),
+    Some("""SELECT word, count(*) AS cnt FROM (
+           |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 20""".stripMargin))
+
+  /** Quality scoring: stopword ratio per document (higher-order filter). */
+  private val q22 = QueryDef(
+    "q22_quality_score",
+    (s, d) =>
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          expr(s"size(filter(split(text, ' '), x -> x IN ($stopwordSqlList)))")
+            .cast("long")
+            .as("n_stop"))
+        .withColumn(
+          "stop_ratio",
+          round(col("n_stop").cast("double") / col("n_tokens"), 4))
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+            |  len(list_filter(string_split(text, ' '),
+            |    x -> x IN ($stopwordSqlList))) AS n_stop,
+            |  round(CAST(len(list_filter(string_split(text, ' '),
+            |    x -> x IN ($stopwordSqlList))) AS DOUBLE)
+            |    / len(string_split(text, ' ')), 4) AS stop_ratio
+            |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** N-gram (token-set) Jaccard near-dup pairs for a query slice
+    * (doc_id < 100), threshold 0.5 on the rounded score. Exact — the oracle
+    * for what MinHash/LSH approximates.
+    */
+  private val q23 = QueryDef(
+    "q23_ngram_jaccard",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val ta = docs
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id").as("doc_a"), array_distinct(split(col("text"), " ")).as("sa"))
+      val tb = docs
+        .select(col("doc_id").as("doc_b"), array_distinct(split(col("text"), " ")).as("sb"))
+      ta.join(tb, col("doc_a") < col("doc_b"))
+        .withColumn(
+          "jaccard",
+          round(
+            size(array_intersect(col("sa"), col("sb"))).cast("double") /
+              size(array_union(col("sa"), col("sb"))),
+            4))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+           |  FROM documents),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+           |      / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+           |  FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+           |  WHERE a.doc_id < 100)
+           |SELECT doc_a, doc_b, jaccard FROM pairs
+           |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin))
+
+  /** Brute-force cosine top-5 neighbors for query vectors vec_id < 5.
+    * The exact baseline for ANN; scale path is the LSH variant (rows-only).
+    * Ranking is on the ROUNDED similarity with neighbor_id tie-break, so the
+    * ordering is stable across engines despite float sum order.
+    */
+  private val q24 = QueryDef(
+    "q24_ann_cosine",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      val sims = broadcast(q)
+        .join(c, col("query_id") =!= col("neighbor_id"))
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          round(
+            dot(col("qv"), col("nv")) /
+              (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("nv"), col("nv")))),
+            4).as("cosine"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(desc("cosine"), asc("neighbor_id"))
+      sims
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .orderBy("query_id", "rnk")
+    },
+    Some("""WITH ex AS (
+           |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           |    generate_subscripts(embedding, 1) AS i
+           |  FROM embeddings),
+           |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+           |sims AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |    round(sum(a.x * b.x) / (na.nrm * nb.nrm), 4) AS cosine
+           |  FROM ex a
+           |  JOIN ex b ON a.i = b.i AND a.vec_id < 5 AND a.vec_id <> b.vec_id
+           |  JOIN norms na ON na.vec_id = a.vec_id
+           |  JOIN norms nb ON nb.vec_id = b.vec_id
+           |  GROUP BY 1, 2, na.nrm, nb.nrm)
+           |SELECT query_id, neighbor_id, cosine, rnk FROM (
+           |  SELECT query_id, neighbor_id, cosine,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, neighbor_id) AS rnk
+           |  FROM sims) WHERE rnk <= 5
+           |ORDER BY query_id, rnk""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Event-stream shapes (SURVEY §2.9 batch equivalents)
+  // ---------------------------------------------------------------------
+
+  /** Tumbling 1-hour window aggregate (batch form of a streaming window). */
+  private val q26 = QueryDef(
+    "q26_tumbling_window",
+    (s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("window_start", "event_type"),
+    Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** Sessionization: 30-min inactivity gap → session count per user. */
+  private val q27 = QueryDef(
+    "q27_sessionize",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val prevTs = lag("ts", 1).over(w)
+      t(s, d, "events")
+        .withColumn(
+          "new_sess",
+          when(prevTs.isNull || col("ts") > prevTs + expr("INTERVAL 30 MINUTES"), 1)
+            .otherwise(0))
+        .withColumn(
+          "sess_idx",
+          sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"))
+        .agg(max("sess_idx").cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+    Some("""WITH flagged AS (
+           |  SELECT user_id, ts, event_id,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |      OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+           |      THEN 1 ELSE 0 END AS new_sess
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |numbered AS (
+           |  SELECT user_id,
+           |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+           |  FROM flagged)
+           |SELECT user_id, CAST(max(sess_idx) AS BIGINT) AS n_sessions,
+           |  count(*) AS n_events
+           |FROM numbered GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** JSON field extraction from the events.props payload. */
+  private val q28 = QueryDef(
+    "q28_json_extract",
+    (s, d) =>
+      t(s, d, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+           |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08,
+    q10, q11, q12, q13, q14,
+    q15, q16, q17, q18,
+    q19, q20, q21, q22, q23, q24,
+    q26, q27, q28)
+}
