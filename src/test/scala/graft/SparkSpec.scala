@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all suites (one JVM per forked test run). */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession =
+    graft.etl.Sessions.builder("graft-test", "local[4]", 4).getOrCreate()
+
+  override def afterAll(): Unit = {
+    // deliberately do NOT stop the session: suites share it
+    super.afterAll()
+  }
+
+  def tmpDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  def writeFile(dir: java.nio.file.Path, name: String, content: String): Unit =
+    java.nio.file.Files.writeString(dir.resolve(name), content)
+}
