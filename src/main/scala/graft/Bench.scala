@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: every SparkEntry query against SPARK_GRAFT_SF_DIR,
+  * one JSON line on stdout.
+  *
+  * Measurement discipline (round-1 verdict fixes):
+  *   - the timed action is a noop-format write, not count() — count() lets
+  *     Catalyst prune projection-only queries down to a scan-count;
+  *   - one untimed warmup pass over all queries absorbs JVM/codegen warmup;
+  *   - reported value is the median of 3 timed runs per query.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,15 +23,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // Full-query action: forces every operator/column to execute without
+    // writing bytes anywhere.
+    def execute(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { n => // warmup (untimed)
+      try execute(n) catch { case scala.util.control.NonFatal(_) => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val timings: Seq[(String, Double)] = names.map { n =>
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try execute(n)
+        catch { case scala.util.control.NonFatal(_) => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      n -> runs(1) // median of 3
+    }
+    val qs = timings.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = timings.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":3,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

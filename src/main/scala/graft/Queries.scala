@@ -183,6 +183,41 @@ object Queries {
     Some("""SELECT c_custkey AS k FROM customer
            |UNION SELECT o_custkey AS k FROM orders ORDER BY k""".stripMargin))
 
+  /** P7/A1 end-to-end imputation shape (loan_spark_etl.py:48-68) as an
+    * oracle query: synthesize nulls with nullif, compute the column mode
+    * (count desc, value asc tie-break), fill nulls with it. The 1-row mode
+    * frame is broadcast — no driver round-trip in the plan.
+    */
+  private val q09 = QueryDef(
+    "q09_impute_mode",
+    (s, d) => {
+      val base = t(s, d, "customer")
+        .select(
+          col("c_custkey"),
+          expr("nullif(c_mktsegment, 'BUILDING')").as("seg"))
+      val mode = base
+        .filter(col("seg").isNotNull)
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("seg"))
+        .limit(1)
+        .select(col("seg").as("mode_seg"))
+      base
+        .crossJoin(broadcast(mode))
+        .select(
+          col("c_custkey"),
+          coalesce(col("seg"), col("mode_seg")).as("seg_filled"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH base AS (
+           |  SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+           |  FROM customer),
+           |m AS (
+           |  SELECT seg FROM base WHERE seg IS NOT NULL
+           |  GROUP BY seg ORDER BY count(*) DESC, seg LIMIT 1)
+           |SELECT c_custkey, coalesce(seg, (SELECT seg FROM m)) AS seg_filled
+           |FROM base ORDER BY c_custkey""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Join extensions (SURVEY §2.3 / §7.1 step 9)
   // ---------------------------------------------------------------------
@@ -310,8 +345,12 @@ object Queries {
           round(sum("value").over(w), 2).as("running_value"))
         .orderBy("user_id", "event_id")
     },
+    // CAST(ts AS TIMESTAMP) truncates DuckDB's TIMESTAMP_NS to micros —
+    // the same truncation Queries.t applies on the Spark side — so window
+    // ordering can't diverge on sub-micro differences.
     Some("""SELECT user_id, event_id,
-           |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |  round(sum(value) OVER (PARTITION BY user_id
+           |    ORDER BY CAST(ts AS TIMESTAMP), event_id
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
            |FROM events ORDER BY user_id, event_id""".stripMargin))
 
@@ -329,7 +368,7 @@ object Queries {
     },
     Some("""SELECT user_id, event_id,
            |  round(value - lag(value) OVER (PARTITION BY user_id
-           |    ORDER BY ts, event_id), 2) AS delta
+           |    ORDER BY CAST(ts AS TIMESTAMP), event_id), 2) AS delta
            |FROM events ORDER BY user_id, event_id""".stripMargin))
 
   /** ROLLUP grouping sets. */
@@ -373,12 +412,17 @@ object Queries {
            |    / len(string_split(text, ' ')), 4) AS avg_token_len
            |FROM documents ORDER BY doc_id""".stripMargin))
 
-  /** Exact dedup: one keeper (min doc_id) per distinct text + copy count. */
+  /** Exact dedup: one keeper (min doc_id) per distinct text + copy count.
+    * Groups on sha2(text) so the shuffle carries 64-byte digests, not full
+    * document bodies — at 100 TB that is the difference between shuffling
+    * the corpus and shuffling ~fingerprints (verdict r1 item 6). Collision
+    * probability at 2^-256 is below any hardware error rate.
+    */
   private val q20 = QueryDef(
     "q20_dedup_exact",
     (s, d) =>
       t(s, d, "documents")
-        .groupBy(col("text"))
+        .groupBy(sha2(col("text"), 256).as("digest"))
         .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
         .select(col("doc_id"), col("n_copies"))
         .orderBy("doc_id"),
@@ -540,12 +584,14 @@ object Queries {
         .agg(max("sess_idx").cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
     },
-    Some("""WITH flagged AS (
+    Some("""WITH mev AS (
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+           |flagged AS (
            |  SELECT user_id, ts, event_id,
            |    CASE WHEN lag(ts) OVER w IS NULL
            |      OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
            |      THEN 1 ELSE 0 END AS new_sess
-           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |  FROM mev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
            |numbered AS (
            |  SELECT user_id,
            |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -59,6 +59,8 @@ object Aggregates {
           .toMap
       }
     } catch {
-      case _: Throwable => Seq.empty
+      // NonFatal, not Throwable: the reference catches Exception
+      // (loan_spark_etl.py:216-218); swallowing OOM/interrupts is worse.
+      case scala.util.control.NonFatal(_) => Seq.empty
     }
 }

@@ -63,23 +63,43 @@ object Impute {
 
   /** All column modes in one aggregation pass.
     *
-    * Plan shape: Project(stack) → partial hash agg → exchange on
+    * Plan shape: Project(explode) → partial hash agg → exchange on
     * (col_name, val) → final agg → window rank per col_name → tiny collect
     * (≤ C rows). One shuffle of the distinct values, not C table scans.
+    *
+    * The melt is built with the typed API (explode over an array of
+    * structs), not interpolated `stack(...)` SQL, so arbitrary CSV headers
+    * (quotes, backticks) cannot produce a malformed expression.
+    *
+    * Tie-break parity with [[faithful]]: ties are ranked on the value in
+    * its NATIVE type order, not the melted string — for numeric columns the
+    * string is cast back to double for the comparison (counts tied between
+    * 9.0 and 10.0 must impute 9.0, not "10.0" < "9.0" lexicographically).
     */
   def modes(df: DataFrame): Map[String, String] = {
-    val cols = df.schema.fields.filter(f => fillable(f.dataType)).map(_.name)
-    if (cols.isEmpty) return Map.empty
-    val stackArgs = cols
-      .map(c => s"'${c}', CAST(`${c}` AS STRING)")
-      .mkString(", ")
-    val melted = df.select(
-      expr(s"stack(${cols.length}, $stackArgs) AS (col_name, val)"))
+    val fields = df.schema.fields.filter(f => fillable(f.dataType))
+    if (fields.isEmpty) return Map.empty
+    val kvs = fields.map { f =>
+      struct(
+        lit(f.name).as("col_name"),
+        col(f.name).cast(StringType).as("val"),
+        lit(f.dataType.isInstanceOf[NumericType]).as("is_num"))
+    }
+    val melted = df
+      .select(explode(array(kvs.toIndexedSeq: _*)).as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("kv.val").as("val"),
+        col("kv.is_num").as("is_num"))
+    // is_num is constant per col_name, so grouping on it adds no groups;
+    // the numeric-or-null sort key is null for every non-numeric row,
+    // falling through to the string key.
     val w = Window.partitionBy(col("col_name"))
-      .orderBy(col("cnt").desc, col("val").asc)
+      .orderBy(
+        col("cnt").desc,
+        when(col("is_num"), col("val").cast("double")).asc_nulls_first,
+        col("val").asc)
     melted
       .filter(col("val").isNotNull)
-      .groupBy(col("col_name"), col("val"))
+      .groupBy(col("col_name"), col("val"), col("is_num"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

@@ -89,6 +89,26 @@ class LoanEtlSpec extends SparkSpec {
     }
   }
 
+  test("numeric mode tie-break uses native order, not string order (ADVICE r1)") {
+    val in = tmpDir("loan_numtie_in")
+    // amount: 9.0 ×2 and 10.0 ×2 tied; native asc ⇒ 9.0 wins ("10.0" < "9.0"
+    // lexicographically would wrongly pick 10.0 in a string-ordered melt)
+    writeFile(in, "loan_num_tie.csv",
+      s"""$header
+         |L1,C1,2024-01-15 10:30:00,9.0,1,1,S,P,BR,A
+         |L2,C2,2024-01-15 10:30:00,9.0,1,1,S,P,BR,A
+         |L3,C3,2024-01-15 10:30:00,10.0,1,1,S,P,BR,A
+         |L4,C4,2024-01-15 10:30:00,10.0,1,1,S,P,BR,A
+         |L5,C5,2024-01-15 10:30:00,,1,1,S,P,BR,A
+         |""".stripMargin)
+    val df = spark.read.option("header", true).option("inferSchema", true)
+      .csv(s"$in/*.csv")
+    for (imputed <- Seq(Impute.singlePass(df), Impute.faithful(df))) {
+      val r = imputed.filter(col("loan_id") === "L5").collect()(0)
+      assert(r.getAs[Double]("amount") === 9.0)
+    }
+  }
+
   test("all-null column is left as-is (loan_spark_etl.py:65-67)") {
     val in = tmpDir("loan_allnull_in")
     writeFile(in, "loan_all_null_col.csv",
