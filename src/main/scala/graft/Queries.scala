@@ -468,23 +468,46 @@ object Queries {
 
   /** N-gram (token-set) Jaccard near-dup pairs for a query slice
     * (doc_id < 100), threshold 0.5 on the rounded score. Exact — the oracle
-    * for what MinHash/LSH approximates.
+    * for what MinHash/LSH (q25) approximates.
+    *
+    * Inverted-index formulation (round-2 verdict item 3): explode distinct
+    * tokens, EQUI-join on token, count shared tokens per pair, then
+    * |A∪B| = |A|+|B|-shared. Replaces the previous all-pairs
+    * BroadcastNestedLoopJoin (`doc_a < doc_b` alone) — a pair with zero
+    * shared tokens has jaccard 0 and can never reach the 0.5 threshold, so
+    * dropping token-disjoint pairs is lossless. The bounded query slice is
+    * broadcast; the corpus side streams through a BroadcastHashJoin and
+    * partial-aggregates per pair. At 100 TB the same plan holds with the
+    * broadcast replaced by a shuffle on token (plus df-based prefix
+    * filtering of ultra-common tokens); the scale path proper is q25.
     */
   private val q23 = QueryDef(
     "q23_ngram_jaccard",
     (s, d) => {
       val docs = t(s, d, "documents")
-      val ta = docs
+      val tok = docs.select(
+        col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+      val ta = tok
         .filter(col("doc_id") < 100)
-        .select(col("doc_id").as("doc_a"), array_distinct(split(col("text"), " ")).as("sa"))
-      val tb = docs
-        .select(col("doc_id").as("doc_b"), array_distinct(split(col("text"), " ")).as("sb"))
-      ta.join(tb, col("doc_a") < col("doc_b"))
+        .select(
+          col("doc_id").as("doc_a"),
+          size(col("toks")).as("na"),
+          explode(col("toks")).as("tok_a"))
+      val tb = tok.select(
+        col("doc_id").as("doc_b"),
+        size(col("toks")).as("nb"),
+        explode(col("toks")).as("tok_b"))
+      tb.join(
+          broadcast(ta),
+          col("tok_a") === col("tok_b") && col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("na"), col("doc_b"), col("nb"))
+        .agg(count(lit(1)).as("shared"))
         .withColumn(
           "jaccard",
           round(
-            size(array_intersect(col("sa"), col("sb"))).cast("double") /
-              size(array_union(col("sa"), col("sb"))),
+            col("shared").cast("double") /
+              (col("na") + col("nb") - col("shared")),
             4))
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -615,7 +638,7 @@ object Queries {
            |FROM events ORDER BY event_id""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    q01, q02, q03, q04, q05, q06, q07, q08,
+    q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14,
     q15, q16, q17, q18,
     q19, q20, q21, q22, q23, q24,
