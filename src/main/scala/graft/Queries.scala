@@ -584,6 +584,15 @@ object Queries {
            |  FROM sims) WHERE rnk <= 5
            |ORDER BY query_id, rnk""".stripMargin))
 
+  /** Bucketed ANN — random-hyperplane LSH replacing q24's all-pairs join
+    * (round-1 verdict item 2). Construction + matching DuckDB oracle in
+    * [[graft.ops.AnnLsh]]; recall vs exact q24 asserted in AnnLshSpec.
+    */
+  private val q29 = QueryDef(
+    "q29_ann_lsh",
+    (s, d) => graft.ops.AnnLsh.annTopK(t(s, d, "embeddings")),
+    Some(graft.ops.AnnLsh.oracleSql()))
+
   // ---------------------------------------------------------------------
   // Event-stream shapes (SURVEY §2.9 batch equivalents)
   // ---------------------------------------------------------------------
@@ -653,5 +662,5 @@ object Queries {
     q10, q11, q12, q13, q14,
     q15, q16, q17, q18,
     q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28)
+    q26, q27, q28, q29)
 }

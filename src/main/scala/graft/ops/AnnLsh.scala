@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bucketed approximate-nearest-neighbor search over an embedding column:
+  * random-hyperplane (sign-bit) LSH — Charikar '02 SimHash for cosine —
+  * turning the all-pairs cosine join (q24, the exact oracle baseline) into
+  * an equi-join on small (table, bucket) keys.
+  *
+  * Plan shape, scale-first:
+  *   1. signatures: per vector, L×H sign-bit dot products against fixed
+  *      hyperplanes — a pure map (higher-order `zip_with`/`aggregate` over
+  *      literal weight arrays; no UDF, no shuffle), then a narrow explode
+  *      to (vec_id, table, bucket) — L rows per vector.
+  *   2. candidates: equi-join query buckets against corpus buckets on
+  *      (table, bucket) — fingerprints cross the wire, never embeddings;
+  *      AQE splits skewed buckets.
+  *   3. verify: exact cosine only on distinct candidate pairs, top-k by
+  *      row_number per query.
+  *
+  * Every constant is deterministically md5-derived so the DuckDB oracle
+  * regenerates bit-identical hyperplanes and replicates the SAME algorithm
+  * ([[oracleSql]]): hash-compare tests algorithmic identity, the spec test
+  * measures recall against exact q24.
+  */
+object AnnLsh {
+
+  /** Sign bits per table (bucket space = 2^H) and number of hash tables.
+    * H=4/L=16 targets ~0.85 union recall at cosine ≈ 0.35 (the top-5
+    * similarity level of the synthetic embeddings): per-table collision
+    * (1-θ/π)^4, θ = acos(s).
+    */
+  val H = 4
+  val L = 16
+
+  private def h7(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.substring(0, 7), 16)
+  }
+
+  /** Hyperplane component i of hyperplane (l, j): uniform in [-1, 1] with
+    * denominator 1000 — exact in both engines ((v % 2001 - 1000)/1000.0).
+    */
+  private def weight(l: Int, j: Int, i: Int): Double =
+    (h7(s"h:$l:$j:$i").toDouble % 2001 - 1000) / 1000.0
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** (vec_id, l, bucket) — L bucket keys per vector, computed map-side. */
+  def buckets(emb: DataFrame, dim: Int, vecCol: String = "embedding"): DataFrame = {
+    val tables = (0 until L).map { l =>
+      val bucket = (0 until H).map { j =>
+        val w = array((0 until dim).map(i => lit(weight(l, j, i))): _*)
+        when(dot(col(vecCol), w) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(l).as("l"), bucket.as("bucket"))
+    }
+    emb
+      .select(col("vec_id"), explode(array(tables: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.l").as("l"), col("tb.bucket").as("bucket"))
+  }
+
+  /** Top-k approximate neighbors for query vectors vec_id < `queryMax`:
+    * (query_id, neighbor_id, cosine, rnk), exact cosine ranked within the
+    * union of LSH candidates.
+    */
+  def annTopK(emb: DataFrame, dim: Int = 64, queryMax: Long = 5L, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bk = buckets(vecs, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bk
+      .join(
+        bk.filter(col("vec_id") < queryMax)
+          .select(col("vec_id").as("query_id"), col("l"), col("bucket")),
+        Seq("l", "bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val sims = cand
+      .join(vecs.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+      .join(vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")), "neighbor_id")
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(
+          dot(col("qv"), col("nv")) /
+            (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("nv"), col("nv")))),
+          4).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), asc("neighbor_id"))
+    sims
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** DuckDB SQL replicating [[annTopK]] exactly: regenerates the identical
+    * md5-derived hyperplanes, buckets, candidate set, and exact-cosine
+    * ranking.
+    */
+  def oracleSql(dim: Int = 64, queryMax: Long = 5L, k: Int = 5): String =
+    s"""WITH hp AS (
+       |  SELECT l, j, i,
+       |    (CAST(CAST(list_reduce(
+       |       list_transform(range(1, 8),
+       |         p -> instr('0123456789abcdef',
+       |                substr(md5('h:' || l || ':' || j || ':' || i), p, 1)) - 1),
+       |       (acc, v) -> acc * 16 + v) AS BIGINT) % 2001 AS DOUBLE) - 1000) / 1000.0 AS w
+       |  FROM (SELECT unnest(range(0, $L)) AS l),
+       |       (SELECT unnest(range(0, $H)) AS j),
+       |       (SELECT unnest(range(0, $dim)) AS i)),
+       |ex AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |    generate_subscripts(embedding, 1) - 1 AS i
+       |  FROM embeddings),
+       |dots AS (
+       |  SELECT e.vec_id, h.l, h.j, sum(e.x * h.w) AS d
+       |  FROM ex e JOIN hp h ON h.i = e.i
+       |  GROUP BY 1, 2, 3),
+       |bk AS (
+       |  SELECT vec_id, l,
+       |    sum(CASE WHEN d >= 0 THEN 1 << j ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM bk q JOIN bk c ON q.l = c.l AND q.bucket = c.bucket
+       |  WHERE q.vec_id < $queryMax AND c.vec_id <> q.vec_id),
+       |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+       |sims AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |    round(sum(a.x * b.x) / (na.nrm * nb.nrm), 4) AS cosine
+       |  FROM cand cd
+       |  JOIN ex a ON a.vec_id = cd.query_id
+       |  JOIN ex b ON b.vec_id = cd.neighbor_id AND b.i = a.i
+       |  JOIN norms na ON na.vec_id = cd.query_id
+       |  JOIN norms nb ON nb.vec_id = cd.neighbor_id
+       |  GROUP BY 1, 2, na.nrm, nb.nrm)
+       |SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM sims) WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+}
