@@ -30,12 +30,17 @@ object Pipeline {
       cleanedSubdir: String = "cleaned",
       aggregatesSubdir: String = "aggregates",
       coalesceOutput: Boolean = true,
-      faithfulImpute: Boolean = false): Option[Result] = {
+      faithfulImpute: Boolean = false,
+      // The reference ETL reads every CSV in the dir (loan_spark_etl.py:155)
+      // because the DAG's admission filter (loan_ prefix) runs upstream —
+      // see graft.ingest.FileIngest. Tighten here when running without the
+      // ingest stage, e.g. "loan_*.csv".
+      globPattern: String = "*.csv"): Option[Result] = {
 
     val df = spark.read
       .option("header", true)
       .option("inferSchema", true)
-      .csv(s"$inputDir/*.csv")
+      .csv(s"$inputDir/$globPattern")
 
     if (df.isEmpty) return None
 

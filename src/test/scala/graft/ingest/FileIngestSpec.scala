@@ -1,0 +1,115 @@
+package graft.ingest
+
+import java.time.Instant
+
+import graft.SparkSpec
+
+/** Ledger/admission/stabilization semantics (SURVEY §2.9 ST3-ST5) and gzip
+  * metrics (U1) for the ingest batch.
+  */
+class FileIngestSpec extends SparkSpec {
+
+  private def setup(): (String, String, String, String) = {
+    val root = tmpDir("ingest")
+    val incoming = root.resolve("incoming")
+    java.nio.file.Files.createDirectories(incoming)
+    (incoming.toString, root.resolve("raw").toString,
+      root.resolve("out").toString, root.resolve("ledger.json").toString)
+  }
+
+  private def put(dir: String, name: String, content: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, name), content)
+
+  // mtime is "now - 10 min" relative to real clock; pass a matching `now`
+  private val now = Instant.now().plusSeconds(600)
+
+  test("pattern admission: only loan_*.csv files are processed") {
+    val (incoming, raw, out, ledger) = setup()
+    put(incoming, "loan_a.csv", "loan_id\n1\n")
+    put(incoming, "other_b.csv", "x\n2\n")
+    put(incoming, "loan_c.txt", "y\n3\n")
+    val res = FileIngest.processBatch(incoming, raw, out, ledger, now = now)
+    assert(res.processed.map(_.filename) == Seq("loan_a.csv"))
+    assert(res.rejected.toSet == Set("other_b.csv", "loan_c.txt"))
+  }
+
+  test("exactly-once: a second run of the same batch processes nothing") {
+    val (incoming, raw, out, ledger) = setup()
+    put(incoming, "loan_a.csv", "loan_id\n1\n")
+    put(incoming, "loan_b.csv", "loan_id\n2\n")
+    val first = FileIngest.processBatch(incoming, raw, out, ledger, now = now)
+    assert(first.processed.size == 2)
+    val second = FileIngest.processBatch(incoming, raw, out, ledger, now = now)
+    assert(second.processed.isEmpty, "already-ledgered files were reprocessed")
+    // a new arrival is still picked up
+    put(incoming, "loan_c.csv", "loan_id\n3\n")
+    val third = FileIngest.processBatch(incoming, raw, out, ledger, now = now)
+    assert(third.processed.map(_.filename) == Seq("loan_c.csv"))
+  }
+
+  test("min-age stabilization: young files are deferred, then admitted") {
+    val (incoming, raw, out, ledger) = setup()
+    put(incoming, "loan_young.csv", "loan_id\n1\n")
+    // evaluate with `now` = actual clock: file was just created → age ~0
+    val res = FileIngest.processBatch(incoming, raw, out, ledger,
+      minAgeSeconds = 60, now = Instant.now())
+    assert(res.processed.isEmpty)
+    assert(res.deferred.size == 1)
+    // same batch once 60s have (logically) passed → admitted
+    val later = FileIngest.processBatch(incoming, raw, out, ledger,
+      minAgeSeconds = 60, now = Instant.now().plusSeconds(120))
+    assert(later.processed.map(_.filename) == Seq("loan_young.csv"))
+  }
+
+  test("gzip metrics: sizes and ratio are consistent, outputs land") {
+    val (incoming, raw, out, ledger) = setup()
+    val body = "loan_id,amount\n" + (1 to 500).map(i => s"$i,100.0").mkString("\n")
+    put(incoming, "loan_a.csv", body)
+    val res = FileIngest.processBatch(incoming, raw, out, ledger, now = now)
+    val s = res.processed.head
+    assert(s.originalSize == body.getBytes("UTF-8").length)
+    assert(s.compressedSize > 0 && s.compressedSize < s.originalSize,
+      "repetitive CSV should compress smaller")
+    assert(math.abs(s.compressionRatio - s.compressedSize.toDouble / s.originalSize) < 1e-12)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(raw, "loan_a.csv")))
+    val gz = java.nio.file.Paths.get(out, "loan_a.csv.gz")
+    assert(java.nio.file.Files.exists(gz))
+    // round-trip: gunzip returns the original bytes
+    val in = new java.util.zip.GZIPInputStream(java.nio.file.Files.newInputStream(gz))
+    val back = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(back == body)
+  }
+
+  test("end-to-end: ingest batch -> ETL over raw -> top-k summary -> HTML report") {
+    // the reference DAG's three tasks (process_new_drive_files ->
+    // run_spark_etl -> send_summary_email) as one driver program
+    val (incoming, raw, out, ledger) = setup()
+    put(incoming, "loan_a.csv",
+      "loan_id,status,product_type,branch,amount\n" +
+        "1,APPROVED,HOME,KTM,100.0\n2,APPROVED,HOME,KTM,50.5\n3,PENDING,AUTO,PKR,20.0\n")
+    put(incoming, "skipme.csv", "x\n9\n")
+    val batch = FileIngest.processBatch(incoming, raw, out, ledger, now = now)
+    assert(batch.processed.map(_.filename) == Seq("loan_a.csv"))
+
+    val etl = graft.etl.Pipeline.run(spark, raw, out + "/etl").get
+    assert(etl.rowCount == 3)
+    val summary = graft.etl.Aggregates.latestSummary(spark, etl.aggregatesPath)
+    assert(summary.head("loan_count") == 2L) // APPROVED/HOME/KTM on top
+
+    val html = graft.report.Summary.renderHtml(batch.processed, summary)
+    assert(html.contains("loan_a.csv") && html.contains("APPROVED"))
+    assert(html.contains("150.50")) // 100.0 + 50.5 formatted 2dp
+  }
+
+  test("ledger round-trips through the reference JSON format") {
+    val (_, _, _, ledger) = setup()
+    FileLedger.save(ledger, Set("b", "a"), now = Instant.parse("2026-08-12T00:00:00Z"))
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(ledger))
+    assert(text.contains("\"processed_file_ids\""))
+    assert(text.contains("\"last_updated\""))
+    assert(FileLedger.load(ledger) == Set("a", "b"))
+    // corrupt ledger loads as empty (defensive read, like the reference)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(ledger), "{not json")
+    assert(FileLedger.load(ledger) == Set.empty[String])
+  }
+}
