@@ -593,6 +593,32 @@ object Queries {
     (s, d) => graft.ops.AnnLsh.annTopK(t(s, d, "embeddings")),
     Some(graft.ops.AnnLsh.oracleSql()))
 
+  /** SimHash near-dup pairs: 32-bit majority-vote fingerprint, byte-band
+    * candidate equi-join, hamming <= 3 verification on fingerprints only.
+    */
+  private val q30 = QueryDef(
+    "q30_simhash",
+    (s, d) => graft.ops.TextOps.simhashPairs(t(s, d, "documents")),
+    Some(graft.ops.TextOps.simhashOracleSql()))
+
+  /** Language-ID: deterministic character-bigram profile scoring. */
+  private val q31 = QueryDef(
+    "q31_langid",
+    (s, d) => graft.ops.TextOps.langId(t(s, d, "documents")),
+    Some(graft.ops.TextOps.langIdOracleSql))
+
+  /** Token counting: whitespace vs BPE-ish regex segmentation. */
+  private val q32 = QueryDef(
+    "q32_token_count",
+    (s, d) => graft.ops.TextOps.tokenCounts(t(s, d, "documents")),
+    Some(graft.ops.TextOps.tokenCountsOracleSql))
+
+  /** Rolling k-gram min-hash document fingerprint + dup-cluster size. */
+  private val q33 = QueryDef(
+    "q33_fingerprint",
+    (s, d) => graft.ops.TextOps.fingerprints(t(s, d, "documents")),
+    Some(graft.ops.TextOps.fingerprintsOracleSql))
+
   // ---------------------------------------------------------------------
   // Event-stream shapes (SURVEY §2.9 batch equivalents)
   // ---------------------------------------------------------------------
@@ -662,5 +688,6 @@ object Queries {
     q10, q11, q12, q13, q14,
     q15, q16, q17, q18,
     q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29)
+    q26, q27, q28, q29,
+    q30, q31, q32, q33)
 }

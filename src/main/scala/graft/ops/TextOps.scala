@@ -1,0 +1,252 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large document corpora: SimHash near-dup
+  * detection, n-gram language identification, BPE-ish token counting, and
+  * rolling-hash document fingerprinting. All are built-in-function
+  * pipelines (no UDFs) whose constants are deterministic and reproducible
+  * in DuckDB, so every operator ships with an exact oracle.
+  */
+object TextOps {
+
+  /** First 8 hex digits of md5 as a 32-bit non-negative long — the
+    * cross-engine token hash (same construction as [[NearDup]], one more
+    * hex digit for 32 bits).
+    */
+  private def tokenHash32(tok: Column): Column =
+    conv(substring(md5(tok.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  private val duckHex8 =
+    "CAST(list_reduce(list_transform(range(1, 9), p -> instr('0123456789abcdef', substr(%s, p, 1)) - 1), (acc, v) -> acc * 16 + v) AS BIGINT)"
+
+  // -------------------------------------------------------------------
+  // SimHash (Charikar '02): B-bit fingerprint = per-bit majority vote of
+  // token hashes; near-dup pairs share a fingerprint byte-band and have
+  // hamming distance <= maxHamming.
+  // -------------------------------------------------------------------
+
+  /** SimHash bits. 32 keeps every shift inside the 32-bit token hash. */
+  val SimHashBits = 32
+
+  /** Bands for the candidate equi-join: 4 bytes of the fingerprint. Two
+    * fingerprints within hamming distance 3 must agree on >= 1 of the 4
+    * bytes (pigeonhole), so banding loses nothing at maxHamming <= 3.
+    */
+  val SimHashBands = 4
+
+  /** (doc_id, fp) — one aggregate pass: explode distinct tokens, 32
+    * conditional sums (+1 if bit set, -1 if not), majority vote per bit.
+    * Map-side partial aggregation keeps the shuffle at 32 longs per doc.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val hashed = NearDup.tokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"), tokenHash32(col("tok")).as("x"))
+    val sums = (0 until SimHashBits).map { j =>
+      sum(when(shiftright(col("x"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j")
+    }
+    hashed
+      .groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .select(
+        col("doc_id"),
+        (0 until SimHashBits)
+          .map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _)
+          .as("fp"))
+  }
+
+  /** Near-duplicate pairs by SimHash: byte-band equi-join for candidates
+    * (doc_a restricted to < sliceMax), hamming distance <= maxHamming
+    * verified on the 32-bit fingerprints only — no token data crosses the
+    * wire after the fingerprint pass. Output (doc_a, doc_b, hamming).
+    */
+  def simhashPairs(docs: DataFrame, sliceMax: Long = 100L, maxHamming: Int = 3): DataFrame = {
+    val fp = simhash(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = fp.select(
+      col("doc_id"), col("fp"),
+      explode(array((0 until SimHashBands).map { b =>
+        struct(lit(b).as("band"), shiftright(col("fp"), 8 * b).bitwiseAND(lit(255L)).as("bv"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val cand = banded
+      .join(
+        banded.filter(col("doc_id") < sliceMax)
+          .select(col("doc_id").as("doc_a"), col("fp").as("fp_a"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_id"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"), col("fp_a"), col("fp").as("fp_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("CAST(bit_count(fp_a ^ fp_b) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def simhashOracleSql(sliceMax: Long = 100L, maxHamming: Int = 3): String = {
+    val h8 = duckHex8.format("md5(tok)")
+    val sums = (0 until SimHashBits)
+      .map(j => s"sum(CASE WHEN (x >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n    ")
+    val fpExpr = (0 until SimHashBits)
+      .map(j => s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    val bandRows = (0 until SimHashBands)
+      .map(b => s"SELECT doc_id, fp, $b AS band, (fp >> ${8 * b}) & 255 AS bv FROM fp")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM documents),
+       |tx AS (SELECT doc_id, $h8 AS x FROM tok),
+       |sums AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM tx GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $fpExpr AS fp FROM sums),
+       |banded AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |    a.fp AS fp_a, c.fp AS fp_b
+       |  FROM banded a JOIN banded c ON a.band = c.band AND a.bv = c.bv
+       |  WHERE a.doc_id < $sliceMax AND a.doc_id < c.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Language identification: fixed character-bigram profiles scored by
+  // occurrence counting — a deterministic n-gram heuristic (the labels in
+  // the synthetic corpus are random, so the oracle tests the operator,
+  // not label accuracy).
+  // -------------------------------------------------------------------
+
+  /** Toy public-knowledge bigram profiles, lexicographic language order. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("ch", "ei", "de", "un"),
+    "en" -> Seq("th", "he", "an", "in"),
+    "es" -> Seq("ll", "qu", "ci", "os"),
+    "fr" -> Seq("ou", "le", "es", "on"),
+    "zh" -> Seq("zh", "ng", "sh", "ia"))
+
+  /** Occurrences of `pat` in `text`: (len - len(remove(pat))) / len(pat). */
+  private def occurrences(text: Column, pat: String): Column =
+    (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(pat), "")))
+      .cast("long") / lit(pat.length)
+
+  /** (doc_id, lang, pred_lang, score): argmax of profile scores with
+    * lexicographic tie-break (first matching language in profile order).
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = langProfiles.foldLeft(docs.select(col("doc_id"), col("lang"), col("text"))) {
+      case (df, (lang, bigrams)) =>
+        df.withColumn(s"s_$lang",
+          bigrams.map(b => occurrences(col("text"), b)).reduce(_ + _).cast("long"))
+    }
+    val best = greatest(langProfiles.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = langProfiles.foldRight(lit(null).cast("string")) {
+      case ((lang, _), elseCol) =>
+        when(col(s"s_$lang") === best, lit(lang)).otherwise(elseCol)
+    }
+    // CASE chain evaluates in lexicographic order, but foldRight builds
+    // nested otherwise()s — first match wins, so order de,en,es,fr,zh.
+    scored
+      .select(col("doc_id"), col("lang"), pred.as("pred_lang"), best.as("score"))
+      .orderBy("doc_id")
+  }
+
+  def langIdOracleSql: String = {
+    val scores = langProfiles.map { case (lang, bigrams) =>
+      val terms = bigrams
+        .map(b => s"(len(text) - len(replace(text, '$b', ''))) // ${b.length}")
+        .mkString(" + ")
+      s"CAST($terms AS BIGINT) AS s_$lang"
+    }.mkString(",\n    ")
+    val best = "greatest(" + langProfiles.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+    val pred = langProfiles
+      .map { case (l, _) => s"WHEN s_$l = $best THEN '$l'" }
+      .mkString("CASE ", " ", " END")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    $scores
+       |  FROM documents)
+       |SELECT doc_id, lang, $pred AS pred_lang, $best AS score
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Token counting: whitespace tokens vs a BPE-ish regex segmentation
+  // (letters / digits / punctuation runs — the GPT-2 pre-tokenizer's
+  // coarse shape without unicode categories).
+  // -------------------------------------------------------------------
+
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+  /** (doc_id, n_ws_tokens, n_bpeish_tokens, chars_per_token). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpeishPattern), lit(0))).cast("long")
+        .as("n_bpeish_tokens"),
+      round(
+        length(col("text")).cast("double") /
+          greatest(size(regexp_extract_all(col("text"), lit(BpeishPattern), lit(0))), lit(1)),
+        4).as("chars_per_token"))
+      .orderBy("doc_id")
+
+  def tokenCountsOracleSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '$BpeishPattern')) AS BIGINT) AS n_bpeish_tokens,
+       |  round(CAST(len(text) AS DOUBLE)
+       |    / greatest(len(regexp_extract_all(text, '$BpeishPattern')), 1), 4)
+       |    AS chars_per_token
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Document fingerprinting: minimum rolling k-gram hash (winnowing's
+  // selection step with a single global window) — robust to token
+  // re-ordering outside the minimizing window, cheap to compare.
+  // -------------------------------------------------------------------
+
+  /** Character window width of the rolling fingerprint. */
+  val FingerprintK = 8
+
+  /** (doc_id, fp, n_dups): fp = min over all k-char windows of the 28-bit
+    * md5 window hash; n_dups = docs sharing the fingerprint. The window
+    * hashes are a pure map over `sequence`, no shuffle until the count.
+    */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val k = FingerprintK
+    val fp = expr(
+      s"""array_min(transform(
+         |  sequence(1, greatest(length(text) - ${k - 1}, 1)),
+         |  i -> CAST(conv(substring(md5(CAST(substring(text, i, $k) AS BINARY)), 1, 7), 16, 10)
+         |       AS BIGINT)))""".stripMargin)
+    docs
+      .select(col("doc_id"), fp.as("fp"))
+      .withColumn("n_dups",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .select(col("doc_id"), col("fp"), col("n_dups").cast("long").as("n_dups"))
+      .orderBy("doc_id")
+  }
+
+  def fingerprintsOracleSql: String = {
+    val k = FingerprintK
+    val h7 = "CAST(list_reduce(list_transform(range(1, 8), p -> instr('0123456789abcdef', " +
+      s"substr(md5(substr(text, CAST(i AS INT), $k)), p, 1)) - 1), (acc, v) -> acc * 16 + v) AS BIGINT)"
+    s"""WITH fp AS (
+       |  SELECT doc_id,
+       |    list_min(list_transform(range(1, greatest(len(text) - ${k - 1}, 1) + 1),
+       |      i -> $h7)) AS fp
+       |  FROM documents)
+       |SELECT doc_id, fp,
+       |  CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_dups
+       |FROM fp ORDER BY doc_id""".stripMargin
+  }
+}

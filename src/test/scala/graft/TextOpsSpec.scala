@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextOps
+
+/** Unit-level semantics of the text-analysis operators (q30-q33 run the
+  * same code against the oracle; these pin the properties the oracle
+  * can't see — invariances and plan shape).
+  */
+class TextOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("simhash: identical token sets get identical fingerprints; reorder-invariant") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "delta gamma beta alpha"), // same set, different order
+      (2L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val fp = TextOps.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(1L), "simhash must be token-order invariant")
+    assert(fp.values.forall(v => v >= 0 && v < (1L << 32)), "fingerprints are 32-bit")
+  }
+
+  test("simhash pairs: near-identical docs are found, hamming bounded") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (0L, base),
+      (1L, base + " extra"),   // one token added
+      (2L, (100 to 140).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = TextOps.simhashPairs(docs, sliceMax = 10L, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists { case (a, b, _) => a == 0L && b == 1L },
+      "near-identical pair missed")
+    assert(pairs.forall(_._3 <= 3))
+    assert(!pairs.exists { case (a, b, _) => b == 2L && a <= 1L },
+      "unrelated doc matched")
+  }
+
+  test("q30 physical plan has no nested-loop or cartesian join") {
+    val plan = SparkEntry.queries("q30_simhash")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("langId: profile bigrams drive the prediction, ties break lexicographically") {
+    val docs = Seq(
+      (0L, "xx", "the then there"),  // th/he/an/in → en
+      (1L, "xx", "zhou zhang ngong"),// zh/ng/sh/ia → zh
+      (2L, "xx", "qqq")              // no profile bigram: all scores 0 → de (lex first)
+    ).toDF("doc_id", "lang", "text")
+    val out = TextOps.langId(docs).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(0L) == "en")
+    assert(out(1L) == "zh")
+    assert(out(2L) == "de")
+  }
+
+  test("tokenCounts: BPE-ish regex splits letter/digit/punct runs") {
+    val docs = Seq((0L, "ab12 cd, ef!")).toDF("doc_id", "text")
+    val r = TextOps.tokenCounts(docs).collect().head
+    assert(r.getLong(1) == 3L, "whitespace tokens")
+    // ab | 12 | cd | , | ef | !  → 6 BPE-ish tokens
+    assert(r.getLong(2) == 6L, "bpeish tokens")
+    assert(r.getDouble(3) == 2.0, "12 chars / 6 tokens")
+  }
+
+  test("fingerprints: identical docs share fp and count as dups; short docs work") {
+    val docs = Seq(
+      (0L, "the same document body here"),
+      (1L, "the same document body here"),
+      (2L, "a completely different text"),
+      (3L, "short"), // shorter than k=8 → single truncated window
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextOps.fingerprints(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = out.map(t => t._1 -> t).toMap
+    assert(byDoc(0L)._2 == byDoc(1L)._2 && byDoc(0L)._3 == 2L)
+    assert(byDoc(2L)._3 == 1L)
+    assert(byDoc(3L)._2 != byDoc(4L)._2, "truncated windows still distinguish docs")
+  }
+}
