@@ -619,6 +619,22 @@ object Queries {
     (s, d) => graft.ops.TextOps.fingerprints(t(s, d, "documents")),
     Some(graft.ops.TextOps.fingerprintsOracleSql))
 
+  /** Binary (multimodal payload) column metadata: length, head bytes,
+    * digest — computed straight off the binary column with builtins.
+    */
+  private val q34 = QueryDef(
+    "q34_binary_meta",
+    (s, d) => graft.ops.Multimodal.binaryMeta(t(s, d, "documents")),
+    Some(graft.ops.Multimodal.binaryMetaOracleSql))
+
+  /** Embedding-cosine near-duplicate pairs via the same LSH bucketing as
+    * q29 — the embedding-space analogue of MinHash dedup.
+    */
+  private val q35 = QueryDef(
+    "q35_embed_neardup",
+    (s, d) => graft.ops.AnnLsh.nearDupPairs(t(s, d, "embeddings")),
+    Some(graft.ops.AnnLsh.nearDupOracleSql()))
+
   // ---------------------------------------------------------------------
   // Event-stream shapes (SURVEY §2.9 batch equivalents)
   // ---------------------------------------------------------------------
@@ -689,5 +705,5 @@ object Queries {
     q15, q16, q17, q18,
     q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29,
-    q30, q31, q32, q33)
+    q30, q31, q32, q33, q34, q35)
 }

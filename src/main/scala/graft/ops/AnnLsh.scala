@@ -84,22 +84,102 @@ object AnnLsh {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
+    val norms = vecs.select(col("vec_id"), sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     val sims = cand
       .join(vecs.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
       .join(vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")), "neighbor_id")
+      .join(norms.select(col("vec_id").as("query_id"), col("nrm").as("na")), "query_id")
+      .join(norms.select(col("vec_id").as("neighbor_id"), col("nrm").as("nb")), "neighbor_id")
       .select(
         col("query_id"),
         col("neighbor_id"),
-        round(
-          dot(col("qv"), col("nv")) /
-            (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("nv"), col("nv")))),
-          4).as("cosine"))
+        round(dot(col("qv"), col("nv")) / (col("na") * col("nb")), 4).as("cosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), asc("neighbor_id"))
     sims
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .orderBy("query_id", "rnk")
   }
+
+  /** Embedding-cosine near-duplicate pairs: same LSH bucketing as
+    * [[annTopK]], but emitting every candidate pair (vec_a < sliceMax,
+    * vec_a < vec_b) whose exact cosine clears `threshold` — the
+    * embedding-space analogue of MinHash near-dup dedup. Output
+    * (vec_a, vec_b, cosine) ordered.
+    */
+  def nearDupPairs(
+      emb: DataFrame,
+      dim: Int = 64,
+      sliceMax: Long = 100L,
+      threshold: Double = 0.3): DataFrame = {
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bk = buckets(vecs, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bk
+      .join(
+        bk.filter(col("vec_id") < sliceMax)
+          .select(col("vec_id").as("vec_a"), col("l"), col("bucket")),
+        Seq("l", "bucket"))
+      .filter(col("vec_a") < col("vec_id"))
+      .select(col("vec_a"), col("vec_id").as("vec_b"))
+      .distinct()
+    // Norms are per-vector, not per-pair: compute them once on the
+    // persisted frame and join — the per-pair work is a single dot.
+    val norms = vecs.select(col("vec_id"), sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    cand
+      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("va")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("vb")), "vec_b")
+      .join(norms.select(col("vec_id").as("vec_a"), col("nrm").as("na")), "vec_a")
+      .join(norms.select(col("vec_id").as("vec_b"), col("nrm").as("nb")), "vec_b")
+      .select(
+        col("vec_a"),
+        col("vec_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** DuckDB SQL replicating [[nearDupPairs]]. */
+  def nearDupOracleSql(dim: Int = 64, sliceMax: Long = 100L, threshold: Double = 0.3): String =
+    s"""WITH hp AS (
+       |  SELECT l, j, i,
+       |    (CAST(CAST(list_reduce(
+       |       list_transform(range(1, 8),
+       |         p -> instr('0123456789abcdef',
+       |                substr(md5('h:' || l || ':' || j || ':' || i), p, 1)) - 1),
+       |       (acc, v) -> acc * 16 + v) AS BIGINT) % 2001 AS DOUBLE) - 1000) / 1000.0 AS w
+       |  FROM (SELECT unnest(range(0, $L)) AS l),
+       |       (SELECT unnest(range(0, $H)) AS j),
+       |       (SELECT unnest(range(0, $dim)) AS i)),
+       |ex AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |    generate_subscripts(embedding, 1) - 1 AS i
+       |  FROM embeddings),
+       |dots AS (
+       |  SELECT e.vec_id, h.l, h.j, sum(e.x * h.w) AS d
+       |  FROM ex e JOIN hp h ON h.i = e.i
+       |  GROUP BY 1, 2, 3),
+       |bk AS (
+       |  SELECT vec_id, l,
+       |    sum(CASE WHEN d >= 0 THEN 1 << j ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS vec_a, c.vec_id AS vec_b
+       |  FROM bk q JOIN bk c ON q.l = c.l AND q.bucket = c.bucket
+       |  WHERE q.vec_id < $sliceMax AND q.vec_id < c.vec_id),
+       |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+       |sims AS (
+       |  SELECT cd.vec_a, cd.vec_b,
+       |    round(sum(a.x * b.x) / (na.nrm * nb.nrm), 4) AS cosine
+       |  FROM cand cd
+       |  JOIN ex a ON a.vec_id = cd.vec_a
+       |  JOIN ex b ON b.vec_id = cd.vec_b AND b.i = a.i
+       |  JOIN norms na ON na.vec_id = cd.vec_a
+       |  JOIN norms nb ON nb.vec_id = cd.vec_b
+       |  GROUP BY 1, 2, na.nrm, nb.nrm)
+       |SELECT vec_a, vec_b, cosine FROM sims
+       |WHERE cosine >= $threshold ORDER BY vec_a, vec_b""".stripMargin
 
   /** DuckDB SQL replicating [[annTopK]] exactly: regenerates the identical
     * md5-derived hyperplanes, buckets, candidate set, and exact-cosine

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Multimodal
+import graft.ops.Multimodal.MediaItem
+
+/** Multimodal binary-column plumbing: typed Dataset round-trip, the
+  * deterministic decode stub, real byte-histogram features (checked
+  * against an independent SQL computation), and frame sampling shape.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("media table from documents: binary schema, typed round-trip") {
+    val items = Multimodal.mediaFromDocuments(spark, sf)
+    assert(items.schema("content").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val first = items.orderBy("id").head()
+    assert(first.modality.startsWith("img_"))
+    assert(first.content.length >= 0)
+  }
+
+  test("decode stub is deterministic and total on empty payloads") {
+    val a = Multimodal.decodeMeta(MediaItem(1L, "img", Array[Byte](130.toByte, 7, 9)))
+    val b = Multimodal.decodeMeta(MediaItem(1L, "img", Array[Byte](130.toByte, 7, 9)))
+    assert(a == b)
+    assert(a.width == 1 + (130 % 64) && a.height == 1 + 7 % 64)
+    val empty = Multimodal.decodeMeta(MediaItem(2L, "img", Array.empty))
+    assert(empty.nBytes == 0L && empty.width == 1 && empty.height == 1)
+  }
+
+  test("extractMeta runs distributed and matches the stub per row") {
+    val items = Multimodal.mediaFromDocuments(spark, sf)
+    val meta = Multimodal.extractMeta(items).collect().map(m => m.id -> m).toMap
+    val local = items.collect()
+    assert(meta.size == local.length)
+    for (it <- local.take(20)) assert(meta(it.id) == Multimodal.decodeMeta(it))
+  }
+
+  test("byteHistogram matches an independent SQL histogram and is L1-normalized") {
+    val items = Multimodal.mediaFromDocuments(spark, sf).limit(50)
+    val feats = Multimodal.byteHistogram(items).collect().map(f => f.id -> f.features).toMap
+    // independent computation: explode text chars -> ascii -> high nibble
+    val sql = items.toDF()
+      .select(col("id"), explode(split(decode(col("content"), "UTF-8"), "")).as("ch"))
+      .filter(length(col("ch")) === 1)
+      .select(col("id"), (ascii(col("ch")) / 16).cast("int").as("bin"))
+      .groupBy("id", "bin").count()
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => r.getInt(1) -> r.getLong(2)).toMap).toMap
+    for ((id, f) <- feats) {
+      assert(f.length == 16)
+      val total = f.sum
+      assert(total == 0f || math.abs(total - 1f) < 1e-3, s"not normalized: $total")
+      val expected = sql.getOrElse(id, Map.empty)
+      val n = expected.values.sum.toFloat
+      for ((bin, cnt) <- expected)
+        assert(math.abs(f(bin) - cnt / n) < 1e-3, s"id=$id bin=$bin")
+    }
+  }
+
+  test("sampleFrames keeps every stride-th fixed-size chunk") {
+    val df = Seq((1L, ("x" * 5000).getBytes("UTF-8"))).toDF("id", "content")
+    val frames = Multimodal.sampleFrames(df, frameBytes = 1024, stride = 2)
+      .select(col("frames")).head().getSeq[Array[Byte]](0)
+    // 5000 bytes -> 5 chunks (0..4), stride 2 keeps 0,2,4
+    assert(frames.length == 3)
+    assert(frames(0).length == 1024)
+    assert(frames(2).length == 5000 - 4 * 1024, "last chunk is the remainder")
+  }
+}
