@@ -686,6 +686,110 @@ object Queries {
            |  count(*) AS n_events
            |FROM numbered GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Round-3 extensions: multidimensional aggregates, temporal joins,
+  // ordered/statistical aggregates (SURVEY §2.4 "none in reference" gaps,
+  // built as engine extensions like §2.3 joins)
+  // ---------------------------------------------------------------------
+
+  /** CUBE grouping sets (all 4 combinations of the two keys). */
+  private val q36 = QueryDef(
+    "q36_cube",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           |  round(sum(l_quantity), 2) AS sum_qty
+           |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin))
+
+  /** Pivot (explicit value list so columns — and the plan — are static;
+    * an unlisted-values pivot needs an extra distinct-collect job).
+    */
+  private val q37 = QueryDef(
+    "q37_pivot",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("l_quantity"), 2))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+           |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F",
+           |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O"
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** As-of join — single-shuffle union+window form (graft.ops.TemporalJoins). */
+  private val q38 = QueryDef(
+    "q38_asof_join",
+    (s, d) => graft.ops.TemporalJoins.asOfLastClick(t(s, d, "events")),
+    Some(graft.ops.TemporalJoins.asOfOracleSql))
+
+  /** Bounded range join — time-bucketed equi-join form. */
+  private val q39 = QueryDef(
+    "q39_range_join",
+    (s, d) => graft.ops.TemporalJoins.rangeJoinCount(t(s, d, "events")),
+    Some(graft.ops.TemporalJoins.rangeOracleSql))
+
+  /** Ordered-set aggregates: exact linear-interpolation quantiles.
+    * Spark `percentile` and DuckDB `quantile_cont` share the interpolation
+    * rule (sorted values, linear between adjacent ranks).
+    */
+  private val q40 = QueryDef(
+    "q40_percentile",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+           |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** Statistical aggregates: correlation / covariance / dispersion. */
+  private val q41 = QueryDef(
+    "q41_stats",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qp"),
+          round(covar_samp("l_quantity", "l_extendedprice"), 4).as("covar_qp"),
+          round(stddev_samp("l_extendedprice"), 4).as("sd_price"),
+          round(var_pop("l_quantity"), 4).as("var_qty"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+           |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+           |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           |  round(var_pop(l_quantity), 4) AS var_qty
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** Approximate distinct-count sketch (HyperLogLog++). Implementation-
+    * specific estimates can't hash-match DuckDB's sketch → no SQL oracle
+    * (driver records rows-only); accuracy vs exact counts is asserted in
+    * RelationalExtSpec.
+    */
+  private val q42 = QueryDef(
+    "q42_approx_distinct",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct("l_partkey", 0.02).as("apx_parts"),
+          approx_count_distinct("l_suppkey", 0.02).as("apx_supps"))
+        .orderBy("l_returnflag"),
+    None)
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -705,5 +809,6 @@ object Queries {
     q15, q16, q17, q18,
     q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29,
-    q30, q31, q32, q33, q34, q35)
+    q30, q31, q32, q33, q34, q35,
+    q36, q37, q38, q39, q40, q41, q42)
 }
