@@ -790,6 +790,36 @@ object Queries {
         .orderBy("l_returnflag"),
     None)
 
+  /** Native session windows (graft.streaming.StreamingEtl.sessionWindows
+    * run in batch mode — the same function serves the streaming path).
+    * Sessions are half-open: a 30-min-exactly gap starts a new session,
+    * so the oracle's new-session predicate is `ts >= prev + gap`.
+    */
+  private val q43 = QueryDef(
+    "q43_session_window",
+    (s, d) =>
+      graft.streaming.StreamingEtl
+        .sessionWindows(t(s, d, "events"))
+        .orderBy("user_id", "sess_start"),
+    Some("""WITH mev AS (
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+           |flagged AS (
+           |  SELECT user_id, ts, value,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |      OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+           |      THEN 1 ELSE 0 END AS new_sess
+           |  FROM mev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           |numbered AS (
+           |  SELECT user_id, ts, value,
+           |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           |  FROM flagged)
+           |SELECT user_id, min(ts) AS sess_start,
+           |  max(ts) + INTERVAL '30 minutes' AS sess_end,
+           |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+           |FROM numbered GROUP BY user_id, sid
+           |ORDER BY user_id, sess_start""".stripMargin))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -810,5 +840,5 @@ object Queries {
     q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35,
-    q36, q37, q38, q39, q40, q41, q42)
+    q36, q37, q38, q39, q40, q41, q42, q43)
 }

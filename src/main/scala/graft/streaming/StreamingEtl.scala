@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming re-expression of the reference's hand-rolled
+  * micro-batch loop (SURVEY.md §2.9, drive_auto_compress_email.py):
+  *
+  *   - ST1 fixed-interval trigger: the DAG's every-minute cron schedule
+  *     (drive_auto_compress_email.py:582) → `Trigger.ProcessingTime`;
+  *     [[Trigger.AvailableNow]] is the drain-and-stop form used by tests
+  *     and backfills.
+  *   - ST2 single concurrent run: one `StreamingQuery` instance is
+  *     serialized by construction (`max_active_runs=1`, :584).
+  *   - ST3 exactly-once per file: the checkpoint's file-source commit log
+  *     replaces the reference's JSON ledger
+  *     (drive_auto_compress_email.py:85-111; batch-mode equivalent:
+  *     [[graft.ingest.FileLedger]]).
+  *   - ST5 name-pattern admission: `pathGlobFilter` on the source
+  *     (prefix/suffix filter, drive_auto_compress_email.py:204).
+  *   - ST4 min-age stabilization has no streaming builtin; the batch-side
+  *     [[graft.ingest.FileIngest]] applies it before files reach the
+  *     watched directory — the landing zone IS the stabilization stage.
+  *
+  * Beyond reference parity: event-time watermarks, tumbling windows,
+  * native session windows, and arbitrary per-key state
+  * (flatMapGroupsWithState) — the streaming operators a training-data
+  * pipeline needs for event feeds. Every transform here is expressed on
+  * an unbounded DataFrame, so the SAME function runs in batch mode for
+  * the DuckDB oracle (Queries q43) and in a stream for the live path.
+  */
+object StreamingEtl {
+
+  /** CSV file-arrival stream. Streaming CSV requires an explicit schema
+    * (no inferSchema pass over an unbounded source); `maxFilesPerTrigger`
+    * bounds each micro-batch so one huge backlog can't OOM a batch.
+    */
+  def csvFileStream(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      globPattern: String = "loan_*.csv",
+      maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .option("pathGlobFilter", globPattern)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .csv(dir)
+
+  /** JSON file-arrival stream (event feeds). */
+  def jsonFileStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(dir)
+
+  /** Drain all currently-available input exactly once, then stop — the
+    * per-run body of the reference's scheduled task. Re-invoking with the
+    * same checkpoint skips every already-committed file (ST3).
+    */
+  def runAvailableNow(df: DataFrame, outDir: String, checkpoint: String): Unit = {
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Continuous fixed-interval form (ST1). Caller owns the lifecycle. */
+  def startProcessingTime(
+      df: DataFrame,
+      outDir: String,
+      checkpoint: String,
+      interval: String = "1 minute"): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(interval))
+      .start()
+
+  /** Watermarked tumbling-window aggregate over an event feed. In a
+    * stream, state for windows older than watermark-delay is dropped
+    * (bounded memory at any scale); in batch the watermark is a no-op and
+    * the result is the exact batch answer — q26's streaming twin.
+    */
+  def windowedCounts(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Native session windows: 30-minute inactivity gap, merged by Spark's
+    * SessionWindow machinery (state pruned by watermark in streams).
+    * Sessions are half-open: an event exactly `gap` after the previous one
+    * starts a NEW session (window end = last ts + gap, exclusive).
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("n_events"), col("sum_value"))
+
+  final case class UserEvent(user_id: Long, event_id: Long, value: Double)
+  final case class UserTotal(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Arbitrary per-key state (flatMapGroupsWithState): running per-user
+    * totals that survive across micro-batches. The state object is a
+    * single small case class per key — O(distinct users) memory, with
+    * ProcessingTimeTimeout available for eviction in long-running streams.
+    */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotal, UserTotal](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0))
+          var n = prev.n_events
+          var s = prev.sum_value
+          rows.foreach { e => n += 1; s += e.value }
+          val next = UserTotal(userId, n, s)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}
