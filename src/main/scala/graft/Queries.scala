@@ -593,6 +593,15 @@ object Queries {
     (s, d) => graft.ops.AnnLsh.annTopK(t(s, d, "embeddings")),
     Some(graft.ops.AnnLsh.oracleSql()))
 
+  /** IVF-bucketed ANN — the coarse-quantizer scale path next to q29's
+    * LSH (graft.ops.AnnIvf): map-side centroid assignment, nprobe-bounded
+    * search, exact cosine only inside probed lists.
+    */
+  private val q44 = QueryDef(
+    "q44_ann_ivf",
+    (s, d) => graft.ops.AnnIvf.annTopK(t(s, d, "embeddings")),
+    Some(graft.ops.AnnIvf.oracleSql()))
+
   /** SimHash near-dup pairs: 32-bit majority-vote fingerprint, byte-band
     * candidate equi-join, hamming <= 3 verification on fingerprints only.
     */
@@ -840,5 +849,5 @@ object Queries {
     q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35,
-    q36, q37, q38, q39, q40, q41, q42, q43)
+    q36, q37, q38, q39, q40, q41, q42, q43, q44)
 }

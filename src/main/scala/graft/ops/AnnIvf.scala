@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate-nearest-neighbor search — the second
+  * scale path for similarity search next to random-hyperplane LSH
+  * ([[AnnLsh]]): partition the corpus into `nlist` coarse cells, search
+  * only the `nprobe` cells nearest each query.
+  *
+  * Plan shape, scale-first (classic IVF-Flat, cf. the FAISS paper,
+  * Johnson/Douze/Jégou '17):
+  *
+  *   1. quantizer: `nlist` centroids. They are TINY (nlist × dim), so they
+  *      are collected once and inlined as literal arrays — assignment is a
+  *      pure map over the corpus (argmax of `nlist` codegen'd dot
+  *      products), NO shuffle, no join. At 100 TB the corpus never moves;
+  *      only its (vec_id, list_id) assignment does.
+  *   2. probe: each query scores the same centroid literals and keeps its
+  *      `nprobe` best lists — map-side again.
+  *   3. search: probes equi-join the assignment on `list_id`, so the
+  *      exact-cosine work is bounded by the probed fraction
+  *      (~nprobe/nlist of the corpus), never all-pairs.
+  *
+  * Centroid choice is pluggable: here the quantizer is the deterministic
+  * "first `nlist` vectors" (vec_id < nlist) so the DuckDB oracle can
+  * regenerate it exactly; a production build would k-means-train the
+  * centroids — every stage downstream of the centroid table is unchanged.
+  *
+  * Determinism: centroid scores are rounded to 6 decimals BEFORE the
+  * argmax/top-nprobe selection in both engines, so a last-ulp difference
+  * in floating-point accumulation order can't flip an assignment; ties
+  * break toward the smaller centroid id.
+  */
+object AnnIvf {
+
+  val NList = 16
+  val NProbe = 4
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Per-vector array of (score, -centroid_id) structs against the literal
+    * centroids; struct ordering = score asc then centroid id desc, so
+    * `array_max` / descending sort pick max score with min id on ties.
+    */
+  private def scored(vecCol: Column, cents: Seq[(Long, Array[Float])]): Column =
+    array(cents.map { case (cid, v) =>
+      val w = array(v.toIndexedSeq.map(f => lit(f.toDouble)): _*)
+      val nrm = math.sqrt(v.foldLeft(0.0)((acc, f) => acc + f.toDouble * f.toDouble))
+      struct(
+        round(dot(vecCol, w) / lit(nrm), 6).as("s"),
+        lit(-cid).as("nc"))
+    }: _*)
+
+  /** Top-k approximate neighbors for queries vec_id < `queryMax`:
+    * (query_id, neighbor_id, cosine, rnk) — same output contract as
+    * [[AnnLsh.annTopK]] and exact q24.
+    */
+  def annTopK(emb: DataFrame, queryMax: Long = 5L, k: Int = 5,
+      nlist: Int = NList, nprobe: Int = NProbe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    val cents: Seq[(Long, Array[Float])] = emb
+      .filter(col("vec_id") < nlist)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .toIndexedSeq
+      .sortBy(_._1)
+
+    val sc = scored(col("embedding"), cents)
+    val assigned = emb.select(
+      col("vec_id"), col("embedding"),
+      (-array_max(sc).getField("nc")).as("list_id"))
+    val probes = emb
+      .filter(col("vec_id") < queryMax)
+      .select(
+        col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(transform(
+          slice(reverse(array_sort(sc)), 1, nprobe),
+          x => -x.getField("nc"))).as("list_id"))
+
+    val cand = probes
+      .join(assigned, "list_id")
+      .filter(col("query_id") =!= col("vec_id"))
+    val sims = cand.select(
+      col("query_id"),
+      col("vec_id").as("neighbor_id"),
+      round(
+        dot(col("qv"), col("embedding")) /
+          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("embedding"), col("embedding")))),
+        4).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), asc("neighbor_id"))
+    sims
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** DuckDB SQL replicating [[annTopK]]: same first-nlist quantizer, same
+    * 6-decimal score rounding, same min-id tie-break, same probe width.
+    */
+  def oracleSql(queryMax: Long = 5L, k: Int = 5,
+      nlist: Int = NList, nprobe: Int = NProbe): String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, x, i FROM ex WHERE vec_id < $nlist),
+       |cnorm AS (SELECT cid, sqrt(sum(x * x)) AS nrm FROM cents GROUP BY 1),
+       |scores AS (
+       |  SELECT e.vec_id, c.cid, round(sum(e.x * c.x) / cn.nrm, 6) AS s
+       |  FROM ex e JOIN cents c ON c.i = e.i JOIN cnorm cn ON cn.cid = c.cid
+       |  GROUP BY e.vec_id, c.cid, cn.nrm),
+       |ranked AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |  FROM scores),
+       |assigned AS (SELECT vec_id, cid AS list_id FROM ranked WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS list_id
+       |  FROM ranked WHERE vec_id < $queryMax AND rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assigned a ON a.list_id = p.list_id
+       |  WHERE a.vec_id <> p.query_id),
+       |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+       |sims AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |    round(sum(a.x * b.x) / (na.nrm * nb.nrm), 4) AS cosine
+       |  FROM cand cd
+       |  JOIN ex a ON a.vec_id = cd.query_id
+       |  JOIN ex b ON b.vec_id = cd.neighbor_id AND b.i = a.i
+       |  JOIN norms na ON na.vec_id = cd.query_id
+       |  JOIN norms nb ON nb.vec_id = cd.neighbor_id
+       |  GROUP BY 1, 2, na.nrm, nb.nrm)
+       |SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM sims) WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+}
