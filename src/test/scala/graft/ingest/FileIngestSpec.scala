@@ -101,6 +101,23 @@ class FileIngestSpec extends SparkSpec {
     assert(html.contains("150.50")) // 100.0 + 50.5 formatted 2dp
   }
 
+  test("scheme-qualified URIs: the whole batch runs against explicit file:// paths (S8 path story)") {
+    // FileIngest goes through Hadoop FileSystem, so any supported scheme
+    // (file://, hdfs://, s3a://) works; prove it with fully-qualified URIs.
+    val (incoming, raw, out, ledger) = setup()
+    put(incoming, "loan_a.csv", "loan_id\n1\n")
+    val res = FileIngest.processBatch(
+      s"file://$incoming", s"file://$raw", s"file://$out", s"file://$ledger", now = now)
+    assert(res.processed.map(_.filename) == Seq("loan_a.csv"))
+    assert(res.processed.head.fileId.startsWith("file:"))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(raw, "loan_a.csv")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out, "loan_a.csv.gz")))
+    // ledger written through the same FS API: a re-run is still a no-op
+    val again = FileIngest.processBatch(
+      s"file://$incoming", s"file://$raw", s"file://$out", s"file://$ledger", now = now)
+    assert(again.processed.isEmpty)
+  }
+
   test("ledger round-trips through the reference JSON format") {
     val (_, _, _, ledger) = setup()
     FileLedger.save(ledger, Set("b", "a"), now = Instant.parse("2026-08-12T00:00:00Z"))
