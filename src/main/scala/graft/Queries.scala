@@ -753,10 +753,14 @@ object Queries {
     (s, d) =>
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+        // one percentile agg with an array of ps = ONE buffer of the
+        // group's values, not three
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ps"))
+        .select(
+          col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p25"),
+          round(element_at(col("ps"), 2), 4).as("p50"),
+          round(element_at(col("ps"), 3), 4).as("p75"))
         .orderBy("l_returnflag"),
     Some("""SELECT l_returnflag,
            |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
