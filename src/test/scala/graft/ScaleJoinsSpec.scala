@@ -14,6 +14,14 @@ class ScaleJoinsSpec extends SparkSpec {
   test("bucketed tables join with no Exchange and no per-join Sort") {
     val li = Queries.t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
     val ord = Queries.t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    // the in-memory catalog is fresh per JVM but managed-table locations
+    // survive in spark-warehouse/: clear both before (re)creating
+    Seq("li_bucketed", "ord_bucketed").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl)
+      org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    }
     ScaleJoins.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
     ScaleJoins.writeBucketed(ord, "ord_bucketed", "o_orderkey", 8)
     // force SMJ so the bucket layout (not a broadcast) carries the join
