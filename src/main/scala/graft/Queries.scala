@@ -833,6 +833,49 @@ object Queries {
            |FROM numbered GROUP BY user_id, sid
            |ORDER BY user_id, sess_start""".stripMargin))
 
+  /** End-to-end training-corpus selection — the composition a real
+    * LLM-data pipeline runs: exact-dedup keeper (digest-keyed, q20's
+    * pattern) → language filter → length band → stopword-ratio quality
+    * gate. One shuffle (digest dedup); everything else is map-side.
+    */
+  private val q45 = QueryDef(
+    "q45_corpus_filter",
+    (s, d) => {
+      val w = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
+      t(s, d, "documents")
+        .select(
+          col("doc_id"), col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          expr(s"size(filter(split(text, ' '), x -> x IN ($stopwordSqlList)))")
+            .cast("long").as("n_stop"),
+          sha2(col("text"), 256).as("digest"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .filter(col("lang") === "en")
+        .filter(col("n_chars").between(100, 520))
+        .withColumn("stop_ratio",
+          round(col("n_stop").cast("double") / col("n_tokens"), 4))
+        .filter(col("stop_ratio") >= 0.03)
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("stop_ratio"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH scored AS (
+            |  SELECT doc_id, lang, n_chars,
+            |    len(string_split(text, ' ')) AS n_tokens,
+            |    len(list_filter(string_split(text, ' '),
+            |      x -> x IN ($stopwordSqlList))) AS n_stop,
+            |    sha256(text) AS digest
+            |  FROM documents),
+            |keeper AS (
+            |  SELECT *, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+            |  FROM scored)
+            |SELECT doc_id, n_chars, n_tokens,
+            |  round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio
+            |FROM keeper
+            |WHERE rn = 1 AND lang = 'en' AND n_chars BETWEEN 100 AND 520
+            |  AND round(CAST(n_stop AS DOUBLE) / n_tokens, 4) >= 0.03
+            |ORDER BY doc_id""".stripMargin))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -853,5 +896,5 @@ object Queries {
     q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35,
-    q36, q37, q38, q39, q40, q41, q42, q43, q44)
+    q36, q37, q38, q39, q40, q41, q42, q43, q44, q45)
 }

@@ -114,6 +114,18 @@ object StreamingEtl {
         col("session_window.end").as("sess_end"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: keep the first row per `idCols` seen within
+    * the watermark horizon. State is one entry per distinct key, expired
+    * once the watermark passes — bounded, unlike a global
+    * `dropDuplicates` whose state grows forever. The batch analogue is
+    * the q20/q45 digest-keyed keeper.
+    */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+      watermarkDelay: String, idCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+
   final case class UserEvent(user_id: Long, event_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n_events: Long, sum_value: Double)
 

@@ -97,6 +97,27 @@ class StreamingEtlSpec extends SparkSpec {
     assert(byUser == expected)
   }
 
+  test("streaming dedup within watermark drops repeated keys") {
+    val in = tmpDir("dedup-in")
+    val out = tmpDir("dedup-out")
+    val ckpt = tmpDir("dedup-ckpt")
+    // two files carrying overlapping event ids (a re-delivered batch)
+    writeFile(in, "loan_a.csv",
+      "loan_id,amount,status\nL1,100.0,APPROVED\nL2,200.0,PENDING\n")
+    writeFile(in, "loan_b.csv",
+      "loan_id,amount,status\nL2,200.0,PENDING\nL3,300.0,APPROVED\n")
+    val withTs = StreamingEtl
+      .csvFileStream(spark, in.toString, loanSchema)
+      .withColumn("ingest_ts", current_timestamp())
+    val deduped = StreamingEtl.dedupWithinWatermark(
+      withTs, "ingest_ts", "10 minutes", Seq("loan_id"))
+    StreamingEtl.runAvailableNow(deduped, out.toString, ckpt.toString)
+    val rows = spark.read.parquet(out.toString)
+    assert(rows.count() == 3)
+    assert(rows.select("loan_id").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().sorted.toSeq == Seq("L1", "L2", "L3"))
+  }
+
   test("flatMapGroupsWithState running totals match batch groupBy") {
     import spark.implicits._
     val in = tmpDir("state-in")
