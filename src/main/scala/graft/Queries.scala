@@ -833,6 +833,80 @@ object Queries {
            |FROM numbered GROUP BY user_id, sid
            |ORDER BY user_id, sess_start""".stripMargin))
 
+  /** Explicit GROUPING SETS (neither rollup nor cube): one aggregate pass
+    * producing both single-key breakdowns, no self-union of scans.
+    */
+  private val q46 = QueryDef(
+    "q46_grouping_sets",
+    (s, d) =>
+      t(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy(
+          col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+           |  round(sum(o_totalprice), 2) AS total
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+           |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
+
+  /** Event-time RANGE window frame: per user, stats over the trailing
+    * 1-hour interval — frames defined by time distance, not row count.
+    * Both engines order on epoch micros so the range arithmetic is
+    * integer-identical.
+    */
+  private val q47 = QueryDef(
+    "q47_range_frame",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      t(s, d, "events")
+        .select(
+          col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum("value").over(w), 4).as("sum_1h"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+           |  count(*) OVER w AS n_1h,
+           |  round(sum(value) OVER w, 4) AS sum_1h
+           |FROM (SELECT event_id, user_id, value,
+           |        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+           |WINDOW w AS (PARTITION BY user_id ORDER BY us
+           |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+           |ORDER BY event_id""".stripMargin))
+
+  /** Distribution window functions: percent_rank / cume_dist / ntile /
+    * first_value with a total tie-break order.
+    */
+  private val q48 = QueryDef(
+    "q48_window_dist",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          first_value(col("o_orderkey")).over(w).as("top_order"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+           |  round(percent_rank() OVER w, 6) AS pct_rank,
+           |  round(cume_dist() OVER w, 6) AS cume,
+           |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           |  first_value(o_orderkey) OVER w AS top_order
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_custkey
+           |  ORDER BY o_totalprice DESC, o_orderkey)
+           |ORDER BY o_orderkey""".stripMargin))
+
   /** End-to-end training-corpus selection — the composition a real
     * LLM-data pipeline runs: exact-dedup keeper (digest-keyed, q20's
     * pattern) → language filter → length band → stopword-ratio quality
@@ -896,5 +970,6 @@ object Queries {
     q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35,
-    q36, q37, q38, q39, q40, q41, q42, q43, q44, q45)
+    q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
+    q46, q47, q48)
 }
