@@ -907,6 +907,65 @@ object Queries {
            |  ORDER BY o_totalprice DESC, o_orderkey)
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** String-function breadth: case, pad, translate, regex extract, edit
+    * distance, token position — all per-row codegen'd, identical
+    * semantics in DuckDB (simple character-class regex only, since Spark
+    * uses Java regex and DuckDB RE2).
+    */
+  private val q49 = QueryDef(
+    "q49_string_funcs",
+    (s, d) =>
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          upper(substring(col("text"), 1, 10)).as("head_upper"),
+          lpad(col("doc_id").cast("string"), 8, "0").as("id_padded"),
+          translate(substring(col("text"), 1, 12), "aeiou", "AEIOU").as("devoweled"),
+          regexp_extract(col("text"), "([a-z]{4,})", 1).as("first_word4"),
+          levenshtein(substring(col("text"), 1, 8), lit("training")).as("lev8"),
+          instr(col("text"), "the").cast("long").as("the_pos"),
+          expr("split_part(text, ' ', 2)").as("second_tok"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  upper(substr(text, 1, 10)) AS head_upper,
+           |  lpad(CAST(doc_id AS VARCHAR), 8, '0') AS id_padded,
+           |  translate(substr(text, 1, 12), 'aeiou', 'AEIOU') AS devoweled,
+           |  coalesce(regexp_extract(text, '([a-z]{4,})', 1), '') AS first_word4,
+           |  levenshtein(substr(text, 1, 8), 'training') AS lev8,
+           |  CAST(strpos(text, 'the') AS BIGINT) AS the_pos,
+           |  split_part(text, ' ', 2) AS second_tok
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Datetime-function breadth: parts extraction, date arithmetic,
+    * month-end, day deltas. Day-of-week normalized to DuckDB's Sunday=0.
+    */
+  private val q50 = QueryDef(
+    "q50_datetime_funcs",
+    (s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"),
+          date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+          last_day(to_date(col("o_orderdate"))).as("month_end"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+           |  CAST(year(o_orderdate) AS BIGINT) AS y,
+           |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           |  CAST(month(o_orderdate) AS BIGINT) AS m,
+           |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+           |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+           |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+           |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   /** End-to-end training-corpus selection — the composition a real
     * LLM-data pipeline runs: exact-dedup keeper (digest-keyed, q20's
     * pattern) → language filter → length band → stopword-ratio quality
@@ -971,5 +1030,5 @@ object Queries {
     q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35,
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48)
+    q46, q47, q48, q49, q50)
 }
