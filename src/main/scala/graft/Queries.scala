@@ -966,6 +966,50 @@ object Queries {
            |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** Column profiling (graft.etl.Validate): null/distinct/min/max/mean
+    * for every numeric column in ONE aggregation pass — the data-quality
+    * monitor a production pipeline runs per batch.
+    */
+  private val q51 = QueryDef(
+    "q51_profile",
+    (s, d) =>
+      graft.etl.Validate.profileNumeric(
+        t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    Some {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_val,
+           |  CAST(max($c) AS DOUBLE) AS max_val,
+           |  round(avg($c), 4) AS mean_val
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    })
+
+  /** Unpivot (wide → long melt) with the native API — the relational form
+    * of Impute's manual explode-melt.
+    */
+  private val q52 = QueryDef(
+    "q52_unpivot",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount")),
+          "metric", "val")
+        // (l_orderkey, l_linenumber) is not unique in the synthetic data:
+        // include val for a total order
+        .orderBy("l_orderkey", "l_linenumber", "metric", "val"),
+    Some("""SELECT l_orderkey, l_linenumber, metric, val
+           |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+           |      FROM lineitem WHERE l_orderkey <= 100)
+           |UNPIVOT (val FOR metric IN (l_quantity, l_discount))
+           |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin))
+
   /** End-to-end training-corpus selection — the composition a real
     * LLM-data pipeline runs: exact-dedup keeper (digest-keyed, q20's
     * pattern) → language filter → length band → stopword-ratio quality
@@ -1030,5 +1074,5 @@ object Queries {
     q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35,
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48, q49, q50)
+    q46, q47, q48, q49, q50, q51, q52)
 }
