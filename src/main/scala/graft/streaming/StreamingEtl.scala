@@ -114,6 +114,27 @@ object StreamingEtl {
         col("session_window.end").as("sess_end"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join: purchases matched to same-user clicks
+    * in the trailing 10 minutes. Both sides carry watermarks and the join
+    * has an event-time range constraint, so each side's buffered state is
+    * dropped once the other side's watermark passes — bounded memory, the
+    * streaming form of [[graft.ops.TemporalJoins.rangeJoinCount]]'s
+    * predicate. Works identically on batch frames (watermark is a no-op).
+    */
+  def intervalJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour")
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(
+        col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    p.join(
+      c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") > col("ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("ts"))
+      .select(col("event_id"), col("user_id"), col("click_id"))
+  }
+
   /** Streaming exact dedup: keep the first row per `idCols` seen within
     * the watermark horizon. State is one entry per distinct key, expired
     * once the watermark passes — bounded, unlike a global

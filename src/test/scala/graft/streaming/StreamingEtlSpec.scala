@@ -97,6 +97,34 @@ class StreamingEtlSpec extends SparkSpec {
     assert(byUser == expected)
   }
 
+  test("stream-stream interval join matches the batch join on the same data") {
+    val events = graft.Queries.t(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type")
+    val clicksB = events.filter(col("event_type") === "click")
+    val purchB = events.filter(col("event_type") === "purchase")
+
+    val cDir = tmpDir("ss-clicks"); val pDir = tmpDir("ss-purch")
+    clicksB.coalesce(1).write.mode("overwrite").json(cDir.toString)
+    purchB.coalesce(1).write.mode("overwrite").json(pDir.toString)
+    val schema = events.schema
+
+    val joined = StreamingEtl.intervalJoin(
+      StreamingEtl.jsonFileStream(spark, pDir.toString, schema),
+      StreamingEtl.jsonFileStream(spark, cDir.toString, schema))
+    val sq = joined.writeStream
+      .format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+
+    val streamed = spark.table("ss_join")
+      .orderBy("event_id", "click_id").collect().toSeq
+    val batch = StreamingEtl.intervalJoin(purchB, clicksB)
+      .orderBy("event_id", "click_id").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming dedup within watermark drops repeated keys") {
     val in = tmpDir("dedup-in")
     val out = tmpDir("dedup-out")
