@@ -1010,6 +1010,31 @@ object Queries {
            |UNPIVOT (val FOR metric IN (l_quantity, l_discount))
            |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin))
 
+  /** SQL front-end parity: the same engine drives raw `spark.sql` text —
+    * a TPC-H Q1-shaped pricing summary over a temp view. Identical text
+    * runs on DuckDB, so the oracle IS the query.
+    */
+  private val q53 = QueryDef(
+    "q53_sql_tpch_q1",
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(Q53Sql)
+    },
+    Some(Q53Sql))
+
+  private lazy val Q53Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   /** End-to-end training-corpus selection — the composition a real
     * LLM-data pipeline runs: exact-dedup keeper (digest-keyed, q20's
     * pattern) → language filter → length band → stopword-ratio quality
@@ -1074,5 +1099,5 @@ object Queries {
     q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35,
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48, q49, q50, q51, q52)
+    q46, q47, q48, q49, q50, q51, q52, q53)
 }
