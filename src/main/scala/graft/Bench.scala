@@ -25,10 +25,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Full-query action: forces every operator/column to execute without
-    // writing bytes anywhere.
-    def execute(name: String): Unit =
+    // writing bytes anywhere. Each run starts cache-cold: queries that
+    // persist() intermediates (LSH/MinHash) would otherwise accumulate
+    // never-unpersisted frames across 4 runs x 53 queries and churn the
+    // block manager, contaminating later timings.
+    def execute(name: String): Unit = {
+      spark.catalog.clearCache()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+    }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n => // warmup (untimed)
