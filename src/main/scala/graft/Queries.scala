@@ -1035,6 +1035,28 @@ object Queries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Collection aggregates: collect_set → sorted array → joined string
+    * (string output so the cross-engine compare is on scalar values, not
+    * engine-specific array encodings).
+    */
+  private val q54 = QueryDef(
+    "q54_array_agg",
+    (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          concat_ws(",", array_sort(collect_set(col("o_orderstatus"))))
+            .as("statuses"),
+          count_distinct(col("o_orderstatus")).as("n_status"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+           |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+           |  count(*) AS cnt
+           |FROM orders GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin))
+
   /** End-to-end training-corpus selection — the composition a real
     * LLM-data pipeline runs: exact-dedup keeper (digest-keyed, q20's
     * pattern) → language filter → length band → stopword-ratio quality
@@ -1099,5 +1121,5 @@ object Queries {
     q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35,
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48, q49, q50, q51, q52, q53)
+    q46, q47, q48, q49, q50, q51, q52, q53, q54)
 }
