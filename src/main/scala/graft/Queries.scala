@@ -1057,6 +1057,47 @@ object Queries {
            |FROM orders GROUP BY o_orderpriority
            |ORDER BY o_orderpriority""".stripMargin))
 
+  /** Deterministic content-hash train/val/test split (80/10/10) — the
+    * reproducible-sampling primitive of a training-data pipeline: the
+    * assignment depends only on the row's id (md5 bucket), never on
+    * partitioning, executor count, or rerun order — unlike
+    * `df.sample`/`rand()`, which are partition-dependent.
+    */
+  private val q55 = QueryDef(
+    "q55_split_sample",
+    (s, d) =>
+      t(s, d, "documents")
+        .withColumn(
+          "bucket",
+          conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 7), 16, 10)
+            .cast("long") % 100)
+        .withColumn(
+          "split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg("n_chars"), 4).as("avg_chars"),
+          min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))
+        .orderBy("split"),
+    Some("""WITH assigned AS (
+           |  SELECT doc_id, n_chars,
+           |    CAST(list_reduce(list_transform(range(1, 8),
+           |      p -> instr('0123456789abcdef',
+           |             substr(md5(CAST(doc_id AS VARCHAR)), p, 1)) - 1),
+           |      (acc, v) -> acc * 16 + v) AS BIGINT) % 100 AS bucket
+           |  FROM documents)
+           |SELECT CASE WHEN bucket < 80 THEN 'train'
+           |            WHEN bucket < 90 THEN 'val'
+           |            ELSE 'test' END AS split,
+           |  count(*) AS n_docs,
+           |  round(avg(n_chars), 4) AS avg_chars,
+           |  min(doc_id) AS min_id, max(doc_id) AS max_id
+           |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** End-to-end training-corpus selection — the composition a real
     * LLM-data pipeline runs: exact-dedup keeper (digest-keyed, q20's
     * pattern) → language filter → length band → stopword-ratio quality
@@ -1121,5 +1162,5 @@ object Queries {
     q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35,
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48, q49, q50, q51, q52, q53, q54)
+    q46, q47, q48, q49, q50, q51, q52, q53, q54, q55)
 }
