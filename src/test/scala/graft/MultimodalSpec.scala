@@ -63,6 +63,16 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize stub keeps every factor-th byte, runs distributed") {
+    import spark.implicits._
+    val items = Seq(
+      Multimodal.MediaItem(1L, "img", Array.tabulate[Byte](10)(_.toByte)),
+      Multimodal.MediaItem(2L, "img", Array.empty[Byte])).toDS()
+    val out = Multimodal.resize(items, factor = 4).collect().sortBy(_.id)
+    assert(out(0).content.toSeq == Seq[Byte](0, 4, 8))
+    assert(out(1).content.isEmpty)
+  }
+
   test("sampleFrames keeps every stride-th fixed-size chunk") {
     val df = Seq((1L, ("x" * 5000).getBytes("UTF-8"))).toDF("id", "content")
     val frames = Multimodal.sampleFrames(df, frameBytes = 1024, stride = 2)
