@@ -1098,6 +1098,56 @@ object Queries {
            |  min(doc_id) AS min_id, max(doc_id) AS max_id
            |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** §2.7 set ops completion: INTERSECT and EXCEPT (customers with orders
+    * vs suppliers' nations — both sides keyed the same way).
+    */
+  private val q56 = QueryDef(
+    "q56_intersect_except",
+    (s, d) => {
+      val custNations = t(s, d, "customer").select(col("c_nationkey").as("k"))
+      val suppNations = t(s, d, "supplier").select(col("s_nationkey").as("k"))
+      custNations.intersect(suppNations)
+        .withColumn("side", lit("both"))
+        .unionByName(
+          custNations.except(suppNations).withColumn("side", lit("cust_only")))
+        .orderBy("side", "k")
+    },
+    Some("""SELECT k, 'both' AS side FROM (
+           |  SELECT c_nationkey AS k FROM customer
+           |  INTERSECT
+           |  SELECT s_nationkey FROM supplier)
+           |UNION ALL
+           |SELECT k, 'cust_only' AS side FROM (
+           |  SELECT c_nationkey AS k FROM customer
+           |  EXCEPT
+           |  SELECT s_nationkey FROM supplier)
+           |ORDER BY side, k""".stripMargin))
+
+  /** Null-handling functions: coalesce chains, nullif, null-safe
+    * equality, conditional defaults — exercised via NULLIF-synthesized
+    * nulls since the testdata itself is dense.
+    */
+  private val q57 = QueryDef(
+    "q57_null_funcs",
+    (s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_filled"),
+          when(nullif(col("o_orderpriority"), lit("1-URGENT")).isNull, 1L)
+            .otherwise(0L).as("is_urgent"),
+          (col("o_orderstatus") <=> nullif(col("o_orderstatus"), lit("O")))
+            .as("nullsafe_eq"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+           |  nullif(o_orderstatus, 'O') AS status_or_null,
+           |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+           |  CAST(CASE WHEN nullif(o_orderpriority, '1-URGENT') IS NULL
+           |    THEN 1 ELSE 0 END AS BIGINT) AS is_urgent,
+           |  o_orderstatus IS NOT DISTINCT FROM nullif(o_orderstatus, 'O') AS nullsafe_eq
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   /** End-to-end training-corpus selection — the composition a real
     * LLM-data pipeline runs: exact-dedup keeper (digest-keyed, q20's
     * pattern) → language filter → length band → stopword-ratio quality
@@ -1162,5 +1212,6 @@ object Queries {
     q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35,
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48, q49, q50, q51, q52, q53, q54, q55)
+    q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
+    q56, q57)
 }
