@@ -97,6 +97,65 @@ class StreamingEtlSpec extends SparkSpec {
     assert(byUser == expected)
   }
 
+  test("windowed-agg state survives restart: watermark resumes from checkpoint, no window emitted twice") {
+    import org.apache.spark.sql.types._
+    val in = tmpDir("wm-in"); val out = tmpDir("wm-out"); val ckpt = tmpDir("wm-ckpt")
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+
+    def drain(): Unit = {
+      val agg = StreamingEtl.windowedCounts(
+        StreamingEtl.jsonFileStream(spark, in.toString, schema))
+      val q = agg.writeStream
+        .format("parquet").option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(OutputMode.Append) // only watermark-closed windows land
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // run 1: events in hours 10 and 11 → watermark(1h) advances to 10:30
+    // at batch end; AvailableNow stops before the no-data flush batch, so
+    // the 10:00 window is emitted by the NEXT restart, not this run
+    writeFile(in, "e1.json",
+      """{"ts":"2024-01-01T10:00:00.000Z","event_type":"click","value":1.0}
+        |{"ts":"2024-01-01T10:20:00.000Z","event_type":"click","value":2.0}
+        |{"ts":"2024-01-01T11:30:00.000Z","event_type":"click","value":3.0}
+        |""".stripMargin)
+    drain()
+
+    // run 2 (restart): watermark 10:30 resumes from the checkpoint and the
+    // 13:40 event pushes it to 12:40
+    writeFile(in, "e2.json",
+      """{"ts":"2024-01-01T13:40:00.000Z","event_type":"click","value":4.0}
+        |""".stripMargin)
+    drain()
+    def emitted(): Seq[String] = spark.read.parquet(out.toString)
+      .collect().map(_.getAs[java.sql.Timestamp]("window_start").toString).toSeq
+    assert(emitted().contains("2024-01-01 10:00:00.0"),
+      s"restart lost checkpointed window state: ${emitted()}")
+
+    // run 3 (restart, far-future event): every window before 12:40 must
+    // now be final, each emitted EXACTLY once across all three runs
+    writeFile(in, "e3.json",
+      """{"ts":"2024-01-01T16:00:00.000Z","event_type":"click","value":5.0}
+        |""".stripMargin)
+    drain()
+    val rows = spark.read.parquet(out.toString).collect()
+    val finalStarts = rows.map(_.getAs[java.sql.Timestamp]("window_start").toString).sorted.toSeq
+    // exactly-once: every closed window appears ONCE across all three runs
+    // (13:00 closes inside run 3 — its second micro-batch carries the
+    // advanced watermark)
+    assert(finalStarts == finalStarts.distinct, s"duplicated windows: $finalStarts")
+    assert(finalStarts.take(2) == Seq("2024-01-01 10:00:00.0", "2024-01-01 11:00:00.0"),
+      s"got $finalStarts")
+    val byStart = rows.map(r =>
+      r.getAs[java.sql.Timestamp]("window_start").toString -> r.getAs[Long]("cnt")).toMap
+    assert(byStart("2024-01-01 10:00:00.0") == 2 && byStart("2024-01-01 11:00:00.0") == 1)
+  }
+
   test("stream-stream interval join matches the batch join on the same data") {
     val events = graft.Queries.t(spark, "/root/testdata/sf0.001", "events")
       .select("event_id", "ts", "user_id", "event_type")
