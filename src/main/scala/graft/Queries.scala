@@ -1148,6 +1148,53 @@ object Queries {
            |  o_orderstatus IS NOT DISTINCT FROM nullif(o_orderstatus, 'O') AS nullsafe_eq
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** Equi-width histogram via width_bucket — the distributed profiling
+    * primitive (one partial+final agg; no per-bucket scans).
+    */
+  private val q58 = QueryDef(
+    "q58_histogram",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(
+          width_bucket(col("l_extendedprice"), lit(0d), lit(80000d), lit(16L))
+            .as("bucket"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(min("l_extendedprice"), 2).as("lo"),
+          round(max("l_extendedprice"), 2).as("hi"))
+        .orderBy("bucket"),
+    // DuckDB 1.0 has no width_bucket: replicate Spark's exact formula
+    // including operation order — (v - lo) / (hi - lo) * n, floor, + 1 —
+    // so boundary values bucket identically
+    Some("""SELECT CASE WHEN l_extendedprice < 0 THEN 0
+           |            WHEN l_extendedprice >= 80000 THEN 17
+           |            ELSE CAST(floor((l_extendedprice - 0.0) / 80000.0 * 16) AS BIGINT) + 1
+           |       END AS bucket,
+           |  count(*) AS cnt,
+           |  round(min(l_extendedprice), 2) AS lo,
+           |  round(max(l_extendedprice), 2) AS hi
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Aggregate FILTER clauses: per-group conditional metrics in one pass
+    * (no self-joins, no CASE pyramids).
+    */
+  private val q59 = QueryDef(
+    "q59_filtered_agg",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("count(*) FILTER (WHERE l_discount > 0.05)").as("n_discounted"),
+          expr("round(sum(l_extendedprice) FILTER (WHERE l_quantity >= 25), 2)")
+            .as("bulk_revenue"),
+          expr("count(*) FILTER (WHERE l_linestatus = 'O')").as("n_open"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+           |  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           |  round(sum(l_extendedprice) FILTER (WHERE l_quantity >= 25), 2) AS bulk_revenue,
+           |  count(*) FILTER (WHERE l_linestatus = 'O') AS n_open
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** End-to-end training-corpus selection — the composition a real
     * LLM-data pipeline runs: exact-dedup keeper (digest-keyed, q20's
     * pattern) → language filter → length band → stopword-ratio quality
@@ -1213,5 +1260,5 @@ object Queries {
     q30, q31, q32, q33, q34, q35,
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57)
+    q56, q57, q58, q59)
 }
