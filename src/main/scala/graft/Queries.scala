@@ -1195,6 +1195,53 @@ object Queries {
            |  count(*) FILTER (WHERE l_linestatus = 'O') AS n_open
            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Token co-occurrence — a self-join whose explosion is controlled by
+    * vocabulary pruning: doc-token pairs are filtered to the top-50
+    * tokens (tiny, broadcast) BEFORE the self-join, bounding fan-out to
+    * 50 choose 2 per doc instead of vocab². The same
+    * prune-then-pair shape underlies co-occurrence matrices and PMI at
+    * corpus scale.
+    */
+  private val q60 = QueryDef(
+    "q60_cooccurrence",
+    (s, d) => {
+      val dt = t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .filter(!col("tok").isin(stopwords: _*) && col("tok") =!= "")
+      val top = dt.groupBy("tok")
+        .agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), asc("tok"))
+        .limit(50)
+        .select("tok")
+      val pruned = dt.join(broadcast(top), "tok")
+      val a = pruned.select(col("doc_id"), col("tok").as("t1"))
+      val b = pruned.select(col("doc_id"), col("tok").as("t2"))
+      a.join(b, Seq("doc_id"))
+        .filter(col("t1") < col("t2"))
+        .groupBy("t1", "t2")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 5)
+        .orderBy("t1", "t2")
+    },
+    Some(s"""WITH dt AS (
+            |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+            |  FROM documents),
+            |dtf AS (
+            |  SELECT doc_id, tok FROM dt
+            |  WHERE tok NOT IN ($stopwordSqlList) AND tok <> ''),
+            |top AS (
+            |  SELECT tok FROM (
+            |    SELECT tok, count(*) AS df FROM dtf GROUP BY 1
+            |    ORDER BY df DESC, tok LIMIT 50)),
+            |pruned AS (SELECT dtf.doc_id, dtf.tok FROM dtf JOIN top USING (tok))
+            |SELECT a.tok AS t1, b.tok AS t2, count(*) AS cnt
+            |FROM pruned a JOIN pruned b
+            |  ON a.doc_id = b.doc_id AND a.tok < b.tok
+            |GROUP BY 1, 2 HAVING count(*) >= 5
+            |ORDER BY 1, 2""".stripMargin))
+
   /** End-to-end training-corpus selection — the composition a real
     * LLM-data pipeline runs: exact-dedup keeper (digest-keyed, q20's
     * pattern) → language filter → length band → stopword-ratio quality
@@ -1260,5 +1307,5 @@ object Queries {
     q30, q31, q32, q33, q34, q35,
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59)
+    q56, q57, q58, q59, q60)
 }
