@@ -72,6 +72,13 @@ object AnnIvf {
       .toIndexedSeq
       .sortBy(_._1)
 
+    // empty corpus → empty quantizer: array() has no element type, so the
+    // argmax expression would not analyze; return the empty contract frame
+    if (cents.isEmpty)
+      return emb.select(
+        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        lit(0.0).as("cosine"), lit(0L).as("rnk")).limit(0)
+
     val sc = scored(col("embedding"), cents)
     val assigned = emb.select(
       col("vec_id"), col("embedding"),
