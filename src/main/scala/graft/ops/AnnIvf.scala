@@ -65,7 +65,9 @@ object AnnIvf {
     import org.apache.spark.sql.expressions.Window
     val spark = emb.sparkSession
     val cents: Seq[(Long, Array[Float])] = emb
-      .filter(col("vec_id") < nlist)
+      // null vectors can't serve as centroids (dirty-data totality)
+      .filter(col("vec_id") < nlist && col("vec_id").isNotNull &&
+        col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
