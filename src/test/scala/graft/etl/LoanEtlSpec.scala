@@ -215,6 +215,24 @@ class LoanEtlSpec extends SparkSpec {
     assert(agg(0).getAs[Double]("total_amount") === 300.0)
   }
 
+  test("ragged rows: short and long lines survive the PERMISSIVE CSV read") {
+    val in = tmpDir("loan_ragged_in"); val out = tmpDir("loan_ragged_out")
+    writeFile(in, "loan_ragged.csv",
+      s"""$header
+         |L1,C1,2024-01-15 10:30:00,100.0,1,1,APPROVED,PERSONAL,KTM,A
+         |L2,C2
+         |L3,C3,2024-01-17 09:00:00,300.0,1,1,APPROVED,PERSONAL,KTM,A,surplus,extra
+         |""".stripMargin)
+    // Spark's PERMISSIVE default pads short rows with nulls and drops
+    // surplus fields; the pipeline must impute and aggregate through it
+    val res = Pipeline.run(spark, in.toString, out.toString).get
+    assert(res.rowCount === 3)
+    val cleaned = spark.read.parquet(res.cleanedPath)
+    assert(cleaned.count() === 3)
+    // the short row's null status was imputed with the mode
+    assert(cleaned.filter(col("status") === "APPROVED").count() === 3)
+  }
+
   test("top-k summary orders by loan_count desc (loan_spark_etl.py:192-218)") {
     val in = tmpDir("loan_topk_in"); val out = tmpDir("loan_topk_out")
     writeFile(in, "loan_topk.csv",
