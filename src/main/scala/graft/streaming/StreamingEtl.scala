@@ -114,6 +114,39 @@ object StreamingEtl {
         col("session_window.end").as("sess_end"),
         col("n_events"), col("sum_value"))
 
+  /** foreachBatch sink — the reference DAG's per-run shape (ST6 + ST7):
+    * each micro-batch lands the raw rows, recomputes the aggregate table
+    * over EVERYTHING landed so far (full-recompute semantics,
+    * loan_spark_etl.py:152-184), and renders the top-k HTML report
+    * (drive_auto_compress_email.py:353-517). Returns the path of the last
+    * report written.
+    */
+  def runWithBatchReport(
+      df: DataFrame,
+      outDir: String,
+      aggDir: String,
+      reportDir: String,
+      checkpoint: String): Unit = {
+    val q = df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        val all = batch.sparkSession.read.parquet(outDir)
+        graft.etl.Aggregates.build(all)
+          .write.mode("overwrite").parquet(aggDir)
+        val summary = graft.etl.Aggregates.latestSummary(batch.sparkSession, aggDir)
+        val html = graft.report.Summary.renderHtml(
+          Seq.empty, summary, runTime = s"batch-$batchId", source = outDir)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(reportDir))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(reportDir, f"report_batch_$batchId%05d.html"), html)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stream-stream interval join: purchases matched to same-user clicks
     * in the trailing 10 minutes. Both sides carry watermarks and the join
     * has an event-time range constraint, so each side's buffered state is

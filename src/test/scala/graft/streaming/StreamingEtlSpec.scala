@@ -97,6 +97,28 @@ class StreamingEtlSpec extends SparkSpec {
     assert(byUser == expected)
   }
 
+  test("foreachBatch: each batch lands rows, recomputes aggregates, renders a report (ST6+ST7)") {
+    val in = tmpDir("fb-in"); val out = tmpDir("fb-out"); val agg = tmpDir("fb-agg")
+    val rep = tmpDir("fb-rep"); val ckpt = tmpDir("fb-ckpt")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("loan_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("amount", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("status", org.apache.spark.sql.types.StringType)))
+    writeFile(in, "loan_a.csv",
+      "loan_id,amount,status\nL1,100.0,APPROVED\nL2,50.5,APPROVED\nL3,10.0,REJECTED\n")
+    StreamingEtl.runWithBatchReport(
+      StreamingEtl.csvFileStream(spark, in.toString, schema),
+      out.toString, agg.toString, rep.toString, ckpt.toString)
+    assert(spark.read.parquet(out.toString).count() == 3)
+    val aggRows = spark.read.parquet(agg.toString).collect()
+    assert(aggRows.map(_.getAs[Long]("loan_count")).sum == 3)
+    val reports = java.nio.file.Files.list(java.nio.file.Paths.get(rep.toString))
+      .toArray.map(_.toString).filter(_.endsWith(".html"))
+    assert(reports.nonEmpty)
+    val html = java.nio.file.Files.readString(java.nio.file.Paths.get(reports.sorted.last))
+    assert(html.contains("APPROVED") && html.contains("150.50"))
+  }
+
   test("windowed-agg state survives restart: watermark resumes from checkpoint, no window emitted twice") {
     import org.apache.spark.sql.types._
     val in = tmpDir("wm-in"); val out = tmpDir("wm-out"); val ckpt = tmpDir("wm-ckpt")
