@@ -1242,6 +1242,57 @@ object Queries {
             |GROUP BY 1, 2 HAVING count(*) >= 5
             |ORDER BY 1, 2""".stripMargin))
 
+  /** TF-IDF: highest-scoring token per document. Term frequencies from a
+    * non-distinct explode, document frequencies from a distinct one, one
+    * broadcast-able doc-count. ln() differs across libm implementations
+    * only in the last ulp — scores round to 4dp before the argmax-style
+    * rank so both engines pick identical winners.
+    */
+  private val q61 = QueryDef(
+    "q61_tfidf",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val terms = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "" && !col("tok").isin(stopwords: _*))
+      val tf = terms.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = terms.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = docs.count() // one scalar, the corpus size
+      val scored = tf.join(dfreq, "tok")
+        .withColumn(
+          "tfidf",
+          round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 4))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(desc("tfidf"), asc("tok"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("tok").as("top_term"), col("tfidf"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH terms AS (
+            |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            |  FROM documents),
+            |filtered AS (
+            |  SELECT doc_id, tok FROM terms
+            |  WHERE tok <> '' AND tok NOT IN ($stopwordSqlList)),
+            |tf AS (SELECT doc_id, tok, count(*) AS tf FROM filtered GROUP BY 1, 2),
+            |dfreq AS (
+            |  SELECT tok, count(*) AS df
+            |  FROM (SELECT DISTINCT doc_id, tok FROM filtered) GROUP BY 1),
+            |n AS (SELECT count(*) AS n FROM documents),
+            |scored AS (
+            |  SELECT tf.doc_id, tf.tok,
+            |    round(tf.tf * ln((n.n + 1.0) / (dfreq.df + 1.0)), 4) AS tfidf
+            |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n)
+            |SELECT doc_id, tok AS top_term, tfidf FROM (
+            |  SELECT doc_id, tok, tfidf,
+            |    row_number() OVER (PARTITION BY doc_id
+            |      ORDER BY tfidf DESC, tok) AS rn
+            |  FROM scored) WHERE rn = 1
+            |ORDER BY doc_id""".stripMargin))
+
   /** End-to-end training-corpus selection — the composition a real
     * LLM-data pipeline runs: exact-dedup keeper (digest-keyed, q20's
     * pattern) → language filter → length band → stopword-ratio quality
@@ -1307,5 +1358,5 @@ object Queries {
     q30, q31, q32, q33, q34, q35,
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59, q60)
+    q56, q57, q58, q59, q60, q61)
 }
