@@ -1293,6 +1293,76 @@ object Queries {
             |  FROM scored) WHERE rn = 1
             |ORDER BY doc_id""".stripMargin))
 
+  /** Time-series resample with gap filling: one row per user per hour
+    * across the user's active span, zeros where no events landed. The
+    * hour spine is generated per user with `sequence` + explode — no
+    * driver-side calendar, no cross join with a global spine.
+    */
+  private val q62 = QueryDef(
+    "q62_resample",
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("user_id") < 10) // bounded output; shape is what matters
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"), col("value"))
+      val spans = ev.groupBy("user_id").agg(min("h").as("lo"), max("h").as("hi"))
+      val spine = spans.select(
+        col("user_id"),
+        explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+      val agg = ev.groupBy("user_id", "h")
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      spine.join(agg, Seq("user_id", "h"), "left")
+        .select(
+          col("user_id"), col("h"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        .orderBy("user_id", "h")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, value
+           |  FROM events WHERE user_id < 10),
+           |spans AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM ev GROUP BY 1),
+           |spine AS (
+           |  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+           |  FROM spans),
+           |agg AS (
+           |  SELECT user_id, h, count(*) AS cnt, round(sum(value), 2) AS sum_value
+           |  FROM ev GROUP BY 1, 2)
+           |SELECT s.user_id, s.h,
+           |  coalesce(agg.cnt, 0) AS cnt,
+           |  coalesce(agg.sum_value, 0.0) AS sum_value
+           |FROM spine s LEFT JOIN agg USING (user_id, h)
+           |ORDER BY s.user_id, s.h""".stripMargin))
+
+  /** Sliding (overlapping) 1-hour windows with a 30-minute slide — each
+    * event contributes to exactly two windows, generated per-row (explode
+    * of the two covering window starts), then a plain partial+final agg.
+    */
+  private val q63 = QueryDef(
+    "q63_sliding_window",
+    (s, d) => {
+      val slideUs = 30L * 60 * 1000 * 1000
+      val ev = t(s, d, "events")
+      val starts = expr(
+        s"""transform(sequence(0, 1),
+           |  k -> timestamp_micros((unix_micros(ts) div $slideUs - k) * $slideUs))""".stripMargin)
+      ev
+        .select(col("event_type"), col("value"), explode(starts).as("w_start"))
+        .groupBy("w_start", "event_type")
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("w_start", "event_type")
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_type, value,
+           |    epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000 AS slot
+           |  FROM events),
+           |exploded AS (
+           |  SELECT event_type, value,
+           |    make_timestamp((slot - k) * 1800000000) AS w_start
+           |  FROM ev, (SELECT unnest(range(0, 2)) AS k))
+           |SELECT w_start, event_type, count(*) AS cnt,
+           |  round(sum(value), 2) AS sum_value
+           |FROM exploded GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   /** End-to-end training-corpus selection — the composition a real
     * LLM-data pipeline runs: exact-dedup keeper (digest-keyed, q20's
     * pattern) → language filter → length band → stopword-ratio quality
@@ -1358,5 +1428,5 @@ object Queries {
     q30, q31, q32, q33, q34, q35,
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59, q60, q61)
+    q56, q57, q58, q59, q60, q61, q62, q63)
 }
