@@ -1363,6 +1363,14 @@ object Queries {
            |  round(sum(value), 2) AS sum_value
            |FROM exploded GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Duplicate-cluster formation: connected components (min-label
+    * propagation) over the q35 near-dup pairs — see graft.ops.Clusters.
+    */
+  private val q64 = QueryDef(
+    "q64_dedup_clusters",
+    (s, d) => graft.ops.Clusters.embedDupClusters(t(s, d, "embeddings")),
+    Some(graft.ops.Clusters.embedDupClustersOracleSql()))
+
   /** End-to-end training-corpus selection — the composition a real
     * LLM-data pipeline runs: exact-dedup keeper (digest-keyed, q20's
     * pattern) → language filter → length band → stopword-ratio quality
@@ -1428,5 +1436,5 @@ object Queries {
     q30, q31, q32, q33, q34, q35,
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59, q60, q61, q62, q63)
+    q56, q57, q58, q59, q60, q61, q62, q63, q64)
 }

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster formation: connected components over a near-dup
+  * pair list — the step every dedup pipeline runs after candidate pairs
+  * are verified (pairs say "a~b"; keep-one-per-cluster needs the
+  * transitive closure).
+  *
+  * Algorithm: min-label propagation. Every node starts labeled with its
+  * own id; each round a node takes the min of its label and its
+  * neighbors' labels; converged when no label changes. That is the
+  * standard distributed CC (GraphX/Pregel's connectedComponents does
+  * exactly this) — O(cluster diameter) rounds, each ONE shuffle of
+  * (node, label) pairs, no driver-side graph.
+  *
+  * Scale notes: labels are re-persisted and lineage-truncated
+  * (localCheckpoint) each round — iterative DataFrame loops otherwise
+  * stack lineage and replan from scratch every iteration. Near-dup
+  * clusters are tiny in practice (diameter 2-3), so rounds stay single
+  * digits regardless of corpus size.
+  */
+object Clusters {
+
+  /** (v, cluster_id) for every node in `pairs` (cols a, b); cluster_id =
+    * min node id reachable through the pair graph.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("a").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = true
+    while (changed && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("v").as("b"), col("lbl").as("nlbl")), "b")
+        .groupBy(col("a").as("v"))
+        .agg(min("nlbl").as("minn"))
+      val next = labels
+        .join(neighborMin, Seq("v"), "left")
+        .select(
+          col("v"),
+          least(col("lbl"), coalesce(col("minn"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = !next
+        .join(labels.withColumnRenamed("lbl", "old"), "v")
+        .filter(col("lbl") =!= col("old"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("v"), col("lbl").as("cluster_id"))
+  }
+
+  /** q64 body: clusters over the embedding near-dup pairs (q35), with
+    * per-cluster sizes. Singleton vectors (no near-dup) are excluded —
+    * the cluster table is exactly the nodes that appeared in a pair.
+    */
+  def embedDupClusters(emb: DataFrame): DataFrame = {
+    val pairs = AnnLsh.nearDupPairs(emb)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+    val cc = connectedComponents(pairs)
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .select(col("v").as("vec_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle: the same near-dup pairs (AnnLsh.nearDupOracleSql) fed
+    * into a recursive transitive closure; cluster_id = min reachable id.
+    * UNION (distinct) makes the recursion terminate on cycles.
+    */
+  def embedDupClustersOracleSql(): String = {
+    val pairsSql = AnnLsh.nearDupOracleSql()
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT vec_a AS a, vec_b AS b FROM pairs
+       |  UNION
+       |  SELECT vec_b, vec_a FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+       |  UNION
+       |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.v = e.b),
+       |cc AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY 1),
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1)
+       |SELECT cc.v AS vec_id, cc.cluster_id, sizes.cluster_size
+       |FROM cc JOIN sizes USING (cluster_id)
+       |ORDER BY vec_id""".stripMargin
+  }
+}
