@@ -34,6 +34,12 @@ object Clusters {
     var labels = edges.select(col("a").as("v")).distinct()
       .withColumn("lbl", col("v"))
       .localCheckpoint(true)
+    // labels only ever decrease, so the label-sum is strictly decreasing
+    // until the fixpoint: comparing sums detects convergence with one
+    // cheap aggregate instead of a join of consecutive rounds
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var changed = true
     while (changed && iter < maxIter) {
@@ -47,10 +53,9 @@ object Clusters {
           col("v"),
           least(col("lbl"), coalesce(col("minn"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
-      changed = !next
-        .join(labels.withColumnRenamed("lbl", "old"), "v")
-        .filter(col("lbl") =!= col("old"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      changed = nextSum != prevSum
+      prevSum = nextSum
       labels = next
       iter += 1
     }
