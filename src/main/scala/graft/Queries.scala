@@ -1371,6 +1371,48 @@ object Queries {
     (s, d) => graft.ops.Clusters.embedDupClusters(t(s, d, "embeddings")),
     Some(graft.ops.Clusters.embedDupClustersOracleSql()))
 
+  /** Ratio-to-report: share of each group within its parent partition —
+    * a windowed sum with neither ordering nor frame (whole-partition
+    * aggregate broadcast back to rows).
+    */
+  private val q65 = QueryDef(
+    "q65_share",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_linestatus"), col("l_returnflag"))
+        .agg(round(sum("l_extendedprice"), 2).as("revenue"))
+        .withColumn(
+          "share",
+          round(
+            col("revenue") /
+              sum("revenue").over(Window.partitionBy(col("l_linestatus"))),
+            6))
+        .orderBy("l_linestatus", "l_returnflag"),
+    Some("""SELECT l_linestatus, l_returnflag,
+           |  round(sum(l_extendedprice), 2) AS revenue,
+           |  round(round(sum(l_extendedprice), 2) /
+           |    sum(round(sum(l_extendedprice), 2))
+           |      OVER (PARTITION BY l_linestatus), 6) AS share
+           |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** The dedup pipeline's last step: per near-dup cluster keep the lowest
+    * vec_id, mark the rest for dropping — the actionable keep/drop list
+    * downstream jobs consume.
+    */
+  private val q66 = QueryDef(
+    "q66_dedup_keep",
+    (s, d) =>
+      graft.ops.Clusters.embedDupClusters(t(s, d, "embeddings"))
+        .withColumn("keep", (col("vec_id") === col("cluster_id")).cast("boolean"))
+        .select(col("vec_id"), col("cluster_id"), col("keep"))
+        .orderBy("vec_id"),
+    Some {
+      val base = graft.ops.Clusters.embedDupClustersOracleSql()
+      s"""SELECT vec_id, cluster_id, vec_id = cluster_id AS keep
+         |FROM ($base)
+         |ORDER BY vec_id""".stripMargin
+    })
+
   /** End-to-end training-corpus selection — the composition a real
     * LLM-data pipeline runs: exact-dedup keeper (digest-keyed, q20's
     * pattern) → language filter → length band → stopword-ratio quality
@@ -1436,5 +1478,5 @@ object Queries {
     q30, q31, q32, q33, q34, q35,
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59, q60, q61, q62, q63, q64)
+    q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
 }
