@@ -1395,23 +1395,31 @@ object Queries {
            |      OVER (PARTITION BY l_linestatus), 6) AS share
            |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
-  /** The dedup pipeline's last step: per near-dup cluster keep the lowest
-    * vec_id, mark the rest for dropping — the actionable keep/drop list
-    * downstream jobs consume.
+  /** The dedup pipeline's actionable output: the per-document keep/drop
+    * decision, exact-digest keyed (the first dedup stage every corpus
+    * runs; q64 forms the transitive near-dup clusters). One shuffle of
+    * 32-byte digests; keep = lowest doc_id of the digest group.
     */
   private val q66 = QueryDef(
     "q66_dedup_keep",
-    (s, d) =>
-      graft.ops.Clusters.embedDupClusters(t(s, d, "embeddings"))
-        .withColumn("keep", (col("vec_id") === col("cluster_id")).cast("boolean"))
-        .select(col("vec_id"), col("cluster_id"), col("keep"))
-        .orderBy("vec_id"),
-    Some {
-      val base = graft.ops.Clusters.embedDupClustersOracleSql()
-      s"""SELECT vec_id, cluster_id, vec_id = cluster_id AS keep
-         |FROM ($base)
-         |ORDER BY vec_id""".stripMargin
-    })
+    (s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+        .withColumn("keeper_id",
+          min("doc_id").over(Window.partitionBy(col("digest"))))
+        .select(
+          col("doc_id"),
+          col("keeper_id"),
+          (col("doc_id") === col("keeper_id")).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, sha256(text) AS digest FROM documents),
+           |k AS (
+           |  SELECT doc_id, digest,
+           |    min(doc_id) OVER (PARTITION BY digest) AS keeper_id
+           |  FROM d)
+           |SELECT doc_id, keeper_id, doc_id = keeper_id AS keep
+           |FROM k ORDER BY doc_id""".stripMargin))
 
   /** End-to-end training-corpus selection — the composition a real
     * LLM-data pipeline runs: exact-dedup keeper (digest-keyed, q20's
