@@ -27,8 +27,9 @@ object Bench {
     // Full-query action: forces every operator/column to execute without
     // writing bytes anywhere. Each run starts cache-cold: queries that
     // persist() intermediates (LSH/MinHash) would otherwise accumulate
-    // never-unpersisted frames across 4 runs x 53 queries and churn the
-    // block manager, contaminating later timings.
+    // never-unpersisted frames across the 4 passes (1 warmup + 3 timed)
+    // over all catalog queries and churn the block manager, contaminating
+    // later timings.
     def execute(name: String): Unit = {
       spark.catalog.clearCache()
       SparkEntry.queries(name)(spark, sfDir)
@@ -51,7 +52,17 @@ object Bench {
     val qs = timings.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = timings.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":3,"queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":3,"queries":$qs,"sf":"$sfDir"}"""
+    // The metrics line must survive log-tail truncation: persist it to a
+    // dedicated file, print it immediately, and print it again as the very
+    // last line after spark.stop() so neither head- nor tail-truncation of
+    // the sbt output can lose it.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_OUT.json"), line + "\n")
+    println(line)
+    Console.out.flush()
     spark.stop()
+    println(line)
+    Console.out.flush()
   }
 }

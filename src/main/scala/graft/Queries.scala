@@ -1258,11 +1258,14 @@ object Queries {
       val tf = terms.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       val dfreq = terms.select("doc_id", "tok").distinct()
         .groupBy("tok").agg(count(lit(1)).as("df"))
-      val n = docs.count() // one scalar, the corpus size
+      // corpus size as an in-plan 1-row aggregate broadcast onto every
+      // score row (q09's mode pattern) — no eager driver-side count() job
+      val n = docs.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(dfreq, "tok")
+        .crossJoin(broadcast(n))
         .withColumn(
           "tfidf",
-          round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 4))
+          round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(desc("tfidf"), asc("tok"))
       scored

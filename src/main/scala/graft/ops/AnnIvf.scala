@@ -82,10 +82,15 @@ object AnnIvf {
         lit(0.0).as("cosine"), lit(0L).as("rnk")).limit(0)
 
     val sc = scored(col("embedding"), cents)
-    val assigned = emb.select(
+    // Null vectors are excluded on BOTH sides (mirroring the centroid
+    // filter): without this they'd score null against every centroid, win
+    // the min-centroid tie-break, and surface as null-cosine neighbors the
+    // oracle (whose unnest of NULL yields no rows) never produces.
+    val valid = emb.filter(col("embedding").isNotNull)
+    val assigned = valid.select(
       col("vec_id"), col("embedding"),
       (-array_max(sc).getField("nc")).as("list_id"))
-    val probes = emb
+    val probes = valid
       .filter(col("vec_id") < queryMax)
       .select(
         col("vec_id").as("query_id"), col("embedding").as("qv"),

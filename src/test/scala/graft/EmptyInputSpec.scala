@@ -3,7 +3,7 @@ package graft
 /** Every query must be total on empty input: a 100 TB job routinely sees
   * empty partitions, empty date slices, or a table with no admitted files
   * (the reference's own empty-input probe, loan_spark_etl.py:157-160).
-  * Each of the 60 queries runs against schema-identical EMPTY copies of
+  * Every catalog query (SparkEntry.queries) runs against schema-identical EMPTY copies of
   * the testdata tables and must return cleanly (0+ rows, no throw).
   */
 class EmptyInputSpec extends SparkSpec {

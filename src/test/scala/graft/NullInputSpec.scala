@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 /** Dirty-data totality: nullify ~10% of every column in every table
   * (deterministic per-row hash, not rand(), so failures reproduce) and
-  * run all 60 queries. Results may legitimately contain nulls/fewer
+  * run every catalog query. Results may legitimately contain nulls/fewer
   * rows; what they must not do is throw — null text, null timestamps,
   * null embeddings, and null keys all occur in real corpora.
   */
