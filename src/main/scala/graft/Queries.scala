@@ -768,6 +768,29 @@ object Queries {
            |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** Scale-safe quantiles: q40's companion. Exact `percentile` buffers
+    * every group value in one reducer's aggregation buffer — billions of
+    * doubles per task at 100 TB. `approx_percentile` (Greenwald-Khanna,
+    * accuracy 10000 → error ≤ 1/10000 of rank) is a mergeable constant-
+    * size sketch with map-side partials. Sketch internals differ across
+    * engines → no hash oracle (rows-only, like q42); the error bound vs
+    * exact q40 is asserted in RelationalExtSpec.
+    */
+  private val q67 = QueryDef(
+    "q67_approx_percentile",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)")
+          .as("ps"))
+        .select(
+          col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p25"),
+          round(element_at(col("ps"), 2), 4).as("p50"),
+          round(element_at(col("ps"), 3), 4).as("p75"))
+        .orderBy("l_returnflag"),
+    None)
+
   /** Statistical aggregates: correlation / covariance / dispersion. */
   private val q41 = QueryDef(
     "q41_stats",
@@ -1467,6 +1490,18 @@ object Queries {
             |  AND round(CAST(n_stop AS DOUBLE) / n_tokens, 4) >= 0.03
             |ORDER BY doc_id""".stripMargin))
 
+  /** Full-corpus near-dup dedup at LINEAR candidate cost — no slice, no
+    * broadcast, no quadratic pair materialization: band-bucket-min edges
+    * → distributed connected components → keep/drop per document. See
+    * graft.ops.NearDup.lshDedupClusters; this is the 100 TB companion to
+    * the pair-enumeration q25 (whose unsliced shuffle-join mode is
+    * plan-asserted in FullCorpusSpec).
+    */
+  private val q68 = QueryDef(
+    "q68_dedup_clusters_full",
+    (s, d) => graft.ops.NearDup.lshDedupClusters(t(s, d, "documents")),
+    Some(graft.ops.NearDup.clustersOracleSql))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -1489,5 +1524,6 @@ object Queries {
     q30, q31, q32, q33, q34, q35,
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
+    q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
+    q67, q68)
 }

@@ -39,17 +39,29 @@ object Validate {
       })
   }
 
-  /** Per-column profile of numeric columns — null count, exact distinct
-    * count, min, max, mean — as one row per column, computed in a single
+  /** Per-column profile of numeric columns — null count, distinct count,
+    * min, max, mean — as one row per column, computed in a single
     * aggregation job (all columns' aggregates in one pass, then a narrow
     * explode of the C-row result).
+    *
+    * `approx = true` (the default a per-batch monitor should run at
+    * scale) estimates distincts with HyperLogLog++ sketches: one ordinary
+    * hash-aggregate pass, mergeable map-side partials. `approx = false`
+    * is exact `count_distinct` — with several distinct aggregates
+    * Catalyst plans an Expand (the input duplicated once per column) and
+    * shuffles every distinct value of every column, which grows
+    * superlinearly with the table; keep it for small audits and oracle
+    * anchoring (q51).
     */
-  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profileNumeric(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame = {
     val structs = cols.zipWithIndex.map { case (c, i) =>
+      val distinct =
+        if (approx) approx_count_distinct(col(c), 0.02)
+        else count_distinct(col(c))
       struct(
         lit(c).as("col_name"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
-        count_distinct(col(c)).as("n_distinct"),
+        distinct.as("n_distinct"),
         min(col(c)).cast("double").as("min_val"),
         max(col(c)).cast("double").as("max_val"),
         round(avg(col(c)), 4).as("mean_val")).as(s"c$i")

@@ -71,24 +71,25 @@ object AnnLsh {
       .select(col("vec_id"), col("tb.l").as("l"), col("tb.bucket").as("bucket"))
   }
 
-  /** Top-k approximate neighbors for query vectors vec_id < `queryMax`:
-    * (query_id, neighbor_id, cosine, rnk), exact cosine ranked within the
-    * union of LSH candidates.
+  /** Top-k approximate neighbors: (query_id, neighbor_id, cosine, rnk),
+    * exact cosine ranked within the union of LSH candidates.
+    *
+    * `queryMax = Some(m)` bounds the query side to vec_id < m and
+    * broadcasts its bucket keys; `None` makes EVERY vector a query — the
+    * full k-NN-graph shape embedding dedup runs — via a shuffle
+    * sort-merge self-equi-join on (table, bucket): no broadcast, no
+    * driver state, AQE splits skewed buckets, `hotBucketMax` optionally
+    * drops degenerate ones ([[Lsh.guardHotBuckets]]).
     */
-  def annTopK(emb: DataFrame, dim: Int = 64, queryMax: Long = 5L, k: Int = 5): DataFrame = {
+  def annTopK(emb: DataFrame, dim: Int = 64, queryMax: Option[Long] = Some(5L),
+      k: Int = 5, hotBucketMax: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vecs = emb.select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bk = buckets(vecs, dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = bk
-      .join(
-        bk.filter(col("vec_id") < queryMax)
-          .select(col("vec_id").as("query_id"), col("l"), col("bucket")),
-        Seq("l", "bucket"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
-      .distinct()
+    val cand = candidatesFromBuckets(bk, "query_id", strict = false, queryMax, hotBucketMax)
+      .withColumnRenamed("vec_id", "neighbor_id")
     val norms = vecs.select(col("vec_id"), sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     val sims = cand
       .join(vecs.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
@@ -106,29 +107,51 @@ object AnnLsh {
       .orderBy("query_id", "rnk")
   }
 
+  /** Distinct candidate pairs from the (table, bucket) equi-join — the
+    * join whose physical shape FullCorpusSpec pins down. `leftAs` names
+    * the query/left id column; `strict` selects `<` (unordered pairs) vs
+    * `=!=` (query → neighbor) self-pairing. Output (leftAs, vec_id).
+    */
+  private[graft] def candidatesFromBuckets(
+      bk: DataFrame,
+      leftAs: String,
+      strict: Boolean,
+      sliceMax: Option[Long],
+      hotBucketMax: Option[Long]): DataFrame = {
+    val keys = Seq("l", "bucket")
+    val guarded = Lsh.guardHotBuckets(bk, keys, hotBucketMax)
+    val lhs = guarded.select(col("vec_id").as(leftAs), col("l"), col("bucket"))
+    val joined = sliceMax match {
+      case Some(m) => guarded.join(broadcast(lhs.filter(col(leftAs) < m)), keys)
+      case None    => guarded.hint("merge").join(lhs, keys)
+    }
+    joined
+      .filter(if (strict) col(leftAs) < col("vec_id") else col(leftAs) =!= col("vec_id"))
+      .select(col(leftAs), col("vec_id"))
+      .distinct()
+  }
+
   /** Embedding-cosine near-duplicate pairs: same LSH bucketing as
-    * [[annTopK]], but emitting every candidate pair (vec_a < sliceMax,
-    * vec_a < vec_b) whose exact cosine clears `threshold` — the
-    * embedding-space analogue of MinHash near-dup dedup. Output
-    * (vec_a, vec_b, cosine) ordered.
+    * [[annTopK]], but emitting every candidate pair (vec_a < vec_b) whose
+    * exact cosine clears `threshold` — the embedding-space analogue of
+    * MinHash near-dup dedup. Output (vec_a, vec_b, cosine) ordered.
+    *
+    * `sliceMax = Some(m)` broadcasts the bounded vec_a < m side; `None`
+    * is the full corpus × corpus shuffle self-join on (table, bucket) —
+    * same no-broadcast contract as [[annTopK]]'s unsliced mode.
     */
   def nearDupPairs(
       emb: DataFrame,
       dim: Int = 64,
-      sliceMax: Long = 100L,
-      threshold: Double = 0.3): DataFrame = {
+      sliceMax: Option[Long] = Some(100L),
+      threshold: Double = 0.3,
+      hotBucketMax: Option[Long] = None): DataFrame = {
     val vecs = emb.select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bk = buckets(vecs, dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = bk
-      .join(
-        bk.filter(col("vec_id") < sliceMax)
-          .select(col("vec_id").as("vec_a"), col("l"), col("bucket")),
-        Seq("l", "bucket"))
-      .filter(col("vec_a") < col("vec_id"))
-      .select(col("vec_a"), col("vec_id").as("vec_b"))
-      .distinct()
+    val cand = candidatesFromBuckets(bk, "vec_a", strict = true, sliceMax, hotBucketMax)
+      .withColumnRenamed("vec_id", "vec_b")
     // Norms are per-vector, not per-pair: compute them once on the
     // persisted frame and join — the per-pair work is a single dot.
     val norms = vecs.select(col("vec_id"), sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))

@@ -15,9 +15,16 @@ import org.apache.spark.sql.functions._
   * exactly this) — O(cluster diameter) rounds, each ONE shuffle of
   * (node, label) pairs, no driver-side graph.
   *
-  * Scale notes: labels are re-persisted and lineage-truncated
-  * (localCheckpoint) each round — iterative DataFrame loops otherwise
-  * stack lineage and replan from scratch every iteration. Near-dup
+  * Scale notes: labels are materialized and lineage-truncated each round
+  * — iterative DataFrame loops otherwise stack lineage and replan from
+  * scratch every iteration. When the SparkContext has a checkpoint dir
+  * configured, rounds use RELIABLE checkpoint() (files survive executor
+  * loss — required on a real cluster, where an executor dying mid-round
+  * would otherwise abort the job: localCheckpoint blocks are
+  * unrecoverable); without one, each round's labels are persisted RDDs
+  * behind a fresh LogicalRDD, and the superseded round is explicitly
+  * unpersisted as soon as its successor is materialized, so peak block
+  * usage is two label frames regardless of round count. Near-dup
   * clusters are tiny in practice (diameter 2-3), so rounds stay single
   * digits regardless of corpus size.
   */
@@ -27,18 +34,35 @@ object Clusters {
     * min node id reachable through the pair graph.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    // Materialize a round's labels and cut its lineage. Returns the
+    // truncated frame plus a thunk releasing its storage once superseded.
+    def truncate(df: DataFrame): (DataFrame, () => Unit) =
+      if (reliable) {
+        // eager reliable checkpoint: files under the checkpoint dir;
+        // superseded files are context-cleaned (or swept at app end)
+        (df.checkpoint(), () => ())
+      } else {
+        // persist the row RDD and rebuild a frame on top: the new plan is
+        // a leaf (no growing lineage) and the RDD handle gives a
+        // DETERMINISTIC unpersist — Dataset.localCheckpoint offers no way
+        // to release its blocks before context cleanup
+        val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (spark.createDataFrame(rdd, df.schema), () => { rdd.unpersist(false); () })
+      }
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist()
-    var labels = edges.select(col("a").as("v")).distinct()
-      .withColumn("lbl", col("v"))
-      .localCheckpoint(true)
+    var cur = truncate(
+      edges.select(col("a").as("v")).distinct().withColumn("lbl", col("v")))
+    def labels = cur._1
     // labels only ever decrease, so the label-sum is strictly decreasing
     // until the fixpoint: comparing sums detects convergence with one
     // cheap aggregate instead of a join of consecutive rounds
     def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
+      df.agg(coalesce(sum("lbl"), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
     var iter = 0
     var changed = true
@@ -47,16 +71,17 @@ object Clusters {
         .join(labels.select(col("v").as("b"), col("lbl").as("nlbl")), "b")
         .groupBy(col("a").as("v"))
         .agg(min("nlbl").as("minn"))
-      val next = labels
-        .join(neighborMin, Seq("v"), "left")
-        .select(
-          col("v"),
-          least(col("lbl"), coalesce(col("minn"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      val nextSum = labelSum(next)
+      val next = truncate(
+        labels
+          .join(neighborMin, Seq("v"), "left")
+          .select(
+            col("v"),
+            least(col("lbl"), coalesce(col("minn"), col("lbl"))).as("lbl")))
+      val nextSum = labelSum(next._1) // materializes `next` before freeing prev
       changed = nextSum != prevSum
       prevSum = nextSum
-      labels = next
+      cur._2() // release the superseded round's storage
+      cur = next
       iter += 1
     }
     edges.unpersist()

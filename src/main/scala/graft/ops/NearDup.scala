@@ -81,18 +81,29 @@ object NearDup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.k1").as("k1"), col("bk.k2").as("k2"))
   }
 
-  /** Candidate pairs (doc_a < doc_b, doc_a restricted by `slicePred`),
-    * verified with exact Jaccard ≥ `threshold`. Output:
-    * (doc_a, doc_b, jaccard) ordered.
+  /** Candidate pairs (doc_a < doc_b), verified with exact Jaccard ≥
+    * `threshold`. Output: (doc_a, doc_b, jaccard) ordered.
     *
-    * The slice side is broadcast when bounded; at full scale the same plan
-    * becomes a shuffle equi-join on the band keys — fingerprints, never
-    * document bodies, cross the wire. AQE splits skewed band buckets.
+    * Two candidate-generation modes, selected by `sliceMax`:
+    *
+    *   - `Some(m)`: doc_a restricted to `doc_id < m` — the bounded-query
+    *     shape ("which corpus docs duplicate this batch?"). The slice's
+    *     band keys are broadcast: zero shuffle on the corpus side beyond
+    *     the signature aggregate.
+    *   - `None`: full corpus × corpus — dedup's real shape. The candidate
+    *     join is a plain shuffle sort-merge self-equi-join on the band
+    *     keys (hinted, so no side is ever collected to the driver no
+    *     matter what size estimates say); only (doc_id, band, k1, k2)
+    *     fingerprints cross the wire, never text. Skewed band buckets are
+    *     split across reducers by AQE's skew-join handling; `hotBandMax`
+    *     optionally drops degenerate buckets outright (see
+    *     [[Lsh.guardHotBuckets]] for the recall argument).
     */
   def lshNearDupPairs(
       docs: DataFrame,
-      sliceMax: Long = 100L,
-      threshold: Double = 0.5): DataFrame = {
+      sliceMax: Option[Long] = Some(100L),
+      threshold: Double = 0.5,
+      hotBandMax: Option[Long] = None): DataFrame = {
     // Both `tok` and `bk` are consumed more than once (tok: signatures + the
     // two verification attaches; bk: both sides of the candidate self-join).
     // Persist them so each lineage is computed exactly once — without this the
@@ -102,15 +113,7 @@ object NearDup {
     // are the ones you would materialize to storage between stages.
     val tok = tokens(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bk = bands(signatures(tok)).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = bk
-      .join(
-        broadcast(
-          bk.filter(col("doc_id") < sliceMax)
-            .select(col("doc_id").as("doc_a"), col("band"), col("k1"), col("k2"))),
-        Seq("band", "k1", "k2"))
-      .filter(col("doc_a") < col("doc_id"))
-      .select(col("doc_a"), col("doc_id").as("doc_b"))
-      .distinct()
+    val cand = candidatesFromBands(bk, sliceMax, hotBandMax)
     cand
       .join(tok.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
       .join(tok.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
@@ -123,6 +126,112 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Distinct candidate pairs (doc_a < doc_b) sharing ≥ 1 band bucket —
+    * the join whose physical shape FullCorpusSpec pins down: broadcast of
+    * the bounded slice when `sliceMax` is set, a hinted shuffle
+    * sort-merge self-equi-join on the band keys when it is not.
+    */
+  private[graft] def candidatesFromBands(
+      bk: DataFrame,
+      sliceMax: Option[Long],
+      hotBandMax: Option[Long]): DataFrame = {
+    val keys = Seq("band", "k1", "k2")
+    val guarded = Lsh.guardHotBuckets(bk, keys, hotBandMax)
+    val lhs = guarded.select(col("doc_id").as("doc_a"), col("band"), col("k1"), col("k2"))
+    val joined = sliceMax match {
+      case Some(m) => guarded.join(broadcast(lhs.filter(col("doc_a") < m)), keys)
+      case None    => guarded.hint("merge").join(lhs, keys)
+    }
+    joined
+      .filter(col("doc_a") < col("doc_id"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Full-corpus duplicate clusters at LINEAR candidate cost — the shape a
+    * 100 TB dedup actually runs. Enumerating every near-dup pair is
+    * inherently quadratic in cluster size (a B-doc template cluster is
+    * B(B-1)/2 pairs); the keep/drop decision doesn't need the pairs, only
+    * the connectivity. So: within every band bucket, link each member to
+    * the bucket's MINIMUM doc_id (B-1 edges per bucket — one window pass,
+    * no self-join at all), then run distributed connected components over
+    * the union of edges. Two docs share a component iff they are joined by
+    * a chain of shared band buckets — the same transitive closure
+    * pair-enumeration + CC would produce, without ever materializing the
+    * quadratic candidate set. No slice, no broadcast, no driver state.
+    *
+    * Output: (doc_id, cluster_id, cluster_size, keep) for EVERY document
+    * (singletons form their own cluster); cluster_id = min doc_id of the
+    * component, keep = exactly the cluster minimum — the same
+    * keeper-election rule as exact-dedup q66.
+    */
+  def lshDedupClusters(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bk = bands(signatures(tokens(docs)))
+    val edges = bk
+      .withColumn("root",
+        min("doc_id").over(Window.partitionBy(col("band"), col("k1"), col("k2"))))
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("doc_id").as("a"), col("root").as("b"))
+      .distinct()
+    val cc = Clusters.connectedComponents(edges)
+    docs.select(col("doc_id"))
+      .join(cc.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .select(
+        col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[lshDedupClusters]]: identical signatures/bands,
+    * bucket-min edges, recursive transitive closure (min reachable id).
+    */
+  def clustersOracleSql: String = {
+    val minCols = seeds.zipWithIndex
+      .map { case ((a, b), i) => s"min((x*$a+$b)%$P) AS m$i" }
+      .mkString(",\n    ")
+    val sigList = (0 until K).map(i => s"m$i").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE tok AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+       |  FROM documents),
+       |tx AS (
+       |  SELECT doc_id, CAST(list_reduce(
+       |    list_transform(range(1, 8),
+       |      i -> instr('0123456789abcdef', substr(md5(tok), i, 1)) - 1),
+       |    (acc, v) -> acc * 16 + v) AS BIGINT) AS x
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tok)),
+       |mins AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM tx GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, band, sig[2*band+1] AS k1, sig[2*band+2] AS k2
+       |  FROM (SELECT doc_id, $sigList AS sig FROM mins),
+       |       (SELECT unnest(range(0, $Bands)) AS band)),
+       |roots AS (
+       |  SELECT band, k1, k2, min(doc_id) AS root
+       |  FROM bands GROUP BY 1, 2, 3),
+       |e0 AS (
+       |  SELECT DISTINCT x.doc_id AS a, r.root AS b
+       |  FROM bands x JOIN roots r USING (band, k1, k2)
+       |  WHERE x.doc_id <> r.root),
+       |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+       |reach(v, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.v = e.b),
+       |cc AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1)
+       |SELECT cc.doc_id, cc.cluster_id,
+       |  CAST(sizes.cluster_size AS BIGINT) AS cluster_size,
+       |  cc.doc_id = cc.cluster_id AS keep
+       |FROM cc JOIN sizes USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB SQL replicating [[lshNearDupPairs]] exactly (same constants,

@@ -58,12 +58,18 @@ object TextOps {
           .as("fp"))
   }
 
-  /** Near-duplicate pairs by SimHash: byte-band equi-join for candidates
-    * (doc_a restricted to < sliceMax), hamming distance <= maxHamming
-    * verified on the 32-bit fingerprints only — no token data crosses the
-    * wire after the fingerprint pass. Output (doc_a, doc_b, hamming).
+  /** Near-duplicate pairs by SimHash: byte-band equi-join for candidates,
+    * hamming distance <= maxHamming verified on the 32-bit fingerprints
+    * only — no token data crosses the wire after the fingerprint pass.
+    * Output (doc_a, doc_b, hamming).
+    *
+    * `sliceMax = Some(m)` broadcasts the bounded doc_a < m side; `None`
+    * is the full corpus × corpus shuffle self-join on (band, bv) — no
+    * broadcast, AQE splits skewed byte-bands, `hotBandMax` optionally
+    * drops degenerate ones ([[Lsh.guardHotBuckets]]).
     */
-  def simhashPairs(docs: DataFrame, sliceMax: Long = 100L, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, sliceMax: Option[Long] = Some(100L),
+      maxHamming: Int = 3, hotBandMax: Option[Long] = None): DataFrame = {
     val fp = simhash(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = fp.select(
       col("doc_id"), col("fp"),
@@ -71,11 +77,15 @@ object TextOps {
         struct(lit(b).as("band"), shiftright(col("fp"), 8 * b).bitwiseAND(lit(255L)).as("bv"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.bv").as("bv"))
-    val cand = banded
-      .join(
-        banded.filter(col("doc_id") < sliceMax)
-          .select(col("doc_id").as("doc_a"), col("fp").as("fp_a"), col("band"), col("bv")),
-        Seq("band", "bv"))
+    val keys = Seq("band", "bv")
+    val guarded = Lsh.guardHotBuckets(banded, keys, hotBandMax)
+    val lhs = guarded
+      .select(col("doc_id").as("doc_a"), col("fp").as("fp_a"), col("band"), col("bv"))
+    val joined = sliceMax match {
+      case Some(m) => guarded.join(broadcast(lhs.filter(col("doc_a") < m)), keys)
+      case None    => guarded.hint("merge").join(lhs, keys)
+    }
+    val cand = joined
       .filter(col("doc_a") < col("doc_id"))
       .select(col("doc_a"), col("doc_id").as("doc_b"), col("fp_a"), col("fp").as("fp_b"))
       .distinct()

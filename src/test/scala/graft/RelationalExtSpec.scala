@@ -77,6 +77,31 @@ class RelationalExtSpec extends SparkSpec {
     }
   }
 
+  test("q67 approx_percentile within rank-error bound of exact q40") {
+    // Greenwald-Khanna at accuracy=10000 guarantees the returned element's
+    // RANK is within n/10000 of the target rank (a value bound would be
+    // wrong: exact `percentile` interpolates BETWEEN elements, GK returns
+    // an actual element). Assert rank(estimate) ∈ p·n ± 2ε·n.
+    import spark.implicits._
+    val li = Queries.t(spark, sf, "lineitem")
+    val eps = 1.0 / 10000
+    val rows = q("q67_approx_percentile").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      Seq(0.25 -> r.getDouble(1), 0.5 -> r.getDouble(2), 0.75 -> r.getDouble(3))
+        .foreach { case (p, v) =>
+          val c = li.filter($"l_returnflag" === flag).agg(
+            count(lit(1)).as("n"),
+            sum(when($"l_extendedprice" < v, 1L).otherwise(0L)).as("nlt"),
+            sum(when($"l_extendedprice" <= v, 1L).otherwise(0L)).as("nle")).head()
+          val (n, nlt, nle) = (c.getLong(0).toDouble, c.getLong(1), c.getLong(2))
+          assert(nlt <= (p + 2 * eps) * n && nle >= (p - 2 * eps) * n,
+            s"$flag p$p: estimate $v has rank window [$nlt, $nle] of $n")
+        }
+    }
+  }
+
   test("cube emits all four grouping-set combinations") {
     val rows = q("q36_cube").collect()
     val both = rows.count(r => r.isNullAt(0) && r.isNullAt(1))

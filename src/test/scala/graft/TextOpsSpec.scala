@@ -29,7 +29,7 @@ class TextOpsSpec extends SparkSpec {
       (1L, base + " extra"),   // one token added
       (2L, (100 to 140).map(i => s"other$i").mkString(" "))
     ).toDF("doc_id", "text")
-    val pairs = TextOps.simhashPairs(docs, sliceMax = 10L, maxHamming = 3)
+    val pairs = TextOps.simhashPairs(docs, sliceMax = Some(10L), maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(pairs.exists { case (a, b, _) => a == 0L && b == 1L },
       "near-identical pair missed")

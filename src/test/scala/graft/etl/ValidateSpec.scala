@@ -52,4 +52,32 @@ class ValidateSpec extends SparkSpec {
     // exactly one scan of the table feeds all column profiles
     assert("FileScan|Scan parquet".r.findAllIn(plan).size <= 1, plan)
   }
+
+  test("profileNumeric(approx): no Expand in the plan, estimates within 2% rel err") {
+    val li = graft.Queries.t(spark, "/root/testdata/sf0.001", "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val approx = Validate.profileNumeric(li, cols, approx = true)
+    // exact multi-column count_distinct forces an Expand (input duplicated
+    // per distinct agg) + a shuffle of every distinct value; the HLL++
+    // sketch path must plan an ordinary partial+final hash aggregate
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+    assert(Validate.profileNumeric(li, cols)
+      .queryExecution.executedPlan.toString.contains("Expand"),
+      "exact path no longer plans Expand — update this spec's premise")
+    val est = approx.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = Validate.profileNumeric(li, cols).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    cols.foreach { c =>
+      val err = math.abs(est(c) - exact(c)).toDouble / exact(c)
+      assert(err <= 0.02, s"$c: approx ${est(c)} vs exact ${exact(c)} (rel err $err)")
+    }
+    // non-distinct stats are identical on both paths
+    val aRows = approx.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5))).toSet
+    val eRows = Validate.profileNumeric(li, cols).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(aRows == eRows)
+  }
 }
