@@ -56,15 +56,18 @@ object AnnIvf {
         lit(-cid).as("nc"))
     }: _*)
 
-  /** Top-k approximate neighbors for queries vec_id < `queryMax`:
-    * (query_id, neighbor_id, cosine, rnk) — same output contract as
-    * [[AnnLsh.annTopK]] and exact q24.
+  /** Best (max) centroid score for a vector column — the per-vector term
+    * of the spherical-k-means objective; exposed for the training spec.
     */
-  def annTopK(emb: DataFrame, queryMax: Long = 5L, k: Int = 5,
-      nlist: Int = NList, nprobe: Int = NProbe): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = emb.sparkSession
-    val cents: Seq[(Long, Array[Float])] = emb
+  private[graft] def bestScore(vecCol: Column, cents: Seq[(Long, Array[Float])]): Column =
+    array_max(scored(vecCol, cents)).getField("s")
+
+  /** Deterministic "first `nlist` vectors" quantizer — the oracle-
+    * reproducible init (and q44's production quantizer). nlist × dim
+    * floats: a bounded driver collect by construction.
+    */
+  def initCentroids(emb: DataFrame, nlist: Int = NList): Seq[(Long, Array[Float])] =
+    emb
       // null vectors can't serve as centroids (dirty-data totality)
       .filter(col("vec_id") < nlist && col("vec_id").isNotNull &&
         col("embedding").isNotNull)
@@ -73,6 +76,66 @@ object AnnIvf {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
       .toIndexedSeq
       .sortBy(_._1)
+
+  /** Lloyd's k-means over DataFrames — the trained quantizer. Same loop
+    * discipline as [[Clusters.connectedComponents]]: a bounded number of
+    * rounds, each ONE distributed pass.
+    *
+    * Scale shape per round: assignment is a pure map against the literal
+    * centroids (argmax of nlist codegen'd dots — the corpus never
+    * shuffles); the update poses as posexplode + hash aggregate on
+    * (list_id, pos), whose map-side partials collapse each task's
+    * contribution to ≤ nlist × dim rows before the shuffle — the same
+    * partial-sum shape MLlib's KMeans uses. Only the nlist × dim stats
+    * rows reach the driver.
+    *
+    * Determinism: assignments reuse [[scored]]'s 6-decimal rounding +
+    * min-id tie-break; a cell left empty keeps its previous centroid, and
+    * centroid ids are stable across rounds (cell i refines init vector i).
+    */
+  def trainCentroids(emb: DataFrame, nlist: Int = NList, iters: Int = 5): Seq[(Long, Array[Float])] = {
+    var cents = initCentroids(emb, nlist)
+    if (cents.isEmpty) return cents
+    val valid = emb.filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+    for (_ <- 0 until iters) {
+      val sc = scored(col("embedding"), cents)
+      // assignment and explode in separate projects: a generator in the
+      // same select would make the analyzer re-plan the struct-typed
+      // argmax expression and lose its field names
+      val stats = valid
+        .select((-array_max(sc).getField("nc")).as("list_id"), col("embedding"))
+        .select(col("list_id"), posexplode(col("embedding")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byList = stats.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, old) =>
+        byList.get(cid).fold(cid -> old) { rows =>
+          val mean = new Array[Float](old.length)
+          rows.foreach(r => mean(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat)
+          cid -> mean
+        }
+      }
+    }
+    cents
+  }
+
+  /** Top-k approximate neighbors for queries vec_id < `queryMax`:
+    * (query_id, neighbor_id, cosine, rnk) — same output contract as
+    * [[AnnLsh.annTopK]] and exact q24.
+    *
+    * `trainIters = 0` (default, the oracle anchor) searches against the
+    * deterministic first-nlist quantizer; `> 0` first refines those
+    * centroids with that many Lloyd's rounds ([[trainCentroids]]) —
+    * every stage downstream of the centroid literals is identical.
+    */
+  def annTopK(emb: DataFrame, queryMax: Long = 5L, k: Int = 5,
+      nlist: Int = NList, nprobe: Int = NProbe, trainIters: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    val cents: Seq[(Long, Array[Float])] =
+      if (trainIters > 0) trainCentroids(emb, nlist, trainIters)
+      else initCentroids(emb, nlist)
 
     // empty corpus → empty quantizer: array() has no element type, so the
     // argmax expression would not analyze; return the empty contract frame

@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
   * only small fixed-width results shuffle. The binary column itself is a
   * normal Parquet BYTE_ARRAY: scans prune it away unless selected.
   *
-  * The actual media *decode* is stubbed: this container has no
-  * image/audio codecs, so [[decodeMeta]] parses a deterministic fake
-  * header instead of calling a codec. Everything around it — schema,
-  * typed Dataset plumbing, per-partition batching, feature shape — is
-  * real and tested; swapping in a real codec changes one function body.
+  * Decode is real and dependency-free: [[decodeMeta]] reads image
+  * dimensions via the JDK's ImageIO (header-only — no pixel decode) and
+  * audio sample rates via javax.sound.sampled, falling back to a
+  * deterministic synthetic header for payloads no codec recognizes so
+  * the operators stay total over a dirty corpus. [[resize]] does a real
+  * bilinear downscale + PNG re-encode for decodable images.
   */
 object Multimodal {
 
@@ -31,13 +32,73 @@ object Multimodal {
   /** Per-item fixed-width feature vector (16-bin byte histogram, L1-normalized). */
   final case class MediaFeatures(id: Long, features: Array[Float])
 
-  /** STUB decoder — stands in for an image/audio codec. Deterministic
-    * fake: "width"/"height" are read from the first payload bytes,
-    * "sampleRate" from the byte count. A real implementation would parse
-    * the container format here; the signature and call sites would not
-    * change.
+  /** Real media header decode, zero extra dependencies:
+    *
+    *   - images (PNG/JPEG/GIF/BMP — whatever the JDK's ImageIO registry
+    *     knows): width/height come from `ImageReader.getWidth/getHeight`,
+    *     which parse the CONTAINER HEADER only — no pixel decode, so the
+    *     per-row cost is O(header), not O(pixels), exactly what a
+    *     100 TB metadata pass wants;
+    *   - audio (WAV/AIFF/AU via `javax.sound.sampled`): sample rate from
+    *     `AudioSystem.getAudioFileFormat`, again header-only;
+    *   - anything neither stack recognizes falls back to the original
+    *     deterministic synthetic header (first bytes → width/height,
+    *     length → sampleRate), keeping the function TOTAL over arbitrary
+    *     payloads — a dirty 100 TB corpus must never kill the job on one
+    *     truncated file.
+    *
+    * `ImageIO.setUseCache(false)` keeps the readers off executor-local
+    * temp files: payloads are already in memory, spilling them back to
+    * disk per row would be an I/O storm.
     */
   def decodeMeta(item: MediaItem): MediaMeta = {
+    val b = item.content
+    imageSize(b) match {
+      case Some((w, h)) =>
+        MediaMeta(item.id, item.modality, b.length.toLong, w, h, 0)
+      case None =>
+        audioSampleRate(b) match {
+          case Some(sr) => MediaMeta(item.id, item.modality, b.length.toLong, 0, 0, sr)
+          case None     => syntheticMeta(item)
+        }
+    }
+  }
+
+  /** Header-only image dimensions via the JDK ImageIO registry; None if no
+    * installed reader claims the payload or the header is corrupt.
+    */
+  private[graft] def imageSize(b: Array[Byte]): Option[(Int, Int)] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val iis = try javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(b))
+    catch { case _: java.io.IOException => null }
+    if (iis == null) return None
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val r = readers.next()
+      try {
+        r.setInput(iis, true, true)
+        Some((r.getWidth(0), r.getHeight(0)))
+      } catch { case _: Exception => None }
+      finally r.dispose()
+    } finally iis.close()
+  }
+
+  /** Header-only audio sample rate via javax.sound.sampled; None for
+    * non-audio payloads.
+    */
+  private[ops] def audioSampleRate(b: Array[Byte]): Option[Int] =
+    try {
+      val fmt = javax.sound.sampled.AudioSystem
+        .getAudioFileFormat(new java.io.ByteArrayInputStream(b))
+      Some(fmt.getFormat.getSampleRate.toInt)
+    } catch { case _: Exception => None }
+
+  /** The deterministic synthetic header for payloads no codec recognizes
+    * (and the previous stub's contract, kept so opaque-blob tables — e.g.
+    * the documents-as-bytes fixture — still yield stable metadata).
+    */
+  private[ops] def syntheticMeta(item: MediaItem): MediaMeta = {
     val b = item.content
     def at(i: Int): Int = if (b.length > i) b(i) & 0xff else 0
     MediaMeta(
@@ -77,21 +138,50 @@ object Multimodal {
     })
   }
 
-  /** STUB resize — stands in for an image down-scale: deterministically
-    * keep every `factor`-th payload byte (a real codec would decode,
-    * bilinear-resample, re-encode; signature and plumbing identical).
-    * Runs where the bytes sit (`mapPartitions`), emits the smaller
-    * payload with the applied factor.
+  /** Payload down-scale, where the bytes sit (`mapPartitions`):
+    * decodable images get a REAL bilinear resample (ImageIO decode →
+    * Graphics2D scale by 1/factor → PNG re-encode, all JDK-built-in);
+    * opaque payloads fall back to deterministic byte decimation (keep
+    * every `factor`-th byte) so the operator stays total.
     */
   def resize(items: Dataset[MediaItem], factor: Int = 4): Dataset[MediaItem] = {
     import items.sparkSession.implicits._
     items.mapPartitions(_.map { it =>
-      val src = it.content
-      val out = new Array[Byte]((src.length + factor - 1) / factor)
-      var i = 0
-      while (i < out.length) { out(i) = src(i * factor); i += 1 }
+      val out = resizeImage(it.content, factor).getOrElse {
+        val src = it.content
+        val dec = new Array[Byte]((src.length + factor - 1) / factor)
+        var i = 0
+        while (i < dec.length) { dec(i) = src(i * factor); i += 1 }
+        dec
+      }
       MediaItem(it.id, it.modality, out)
     })
+  }
+
+  /** Bilinear image downscale by 1/`factor`, re-encoded as PNG; None if
+    * the payload doesn't decode as an image.
+    */
+  private[ops] def resizeImage(b: Array[Byte], factor: Int): Option[Array[Byte]] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) None
+      else {
+        val w = math.max(1, img.getWidth / factor)
+        val h = math.max(1, img.getHeight / factor)
+        val scaled = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = scaled.createGraphics()
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(scaled, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Exception => None }
   }
 
   /** Frame sampling: split the payload into fixed `frameBytes` chunks and

@@ -53,4 +53,38 @@ object ScaleJoins {
       "__salt", explode(array((0 until n).map(i => lit(i)): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Two-phase skew-salted sum/count: partial aggregate on (key, salt),
+    * final on key. For ALGEBRAIC aggregates Spark's hash aggregation
+    * already does map-side partials, so plain `groupBy` rarely skews —
+    * this shape matters when partial aggregation degrades: sort-based
+    * fallback under aggregation-buffer pressure, or a hot key whose
+    * *final*-side merge still lands on one reducer with giant
+    * intermediate state (collect_list-like buffers). The salt spreads
+    * that key's final-stage state over `n` reducers; the second
+    * aggregate merges `n` tiny rows per key. Result rows are identical
+    * to the unsalted aggregate (equality spec in ScaleJoinsSpec).
+    */
+  def saltedSumCount(df: DataFrame, key: String, value: String, n: Int): DataFrame =
+    df.withColumn("__salt", pmod(hash(col(value)), lit(n)))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(value)).as("__s"), count(col(value)).as("__c"))
+      .groupBy(col(key))
+      .agg(sum("__s").as(s"sum_$value"), sum("__c").as(s"cnt_$value"))
+
+  /** Skew-safe EXACT distinct count: the case where salting a groupBy is
+    * genuinely load-bearing. Exact `count_distinct` keeps every distinct
+    * value of a key in ONE reducer's buffer — a hot key with millions of
+    * distincts is a straight OOM. Salting by `hash(value) % n` is
+    * correct for distincts (identical values always share a salt, so
+    * per-salt distinct counts partition the value set and ADD): phase 1
+    * counts distincts per (key, salt) with bounded buffers, phase 2 sums
+    * n small counts per key.
+    */
+  def saltedDistinctCount(df: DataFrame, key: String, value: String, n: Int): DataFrame =
+    df.withColumn("__salt", pmod(hash(col(value)), lit(n)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count_distinct(col(value)).as("__d"))
+      .groupBy(col(key))
+      .agg(sum("__d").as(s"distinct_$value"))
 }

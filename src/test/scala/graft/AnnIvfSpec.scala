@@ -27,6 +27,66 @@ class AnnIvfSpec extends SparkSpec {
     info(s"IVF recall = $recall")
   }
 
+  test("k-means-trained centroids: recall vs brute-force exact >= untrained") {
+    // q24's 5-query/25-pair sample is too small to resolve quantizer
+    // quality (one flipped pair = 4 points of recall); measure over 50
+    // queries against an inline brute-force exact top-5.
+    val emb = Queries.t(spark, sf, "embeddings").filter(col("embedding").isNotNull)
+    val nQueries = 50L
+    val exact: Set[(Long, Long)] = {
+      val v = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+        d / math.sqrt(na * nb)
+      }
+      v.filter(_._1 < nQueries).flatMap { case (q, qv) =>
+        v.filter(_._1 != q)
+          .map { case (n, nv) => (n, cos(qv, nv)) }
+          .sortBy { case (n, c) => (-c, n) }
+          .take(5).map { case (n, _) => (q, n) }
+      }.toSet
+    }
+    def recallOf(iters: Int): Double = {
+      val approx = graft.ops.AnnIvf.annTopK(emb, queryMax = nQueries, trainIters = iters)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val untrained = recallOf(0)
+    val trained = recallOf(5)
+    info(s"IVF recall untrained=$untrained trained=$trained over ${exact.size} exact pairs")
+    // Lloyd's refines the first-nlist cells toward actual density; on the
+    // deterministic test corpus the trained quantizer must do no worse.
+    assert(trained >= untrained,
+      s"training REDUCED recall: $trained < $untrained")
+  }
+
+  test("Lloyd's rounds improve the quantization objective monotonically in practice") {
+    // the k-means objective under the cosine assignment: mean best
+    // centroid score per vector — training must not make it worse
+    val emb = Queries.t(spark, sf, "embeddings").filter(col("embedding").isNotNull)
+    def objective(cents: Seq[(Long, Array[Float])]): Double = {
+      val sc = graft.ops.AnnIvf.bestScore(col("embedding"), cents)
+      emb.agg(avg(sc)).head().getDouble(0)
+    }
+    val init = objective(graft.ops.AnnIvf.initCentroids(emb))
+    val trained = objective(graft.ops.AnnIvf.trainCentroids(emb, iters = 5))
+    info(s"quantization objective init=$init trained=$trained")
+    assert(trained >= init, s"training worsened the objective: $trained < $init")
+  }
+
+  test("trainCentroids: stable ids, refined values, empty-cell fallback") {
+    val emb = Queries.t(spark, sf, "embeddings")
+    val init = graft.ops.AnnIvf.initCentroids(emb)
+    val trained = graft.ops.AnnIvf.trainCentroids(emb, iters = 3)
+    assert(trained.map(_._1) == init.map(_._1), "centroid ids not stable")
+    assert(trained.map(_._2.length) == init.map(_._2.length))
+    // at least one centroid must actually move off its init vector
+    assert(init.zip(trained).exists { case ((_, a), (_, b)) => !a.sameElements(b) },
+      "no centroid moved after 3 Lloyd's rounds")
+  }
+
   test("every corpus vector lands in exactly one list; probes are bounded") {
     val emb = Queries.t(spark, sf, "embeddings")
     val n = emb.count()

@@ -4,9 +4,11 @@ import org.apache.spark.sql.functions._
 import graft.ops.Multimodal
 import graft.ops.Multimodal.MediaItem
 
-/** Multimodal binary-column plumbing: typed Dataset round-trip, the
-  * deterministic decode stub, real byte-histogram features (checked
-  * against an independent SQL computation), and frame sampling shape.
+/** Multimodal binary-column plumbing: typed Dataset round-trip, real
+  * JDK-codec decode (ImageIO headers, WAV sample rates) with its
+  * deterministic synthetic fallback, real byte-histogram features
+  * (checked against an independent SQL computation), real image resize,
+  * and frame sampling shape.
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -23,7 +25,56 @@ class MultimodalSpec extends SparkSpec {
     assert(first.content.length >= 0)
   }
 
-  test("decode stub is deterministic and total on empty payloads") {
+  /** Tiny real image, encoded with the JDK itself — no fixtures on disk. */
+  private def imageBytes(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  /** Minimal mono 16-bit WAV at the given sample rate. */
+  private def wavBytes(sampleRate: Int, nSamples: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](nSamples * 2)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeMeta reads real PNG/JPEG headers and WAV sample rates") {
+    val png = Multimodal.decodeMeta(MediaItem(1L, "img", imageBytes(37, 21, "png")))
+    assert(png.width == 37 && png.height == 21, s"png decoded as $png")
+    val jpg = Multimodal.decodeMeta(MediaItem(2L, "img", imageBytes(64, 48, "jpg")))
+    assert(jpg.width == 64 && jpg.height == 48, s"jpeg decoded as $jpg")
+    val wav = Multimodal.decodeMeta(MediaItem(3L, "aud", wavBytes(22050, 100)))
+    assert(wav.sampleRate == 22050 && wav.width == 0, s"wav decoded as $wav")
+  }
+
+  test("real decode runs distributed through extractMeta") {
+    val items = Seq(
+      MediaItem(1L, "img", imageBytes(16, 8, "png")),
+      MediaItem(2L, "aud", wavBytes(8000, 10)),
+      MediaItem(3L, "txt", "not an image".getBytes("UTF-8"))).toDS()
+    val meta = Multimodal.extractMeta(items).collect().map(m => m.id -> m).toMap
+    assert(meta(1L).width == 16 && meta(1L).height == 8)
+    assert(meta(2L).sampleRate == 8000)
+    assert(meta(3L).width > 0, "opaque payload lost its synthetic fallback")
+  }
+
+  test("resize does a real downscale on decodable images") {
+    val items = Seq(MediaItem(1L, "img", imageBytes(40, 24, "png"))).toDS()
+    val out = Multimodal.resize(items, factor = 4).collect().head
+    val dims = Multimodal.imageSize(out.content)
+    assert(dims.contains((10, 6)), s"resized dims $dims, expected (10,6)")
+  }
+
+  test("synthetic fallback is deterministic and total on empty payloads") {
     val a = Multimodal.decodeMeta(MediaItem(1L, "img", Array[Byte](130.toByte, 7, 9)))
     val b = Multimodal.decodeMeta(MediaItem(1L, "img", Array[Byte](130.toByte, 7, 9)))
     assert(a == b)
@@ -32,7 +83,7 @@ class MultimodalSpec extends SparkSpec {
     assert(empty.nBytes == 0L && empty.width == 1 && empty.height == 1)
   }
 
-  test("extractMeta runs distributed and matches the stub per row") {
+  test("extractMeta runs distributed and matches decodeMeta per row") {
     val items = Multimodal.mediaFromDocuments(spark, sf)
     val meta = Multimodal.extractMeta(items).collect().map(m => m.id -> m).toMap
     val local = items.collect()
@@ -63,7 +114,7 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("resize stub keeps every factor-th byte, runs distributed") {
+  test("resize falls back to byte decimation on opaque payloads") {
     import spark.implicits._
     val items = Seq(
       Multimodal.MediaItem(1L, "img", Array.tabulate[Byte](10)(_.toByte)),

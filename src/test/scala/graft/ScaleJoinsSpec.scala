@@ -38,6 +38,33 @@ class ScaleJoinsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("salted two-phase sum/count equals the plain aggregate") {
+    val li = Queries.t(spark, sf, "lineitem")
+    val salted = ScaleJoins.saltedSumCount(li, "l_returnflag", "l_quantity", 8)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val plain = li.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("s"), count("l_quantity").as("c"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("salted exact distinct count equals plain count_distinct (nulls included)") {
+    import spark.implicits._
+    val li = Queries.t(spark, sf, "lineitem")
+    val salted = ScaleJoins.saltedDistinctCount(li, "l_returnflag", "l_partkey", 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = li.groupBy("l_returnflag").agg(count_distinct(col("l_partkey")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain && plain.nonEmpty)
+    // null values: ignored identically on both paths
+    val withNulls = Seq(("a", Some(1L)), ("a", None), ("a", Some(1L)), ("b", None))
+      .toDF("k", "v")
+    val s2 = ScaleJoins.saltedDistinctCount(withNulls, "k", "v", 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s2 == Map("a" -> 1L, "b" -> 0L), s2.toString)
+  }
+
   test("salted join returns exactly the rows of the unsalted join") {
     val li = Queries.t(spark, sf, "lineitem")
       .select(col("l_orderkey").as("k"), col("l_linenumber"), col("l_quantity"))
