@@ -36,7 +36,10 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args: query-name substrings to bench in isolation
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    val names =
+      if (args.isEmpty) all else all.filter(n => args.exists(n.contains))
     names.foreach { n => // warmup (untimed)
       try execute(n) catch { case scala.util.control.NonFatal(_) => () }
     }
