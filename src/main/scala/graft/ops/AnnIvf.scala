@@ -102,17 +102,28 @@ object AnnIvf {
       // assignment and explode in separate projects: a generator in the
       // same select would make the analyzer re-plan the struct-typed
       // argmax expression and lose its field names
+      // count(col) not count(*): null ELEMENTS inside an otherwise
+      // non-null vector must not bias the mean toward 0
       val stats = valid
         .select((-array_max(sc).getField("nc")).as("list_id"), col("embedding"))
         .select(col("list_id"), posexplode(col("embedding")))
         .groupBy(col("list_id"), col("pos"))
-        .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(col("col").cast("double")).as("s"), count(col("col")).as("n"))
         .collect()
       val byList = stats.groupBy(_.getLong(0))
       cents = cents.map { case (cid, old) =>
         byList.get(cid).fold(cid -> old) { rows =>
-          val mean = new Array[Float](old.length)
-          rows.foreach(r => mean(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat)
+          // start from the previous centroid: positions with no non-null
+          // data (all-null column, or ragged vectors shorter than dim)
+          // keep their old component instead of crashing or zeroing;
+          // positions beyond the centroid dim (over-long vectors) are
+          // dropped — totality over dirty embeddings
+          val mean = old.clone()
+          rows.foreach { r =>
+            val pos = r.getInt(1)
+            if (!r.isNullAt(2) && r.getLong(3) > 0 && pos < mean.length)
+              mean(pos) = (r.getDouble(2) / r.getLong(3)).toFloat
+          }
           cid -> mean
         }
       }

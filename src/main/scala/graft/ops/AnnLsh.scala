@@ -121,11 +121,7 @@ object AnnLsh {
     val keys = Seq("l", "bucket")
     val guarded = Lsh.guardHotBuckets(bk, keys, hotBucketMax)
     val lhs = guarded.select(col("vec_id").as(leftAs), col("l"), col("bucket"))
-    val joined = sliceMax match {
-      case Some(m) => guarded.join(broadcast(lhs.filter(col(leftAs) < m)), keys)
-      case None    => guarded.hint("merge").join(lhs, keys)
-    }
-    joined
+    Lsh.candidateJoin(guarded, lhs, keys, leftAs, sliceMax)
       .filter(if (strict) col(leftAs) < col("vec_id") else col(leftAs) =!= col("vec_id"))
       .select(col(leftAs), col("vec_id"))
       .distinct()

@@ -17,40 +17,49 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: labels are materialized and lineage-truncated each round
   * — iterative DataFrame loops otherwise stack lineage and replan from
-  * scratch every iteration. When the SparkContext has a checkpoint dir
-  * configured, rounds use RELIABLE checkpoint() (files survive executor
-  * loss — required on a real cluster, where an executor dying mid-round
-  * would otherwise abort the job: localCheckpoint blocks are
-  * unrecoverable); without one, each round's labels are persisted RDDs
-  * behind a fresh LogicalRDD, and the superseded round is explicitly
-  * unpersisted as soon as its successor is materialized, so peak block
-  * usage is two label frames regardless of round count. Near-dup
+  * scratch every iteration. Each round's labels are a persisted row RDD
+  * behind a fresh LogicalRDD (Dataset.localCheckpoint offers no way to
+  * release its blocks before context cleanup); when the SparkContext has
+  * a checkpoint dir configured (or `reliable = Some(true)`), the RDD is
+  * additionally RELIABLY checkpointed — files survive executor loss,
+  * which on a real cluster would otherwise abort the whole iterative job
+  * mid-round. Superseded rounds are released as soon as their successor
+  * materializes — blocks unpersisted AND checkpoint files deleted — so
+  * peak storage is two label frames regardless of round count (a
+  * long-running per-batch caller never accumulates snapshots). Near-dup
   * clusters are tiny in practice (diameter 2-3), so rounds stay single
   * digits regardless of corpus size.
   */
 object Clusters {
 
   /** (v, cluster_id) for every node in `pairs` (cols a, b); cluster_id =
-    * min node id reachable through the pair graph.
+    * min node id reachable through the pair graph. `reliable`: None =
+    * use reliable checkpointing iff a checkpoint dir is set; Some(b)
+    * forces the choice (Some(true) requires a checkpoint dir).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      reliable: Option[Boolean] = None): DataFrame = {
     val spark = pairs.sparkSession
-    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    val useReliable =
+      reliable.getOrElse(spark.sparkContext.getCheckpointDir.isDefined)
     // Materialize a round's labels and cut its lineage. Returns the
     // truncated frame plus a thunk releasing its storage once superseded.
-    def truncate(df: DataFrame): (DataFrame, () => Unit) =
-      if (reliable) {
-        // eager reliable checkpoint: files under the checkpoint dir;
-        // superseded files are context-cleaned (or swept at app end)
-        (df.checkpoint(), () => ())
-      } else {
-        // persist the row RDD and rebuild a frame on top: the new plan is
-        // a leaf (no growing lineage) and the RDD handle gives a
-        // DETERMINISTIC unpersist — Dataset.localCheckpoint offers no way
-        // to release its blocks before context cleanup
-        val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        (spark.createDataFrame(rdd, df.schema), () => { rdd.unpersist(false); () })
+    def truncate(df: DataFrame): (DataFrame, () => Unit) = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (useReliable) rdd.checkpoint() // materialized by the next action
+      val release = () => {
+        // checkpoint files are NOT context-cleaned by default
+        // (spark.cleaner.referenceTracking.cleanCheckpoints defaults to
+        // false) and are never swept at app end — delete them explicitly
+        rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        rdd.unpersist(false)
+        ()
       }
+      (spark.createDataFrame(rdd, df.schema), release)
+    }
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct()

@@ -32,4 +32,19 @@ private[ops] object Lsh {
         .filter(col("__bsz") <= c)
         .drop("__bsz")
     }
+
+  /** The sliced-vs-full candidate join shared by every LSH family member
+    * (one definition so a future fix can't drift across call sites):
+    * `Some(m)` broadcasts the bounded query side (`leftId < m`) — the
+    * zero-shuffle bounded-batch shape; `None` is a hinted shuffle
+    * sort-merge self-equi-join on the bucket keys — full corpus on both
+    * sides, nothing broadcast regardless of size estimates, AQE
+    * skew-splits hot buckets.
+    */
+  def candidateJoin(guarded: DataFrame, lhs: DataFrame, keys: Seq[String],
+      leftId: String, sliceMax: Option[Long]): DataFrame =
+    sliceMax match {
+      case Some(m) => guarded.join(broadcast(lhs.filter(col(leftId) < m)), keys)
+      case None    => guarded.hint("merge").join(lhs, keys)
+    }
 }

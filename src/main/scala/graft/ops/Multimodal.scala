@@ -67,22 +67,28 @@ object Multimodal {
   /** Header-only image dimensions via the JDK ImageIO registry; None if no
     * installed reader claims the payload or the header is corrupt.
     */
-  private[graft] def imageSize(b: Array[Byte]): Option[(Int, Int)] = {
-    javax.imageio.ImageIO.setUseCache(false)
-    val iis = try javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(b))
-    catch { case _: java.io.IOException => null }
-    if (iis == null) return None
+  private[graft] def imageSize(b: Array[Byte]): Option[(Int, Int)] =
+    // one catch-all around the WHOLE codec interaction: reader SPIs'
+    // canDecodeInput / header parsing are known to throw unchecked
+    // exceptions (not just IOException) on crafted or bit-rotted bytes,
+    // and even close() can propagate — none of that may kill a job
     try {
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return None
-      val r = readers.next()
-      try {
-        r.setInput(iis, true, true)
-        Some((r.getWidth(0), r.getHeight(0)))
-      } catch { case _: Exception => None }
-      finally r.dispose()
-    } finally iis.close()
-  }
+      javax.imageio.ImageIO.setUseCache(false)
+      val iis = javax.imageio.ImageIO
+        .createImageInputStream(new java.io.ByteArrayInputStream(b))
+      if (iis == null) None
+      else try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            Some((r.getWidth(0), r.getHeight(0)))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
 
   /** Header-only audio sample rate via javax.sound.sampled; None for
     * non-audio payloads.

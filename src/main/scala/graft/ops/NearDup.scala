@@ -140,11 +140,7 @@ object NearDup {
     val keys = Seq("band", "k1", "k2")
     val guarded = Lsh.guardHotBuckets(bk, keys, hotBandMax)
     val lhs = guarded.select(col("doc_id").as("doc_a"), col("band"), col("k1"), col("k2"))
-    val joined = sliceMax match {
-      case Some(m) => guarded.join(broadcast(lhs.filter(col("doc_a") < m)), keys)
-      case None    => guarded.hint("merge").join(lhs, keys)
-    }
-    joined
+    Lsh.candidateJoin(guarded, lhs, keys, "doc_a", sliceMax)
       .filter(col("doc_a") < col("doc_id"))
       .select(col("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
@@ -170,13 +166,25 @@ object NearDup {
   def lshDedupClusters(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bk = bands(signatures(tokens(docs)))
+    // bucket minimum via groupBy + equi-join, NOT a window: the aggregate
+    // gets map-side partials and the join gets AQE skew-splitting, so a
+    // degenerate hot bucket (boilerplate docs sharing one signature)
+    // spreads across reducers instead of sorting in a single window task.
+    // Edge count stays linear: B-1 edges per B-member bucket.
+    val keys = Seq("band", "k1", "k2")
+    val roots = bk.groupBy(keys.map(col): _*).agg(min("doc_id").as("root"))
     val edges = bk
-      .withColumn("root",
-        min("doc_id").over(Window.partitionBy(col("band"), col("k1"), col("k2"))))
+      .join(roots, keys)
       .filter(col("doc_id") =!= col("root"))
       .select(col("doc_id").as("a"), col("root").as("b"))
       .distinct()
+      // persist + materialize: connectedComponents unions edges with
+      // their swap, and an unpersisted lineage would run the whole
+      // tokenize -> 64-min-hash -> bands pipeline once per union branch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
     val cc = Clusters.connectedComponents(edges)
+    edges.unpersist(false)
     docs.select(col("doc_id"))
       .join(cc.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))

@@ -64,9 +64,15 @@ object ScaleJoins {
     * that key's final-stage state over `n` reducers; the second
     * aggregate merges `n` tiny rows per key. Result rows are identical
     * to the unsalted aggregate (equality spec in ScaleJoinsSpec).
+    *
+    * The salt is ROW-based (round-robin within each partition), not a
+    * value hash: the canonical hot key has billions of rows sharing a
+    * low-cardinality value (status codes, zeros), and hash(value) would
+    * map them all to one salt — no spread at all. The salt value never
+    * reaches the result, so the row-order dependence is harmless.
     */
   def saltedSumCount(df: DataFrame, key: String, value: String, n: Int): DataFrame =
-    df.withColumn("__salt", pmod(hash(col(value)), lit(n)))
+    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(n)))
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(value)).as("__s"), count(col(value)).as("__c"))
       .groupBy(col(key))

@@ -81,11 +81,7 @@ object TextOps {
     val guarded = Lsh.guardHotBuckets(banded, keys, hotBandMax)
     val lhs = guarded
       .select(col("doc_id").as("doc_a"), col("fp").as("fp_a"), col("band"), col("bv"))
-    val joined = sliceMax match {
-      case Some(m) => guarded.join(broadcast(lhs.filter(col("doc_a") < m)), keys)
-      case None    => guarded.hint("merge").join(lhs, keys)
-    }
-    val cand = joined
+    val cand = Lsh.candidateJoin(guarded, lhs, keys, "doc_a", sliceMax)
       .filter(col("doc_a") < col("doc_id"))
       .select(col("doc_a"), col("doc_id").as("doc_b"), col("fp_a"), col("fp").as("fp_b"))
       .distinct()

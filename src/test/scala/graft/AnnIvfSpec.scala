@@ -87,6 +87,22 @@ class AnnIvfSpec extends SparkSpec {
       "no centroid moved after 3 Lloyd's rounds")
   }
 
+  test("trainCentroids is total over dirty embeddings (null elements, ragged dims)") {
+    val dirty = spark.sql(
+      """SELECT * FROM VALUES
+        |  (0L, array(1.0f, 2.0f)),
+        |  (1L, array(cast(null AS float), 4.0f)),
+        |  (2L, array(5.0f, 6.0f, 7.0f)),
+        |  (3L, array(0.5f)),
+        |  (4L, cast(null AS array<float>)),
+        |  (cast(null AS bigint), array(9.0f, 9.0f))
+        |AS t(vec_id, embedding)""".stripMargin)
+    val trained = graft.ops.AnnIvf.trainCentroids(dirty, nlist = 2, iters = 3)
+    assert(trained.size == 2, "dirty rows changed the centroid count")
+    assert(trained.forall(_._2.length == 2), "centroid dims drifted from init")
+    assert(trained.forall(_._2.forall(f => !f.isNaN)), "NaN leaked into a centroid")
+  }
+
   test("every corpus vector lands in exactly one list; probes are bounded") {
     val emb = Queries.t(spark, sf, "embeddings")
     val n = emb.count()

@@ -26,28 +26,39 @@ class ClustersSpec extends SparkSpec {
     df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("diameter-25 path graph fully converges given enough rounds") {
-    val cc = labelsOf(Clusters.connectedComponents(pathGraph(25), maxIter = 30))
+    // reliable = Some(false) pins the persisted-RDD truncation path so
+    // coverage doesn't depend on whether another suite already set a
+    // global checkpoint dir
+    val cc = labelsOf(
+      Clusters.connectedComponents(pathGraph(25), maxIter = 30, reliable = Some(false)))
     assert(cc.size == 26)
     assert(cc.values.forall(_ == 0L), s"unconverged labels: ${cc.filter(_._2 != 0L)}")
   }
 
   test("maxIter caps the rounds: diameter-25 path is NOT converged at 5") {
-    val cc = labelsOf(Clusters.connectedComponents(pathGraph(25), maxIter = 5))
+    val cc = labelsOf(
+      Clusters.connectedComponents(pathGraph(25), maxIter = 5, reliable = Some(false)))
     assert(cc.values.toSet.size > 1,
       "5 rounds converged a diameter-25 path — propagation is not 1 hop/round?")
     // partial progress is still monotone: every label is a valid ancestor
     cc.foreach { case (v, lbl) => assert(lbl <= v) }
   }
 
-  test("reliable checkpoint mode: correct labels + checkpoint files written") {
+  test("reliable checkpoint mode: correct labels, files written, superseded rounds deleted") {
     val dir = tmpDir("graft-ckpt")
     spark.sparkContext.setCheckpointDir(dir.toString)
     val cc = labelsOf(Clusters.connectedComponents(pathGraph(25), maxIter = 30))
     assert(cc.size == 26 && cc.values.forall(_ == 0L))
-    // reliable checkpoints materialize as rdd-* directories under the dir
     import scala.jdk.CollectionConverters._
-    val sawRdd = java.nio.file.Files.walk(dir).iterator().asScala
-      .exists(_.getFileName.toString.startsWith("rdd-"))
-    assert(sawRdd, s"no rdd-* checkpoint files under $dir")
+    val rddDirs = java.nio.file.Files.walk(dir).iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("rdd-"))
+      .toSeq
+    // every superseded round's checkpoint is deleted on release; only the
+    // final label frame's files may remain — ~27 rounds of a diameter-25
+    // path would otherwise leave ~27 snapshots
+    assert(rddDirs.nonEmpty, s"no rdd-* checkpoint files under $dir")
+    assert(rddDirs.size == 1,
+      s"superseded checkpoints not cleaned: ${rddDirs.size} rdd-* dirs under $dir")
   }
 }
