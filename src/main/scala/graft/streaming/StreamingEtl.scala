@@ -183,6 +183,101 @@ object StreamingEtl {
   final case class UserEvent(user_id: Long, event_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n_events: Long, sum_value: Double)
 
+  /** One exploded band row of a fingerprinted document. `ts` is the
+    * original event-time column: the watermark's attribute must flow
+    * INTO the stateful operator (projecting it away fails analysis with
+    * "Event-time timeout not supported without watermark").
+    */
+  final case class BandedDoc(doc_id: Long, ts: java.sql.Timestamp, fp: Long, band: Int, bv: Long)
+
+  /** Per-bucket dedup state: fingerprints seen in this byte-band bucket
+    * within the watermark horizon.
+    */
+  final case class BucketEntry(doc_id: Long, fp: Long, ts_ms: Long)
+  final case class BucketState(entries: Seq[BucketEntry])
+
+  /** An emitted near-dup decision: `doc_id` duplicates the earlier
+    * `dup_of` (hamming distance over the 32-bit SimHash fingerprints).
+    */
+  final case class NearDupMatch(doc_id: Long, dup_of: Long, hamming: Long)
+
+  /** Streaming NEAR-duplicate detection — the watermark-bounded form of
+    * [[graft.ops.TextOps.simhashPairs]], completing the streaming ×
+    * dedup matrix next to the exact [[dedupWithinWatermark]].
+    *
+    * Shape: per-row SimHash ([[graft.ops.TextOps.simhashColumn]] — a
+    * map, so the stateful chain below stays the query's only stateful
+    * operator), explode into the 4 byte-bands, then
+    * `flatMapGroupsWithState` keyed by (band, bv): each bucket's state
+    * is the fingerprints seen there within the watermark horizon, and an
+    * arriving doc is compared against exactly its bucket's members —
+    * the same candidate-pruning the batch band equi-join performs, as
+    * state lookup. Emits (doc_id, dup_of, hamming) per matched earlier
+    * doc (possibly once per shared band — consumers `distinct` if pair
+    * uniqueness matters; the keep/drop decision only needs "any match").
+    *
+    * Bounds, 100 TB-stream honest: state per bucket is pruned to the
+    * watermark horizon, garbage-collected via event-time timeout when a
+    * bucket goes idle, and hard-capped at `maxPerBucket` newest entries
+    * (a degenerate boilerplate bucket would otherwise grow without
+    * bound AND cost O(bucket) comparisons per arrival — the streaming
+    * twin of [[graft.ops.Lsh.guardHotBuckets]], same recall argument:
+    * a dropped match survives through any other shared band).
+    *
+    * Works identically on a batch frame (state starts empty, one
+    * invocation per bucket, intra-batch rows compared in (ts, doc_id)
+    * order) — StreamingNearDupSpec asserts parity with simhashPairs.
+    */
+  def streamingNearDup(docs: DataFrame, watermarkDelay: String = "1 hour",
+      maxHamming: Int = 3, maxPerBucket: Int = 1024): Dataset[NearDupMatch] = {
+    import docs.sparkSession.implicits._
+    val banded = docs
+      .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"),
+        graft.ops.TextOps.simhashColumn(col("text")).as("fp"))
+      .filter(col("fp").isNotNull)
+      .select(col("doc_id"), col("ts"), col("fp"),
+        explode(array((0 until graft.ops.TextOps.SimHashBands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("fp"), 8 * b).bitwiseAND(lit(255L)).as("bv"))
+        }: _*)).as("bk"))
+      .select(
+        col("doc_id"), col("ts"), col("fp"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+      .as[BandedDoc]
+    banded
+      .groupByKey(r => (r.band, r.bv))
+      .flatMapGroupsWithState[BucketState, NearDupMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // batch execution has no watermark: getCurrentWatermarkMs
+            // throws there, and no pruning is needed (single invocation)
+            val wm =
+              try state.getCurrentWatermarkMs()
+              catch { case _: UnsupportedOperationException => Long.MinValue }
+            var entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
+              .filter(_.ts_ms >= wm)
+            val out = scala.collection.mutable.ArrayBuffer[NearDupMatch]()
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
+              entries.foreach { e =>
+                if (e.doc_id != r.doc_id) {
+                  val h = java.lang.Long.bitCount(e.fp ^ r.fp).toLong
+                  if (h <= maxHamming) out += NearDupMatch(r.doc_id, e.doc_id, h)
+                }
+              }
+              entries = entries :+ BucketEntry(r.doc_id, r.fp, r.ts.getTime)
+            }
+            val kept = entries.sortBy(e => (-e.ts_ms, e.doc_id)).take(maxPerBucket)
+            state.update(BucketState(kept))
+            try state.setTimeoutTimestamp(kept.map(_.ts_ms).max, watermarkDelay)
+            catch { case _: UnsupportedOperationException => () } // batch: no timeouts
+            out.iterator
+          }
+      }
+  }
+
   /** Arbitrary per-key state (flatMapGroupsWithState): running per-user
     * totals that survive across micro-batches. The state object is a
     * single small case class per key — O(distinct users) memory, with

@@ -1,0 +1,150 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.TextOps
+
+/** Streaming SimHash near-dup: per-row fingerprint parity with the batch
+  * aggregate, batch-mode pair parity with simhashPairs, cross-batch state
+  * carry with exactly-once matching, watermark expiry of old state, and
+  * the hot-bucket cap.
+  */
+class StreamingNearDupSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("simhashColumn is bit-identical to the batch simhash aggregate") {
+    val docs = graft.Queries.t(spark, sf, "documents")
+    val batch = TextOps.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perRow = docs
+      .select(col("doc_id"), TextOps.simhashColumn(col("text")).as("fp"))
+      .filter(col("fp").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perRow.keySet == batch.keySet)
+    perRow.foreach { case (id, fp) =>
+      assert(fp == batch(id), s"doc $id: per-row fp $fp != batch ${batch(id)}")
+    }
+    assert(batch.nonEmpty)
+  }
+
+  test("batch-mode streamingNearDup emits exactly the simhashPairs pairs") {
+    val docs = graft.Queries.t(spark, sf, "documents")
+      .withColumn("ts",
+        timestamp_seconds(lit(1704067200L) + col("doc_id"))) // ts order == id order
+    val matches = StreamingEtl.streamingNearDup(docs)
+      .collect()
+      .map(m => (m.dup_of, m.doc_id)) // dup_of arrived earlier => smaller id
+      .toSet
+    val batch = TextOps.simhashPairs(
+      graft.Queries.t(spark, sf, "documents"), sliceMax = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matches == batch,
+      s"missing=${(batch -- matches).take(5)} extra=${(matches -- batch).take(5)}")
+    assert(batch.nonEmpty, "no near-dup pairs in test corpus?")
+  }
+
+  test("state carries across micro-batches; a cross-batch near-dup matches exactly once") {
+    import org.apache.spark.sql.types._
+    val in = tmpDir("snd-in"); val out = tmpDir("snd-out"); val ckpt = tmpDir("snd-ckpt")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+
+    def drain(): Unit = {
+      val matches = StreamingEtl.streamingNearDup(
+        StreamingEtl.jsonFileStream(spark, in.toString, schema))
+      val q = matches.toDF().writeStream
+        .format("parquet").option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    writeFile(in, "b1.json",
+      s"""{"doc_id":1,"ts":"2024-01-01T10:00:00.000Z","text":"$base"}
+         |{"doc_id":2,"ts":"2024-01-01T10:01:00.000Z","text":"${(100 to 140).map(i => s"other$i").mkString(" ")}"}
+         |""".stripMargin)
+    drain()
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("dup_of", LongType),
+      StructField("hamming", LongType)))
+    def results() = spark.read.schema(outSchema).parquet(out.toString)
+      .select("doc_id", "dup_of").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(results().isEmpty, "unrelated docs matched in batch 1")
+
+    // batch 2: near-identical to doc 1 (one token appended) arrives later,
+    // within the watermark horizon -> matched against batch-1 state
+    writeFile(in, "b2.json",
+      s"""{"doc_id":3,"ts":"2024-01-01T10:05:00.000Z","text":"$base extra"}
+         |""".stripMargin)
+    drain()
+    assert(results() == Set((3L, 1L)), results().toString)
+
+    // re-drain with nothing new: exactly-once, no re-emission
+    drain()
+    assert(results() == Set((3L, 1L)))
+  }
+
+  test("watermark expires old state: a match beyond the horizon is not emitted") {
+    import org.apache.spark.sql.types._
+    val in = tmpDir("sndw-in"); val out = tmpDir("sndw-out"); val ckpt = tmpDir("sndw-ckpt")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+
+    def drain(): Unit = {
+      val matches = StreamingEtl.streamingNearDup(
+        StreamingEtl.jsonFileStream(spark, in.toString, schema), watermarkDelay = "10 minutes")
+      val q = matches.toDF().writeStream
+        .format("parquet").option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    writeFile(in, "b1.json",
+      s"""{"doc_id":1,"ts":"2024-01-01T10:00:00.000Z","text":"$base"}
+         |""".stripMargin)
+    drain()
+    // batch 2 advances the watermark far past doc 1 (event at 12:00,
+    // delay 10 min -> watermark 11:50 at batch end)
+    writeFile(in, "b2.json",
+      s"""{"doc_id":2,"ts":"2024-01-01T12:00:00.000Z","text":"${(100 to 140).map(i => s"other$i").mkString(" ")}"}
+         |""".stripMargin)
+    drain()
+    // batch 3: near-dup of doc 1, but doc 1's state is beyond the horizon
+    writeFile(in, "b3.json",
+      s"""{"doc_id":3,"ts":"2024-01-01T12:01:00.000Z","text":"$base extra"}
+         |""".stripMargin)
+    drain()
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("dup_of", LongType),
+      StructField("hamming", LongType)))
+    val res = spark.read.schema(outSchema).parquet(out.toString).collect()
+    assert(res.isEmpty, s"expired state still matched: ${res.mkString(",")}")
+  }
+
+  test("maxPerBucket caps state and comparisons; matches through other bands survive") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base + " extra"))
+      .toDF("doc_id", "text")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+    // cap of 1: each bucket holds only the newest entry; docs 1 and 2
+    // share all 4 bands, and doc 1 is the sole (newest) entry everywhere,
+    // so the pair still matches
+    val matches = StreamingEtl.streamingNearDup(docs, maxPerBucket = 1)
+      .collect().map(m => (m.doc_id, m.dup_of)).distinct
+    assert(matches.toSet == Set((2L, 1L)), matches.mkString(","))
+  }
+}
