@@ -57,19 +57,25 @@ object AnnLsh {
       lit(0.0),
       (acc, v) => acc + v)
 
-  /** (vec_id, l, bucket) — L bucket keys per vector, computed map-side. */
-  def buckets(emb: DataFrame, dim: Int, vecCol: String = "embedding"): DataFrame = {
-    val tables = (0 until L).map { l =>
+  /** Array of the L (l, bucket) key structs for a vector column — the
+    * map-side LSH signature as a standalone expression, exposed so
+    * streaming callers can explode it while carrying event-time/payload
+    * columns ([[graft.streaming.StreamingEtl.streamingEmbedNearDup]]).
+    */
+  def bucketArray(vecCol: Column, dim: Int): Column =
+    array((0 until L).map { l =>
       val bucket = (0 until H).map { j =>
         val w = array((0 until dim).map(i => lit(weight(l, j, i))): _*)
-        when(dot(col(vecCol), w) >= 0, lit(1L << j)).otherwise(lit(0L))
+        when(dot(vecCol, w) >= 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(l).as("l"), bucket.as("bucket"))
-    }
+    }: _*)
+
+  /** (vec_id, l, bucket) — L bucket keys per vector, computed map-side. */
+  def buckets(emb: DataFrame, dim: Int, vecCol: String = "embedding"): DataFrame =
     emb
-      .select(col("vec_id"), explode(array(tables: _*)).as("tb"))
+      .select(col("vec_id"), explode(bucketArray(col(vecCol), dim)).as("tb"))
       .select(col("vec_id"), col("tb.l").as("l"), col("tb.bucket").as("bucket"))
-  }
 
   /** Top-k approximate neighbors: (query_id, neighbor_id, cosine, rnk),
     * exact cosine ranked within the union of LSH candidates.

@@ -201,6 +201,89 @@ object StreamingEtl {
     */
   final case class NearDupMatch(doc_id: Long, dup_of: Long, hamming: Long)
 
+  /** One exploded LSH-table row of a bucketed embedding. `ts` carries the
+    * watermark attribute into the stateful operator (see [[BandedDoc]]).
+    */
+  final case class BandedVec(vec_id: Long, ts: java.sql.Timestamp,
+      embedding: Seq[Float], l: Int, bucket: Long)
+  final case class VecEntry(vec_id: Long, embedding: Seq[Float], ts_ms: Long)
+  final case class VecBucketState(entries: Seq[VecEntry])
+  final case class EmbedMatch(vec_id: Long, dup_of: Long, cosine: Double)
+
+  /** Streaming EMBEDDING near-duplicate detection — the watermark-bounded
+    * form of [[graft.ops.AnnLsh.nearDupPairs]], the same state shape as
+    * [[streamingNearDup]] but keyed by the random-hyperplane (table,
+    * bucket) LSH keys and verifying with exact cosine over the stored
+    * vectors (computed with the identical left-to-right accumulation and
+    * 4-decimal HALF_UP rounding as the batch operator, so outputs are
+    * bit-comparable — StreamingNearDupSpec asserts batch parity).
+    *
+    * State here holds EMBEDDINGS (dim floats per entry), not 64-bit
+    * fingerprints, so the per-bucket cap matters more: memory per bucket
+    * is maxPerBucket × dim × 4 bytes, and each arrival costs
+    * O(bucket × dim) multiplies. Same recall argument as everywhere in
+    * the LSH family: a pair dropped by the cap in one table survives
+    * through any other of the L=16 tables it shares.
+    */
+  def streamingEmbedNearDup(emb: DataFrame, dim: Int = 64,
+      threshold: Double = 0.3, watermarkDelay: String = "1 hour",
+      maxPerBucket: Int = 256): Dataset[EmbedMatch] = {
+    import emb.sparkSession.implicits._
+    val banded = emb
+      .withWatermark("ts", watermarkDelay)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("ts"), col("embedding"),
+        explode(graft.ops.AnnLsh.bucketArray(col("embedding"), dim)).as("tb"))
+      .select(col("vec_id"), col("ts"), col("embedding"),
+        col("tb.l").as("l"), col("tb.bucket").as("bucket"))
+      .as[BandedVec]
+    def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+      // identical accumulation order to the batch aggregate/zip_with dot
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      val raw = d / (math.sqrt(na) * math.sqrt(nb))
+      // Spark's round() HALF_UPs the shortest decimal repr of the double;
+      // BigDecimal.valueOf goes through Double.toString — the same repr
+      java.math.BigDecimal.valueOf(raw)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    banded
+      .groupByKey(r => (r.l, r.bucket))
+      .flatMapGroupsWithState[VecBucketState, EmbedMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm =
+              try state.getCurrentWatermarkMs()
+              catch { case _: UnsupportedOperationException => Long.MinValue }
+            var entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
+              .filter(_.ts_ms >= wm)
+            val out = scala.collection.mutable.ArrayBuffer[EmbedMatch]()
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.vec_id)).foreach { r =>
+              entries.foreach { e =>
+                if (e.vec_id != r.vec_id) {
+                  val c = cosine(e.embedding, r.embedding)
+                  if (c >= threshold) out += EmbedMatch(r.vec_id, e.vec_id, c)
+                }
+              }
+              entries = entries :+ VecEntry(r.vec_id, r.embedding, r.ts.getTime)
+            }
+            val kept = entries.sortBy(e => (-e.ts_ms, e.vec_id)).take(maxPerBucket)
+            state.update(VecBucketState(kept))
+            try state.setTimeoutTimestamp(kept.map(_.ts_ms).max, watermarkDelay)
+            catch { case _: UnsupportedOperationException => () } // batch: no timeouts
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming NEAR-duplicate detection — the watermark-bounded form of
     * [[graft.ops.TextOps.simhashPairs]], completing the streaming ×
     * dedup matrix next to the exact [[dedupWithinWatermark]].

@@ -133,6 +133,63 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(res.isEmpty, s"expired state still matched: ${res.mkString(",")}")
   }
 
+  test("batch-mode streamingEmbedNearDup emits exactly the nearDupPairs pairs+cosines") {
+    val emb = graft.Queries.t(spark, sf, "embeddings")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("vec_id")))
+    val matches = StreamingEtl.streamingEmbedNearDup(emb)
+      .collect()
+      .map(m => (m.dup_of, m.vec_id, m.cosine)) // dup_of earlier => smaller id
+      .toSet
+    val batch = graft.ops.AnnLsh.nearDupPairs(
+      graft.Queries.t(spark, sf, "embeddings"), sliceMax = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(matches == batch,
+      s"missing=${(batch -- matches).take(3)} extra=${(matches -- batch).take(3)}")
+    assert(batch.nonEmpty, "no embedding near-dups in test corpus?")
+  }
+
+  test("streamingEmbedNearDup carries vector state across micro-batches") {
+    import org.apache.spark.sql.types._
+    val in = tmpDir("sev-in"); val out = tmpDir("sev-out"); val ckpt = tmpDir("sev-ckpt")
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("ts", TimestampType),
+      StructField("embedding", ArrayType(FloatType))))
+    def vec(xs: Double*): String = xs.mkString("[", ",", "]")
+    val dim = 4
+
+    def drain(): Unit = {
+      val matches = StreamingEtl.streamingEmbedNearDup(
+        StreamingEtl.jsonFileStream(spark, in.toString, schema),
+        dim = dim, threshold = 0.9)
+      val q = matches.toDF().writeStream
+        .format("parquet").option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // batch 1: two orthogonal vectors (no match)
+    writeFile(in, "b1.json",
+      s"""{"vec_id":1,"ts":"2024-01-01T10:00:00.000Z","embedding":${vec(1, 0, 0, 0)}}
+         |{"vec_id":2,"ts":"2024-01-01T10:01:00.000Z","embedding":${vec(0, 1, 0, 0)}}
+         |""".stripMargin)
+    drain()
+    // batch 2: near-parallel to vec 1 -> cross-batch match against state
+    writeFile(in, "b2.json",
+      s"""{"vec_id":3,"ts":"2024-01-01T10:05:00.000Z","embedding":${vec(0.99, 0.01, 0, 0)}}
+         |""".stripMargin)
+    drain()
+    val outSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("dup_of", LongType),
+      StructField("cosine", DoubleType)))
+    val res = spark.read.schema(outSchema).parquet(out.toString)
+      .select("vec_id", "dup_of").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(res == Set((3L, 1L)), res.toString)
+  }
+
   test("maxPerBucket caps state and comparisons; matches through other bands survive") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
