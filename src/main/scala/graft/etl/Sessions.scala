@@ -9,13 +9,23 @@ import org.apache.spark.sql.SparkSession
   * On top, scale-oriented defaults the reference leaves untuned: AQE on and
   * shuffle partitions sized to the machine instead of Spark's default 200
   * (SURVEY.md §4 "Shuffle partitioning").
+  *
+  * `SPARK_GRAFT_CHECKPOINT_DIR` (env var, optional): sets
+  * `spark.checkpoint.dir`, which makes iterative jobs —
+  * [[graft.ops.Clusters.connectedComponents]] — reliably checkpoint each
+  * round's labels to the filesystem instead of only persisting blocks.
+  * On a real cluster point it at durable shared storage (HDFS/object
+  * store) so an executor loss mid-iteration replays from the checkpoint
+  * rather than aborting the whole job; unset, CC falls back to
+  * persisted-RDD lineage truncation (fine locally).
   */
 object Sessions {
 
   def builder(appName: String = "LoanSparkETL", master: String = "local[*]",
-      shufflePartitions: Int = Runtime.getRuntime.availableProcessors)
-      : SparkSession.Builder =
-    SparkSession.builder()
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors,
+      checkpointDir: Option[String] = sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR"))
+      : SparkSession.Builder = {
+    val b = SparkSession.builder()
       .appName(appName)
       .master(master)
       .config("spark.sql.session.timeZone", "UTC")
@@ -26,6 +36,8 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    checkpointDir.fold(b)(dir => b.config("spark.checkpoint.dir", dir))
+  }
 
   def local(appName: String = "LoanSparkETL"): SparkSession =
     builder(appName).getOrCreate()

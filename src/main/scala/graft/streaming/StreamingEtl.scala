@@ -201,6 +201,41 @@ object StreamingEtl {
     */
   final case class NearDupMatch(doc_id: Long, dup_of: Long, hamming: Long)
 
+  /** Bounded keep-newest buffer for per-bucket dedup state.
+    *
+    * Holds at most `cap` elements; on overflow the element with the
+    * smallest keep-priority — (ts asc, id desc), i.e. oldest first,
+    * larger id first on ties — is evicted (the incoming element itself,
+    * if it IS the minimum, is never stored). Evict-min top-k is
+    * order-independent: after any insertion sequence the retained set is
+    * exactly the top-`cap` of everything inserted by (ts desc, id asc) —
+    * the same set the previous post-hoc `.sortBy(...).take(cap)`
+    * produced — but the bound now holds DURING the arrival loop, so one
+    * hot bucket delivering B rows in a single trigger costs O(B × cap)
+    * compares over a ≤ cap buffer, never O(B²) over an unbounded one.
+    *
+    * The O(cap) eviction scan does not change the per-arrival asymptotic:
+    * each arrival already pays O(cap) candidate comparisons.
+    */
+  private[streaming] final class NewestK[T](cap: Int, ts: T => Long, id: T => Long) {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[T]
+    def size: Int = buf.size
+    def foreach(f: T => Unit): Unit = buf.foreach(f)
+    private def worse(a: T, b: T): Boolean =
+      ts(a) < ts(b) || (ts(a) == ts(b) && id(a) > id(b))
+    def insert(e: T): Unit =
+      if (buf.size < cap) buf += e
+      else if (cap > 0) {
+        var worst = 0
+        var i = 1
+        while (i < buf.size) { if (worse(buf(i), buf(worst))) worst = i; i += 1 }
+        if (!worse(e, buf(worst))) buf(worst) = e
+      }
+    /** Retained entries, newest first (deterministic storage order). */
+    def toSeq: Seq[T] = buf.sortBy(e => (-ts(e), id(e))).toSeq
+    def maxTs: Long = buf.iterator.map(ts).max
+  }
+
   /** One exploded LSH-table row of a bucketed embedding. `ts` carries the
     * watermark attribute into the stateful operator (see [[BandedDoc]]).
     */
@@ -220,10 +255,18 @@ object StreamingEtl {
     *
     * State here holds EMBEDDINGS (dim floats per entry), not 64-bit
     * fingerprints, so the per-bucket cap matters more: memory per bucket
-    * is maxPerBucket × dim × 4 bytes, and each arrival costs
-    * O(bucket × dim) multiplies. Same recall argument as everywhere in
-    * the LSH family: a pair dropped by the cap in one table survives
-    * through any other of the L=16 tables it shares.
+    * is maxPerBucket × dim × 4 bytes and each arrival costs at most
+    * maxPerBucket × dim multiplies — bounds enforced INSIDE the arrival
+    * loop by [[NewestK]] (evict-on-insert), so they hold even when a
+    * single micro-batch (or batch-parity mode) delivers an entire hot
+    * bucket. Same recall argument as everywhere in the LSH family: a
+    * pair dropped by the cap in one table survives through any other of
+    * the L=16 tables it shares.
+    *
+    * Rows are processed in arrival order (no per-bucket sort buffer);
+    * each emitted pair is oriented by event time — the earlier
+    * (ts, vec_id) is `dup_of`, the keeper — so the output set is
+    * independent of intra-trigger arrival order.
     */
   def streamingEmbedNearDup(emb: DataFrame, dim: Int = 64,
       threshold: Double = 0.3, watermarkDelay: String = "1 hour",
@@ -263,22 +306,30 @@ object StreamingEtl {
             val wm =
               try state.getCurrentWatermarkMs()
               catch { case _: UnsupportedOperationException => Long.MinValue }
-            var entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
-              .filter(_.ts_ms >= wm)
+            val buf = new NewestK[VecEntry](maxPerBucket, _.ts_ms, _.vec_id)
+            state.getOption.map(_.entries).getOrElse(Seq.empty)
+              .filter(_.ts_ms >= wm).foreach(buf.insert)
             val out = scala.collection.mutable.ArrayBuffer[EmbedMatch]()
-            rows.toSeq.sortBy(r => (r.ts.getTime, r.vec_id)).foreach { r =>
-              entries.foreach { e =>
+            rows.foreach { r =>
+              val rTs = r.ts.getTime
+              buf.foreach { e =>
                 if (e.vec_id != r.vec_id) {
-                  val c = cosine(e.embedding, r.embedding)
-                  if (c >= threshold) out += EmbedMatch(r.vec_id, e.vec_id, c)
+                  val c = cosine(e.embedding, r.embedding) // symmetric, bit-for-bit
+                  if (c >= threshold) {
+                    // orient by event time: the earlier doc is the keeper
+                    if (e.ts_ms < rTs || (e.ts_ms == rTs && e.vec_id < r.vec_id))
+                      out += EmbedMatch(r.vec_id, e.vec_id, c)
+                    else out += EmbedMatch(e.vec_id, r.vec_id, c)
+                  }
                 }
               }
-              entries = entries :+ VecEntry(r.vec_id, r.embedding, r.ts.getTime)
+              buf.insert(VecEntry(r.vec_id, r.embedding, rTs))
             }
-            val kept = entries.sortBy(e => (-e.ts_ms, e.vec_id)).take(maxPerBucket)
-            state.update(VecBucketState(kept))
-            try state.setTimeoutTimestamp(kept.map(_.ts_ms).max, watermarkDelay)
-            catch { case _: UnsupportedOperationException => () } // batch: no timeouts
+            state.update(VecBucketState(buf.toSeq))
+            if (buf.size > 0) {
+              try state.setTimeoutTimestamp(buf.maxTs, watermarkDelay)
+              catch { case _: UnsupportedOperationException => () } // batch: no timeouts
+            }
             out.iterator
           }
       }
@@ -302,14 +353,19 @@ object StreamingEtl {
     * Bounds, 100 TB-stream honest: state per bucket is pruned to the
     * watermark horizon, garbage-collected via event-time timeout when a
     * bucket goes idle, and hard-capped at `maxPerBucket` newest entries
-    * (a degenerate boilerplate bucket would otherwise grow without
-    * bound AND cost O(bucket) comparisons per arrival — the streaming
-    * twin of [[graft.ops.Lsh.guardHotBuckets]], same recall argument:
-    * a dropped match survives through any other shared band).
+    * with the cap enforced INSIDE the arrival loop ([[NewestK]],
+    * evict-on-insert): a degenerate boilerplate bucket delivering B rows
+    * in one trigger costs O(B × cap) compares over a ≤ cap buffer, never
+    * O(B²) over an unbounded one — the streaming twin of
+    * [[graft.ops.Lsh.guardHotBuckets]], same recall argument: a dropped
+    * match survives through any other shared band.
     *
-    * Works identically on a batch frame (state starts empty, one
-    * invocation per bucket, intra-batch rows compared in (ts, doc_id)
-    * order) — StreamingNearDupSpec asserts parity with simhashPairs.
+    * Rows are processed in arrival order (no per-bucket sort buffer);
+    * each emitted pair is oriented by event time — the earlier
+    * (ts, doc_id) is `dup_of`, the keeper — so the output set is
+    * independent of intra-trigger arrival order. Works identically on a
+    * batch frame (state starts empty, one invocation per bucket) —
+    * StreamingNearDupSpec asserts parity with simhashPairs.
     */
   def streamingNearDup(docs: DataFrame, watermarkDelay: String = "1 hour",
       maxHamming: Int = 3, maxPerBucket: Int = 1024): Dataset[NearDupMatch] = {
@@ -340,22 +396,30 @@ object StreamingEtl {
             val wm =
               try state.getCurrentWatermarkMs()
               catch { case _: UnsupportedOperationException => Long.MinValue }
-            var entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
-              .filter(_.ts_ms >= wm)
+            val buf = new NewestK[BucketEntry](maxPerBucket, _.ts_ms, _.doc_id)
+            state.getOption.map(_.entries).getOrElse(Seq.empty)
+              .filter(_.ts_ms >= wm).foreach(buf.insert)
             val out = scala.collection.mutable.ArrayBuffer[NearDupMatch]()
-            rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
-              entries.foreach { e =>
+            rows.foreach { r =>
+              val rTs = r.ts.getTime
+              buf.foreach { e =>
                 if (e.doc_id != r.doc_id) {
                   val h = java.lang.Long.bitCount(e.fp ^ r.fp).toLong
-                  if (h <= maxHamming) out += NearDupMatch(r.doc_id, e.doc_id, h)
+                  if (h <= maxHamming) {
+                    // orient by event time: the earlier doc is the keeper
+                    if (e.ts_ms < rTs || (e.ts_ms == rTs && e.doc_id < r.doc_id))
+                      out += NearDupMatch(r.doc_id, e.doc_id, h)
+                    else out += NearDupMatch(e.doc_id, r.doc_id, h)
+                  }
                 }
               }
-              entries = entries :+ BucketEntry(r.doc_id, r.fp, r.ts.getTime)
+              buf.insert(BucketEntry(r.doc_id, r.fp, rTs))
             }
-            val kept = entries.sortBy(e => (-e.ts_ms, e.doc_id)).take(maxPerBucket)
-            state.update(BucketState(kept))
-            try state.setTimeoutTimestamp(kept.map(_.ts_ms).max, watermarkDelay)
-            catch { case _: UnsupportedOperationException => () } // batch: no timeouts
+            state.update(BucketState(buf.toSeq))
+            if (buf.size > 0) {
+              try state.setTimeoutTimestamp(buf.maxTs, watermarkDelay)
+              catch { case _: UnsupportedOperationException => () } // batch: no timeouts
+            }
             out.iterator
           }
       }

@@ -44,6 +44,21 @@ class ClustersSpec extends SparkSpec {
     cc.foreach { case (v, lbl) => assert(lbl <= v) }
   }
 
+  test("Sessions.builder wires an explicit/env checkpoint dir into spark.checkpoint.dir") {
+    // In a fresh JVM SparkContext reads spark.checkpoint.dir at startup
+    // and calls setCheckpointDir itself; under the suite's shared context
+    // we can only assert the conf plumbing (the runtime effect — CC taking
+    // the reliable path when a dir is set — is the test below). The
+    // builder's pending options are private[sql]; read via reflection.
+    def opts(b: Any): Map[String, String] =
+      b.getClass.getMethod("options").invoke(b)
+        .asInstanceOf[scala.collection.mutable.HashMap[String, String]].toMap
+    val withDir = graft.etl.Sessions.builder(checkpointDir = Some("/tmp/graft-ckpt-conf"))
+    assert(opts(withDir).get("spark.checkpoint.dir").contains("/tmp/graft-ckpt-conf"))
+    val without = graft.etl.Sessions.builder(checkpointDir = None)
+    assert(!opts(without).contains("spark.checkpoint.dir"))
+  }
+
   test("reliable checkpoint mode: correct labels, files written, superseded rounds deleted") {
     val dir = tmpDir("graft-ckpt")
     spark.sparkContext.setCheckpointDir(dir.toString)

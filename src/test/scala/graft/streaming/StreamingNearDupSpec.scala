@@ -190,6 +190,77 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(res == Set((3L, 1L)), res.toString)
   }
 
+  test("NewestK bounds size during insertion and retains the newest cap entries, any order") {
+    final case class E(id: Long, ts: Long)
+    val cap = 4
+    val all = (1L to 16L).map(i => E(i, 1000L + i))
+    val expected = all.sortBy(e => (-e.ts, e.id)).take(cap)
+    val orders = Seq(
+      all,                                  // ascending ts
+      all.reverse,                          // descending ts
+      new scala.util.Random(7).shuffle(all) // arbitrary
+    )
+    orders.foreach { order =>
+      val buf = new StreamingEtl.NewestK[E](cap, _.ts, _.id)
+      order.foreach { e =>
+        buf.insert(e)
+        assert(buf.size <= cap, s"size ${buf.size} exceeded cap during insertion")
+      }
+      assert(buf.toSeq == expected,
+        s"order ${order.map(_.id).mkString(",")}: got ${buf.toSeq.map(_.id)}")
+    }
+    // ties on ts: smaller id wins
+    val tied = Seq(E(5, 100L), E(3, 100L), E(9, 100L), E(1, 100L), E(7, 100L), E(2, 100L))
+    val bufT = new StreamingEtl.NewestK[E](3, _.ts, _.id)
+    tied.foreach(bufT.insert)
+    assert(bufT.toSeq.map(_.id) == Seq(1L, 2L, 3L))
+  }
+
+  test("one hot bucket in a single batch: compares stay O(N x cap), not O(N^2)") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val n = 16; val cap = 4
+    // n identical texts -> identical fingerprints -> one hot bucket in
+    // every band; batch-parity mode (state starts empty, whole bucket in
+    // ONE invocation) is exactly where the cap previously never bound
+    val docs = (1 to n).map(i => (i.toLong, base)).toDF("doc_id", "text")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+    val rows = StreamingEtl.streamingNearDup(docs, maxPerBucket = cap).collect()
+    val bands = graft.ops.TextOps.SimHashBands
+    // bounded processing: arrival i compares against <= cap entries
+    val boundedMax = bands * ((0 until n).map(i => math.min(i, cap)).sum)
+    val unbounded = bands * n * (n - 1) / 2
+    assert(rows.length <= boundedMax,
+      s"${rows.length} emissions > bounded max $boundedMax (unbounded would be $unbounded)")
+    assert(rows.length < unbounded)
+    // recall: the cap prunes comparisons, not docs — every doc still
+    // participates in at least one emitted pair
+    val seen = rows.flatMap(m => Seq(m.doc_id, m.dup_of)).toSet
+    assert(seen == (1L to n.toLong).toSet, s"docs missing: ${(1L to n.toLong).toSet -- seen}")
+    rows.foreach(m => assert(m.dup_of < m.doc_id, s"orientation: $m"))
+  }
+
+  test("one hot embedding bucket in a single batch stays bounded") {
+    import spark.implicits._
+    val n = 16; val cap = 4; val dim = 4
+    val docs = (1 to n).map(i => (i.toLong, Seq(1f, 0.5f, 0.25f, 0.125f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("vec_id")))
+    val rows = StreamingEtl.streamingEmbedNearDup(
+      docs, dim = dim, threshold = 0.9, maxPerBucket = cap).collect()
+    val tables = 16 // AnnLsh.bucketArray L
+    val boundedMax = tables * ((0 until n).map(i => math.min(i, cap)).sum)
+    val unbounded = tables * n * (n - 1) / 2
+    assert(rows.length <= boundedMax,
+      s"${rows.length} emissions > bounded max $boundedMax (unbounded would be $unbounded)")
+    val seen = rows.flatMap(m => Seq(m.vec_id, m.dup_of)).toSet
+    assert(seen == (1L to n.toLong).toSet)
+    rows.foreach { m =>
+      assert(m.dup_of < m.vec_id, s"orientation: $m")
+      assert(m.cosine == 1.0, s"identical vectors must have cosine 1.0: $m")
+    }
+  }
+
   test("maxPerBucket caps state and comparisons; matches through other bands survive") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
