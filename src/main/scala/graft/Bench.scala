@@ -8,7 +8,12 @@ import org.apache.spark.sql.SparkSession
   *   - the timed action is a noop-format write, not count() — count() lets
   *     Catalyst prune projection-only queries down to a scan-count;
   *   - one untimed warmup pass over all queries absorbs JVM/codegen warmup;
-  *   - reported value is the median of 3 timed runs per query;
+  *   - reported value is the median of 5 timed runs per query, and the
+  *     runs are INTERLEAVED (pass 1 runs every query once, then pass 2,
+  *     ...), so one query's samples are minutes apart: a multi-minute
+  *     host disturbance (this box is a shared-host VM — load invisible
+  *     to /proc/loadavg) corrupts at most 2 of 5 samples of any query
+  *     instead of every consecutive sample, and the median rejects it;
   *   - /proc/loadavg is recorded before and after so a load-contaminated
   *     run is identifiable from the artifact alone (three rounds of
   *     3x per-query swings on untouched code traced to box load);
@@ -58,23 +63,27 @@ object Bench {
     names.foreach { n => // warmup (untimed)
       try execute(n) catch { case scala.util.control.NonFatal(_) => () }
     }
-    val runsByQuery: Seq[(String, Seq[Double])] = names.map { n =>
-      val runs = (1 to 3).map { _ =>
+    val passes = 5
+    val samples: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
+      names.map { n =>
         val t0 = System.nanoTime()
         try execute(n)
         catch { case scala.util.control.NonFatal(_) => () }
-        (System.nanoTime() - t0) / 1e9
+        n -> (System.nanoTime() - t0) / 1e9
       }
-      n -> runs
     }
+    val runsByQuery: Seq[(String, Seq[Double])] =
+      names.map(n => n -> samples.map(_.toMap.apply(n)))
     val loadAfter = loadavg()
-    val timings = runsByQuery.map { case (n, runs) => n -> runs.sorted.apply(1) }
+    val timings = runsByQuery.map { case (n, runs) =>
+      n -> runs.sorted.apply(passes / 2)
+    }
     def f3(v: Double): String = "%.3f".format(v)
     val qs = timings.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = timings.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":3,""" +
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$passes,""" +
         s""""load_before":"$loadBefore","load_after":"$loadAfter",""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
     val runsJson = runsByQuery.map { case (k, rs) =>

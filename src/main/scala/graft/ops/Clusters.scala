@@ -17,18 +17,18 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: labels are materialized and lineage-truncated each round
   * — iterative DataFrame loops otherwise stack lineage and replan from
-  * scratch every iteration. Each round's labels are a persisted row RDD
-  * behind a fresh LogicalRDD (Dataset.localCheckpoint offers no way to
-  * release its blocks before context cleanup); when the SparkContext has
-  * a checkpoint dir configured (or `reliable = Some(true)`), the RDD is
-  * additionally RELIABLY checkpointed — files survive executor loss,
-  * which on a real cluster would otherwise abort the whole iterative job
-  * mid-round. Superseded rounds are released as soon as their successor
-  * materializes — blocks unpersisted AND checkpoint files deleted — so
-  * peak storage is two label frames regardless of round count (a
-  * long-running per-batch caller never accumulates snapshots). Near-dup
-  * clusters are tiny in practice (diameter 2-3), so rounds stay single
-  * digits regardless of corpus size.
+  * scratch every iteration. Default truncation runs on the INTERNAL row
+  * RDD (Dataset.localCheckpoint), so no Row↔InternalRow conversion is
+  * paid per round; when the SparkContext has a checkpoint dir configured
+  * (or `reliable = Some(true)`), the round is RELIABLY checkpointed via
+  * persist-then-checkpoint — files survive executor loss, which on a
+  * real cluster would otherwise abort the whole iterative job mid-round. Superseded rounds are released as soon as their successor
+  * materializes — blocks unpersisted AND checkpoint files deleted (via
+  * the LogicalRDD behind the truncated frame) — so peak storage is two
+  * label frames regardless of round count (a long-running per-batch
+  * caller never accumulates snapshots). Near-dup clusters are tiny in
+  * practice (diameter 2-3), so rounds stay single digits regardless of
+  * corpus size.
   */
 object Clusters {
 
@@ -42,30 +42,60 @@ object Clusters {
     val spark = pairs.sparkSession
     val useReliable =
       reliable.getOrElse(spark.sparkContext.getCheckpointDir.isDefined)
-    // Materialize a round's labels and cut its lineage. Returns the
-    // truncated frame plus a thunk releasing its storage once superseded.
-    def truncate(df: DataFrame): (DataFrame, () => Unit) = {
-      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      if (useReliable) rdd.checkpoint() // materialized by the next action
-      val release = () => {
-        // checkpoint files are NOT context-cleaned by default
-        // (spark.cleaner.referenceTracking.cleanCheckpoints defaults to
-        // false) and are never swept at app end — delete them explicitly
-        rdd.getCheckpointFile.foreach { f =>
-          val p = new org.apache.hadoop.fs.Path(f)
-          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    // Materialize a round's labels and cut its lineage. Default path:
+    // Dataset.localCheckpoint — truncation happens on the INTERNAL row
+    // RDD (no Row<->InternalRow round-trip like df.rdd, A/B'd at ~7% in
+    // round 5), and the persisted blocks behind the resulting LogicalRDD
+    // are still releasable once the round is superseded. Reliable path:
+    // explicit persist-then-checkpoint on df.rdd — the file write then
+    // reads cached blocks instead of recomputing the round (the public
+    // Dataset.checkpoint recomputes; the persisting overload is
+    // private[sql]). Returns the truncated frame plus a release thunk.
+    def truncate(df: DataFrame): (DataFrame, () => Unit) =
+      if (useReliable) {
+        val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rdd.checkpoint() // materialized by the next action
+        val release = () => {
+          // checkpoint files are NOT context-cleaned by default
+          // (spark.cleaner.referenceTracking.cleanCheckpoints defaults to
+          // false) and are never swept at app end — delete them explicitly
+          rdd.getCheckpointFile.foreach { f =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          }
+          rdd.unpersist(false)
+          ()
         }
-        rdd.unpersist(false)
-        ()
+        (spark.createDataFrame(rdd, df.schema), release)
+      } else {
+        // lazy: the caller's next action (labelSum) materializes the
+        // blocks — one job per round, not a separate eager count()
+        val cp = df.localCheckpoint(false,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val internal = cp.queryExecution.analyzed match {
+          case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+          case _ => None
+        }
+        val release = () => { internal.foreach(_.unpersist(false)); () }
+        (cp.toDF(), release)
       }
-      (spark.createDataFrame(rdd, df.schema), release)
-    }
+    // pre-partitioned ON THE JOIN KEY and cached: every round's
+    // edges-to-labels join reuses this partitioning (InMemoryRelation
+    // reports hash(b)), so only the small labels side shuffles per round
+    // — one up-front shuffle instead of re-shuffling edges every round
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct()
+      .repartition(col("b"))
       .persist()
+    // initialization fused with the first propagation: label(v) starts at
+    // min(v, min neighbor) — computed in the same single pass that
+    // "labels = v, then round 1" would need, saving one full round of
+    // truncate + convergence check (edges are bidirectional, so every
+    // node appears on the `a` side)
     var cur = truncate(
-      edges.select(col("a").as("v")).distinct().withColumn("lbl", col("v")))
+      edges.groupBy(col("a").as("v"))
+        .agg(least(min(col("b")), min(col("a"))).as("lbl")))
     def labels = cur._1
     // labels only ever decrease, so the label-sum is strictly decreasing
     // until the fixpoint: comparing sums detects convergence with one
@@ -76,16 +106,18 @@ object Clusters {
     var iter = 0
     var changed = true
     while (changed && iter < maxIter) {
-      val neighborMin = edges
+      // one round = join + ONE aggregate. The propagated labels flow
+      // straight from the join into the final groupBy — min() is
+      // associative, so the aggregate's map-side combine performs the
+      // same per-neighbor reduction an intermediate groupBy(a) would,
+      // without its extra shuffle. Nodes without neighbors survive via
+      // the labels branch of the union, and min over both branches is
+      // exactly least(own-label, neighbor-min).
+      val propagated = edges
         .join(labels.select(col("v").as("b"), col("lbl").as("nlbl")), "b")
-        .groupBy(col("a").as("v"))
-        .agg(min("nlbl").as("minn"))
+        .select(col("a").as("v"), col("nlbl").as("lbl"))
       val next = truncate(
-        labels
-          .join(neighborMin, Seq("v"), "left")
-          .select(
-            col("v"),
-            least(col("lbl"), coalesce(col("minn"), col("lbl"))).as("lbl")))
+        labels.union(propagated).groupBy("v").agg(min("lbl").as("lbl")))
       val nextSum = labelSum(next._1) // materializes `next` before freeing prev
       changed = nextSum != prevSum
       prevSum = nextSum

@@ -1,0 +1,255 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.util.Optional
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Min-age-stabilized CSV file stream — ST4 as a first-class STREAMING
+  * property, not a landing-zone convention.
+  *
+  * The reference defers files younger than a stabilization age so
+  * half-written uploads are never ingested
+  * (drive_auto_compress_email.py:150-168, the `min_age_seconds` check in
+  * its listing loop). Spark's built-in file stream source has no min-age
+  * option (`modifiedBefore/After` are batch-only), and filtering young
+  * files POST-source (e.g. on `_metadata.file_modification_time`) silently
+  * LOSES them: the source's commit log marks a file consumed the moment
+  * it is listed, so rows filtered "for now" never come back.
+  *
+  * Deferral therefore has to happen at ADMISSION time, which needs a
+  * source: this is a Data Source V2 [[MicroBatchStream]] whose listing
+  * admits a file only once `now - mtime >= minAgeMs`. A deferred file is
+  * simply not part of any batch yet — it enters the first micro-batch
+  * AFTER it stabilizes, exactly once.
+  *
+  * Exactly-once and replay: each `latestOffset` poll that finds newly
+  * stable files writes their names to an admission-log chunk under the
+  * query's checkpoint location (`<checkpoint>/graft-admitted/<i>`); the
+  * offset is just the chunk count. `planInputPartitions(start, end)`
+  * re-reads chunks [start, end) — deterministic on recovery because the
+  * log, not the directory state, defines every batch (the same
+  * WAL-then-process shape as Spark's own FileStreamSourceLog; chunks are
+  * kept — they ARE the source of truth for replayed batches).
+  *
+  * Scale notes: one input partition per admitted file (micro-batch CSV
+  * drops are file-at-a-time uploads; a 100 TB backlog arrives as many
+  * files, which parallelize across executors — `maxFilesPerTrigger`
+  * bounds admission per poll). The CSV decode is a minimal
+  * header/delimiter parser over the declared schema
+  * (string/long/int/double/timestamp/date/boolean); quoted fields with
+  * embedded delimiters follow RFC 4180 double-quote rules.
+  */
+object StableCsvSource {
+  val ProviderClass: String = classOf[StableCsvProvider].getName
+
+  private[streaming] def parseLine(line: String, delim: Char): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new java.lang.StringBuilder
+    var inQuotes = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
+          else inQuotes = false
+        } else cur.append(c)
+      } else {
+        if (c == '"') inQuotes = true
+        else if (c == delim) { out += cur.toString; cur.setLength(0) }
+        else cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.toArray
+  }
+
+  private[streaming] def convert(raw: String, dt: DataType): Any = {
+    val s = raw.trim
+    if (s.isEmpty) null
+    else dt match {
+      case StringType => UTF8String.fromString(raw)
+      case LongType => s.toLong
+      case IntegerType => s.toInt
+      case DoubleType => s.toDouble
+      case BooleanType => s.toBoolean
+      case TimestampType => // micros since epoch; ISO or SQL form
+        val inst =
+          try java.time.Instant.parse(s)
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              java.sql.Timestamp.valueOf(s).toInstant
+          }
+        inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+      case DateType => // days since epoch
+        java.time.LocalDate.parse(s).toEpochDay.toInt
+      case other =>
+        throw new IllegalArgumentException(s"stable-csv: unsupported type $other")
+    }
+  }
+}
+
+class StableCsvProvider extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "stable-csv requires an explicit schema (.schema(...)) — no inference over an unbounded source")
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new StableCsvTable(schema, properties.asScala.toMap)
+}
+
+private[streaming] class StableCsvTable(schema: StructType, props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"stable-csv:${props.getOrElse("path", "?")}"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new StableCsvMicroBatchStream(schema, props, checkpointLocation)
+      }
+    }
+}
+
+private[streaming] case class ChunkOffset(chunks: Long) extends Offset {
+  override def json(): String = chunks.toString
+}
+
+private[streaming] case class CsvFilePartition(path: String, header: Boolean, delim: Char)
+    extends InputPartition
+
+private[streaming] class StableCsvMicroBatchStream(
+    schema: StructType, props: Map[String, String], checkpointLocation: String)
+    extends MicroBatchStream {
+
+  private val dir = new Path(props.getOrElse("path",
+    throw new IllegalArgumentException("stable-csv: option 'path' is required")))
+  private val minAgeMs = props.getOrElse("minAgeMs", "0").toLong
+  private val glob = props.getOrElse("pathGlobFilter", "*")
+  private val header = props.getOrElse("header", "true").toBoolean
+  private val delim = props.getOrElse("delimiter", ",").charAt(0)
+  private val maxFilesPerTrigger = props.getOrElse("maxFilesPerTrigger", "1000").toInt
+
+  private val hadoopConf =
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+  private def fs = dir.getFileSystem(hadoopConf)
+  private val logDir = new Path(checkpointLocation, "graft-admitted")
+
+  // admitted file set + chunk count, rebuilt from the admission log on
+  // restart so a recovered query never re-admits
+  private var chunkCount: Long = -1L
+  private val admitted = scala.collection.mutable.HashSet.empty[String]
+
+  private def ensureLog(): Unit = if (chunkCount < 0) {
+    val lfs = logDir.getFileSystem(hadoopConf)
+    if (!lfs.exists(logDir)) { lfs.mkdirs(logDir); chunkCount = 0 }
+    else {
+      val idx = lfs.listStatus(logDir).map(_.getPath.getName.toLong).sorted
+      idx.foreach(i => admitted ++= readChunk(i))
+      chunkCount = if (idx.isEmpty) 0 else idx.max + 1
+    }
+  }
+
+  private def readChunk(i: Long): Seq[String] = {
+    val in = logDir.getFileSystem(hadoopConf).open(new Path(logDir, i.toString))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  private def writeChunk(i: Long, files: Seq[String]): Unit = {
+    val lfs = logDir.getFileSystem(hadoopConf)
+    val tmp = new Path(logDir, s".$i.tmp")
+    val out = lfs.create(tmp, true)
+    try out.write(files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    lfs.rename(tmp, new Path(logDir, i.toString)) // atomic publish
+  }
+
+  override def initialOffset(): Offset = { ensureLog(); ChunkOffset(0L) }
+  override def deserializeOffset(json: String): Offset = ChunkOffset(json.toLong)
+
+  override def latestOffset(): Offset = {
+    ensureLog()
+    val now = System.currentTimeMillis()
+    val listed: Array[FileStatus] =
+      try fs.globStatus(new Path(dir, glob)) match {
+        case null => Array.empty
+        case st => st
+      }
+      catch { case _: java.io.FileNotFoundException => Array.empty }
+    val stable = listed
+      .filter(f => f.isFile && now - f.getModificationTime >= minAgeMs)
+      .map(_.getPath.toString)
+      .filterNot(admitted.contains)
+      .sorted // deterministic admission order within a chunk
+      .take(maxFilesPerTrigger)
+    if (stable.nonEmpty) {
+      writeChunk(chunkCount, stable.toSeq)
+      admitted ++= stable
+      chunkCount += 1
+    }
+    ChunkOffset(chunkCount)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    ensureLog()
+    val s = start.asInstanceOf[ChunkOffset].chunks
+    val e = end.asInstanceOf[ChunkOffset].chunks
+    (s until e).flatMap(readChunk).map(p =>
+      CsvFilePartition(p, header, delim): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new StableCsvReaderFactory(schema)
+
+  override def commit(end: Offset): Unit = () // chunks are the replay log; keep
+  override def stop(): Unit = ()
+}
+
+private[streaming] class StableCsvReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CsvFilePartition]
+    new PartitionReader[InternalRow] {
+      private val path = new Path(p.path)
+      private val conf = new org.apache.hadoop.conf.Configuration()
+      private val in = path.getFileSystem(conf).open(path)
+      private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      if (p.header && lines.hasNext) lines.next() // skip header row
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        var ok = false
+        while (!ok && lines.hasNext) {
+          val line = lines.next()
+          if (line.nonEmpty) {
+            val cells = StableCsvSource.parseLine(line, p.delim)
+            val vals = schema.fields.zipWithIndex.map { case (f, i) =>
+              if (i < cells.length) StableCsvSource.convert(cells(i), f.dataType) else null
+            }
+            current = InternalRow.fromSeq(vals.toIndexedSeq)
+            ok = true
+          }
+        }
+        ok
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = in.close()
+    }
+  }
+}

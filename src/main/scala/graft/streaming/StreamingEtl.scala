@@ -54,6 +54,30 @@ object StreamingEtl {
   def jsonFileStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).json(dir)
 
+  /** Min-age-stabilized CSV stream (ST4 as a streaming property): files
+    * younger than `minAge` are DEFERRED — admitted to the first
+    * micro-batch after they stabilize, exactly once — via the
+    * [[StableCsvSource]] DSv2 source (admission happens at listing time;
+    * a post-source filter would lose young files forever because the
+    * built-in source commits a file the moment it is listed).
+    */
+  def stableCsvStream(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      minAge: java.time.Duration,
+      globPattern: String = "loan_*.csv",
+      maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream
+      .format(StableCsvSource.ProviderClass)
+      .schema(schema)
+      .option("path", dir)
+      .option("minAgeMs", minAge.toMillis.toString)
+      .option("pathGlobFilter", globPattern)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load()
+
   /** Drain all currently-available input exactly once, then stop — the
     * per-run body of the reference's scheduled task. Re-invoking with the
     * same checkpoint skips every already-committed file (ST3).

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ScaleCurve corpus synthesis: the scale factors must multiply SIZE
+  * without changing similarity STRUCTURE — intra-replica token/cosine
+  * relations preserved exactly, cross-replica relations broken — so the
+  * measured runtime curve is attributable to scale alone.
+  */
+class ScaleCurveSpec extends SparkSpec {
+
+  test("scaleDocuments: size multiplies, ids unique, intra-replica jaccard preserved") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta", "en", "s", 22L),
+      (1L, "alpha beta gamma DELTA9", "en", "s", 23L),
+      (2L, "wholly unrelated words here", "en", "s", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val scaled = ScaleCurve.scaleDocuments(docs, 3).cache()
+    assert(scaled.count() == 9)
+    assert(scaled.select("doc_id").distinct().count() == 9)
+
+    // token-overlap counts between the same two docs must be identical in
+    // every replica (translate preserves token equality within a replica)
+    def overlap(df: org.apache.spark.sql.DataFrame, a: Long, b: Long): Long = {
+      val toks = df.filter(col("doc_id").isin(a, b))
+        .select(split(lower(col("text")), " ").as("t"))
+        .collect().map(_.getSeq[String](0).toSet)
+      (toks(0) & toks(1)).size.toLong
+    }
+    val base01 = overlap(scaled, 0L, 1L)
+    assert(base01 == 3L) // alpha beta gamma
+    (1 to 2).foreach { r =>
+      val s = r * 3L
+      assert(overlap(scaled, s, s + 1) == base01, s"replica $r lost intra-similarity")
+    }
+    // cross-replica: the SAME doc in different replicas shares no tokens
+    val cross = scaled.filter(col("doc_id").isin(0L, 3L))
+      .select(split(lower(col("text")), " ").as("t"))
+      .collect().map(_.getSeq[String](0).toSet)
+    assert((cross(0) & cross(1)).isEmpty, s"cross-replica leak: ${cross(0) & cross(1)}")
+  }
+
+  test("scaleEmbeddings: size multiplies, intra-replica cosines exact, norms preserved") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f), 0),
+      (1L, Seq(1f, 2f, 3f, 4f, 5f, 6f, 7f, 9f), 0),
+      (2L, Seq(-4f, 3f, -2f, 1f, 0f, 2f, -1f, 5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val scaled = ScaleCurve.scaleEmbeddings(emb, 3).cache()
+    assert(scaled.count() == 9)
+    assert(scaled.select("vec_id").distinct().count() == 9)
+    val vecs = scaled.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val base = cos(vecs(0L), vecs(1L))
+    (1 to 2).foreach { r =>
+      val s = r * 3L
+      // rotation permutes components: dot/norm sums reorder, so compare
+      // to double-precision tolerance, not bit-for-bit
+      assert(math.abs(cos(vecs(s), vecs(s + 1)) - base) < 1e-12,
+        s"replica $r changed cosine structure")
+      assert(math.abs(vecs(s).map(x => x * x).sum - vecs(0L).map(x => x * x).sum) < 1e-9)
+    }
+  }
+}

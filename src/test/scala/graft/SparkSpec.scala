@@ -20,6 +20,6 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     p
   }
 
-  def writeFile(dir: java.nio.file.Path, name: String, content: String): Unit =
+  def writeFile(dir: java.nio.file.Path, name: String, content: String): java.nio.file.Path =
     java.nio.file.Files.writeString(dir.resolve(name), content)
 }

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** StableCsvSource: ST4 min-age stabilization as a streaming property —
+  * young files are DEFERRED (not lost), stable files flow exactly once,
+  * restarts replay from the admission log, and the CSV decode honors
+  * RFC 4180 quoting.
+  */
+class StableCsvSourceSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("loan_id", LongType),
+    StructField("name", StringType),
+    StructField("amount", DoubleType)))
+
+  private def drain(in: java.nio.file.Path, out: java.nio.file.Path,
+      ckpt: java.nio.file.Path, minAgeMs: Long): Unit = {
+    val df = StreamingEtl.stableCsvStream(
+      spark, in.toString, schema, java.time.Duration.ofMillis(minAgeMs))
+    val q = df.writeStream
+      .format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def results(out: java.nio.file.Path): Set[(Long, String, Double)] =
+    spark.read.schema(schema).parquet(out.toString)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+  test("young files are deferred, then admitted exactly once after stabilizing") {
+    val in = tmpDir("scsv-in"); val out = tmpDir("scsv-out"); val ckpt = tmpDir("scsv-ckpt")
+    val old = writeFile(in, "loan_old.csv", "loan_id,name,amount\n1,alice,100.5\n")
+    val young = writeFile(in, "loan_young.csv", "loan_id,name,amount\n2,bob,200.25\n")
+    // age the old file well past the 2s threshold; leave the young one fresh
+    old.toFile.setLastModified(System.currentTimeMillis() - 60000)
+
+    drain(in, out, ckpt, minAgeMs = 2000)
+    assert(results(out) == Set((1L, "alice", 100.5)),
+      s"young file not deferred: ${results(out)}")
+
+    // stabilize the young file -> next drain admits it, exactly once
+    young.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    drain(in, out, ckpt, minAgeMs = 2000)
+    assert(results(out) == Set((1L, "alice", 100.5), (2L, "bob", 200.25)))
+
+    // re-drain with nothing new: no re-admission
+    drain(in, out, ckpt, minAgeMs = 2000)
+    assert(results(out) == Set((1L, "alice", 100.5), (2L, "bob", 200.25)))
+    assert(spark.read.schema(schema).parquet(out.toString).count() == 2,
+      "a file was admitted twice")
+  }
+
+  test("glob admission and RFC 4180 quoted fields") {
+    val in = tmpDir("scsv2-in"); val out = tmpDir("scsv2-out"); val ckpt = tmpDir("scsv2-ckpt")
+    val f = writeFile(in, "loan_q.csv",
+      "loan_id,name,amount\n3,\"smith, \"\"jr\"\"\",42.0\n")
+    val skipped = writeFile(in, "other.csv", "loan_id,name,amount\n9,nope,1.0\n")
+    f.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    skipped.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    drain(in, out, ckpt, minAgeMs = 0)
+    assert(results(out) == Set((3L, "smith, \"jr\"", 42.0)))
+  }
+
+  test("restart replays from the admission log, no duplicates across checkpoints") {
+    val in = tmpDir("scsv3-in"); val out = tmpDir("scsv3-out"); val ckpt = tmpDir("scsv3-ckpt")
+    val f1 = writeFile(in, "loan_a.csv", "loan_id,name,amount\n10,x,1.0\n")
+    f1.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    drain(in, out, ckpt, minAgeMs = 1000)
+    // a second file lands; the NEW source instance (fresh drain = fresh
+    // MicroBatchStream) must rebuild its admitted set from the log
+    val f2 = writeFile(in, "loan_b.csv", "loan_id,name,amount\n11,y,2.0\n")
+    f2.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    drain(in, out, ckpt, minAgeMs = 1000)
+    assert(results(out) == Set((10L, "x", 1.0), (11L, "y", 2.0)))
+    assert(spark.read.schema(schema).parquet(out.toString).count() == 2)
+  }
+
+  test("parseLine handles quotes, embedded delimiters, and empty cells") {
+    assert(StableCsvSource.parseLine("a,b,c", ',').toSeq == Seq("a", "b", "c"))
+    assert(StableCsvSource.parseLine("a,,c", ',').toSeq == Seq("a", "", "c"))
+    assert(StableCsvSource.parseLine("\"a,b\",c", ',').toSeq == Seq("a,b", "c"))
+    assert(StableCsvSource.parseLine("\"he said \"\"hi\"\"\",z", ',').toSeq ==
+      Seq("he said \"hi\"", "z"))
+  }
+}
