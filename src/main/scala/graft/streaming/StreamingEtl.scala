@@ -20,9 +20,12 @@ import org.apache.spark.sql.types.StructType
   *     [[graft.ingest.FileLedger]]).
   *   - ST5 name-pattern admission: `pathGlobFilter` on the source
   *     (prefix/suffix filter, drive_auto_compress_email.py:204).
-  *   - ST4 min-age stabilization has no streaming builtin; the batch-side
-  *     [[graft.ingest.FileIngest]] applies it before files reach the
-  *     watched directory — the landing zone IS the stabilization stage.
+  *   - ST4 min-age stabilization has no streaming builtin; two paths:
+  *     the batch-side [[graft.ingest.FileIngest]] applies it before
+  *     files reach the watched directory (the landing zone IS the
+  *     stabilization stage), and [[stableCsvStream]] makes it a native
+  *     streaming property via the [[StableCsvSource]] DSv2 source
+  *     (admission-time deferral, no landing zone needed).
   *
   * Beyond reference parity: event-time watermarks, tumbling windows,
   * native session windows, and arbitrary per-key state
