@@ -44,6 +44,49 @@ class ClustersSpec extends SparkSpec {
     cc.foreach { case (v, lbl) => assert(lbl <= v) }
   }
 
+  test("per-round join reuses the cached edge partitioning: only the labels side shuffles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // replicate the loop's plan shape at the topology Spark picks when
+    // BOTH sides are big (broadcast off — locally Spark would broadcast
+    // the tiny cached edges, which is fine but not the shape under
+    // test): edges repartitioned on the join key and cached must join
+    // with exactly ONE ShuffleExchange — the labels side. A second
+    // would mean edges re-shuffle every round and the up-front
+    // repartition is wasted. ShuffleExchangeExec nodes are counted in
+    // the operator TREE, where the cached relation's build plan is
+    // hidden behind the InMemoryTableScan leaf.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val edges = (0 until 200).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+      .repartition(col("b")).persist()
+    edges.count()
+    try {
+      // localCheckpoint mirrors the loop's truncated frames (LogicalRDD)
+      val labels = (0 to 200).map(i => (i.toLong, i.toLong)).toDF("v", "lbl")
+        .localCheckpoint(true)
+      val joined = edges
+        .join(labels.select(col("v").as("b"), col("lbl").as("nlbl")), "b")
+        .select(col("a").as("v"), col("nlbl").as("lbl"))
+      val plan = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.initialPlan
+        case p => p
+      }
+      val shuffles = plan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      assert(shuffles.size == 1,
+        s"expected exactly 1 shuffle (labels side), found ${shuffles.size}:\n$plan")
+      // and that one shuffle must be on the labels (ExistingRDD) side
+      assert(shuffles.head.toString.contains("ExistingRDD"),
+        s"the single shuffle is not the labels side:\n$plan")
+    } finally {
+      edges.unpersist()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("Sessions.builder wires an explicit/env checkpoint dir into spark.checkpoint.dir") {
     // In a fresh JVM SparkContext reads spark.checkpoint.dir at startup
     // and calls setCheckpointDir itself; under the suite's shared context
