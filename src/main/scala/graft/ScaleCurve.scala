@@ -45,6 +45,10 @@ object ScaleCurve {
     * cross-replica similarity).
     */
   def scaleDocuments(docs: DataFrame, factor: Int): DataFrame = {
+    // the letter rotation has period 26: replica 26 would reuse rotation
+    // 0 and leak cross-replica near-dups (observed: a 30x run merged 4
+    // replica pairs into shared clusters). Hard-stop inside the period.
+    require(factor <= 26, s"scaleDocuments supports factors up to 26, got $factor")
     val stride = docs.agg(max("doc_id")).head().getLong(0) + 1
     def rot(s: String, r: Int): String = s.drop(r % s.length) + s.take(r % s.length)
     (0 until factor).map { r =>

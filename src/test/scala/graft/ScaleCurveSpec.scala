@@ -41,6 +41,13 @@ class ScaleCurveSpec extends SparkSpec {
     assert((cross(0) & cross(1)).isEmpty, s"cross-replica leak: ${cross(0) & cross(1)}")
   }
 
+  test("scaleDocuments rejects factors beyond the rotation period") {
+    import spark.implicits._
+    val docs = Seq((0L, "a", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // replica 26 would reuse rotation 0 and leak cross-replica near-dups
+    intercept[IllegalArgumentException](ScaleCurve.scaleDocuments(docs, 27))
+  }
+
   test("scaleEmbeddings: size multiplies, intra-replica cosines exact, norms preserved") {
     import spark.implicits._
     val emb = Seq(
