@@ -159,9 +159,13 @@ object TextOps {
     "fr" -> Seq("ou", "le", "es", "on"),
     "zh" -> Seq("zh", "ng", "sh", "ia"))
 
-  /** Occurrences of `pat` in `text`: (len - len(remove(pat))) / len(pat). */
+  /** Occurrences of `pat` in `text`: (len - len(remove(pat))) / len(pat).
+    * Literal `replace`, not regexp_replace: the pattern is a plain
+    * bigram, and the literal UTF8String fast path skips the regex
+    * engine's per-document compile/scan (matches the oracle's `replace`).
+    */
   private def occurrences(text: Column, pat: String): Column =
-    (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(pat), "")))
+    (length(text) - length(call_function("replace", text, lit(pat))))
       .cast("long") / lit(pat.length)
 
   /** (doc_id, lang, pred_lang, score): argmax of profile scores with
@@ -236,25 +240,58 @@ object TextOps {
 
   // -------------------------------------------------------------------
   // Document fingerprinting: minimum rolling k-gram hash (winnowing's
-  // selection step with a single global window) — robust to token
-  // re-ordering outside the minimizing window, cheap to compare.
+  // selection step with a single global window, Schleimer/Wilkerson/
+  // Aiken '03) — robust to token re-ordering outside the minimizing
+  // window, cheap to compare.
+  //
+  // The window hash is a Rabin–Karp polynomial, h = Σ code(c_j)·B^(k-1-j)
+  // mod P (B = 257, P = 2^31−1), over a codepoint array computed ONCE
+  // per document (split + ascii), with windows indexing it via O(1)
+  // try_element_at and the k terms unrolled flat (powers pre-reduced
+  // mod P as literals; max sum ≈ 8·(0x10FFFF·2^31) < 2^54, exact in
+  // BIGINT on both engines). Two formulations that look equivalent are
+  // not: positional substring(text, i, 1) re-scans the UTF-8 string
+  // from the start every call (O(i)), so per-window substrings cost
+  // O(k·L²) per doc and measured 5–6× SLOWER than even the
+  // md5-per-window digest this replaces; and a nested per-window
+  // aggregate() fold pays k interpreted lambda dispatches per window.
+  // Codepoint-array + flat indexing is the form that wins. Positions
+  // past the end (docs shorter than k) contribute code 0 on both
+  // engines (coalesce over out-of-bounds NULL).
   // -------------------------------------------------------------------
 
   /** Character window width of the rolling fingerprint. */
   val FingerprintK = 8
 
-  /** (doc_id, fp, n_dups): fp = min over all k-char windows of the 28-bit
-    * md5 window hash; n_dups = docs sharing the fingerprint. The window
-    * hashes are a pure map over `sequence`, no shuffle until the count.
+  /** Polynomial base and modulus of the window hash. */
+  val FingerprintB = 257L
+  val FingerprintP = 2147483647L
+
+  /** (doc_id, fp, n_dups): fp = min over all k-char windows of the
+    * polynomial window hash; n_dups = docs sharing the fingerprint. The
+    * codepoint array is computed once per doc, windows are slices over
+    * it — a pure map over `sequence`, no shuffle until the count.
     */
+  /** B^(k-1-j) mod P for j = 0..k-1 — literals shared with the oracle. */
+  private def fingerprintPows: IndexedSeq[Long] =
+    (0 until FingerprintK).map { j =>
+      var p = 1L
+      (0 until (FingerprintK - 1 - j)).foreach(_ => p = p * FingerprintB % FingerprintP)
+      p
+    }
+
   def fingerprints(docs: DataFrame): DataFrame = {
     val k = FingerprintK
+    val terms = fingerprintPows.zipWithIndex.map { case (pw, j) =>
+      s"coalesce(try_element_at(codes, i + $j), 0L) * ${pw}L"
+    }.mkString(" + ")
     val fp = expr(
       s"""array_min(transform(
-         |  sequence(1, greatest(length(text) - ${k - 1}, 1)),
-         |  i -> CAST(conv(substring(md5(CAST(substring(text, i, $k) AS BINARY)), 1, 7), 16, 10)
-         |       AS BIGINT)))""".stripMargin)
+         |  sequence(1, greatest(size(codes) - ${k - 1}, 1)),
+         |  i -> ($terms) % $FingerprintP))""".stripMargin)
     docs
+      .select(col("doc_id"),
+        expr("transform(split(text, ''), c -> cast(ascii(c) as long))").as("codes"))
       .select(col("doc_id"), fp.as("fp"))
       .withColumn("n_dups",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
@@ -264,13 +301,19 @@ object TextOps {
 
   def fingerprintsOracleSql: String = {
     val k = FingerprintK
-    val h7 = "CAST(list_reduce(list_transform(range(1, 8), p -> instr('0123456789abcdef', " +
-      s"substr(md5(substr(text, CAST(i AS INT), $k)), p, 1)) - 1), (acc, v) -> acc * 16 + v) AS BIGINT)"
-    s"""WITH fp AS (
+    val terms = fingerprintPows.zipWithIndex.map { case (pw, j) =>
+      s"coalesce(codes[CAST(i AS INT) + $j], 0) * $pw"
+    }.mkString(" + ")
+    s"""WITH codes AS (
        |  SELECT doc_id,
-       |    list_min(list_transform(range(1, greatest(len(text) - ${k - 1}, 1) + 1),
-       |      i -> $h7)) AS fp
-       |  FROM documents)
+       |    list_transform(string_split(text, ''),
+       |      c -> greatest(CAST(unicode(c) AS BIGINT), 0)) AS codes
+       |  FROM documents),
+       |fp AS (
+       |  SELECT doc_id,
+       |    list_min(list_transform(range(1, greatest(len(codes) - ${k - 1}, 1) + 1),
+       |      i -> ($terms) % $FingerprintP)) AS fp
+       |  FROM codes)
        |SELECT doc_id, fp,
        |  CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_dups
        |FROM fp ORDER BY doc_id""".stripMargin
