@@ -80,4 +80,33 @@ class TextOpsSpec extends SparkSpec {
     assert(byDoc(2L)._3 == 1L)
     assert(byDoc(3L)._2 != byDoc(4L)._2, "truncated windows still distinguish docs")
   }
+
+  test("fingerprints match a driver-side reference implementation on random texts") {
+    // pins the codepoint-array + unrolled-polynomial Spark expression to
+    // the declared semantics (min over all k-windows of Σ code·B^(k-1-j)
+    // mod P, zero-fill past the end) independently of the DuckDB oracle
+    val B = TextOps.FingerprintB; val P = TextOps.FingerprintP
+    val k = TextOps.FingerprintK
+    def reference(text: String): Long = {
+      val codes = text.map(_.toLong)
+      val n = math.max(codes.length - (k - 1), 1)
+      (1 to n).map { i =>
+        (0 until k).foldLeft(0L) { (acc, j) =>
+          val c = if (i - 1 + j < codes.length) codes(i - 1 + j) else 0L
+          (acc * B + c) % P
+        }
+      }.min
+    }
+    val rng = new scala.util.Random(42)
+    val texts = (0 until 60).map { i =>
+      val len = rng.nextInt(40)
+      (i.toLong, (0 until len).map(_ => (32 + rng.nextInt(95)).toChar).mkString)
+    }
+    val out = TextOps.fingerprints(texts.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.foreach { case (id, text) =>
+      assert(out(id) == reference(text),
+        s"doc $id '${text.take(20)}...': spark ${out(id)} != ref ${reference(text)}")
+    }
+  }
 }

@@ -81,6 +81,38 @@ class StableCsvSourceSpec extends SparkSpec {
     assert(spark.read.schema(schema).parquet(out.toString).count() == 2)
   }
 
+  test("maxFilesPerTrigger bounds admission per poll; backlog drains across triggers") {
+    val in = tmpDir("scsv4-in"); val out = tmpDir("scsv4-out"); val ckpt = tmpDir("scsv4-ckpt")
+    (1 to 3).foreach { i =>
+      writeFile(in, s"loan_$i.csv", s"loan_id,name,amount\n${i}0,n$i,$i.0\n")
+        .toFile.setLastModified(System.currentTimeMillis() - 60000)
+    }
+    def drainCapped(): Unit = {
+      val df = spark.readStream
+        .format(StableCsvSource.ProviderClass)
+        .schema(schema)
+        .option("path", in.toString)
+        .option("minAgeMs", "0")
+        .option("pathGlobFilter", "loan_*.csv")
+        .option("header", "true")
+        .option("maxFilesPerTrigger", "1")
+        .load()
+      val q = df.writeStream
+        .format("parquet").option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainCapped()
+    val afterOne = spark.read.schema(schema).parquet(out.toString).count()
+    assert(afterOne < 3, s"cap ignored: $afterOne files' rows after one poll cycle")
+    drainCapped(); drainCapped()
+    assert(results(out) == Set((10L, "n1", 1.0), (20L, "n2", 2.0), (30L, "n3", 3.0)))
+    assert(spark.read.schema(schema).parquet(out.toString).count() == 3, "duplicate admission")
+  }
+
   test("parseLine handles quotes, embedded delimiters, and empty cells") {
     assert(StableCsvSource.parseLine("a,b,c", ',').toSeq == Seq("a", "b", "c"))
     assert(StableCsvSource.parseLine("a,,c", ',').toSeq == Seq("a", "", "c"))
