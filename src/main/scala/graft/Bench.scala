@@ -78,7 +78,9 @@ object Bench {
     val timings = runsByQuery.map { case (n, runs) =>
       n -> runs.sorted.apply(passes / 2)
     }
-    def f3(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: default-locale formatting would emit "12,345" on a
+    // comma-decimal JVM and corrupt the JSON artifacts
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val qs = timings.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = timings.map(_._2).sum

@@ -49,6 +49,21 @@ object ScaleCurve {
     // 0 and leak cross-replica near-dups (observed: a 30x run merged 4
     // replica pairs into shared clusters). Hard-stop inside the period.
     require(factor <= 26, s"scaleDocuments supports factors up to 26, got $factor")
+    // the DIGIT rotation's period is only 10: replicas r and r+10 map
+    // digits identically, so a token containing ONLY digits would leak
+    // across those replica pairs (any letter in the token separates it,
+    // since letter rotations are distinct for all r < 26). Cheap to rule
+    // out outright rather than reason about: require the corpus has no
+    // pure-digit tokens when the factor exceeds the digit period.
+    if (factor > 10) {
+      val leaky = docs
+        .select(explode(split(col("text"), " ")).as("t"))
+        .filter(col("t").rlike("^[0-9]+$"))
+        .limit(1).count()
+      require(leaky == 0,
+        s"factor $factor > 10 needs a corpus with no pure-digit tokens " +
+          "(digit rotation period is 10) — found at least one")
+    }
     val stride = docs.agg(max("doc_id")).head().getLong(0) + 1
     def rot(s: String, r: Int): String = s.drop(r % s.length) + s.take(r % s.length)
     (0 until factor).map { r =>
@@ -61,16 +76,23 @@ object ScaleCurve {
     }.reduce(_.union(_))
   }
 
-  /** N× embeddings: component-rotated replicas, ids offset per replica. */
+  /** N× embeddings: component-rotated replicas, ids offset per replica.
+    * The rotation's period is the vector dimensionality — replica `dim`
+    * would reuse shift 0 and be an EXACT duplicate of replica 0 — so the
+    * factor is bounded by the measured dim of the corpus.
+    */
   def scaleEmbeddings(emb: DataFrame, factor: Int): DataFrame = {
+    val dim = emb.select(size(col("embedding")).as("d")).agg(min("d")).head().getInt(0)
+    require(factor <= dim,
+      s"scaleEmbeddings supports factors up to the vector dim ($dim), got $factor")
     val stride = emb.agg(max("vec_id")).head().getLong(0) + 1
-    val dim = size(col("embedding"))
+    val dimCol = size(col("embedding"))
     (0 until factor).map { r =>
       val shifted =
         if (r == 0) col("embedding")
         else concat(
-          slice(col("embedding"), lit(r % 64 + 1), dim - lit(r % 64)),
-          slice(col("embedding"), lit(1), lit(r % 64)))
+          slice(col("embedding"), lit(r + 1), dimCol - lit(r)),
+          slice(col("embedding"), lit(1), lit(r)))
       emb.select(
         (col("vec_id") + lit(r * stride)).as("vec_id"),
         shifted.as("embedding"),
@@ -99,10 +121,14 @@ object ScaleCurve {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
       catch { case scala.util.control.NonFatal(_) => "" }
 
-    // one synthesized corpus per factor, reused across runs
+    // one synthesized corpus per factor, reused across runs; BOTH tables
+    // must exist to skip (a run killed between the two writes would
+    // otherwise leave the factor dir half-synthesized forever)
     factors.foreach { f =>
       val dir = s"$work/x$f"
-      if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+      val complete = Seq("documents", "embeddings")
+        .forall(t => new java.io.File(s"$dir/$t.parquet/_SUCCESS").exists())
+      if (!complete) {
         scaleDocuments(Queries.t(spark, base, "documents"), f)
           .repartition(math.max(4, f * 4))
           .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -126,10 +152,17 @@ object ScaleCurve {
     }
 
     val loadBefore = loadavg()
-    // untimed warmup at the smallest factor: absorbs codegen/JIT
+    // untimed warmup of ALL THREE measured operators at the smallest
+    // factor: absorbs codegen/JIT for each, so the smallest timed point
+    // doesn't carry one-time compilation the larger points skip (which
+    // would fake sub-linearity)
     locally {
       val d = Queries.t(spark, s"$work/x${factors.min}", "documents")
+      val e = Queries.t(spark, s"$work/x${factors.min}", "embeddings")
       graft.ops.NearDup.lshDedupClusters(d).write.format("noop").mode("overwrite").save()
+      graft.ops.NearDup.lshNearDupPairs(d, sliceMax = None, hotBandMax = Some(64L))
+        .write.format("noop").mode("overwrite").save()
+      graft.ops.Clusters.embedDupClusters(e).write.format("noop").mode("overwrite").save()
     }
     val results = factors.flatMap { f =>
       val dir = s"$work/x$f"
@@ -146,13 +179,17 @@ object ScaleCurve {
     }
     val loadAfter = loadavg()
 
+    // Locale.ROOT: f-interpolators use the default locale, which can
+    // emit comma decimals and corrupt the JSON artifact
+    def fmt(v: Double, d: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${d}f", v)
     println("| factor | operator | seconds | output rows |")
     println("|---|---|---|---|")
     results.foreach { m =>
-      println(f"| ${m.factor}x | ${m.op} | ${m.sec}%.2f | ${m.rows} |")
+      println(s"| ${m.factor}x | ${m.op} | ${fmt(m.sec, 2)} | ${m.rows} |")
     }
     val json = results.map { m =>
-      f"""{"factor":${m.factor},"op":"${m.op}","sec":${m.sec}%.3f,"rows":${m.rows}}"""
+      s"""{"factor":${m.factor},"op":"${m.op}","sec":${fmt(m.sec, 3)},"rows":${m.rows}}"""
     }.mkString("[", ",", "]")
     val line =
       s"""{"scale_curve":$json,"load_before":"$loadBefore","load_after":"$loadAfter","base":"$base"}"""

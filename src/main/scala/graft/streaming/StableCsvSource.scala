@@ -1,7 +1,6 @@
 package graft.streaming
 
 import java.nio.charset.StandardCharsets
-import java.util.Optional
 
 import scala.jdk.CollectionConverters._
 
@@ -40,43 +39,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * re-reads chunks [start, end) — deterministic on recovery because the
   * log, not the directory state, defines every batch (the same
   * WAL-then-process shape as Spark's own FileStreamSourceLog; chunks are
-  * kept — they ARE the source of truth for replayed batches).
+  * kept — they ARE the source of truth for replayed batches). Chunks are
+  * published via write-to-tmp + atomic rename, and log recovery ignores
+  * anything that is not a bare chunk index, so a crash between create
+  * and rename leaves a harmless `.N.tmp` orphan instead of wedging
+  * every subsequent restart.
   *
   * Scale notes: one input partition per admitted file (micro-batch CSV
   * drops are file-at-a-time uploads; a 100 TB backlog arrives as many
   * files, which parallelize across executors — `maxFilesPerTrigger`
-  * bounds admission per poll). The CSV decode is a minimal
-  * header/delimiter parser over the declared schema
-  * (string/long/int/double/timestamp/date/boolean); quoted fields with
-  * embedded delimiters follow RFC 4180 double-quote rules.
+  * bounds admission per poll). The CSV decode is univocity — the same
+  * parser Spark's own CSV source uses — over the declared schema
+  * (string/long/int/double/timestamp/date/boolean), so RFC 4180
+  * quoting INCLUDING embedded newlines is handled; the driver's Hadoop
+  * configuration is shipped to executors so `hdfs://`/`s3a://` paths
+  * read with the session's credentials.
   */
 object StableCsvSource {
   val ProviderClass: String = classOf[StableCsvProvider].getName
 
-  private[streaming] def parseLine(line: String, delim: Char): Array[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val cur = new java.lang.StringBuilder
-    var inQuotes = false
-    var i = 0
-    while (i < line.length) {
-      val c = line.charAt(i)
-      if (inQuotes) {
-        if (c == '"') {
-          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
-          else inQuotes = false
-        } else cur.append(c)
-      } else {
-        if (c == '"') inQuotes = true
-        else if (c == delim) { out += cur.toString; cur.setLength(0) }
-        else cur.append(c)
-      }
-      i += 1
-    }
-    out += cur.toString
-    out.toArray
-  }
-
   private[streaming] def convert(raw: String, dt: DataType): Any = {
+    if (raw == null) return null
     val s = raw.trim
     if (s.isEmpty) null
     else dt match {
@@ -85,12 +68,15 @@ object StableCsvSource {
       case IntegerType => s.toInt
       case DoubleType => s.toDouble
       case BooleanType => s.toBoolean
-      case TimestampType => // micros since epoch; ISO or SQL form
+      case TimestampType => // micros since epoch; ISO instant or SQL form.
+        // The SQL form carries no zone: resolve it in UTC explicitly —
+        // Timestamp.valueOf would use the executor JVM's default zone.
         val inst =
           try java.time.Instant.parse(s)
           catch {
             case _: java.time.format.DateTimeParseException =>
-              java.sql.Timestamp.valueOf(s).toInstant
+              java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+                .toInstant(java.time.ZoneOffset.UTC)
           }
         inst.getEpochSecond * 1000000L + inst.getNano / 1000L
       case DateType => // days since epoch
@@ -146,8 +132,8 @@ private[streaming] class StableCsvMicroBatchStream(
   private val delim = props.getOrElse("delimiter", ",").charAt(0)
   private val maxFilesPerTrigger = props.getOrElse("maxFilesPerTrigger", "1000").toInt
 
-  private val hadoopConf =
-    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+  private val session = org.apache.spark.sql.SparkSession.active
+  private val hadoopConf = session.sparkContext.hadoopConfiguration
   private def fs = dir.getFileSystem(hadoopConf)
   private val logDir = new Path(checkpointLocation, "graft-admitted")
 
@@ -156,11 +142,23 @@ private[streaming] class StableCsvMicroBatchStream(
   private var chunkCount: Long = -1L
   private val admitted = scala.collection.mutable.HashSet.empty[String]
 
+  /** Committed chunk files only — bare numeric names. A crash between
+    * tmp-create and rename leaves `.N.tmp`, which must not wedge
+    * recovery (it is superseded or rewritten by the next poll).
+    */
+  private def chunkIndices(lfs: org.apache.hadoop.fs.FileSystem): Seq[Long] =
+    lfs.listStatus(logDir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.forall(_.isDigit))
+      .filter(_.nonEmpty)
+      .map(_.toLong)
+      .sorted
+
   private def ensureLog(): Unit = if (chunkCount < 0) {
     val lfs = logDir.getFileSystem(hadoopConf)
     if (!lfs.exists(logDir)) { lfs.mkdirs(logDir); chunkCount = 0 }
     else {
-      val idx = lfs.listStatus(logDir).map(_.getPath.getName.toLong).sorted
+      val idx = chunkIndices(lfs)
       idx.foreach(i => admitted ++= readChunk(i))
       chunkCount = if (idx.isEmpty) 0 else idx.max + 1
     }
@@ -215,41 +213,59 @@ private[streaming] class StableCsvMicroBatchStream(
       CsvFilePartition(p, header, delim): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new StableCsvReaderFactory(schema)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ship the DRIVER's Hadoop configuration (spark.hadoop.* overlays,
+    // s3a credentials, ...) — a fresh Configuration() on the executor
+    // would list-admit files the tasks then cannot open
+    val confMap = hadoopConf.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+    new StableCsvReaderFactory(schema, confMap)
+  }
 
   override def commit(end: Offset): Unit = () // chunks are the replay log; keep
   override def stop(): Unit = ()
 }
 
-private[streaming] class StableCsvReaderFactory(schema: StructType)
+private[streaming] class StableCsvReaderFactory(
+    schema: StructType, hadoopProps: Map[String, String])
     extends PartitionReaderFactory {
+
+  @transient private lazy val conf = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    hadoopProps.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CsvFilePartition]
     new PartitionReader[InternalRow] {
       private val path = new Path(p.path)
-      private val conf = new org.apache.hadoop.conf.Configuration()
       private val in = path.getFileSystem(conf).open(path)
-      private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      if (p.header && lines.hasNext) lines.next() // skip header row
+      // univocity — the parser behind Spark's own CSV source — handles
+      // RFC 4180 quoting including embedded newlines and escaped quotes
+      private val parser = {
+        val settings = new com.univocity.parsers.csv.CsvParserSettings
+        settings.getFormat.setDelimiter(p.delim)
+        settings.setHeaderExtractionEnabled(p.header)
+        settings.setMaxCharsPerColumn(1 << 20)
+        settings.setLineSeparatorDetectionEnabled(true)
+        new com.univocity.parsers.csv.CsvParser(settings)
+      }
+      parser.beginParsing(new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
       private var current: InternalRow = _
       override def next(): Boolean = {
-        var ok = false
-        while (!ok && lines.hasNext) {
-          val line = lines.next()
-          if (line.nonEmpty) {
-            val cells = StableCsvSource.parseLine(line, p.delim)
-            val vals = schema.fields.zipWithIndex.map { case (f, i) =>
-              if (i < cells.length) StableCsvSource.convert(cells(i), f.dataType) else null
-            }
-            current = InternalRow.fromSeq(vals.toIndexedSeq)
-            ok = true
+        val cells = parser.parseNext()
+        if (cells == null) false
+        else {
+          val vals = schema.fields.zipWithIndex.map { case (f, i) =>
+            if (i < cells.length) StableCsvSource.convert(cells(i), f.dataType) else null
           }
+          current = InternalRow.fromSeq(vals.toIndexedSeq)
+          true
         }
-        ok
       }
       override def get(): InternalRow = current
-      override def close(): Unit = in.close()
+      override def close(): Unit = { parser.stopParsing(); in.close() }
     }
   }
 }

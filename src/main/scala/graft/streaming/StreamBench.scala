@@ -27,17 +27,21 @@ object StreamBench {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     // untimed warmup absorbs codegen/state-store init
     warm(spark, base, 500)
+    // Locale.ROOT: f-interpolators use the default locale, which can
+    // emit comma decimals and corrupt the JSON lines
+    def fmt(v: Double, d: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${d}f", v)
     val results = sizes.map { n =>
       val t0 = System.nanoTime()
       val rows = run(spark, base, n)
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"hot_bucket_n":$n,"rows":$rows,"sec":$sec%.2f}""")
+      println(s"""{"hot_bucket_n":$n,"rows":$rows,"sec":${fmt(sec, 2)}}""")
       (n, sec)
     }
     // growth factor per doubling — ~2 is linear, ~4 is quadratic
     results.sliding(2).foreach {
       case Seq((n1, s1), (n2, s2)) =>
-        println(f"""{"growth":"$n1->$n2","data_x":${n2.toDouble / n1}%.1f,"time_x":${s2 / s1}%.2f}""")
+        println(s"""{"growth":"$n1->$n2","data_x":${fmt(n2.toDouble / n1, 1)},"time_x":${fmt(s2 / s1, 2)}}""")
       case _ => ()
     }
     spark.stop()

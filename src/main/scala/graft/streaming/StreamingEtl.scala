@@ -292,8 +292,13 @@ object StreamingEtl {
     *
     * Rows are processed in arrival order (no per-bucket sort buffer);
     * each emitted pair is oriented by event time — the earlier
-    * (ts, vec_id) is `dup_of`, the keeper — so the output set is
-    * independent of intra-trigger arrival order.
+    * (ts, vec_id) is `dup_of`, the keeper. While the bucket stays within
+    * `maxPerBucket` the output set is independent of intra-trigger
+    * arrival order (every pair is compared exactly once, orientation is
+    * canonical); once the cap binds, WHICH candidate pairs are compared
+    * depends on eviction timing and thus on arrival order — the emitted
+    * subset may vary across replays of a degenerate hot bucket, the same
+    * bounded-recall trade [[graft.ops.Lsh.guardHotBuckets]] makes.
     */
   def streamingEmbedNearDup(emb: DataFrame, dim: Int = 64,
       threshold: Double = 0.3, watermarkDelay: String = "1 hour",
@@ -389,10 +394,14 @@ object StreamingEtl {
     *
     * Rows are processed in arrival order (no per-bucket sort buffer);
     * each emitted pair is oriented by event time — the earlier
-    * (ts, doc_id) is `dup_of`, the keeper — so the output set is
-    * independent of intra-trigger arrival order. Works identically on a
-    * batch frame (state starts empty, one invocation per bucket) —
-    * StreamingNearDupSpec asserts parity with simhashPairs.
+    * (ts, doc_id) is `dup_of`, the keeper. While the bucket stays within
+    * `maxPerBucket` the output set is independent of intra-trigger
+    * arrival order; once the cap binds, the compared subset depends on
+    * eviction timing (see [[streamingEmbedNearDup]] — the same
+    * bounded-recall trade as [[graft.ops.Lsh.guardHotBuckets]]). Works
+    * identically on a batch frame (state starts empty, one invocation
+    * per bucket) — StreamingNearDupSpec asserts parity with simhashPairs
+    * on within-cap buckets.
     */
   def streamingNearDup(docs: DataFrame, watermarkDelay: String = "1 hour",
       maxHamming: Int = 3, maxPerBucket: Int = 1024): Dataset[NearDupMatch] = {

@@ -35,22 +35,25 @@ class StableCsvSourceSpec extends SparkSpec {
 
   test("young files are deferred, then admitted exactly once after stabilizing") {
     val in = tmpDir("scsv-in"); val out = tmpDir("scsv-out"); val ckpt = tmpDir("scsv-ckpt")
+    // minAge must dwarf any realistic drain duration: AvailableNow can
+    // poll latestOffset more than once, and with a small threshold a
+    // slow drain would age the "young" file past it mid-test (flake)
+    val minAge = 300000L // 5 min
     val old = writeFile(in, "loan_old.csv", "loan_id,name,amount\n1,alice,100.5\n")
     val young = writeFile(in, "loan_young.csv", "loan_id,name,amount\n2,bob,200.25\n")
-    // age the old file well past the 2s threshold; leave the young one fresh
-    old.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    old.toFile.setLastModified(System.currentTimeMillis() - 2 * minAge)
 
-    drain(in, out, ckpt, minAgeMs = 2000)
+    drain(in, out, ckpt, minAgeMs = minAge)
     assert(results(out) == Set((1L, "alice", 100.5)),
       s"young file not deferred: ${results(out)}")
 
     // stabilize the young file -> next drain admits it, exactly once
-    young.toFile.setLastModified(System.currentTimeMillis() - 60000)
-    drain(in, out, ckpt, minAgeMs = 2000)
+    young.toFile.setLastModified(System.currentTimeMillis() - 2 * minAge)
+    drain(in, out, ckpt, minAgeMs = minAge)
     assert(results(out) == Set((1L, "alice", 100.5), (2L, "bob", 200.25)))
 
     // re-drain with nothing new: no re-admission
-    drain(in, out, ckpt, minAgeMs = 2000)
+    drain(in, out, ckpt, minAgeMs = minAge)
     assert(results(out) == Set((1L, "alice", 100.5), (2L, "bob", 200.25)))
     assert(spark.read.schema(schema).parquet(out.toString).count() == 2,
       "a file was admitted twice")
@@ -113,11 +116,31 @@ class StableCsvSourceSpec extends SparkSpec {
     assert(spark.read.schema(schema).parquet(out.toString).count() == 3, "duplicate admission")
   }
 
-  test("parseLine handles quotes, embedded delimiters, and empty cells") {
-    assert(StableCsvSource.parseLine("a,b,c", ',').toSeq == Seq("a", "b", "c"))
-    assert(StableCsvSource.parseLine("a,,c", ',').toSeq == Seq("a", "", "c"))
-    assert(StableCsvSource.parseLine("\"a,b\",c", ',').toSeq == Seq("a,b", "c"))
-    assert(StableCsvSource.parseLine("\"he said \"\"hi\"\"\",z", ',').toSeq ==
-      Seq("he said \"hi\"", "z"))
+  test("an orphan .tmp chunk from a crash mid-publish does not wedge recovery") {
+    val in = tmpDir("scsv6-in"); val out = tmpDir("scsv6-out"); val ckpt = tmpDir("scsv6-ckpt")
+    val f1 = writeFile(in, "loan_a.csv", "loan_id,name,amount\n1,a,1.0\n")
+    f1.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    drain(in, out, ckpt, minAgeMs = 0)
+    // simulate a crash between tmp-create and rename: leave an orphan
+    // .tmp in the admission log; the next (recovered) run must ignore it
+    import scala.jdk.CollectionConverters._
+    val logDir = java.nio.file.Files.walk(ckpt).iterator().asScala
+      .find(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString == "graft-admitted")
+      .getOrElse(fail("admission log dir not found"))
+    java.nio.file.Files.writeString(logDir.resolve(".7.tmp"), "garbage")
+    val f2 = writeFile(in, "loan_b.csv", "loan_id,name,amount\n2,b,2.0\n")
+    f2.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    drain(in, out, ckpt, minAgeMs = 0)
+    assert(results(out) == Set((1L, "a", 1.0), (2L, "b", 2.0)))
+  }
+
+  test("quoted fields with embedded newlines parse as one row (univocity decode)") {
+    val in = tmpDir("scsv5-in"); val out = tmpDir("scsv5-out"); val ckpt = tmpDir("scsv5-ckpt")
+    val f = writeFile(in, "loan_nl.csv",
+      "loan_id,name,amount\n7,\"two\nlines\",3.5\n8,plain,4.0\n")
+    f.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    drain(in, out, ckpt, minAgeMs = 0)
+    assert(results(out) == Set((7L, "two\nlines", 3.5), (8L, "plain", 4.0)))
   }
 }
