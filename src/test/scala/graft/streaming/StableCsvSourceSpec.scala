@@ -140,6 +140,9 @@ class StableCsvSourceSpec extends SparkSpec {
     val f = writeFile(in, "loan_nl.csv",
       "loan_id,name,amount\n7,\"two\nlines\",3.5\n8,plain,4.0\n")
     f.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    // a header-only file must admit cleanly and contribute zero rows
+    writeFile(in, "loan_empty.csv", "loan_id,name,amount\n")
+      .toFile.setLastModified(System.currentTimeMillis() - 60000)
     drain(in, out, ckpt, minAgeMs = 0)
     assert(results(out) == Set((7L, "two\nlines", 3.5), (8L, "plain", 4.0)))
   }

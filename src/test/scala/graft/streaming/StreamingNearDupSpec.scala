@@ -261,6 +261,30 @@ class StreamingNearDupSpec extends SparkSpec {
     }
   }
 
+  test("within-cap output is independent of arrival order (orientation is canonical)") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    // three mutually-near-dup docs + one unrelated, well under the cap
+    val rows = Seq(
+      (1L, base), (2L, base + " extra"), (3L, base + " extra2"),
+      (4L, (100 to 140).map(i => s"other$i").mkString(" ")))
+    def run(order: Seq[(Long, String)], partitions: Int): Set[(Long, Long)] = {
+      val df = order.toDF("doc_id", "text")
+        .repartition(partitions) // perturb physical arrival order too
+        .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+      StreamingEtl.streamingNearDup(df).collect()
+        .map(m => (m.dup_of, m.doc_id)).toSet
+    }
+    val expected = run(rows, 1)
+    assert(expected.nonEmpty)
+    assert(run(rows.reverse, 1) == expected, "reversed input changed the output set")
+    assert(run(new scala.util.Random(3).shuffle(rows), 4) == expected,
+      "shuffled/multi-partition input changed the output set")
+    expected.foreach { case (dupOf, docId) =>
+      assert(dupOf < docId, "orientation must follow event time (earlier = dup_of)")
+    }
+  }
+
   test("maxPerBucket caps state and comparisons; matches through other bands survive") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
