@@ -38,12 +38,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * offset is just the chunk count. `planInputPartitions(start, end)`
   * re-reads chunks [start, end) — deterministic on recovery because the
   * log, not the directory state, defines every batch (the same
-  * WAL-then-process shape as Spark's own FileStreamSourceLog; chunks are
-  * kept — they ARE the source of truth for replayed batches). Chunks are
+  * WAL-then-process shape as Spark's own FileStreamSourceLog). Chunks are
   * published via write-to-tmp + atomic rename, and log recovery ignores
-  * anything that is not a bare chunk index, so a crash between create
-  * and rename leaves a harmless `.N.tmp` orphan instead of wedging
-  * every subsequent restart.
+  * anything that is not a bare chunk index or snapshot, so a crash
+  * between create and rename leaves a harmless `.N.tmp` orphan instead
+  * of wedging every subsequent restart.
+  *
+  * Log compaction (long-running streams must not accumulate one file
+  * per poll forever): `commit(end)` folds every chunk below the
+  * committed offset into a single `snapshot-<n>` file — those batches
+  * are durably processed and never replanned, but their file names must
+  * survive restarts for admission dedup. Recovery unions the
+  * highest-index snapshot with any remaining chunks; a crash between
+  * snapshot publish and chunk deletion only leaves redundant chunks
+  * whose contents are already in the snapshot (set-union, harmless).
   *
   * Scale notes: one input partition per admitted file (micro-batch CSV
   * drops are file-at-a-time uploads; a 100 TB backlog arrives as many
@@ -154,29 +162,41 @@ private[streaming] class StableCsvMicroBatchStream(
       .map(_.toLong)
       .sorted
 
+  /** Highest snapshot index, if any — `snapshot-<n>` covers chunks [0, n). */
+  private def snapshotIndex(lfs: org.apache.hadoop.fs.FileSystem): Option[Long] =
+    lfs.listStatus(logDir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("snapshot-"))
+      .map(_.stripPrefix("snapshot-"))
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong)
+      .sorted.lastOption
+
   private def ensureLog(): Unit = if (chunkCount < 0) {
     val lfs = logDir.getFileSystem(hadoopConf)
     if (!lfs.exists(logDir)) { lfs.mkdirs(logDir); chunkCount = 0 }
     else {
+      val snap = snapshotIndex(lfs)
+      snap.foreach(n => admitted ++= readLog(s"snapshot-$n"))
       val idx = chunkIndices(lfs)
-      idx.foreach(i => admitted ++= readChunk(i))
-      chunkCount = if (idx.isEmpty) 0 else idx.max + 1
+      idx.foreach(i => admitted ++= readLog(i.toString))
+      chunkCount = math.max(snap.getOrElse(0L), idx.lastOption.map(_ + 1).getOrElse(0L))
     }
   }
 
-  private def readChunk(i: Long): Seq[String] = {
-    val in = logDir.getFileSystem(hadoopConf).open(new Path(logDir, i.toString))
+  private def readLog(name: String): Seq[String] = {
+    val in = logDir.getFileSystem(hadoopConf).open(new Path(logDir, name))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
     finally in.close()
   }
 
-  private def writeChunk(i: Long, files: Seq[String]): Unit = {
+  private def writeLog(name: String, files: Seq[String]): Unit = {
     val lfs = logDir.getFileSystem(hadoopConf)
-    val tmp = new Path(logDir, s".$i.tmp")
+    val tmp = new Path(logDir, s".$name.tmp")
     val out = lfs.create(tmp, true)
     try out.write(files.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    lfs.rename(tmp, new Path(logDir, i.toString)) // atomic publish
+    lfs.rename(tmp, new Path(logDir, name)) // atomic publish
   }
 
   override def initialOffset(): Offset = { ensureLog(); ChunkOffset(0L) }
@@ -198,7 +218,7 @@ private[streaming] class StableCsvMicroBatchStream(
       .sorted // deterministic admission order within a chunk
       .take(maxFilesPerTrigger)
     if (stable.nonEmpty) {
-      writeChunk(chunkCount, stable.toSeq)
+      writeLog(chunkCount.toString, stable.toSeq)
       admitted ++= stable
       chunkCount += 1
     }
@@ -209,7 +229,7 @@ private[streaming] class StableCsvMicroBatchStream(
     ensureLog()
     val s = start.asInstanceOf[ChunkOffset].chunks
     val e = end.asInstanceOf[ChunkOffset].chunks
-    (s until e).flatMap(readChunk).map(p =>
+    (s until e).flatMap(i => readLog(i.toString)).map(p =>
       CsvFilePartition(p, header, delim): InputPartition).toArray
   }
 
@@ -222,7 +242,29 @@ private[streaming] class StableCsvMicroBatchStream(
     new StableCsvReaderFactory(schema, confMap)
   }
 
-  override def commit(end: Offset): Unit = () // chunks are the replay log; keep
+  /** Compact the admission log: batches below `end` are durably
+    * processed and never replanned, so their chunks fold into one
+    * `snapshot-<e>` (file names retained for admission dedup on
+    * restart). Crash-safe: the snapshot publishes atomically BEFORE the
+    * chunks it covers are deleted — leftovers are redundant set members.
+    */
+  override def commit(end: Offset): Unit = {
+    ensureLog()
+    val e = end.asInstanceOf[ChunkOffset].chunks
+    val lfs = logDir.getFileSystem(hadoopConf)
+    val prev = snapshotIndex(lfs)
+    if (e > prev.getOrElse(0L)) {
+      val dead = chunkIndices(lfs).filter(_ < e)
+      if (dead.nonEmpty) {
+        val merged = prev.map(n => readLog(s"snapshot-$n")).getOrElse(Seq.empty) ++
+          dead.flatMap(i => readLog(i.toString))
+        writeLog(s"snapshot-$e", merged.distinct)
+        dead.foreach(i => lfs.delete(new Path(logDir, i.toString), false))
+        prev.foreach(n => lfs.delete(new Path(logDir, s"snapshot-$n"), false))
+      }
+    }
+  }
+
   override def stop(): Unit = ()
 }
 

@@ -114,6 +114,22 @@ class StableCsvSourceSpec extends SparkSpec {
     drainCapped(); drainCapped()
     assert(results(out) == Set((10L, "n1", 1.0), (20L, "n2", 2.0), (30L, "n3", 3.0)))
     assert(spark.read.schema(schema).parquet(out.toString).count() == 3, "duplicate admission")
+    // commit() compacts: committed chunks fold into ONE snapshot. Spark
+    // delivers a batch's source-commit while starting the NEXT batch, so
+    // the newest batch's chunk is legitimately still uncompacted — the
+    // bound is snapshot + O(1) tail chunks, not zero (3 polls would
+    // otherwise leave 3 chunks and no snapshot).
+    import scala.jdk.CollectionConverters._
+    val logDir = java.nio.file.Files.walk(ckpt).iterator().asScala
+      .find(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString == "graft-admitted")
+      .getOrElse(fail("admission log dir not found"))
+    val entries = java.nio.file.Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(entries.count(_.startsWith("snapshot-")) == 1,
+      s"expected exactly one snapshot after commits: $entries")
+    assert(entries.count(n => n.nonEmpty && n.forall(_.isDigit)) <= 1,
+      s"committed chunks not compacted away: $entries")
   }
 
   test("an orphan .tmp chunk from a crash mid-publish does not wedge recovery") {
