@@ -33,25 +33,47 @@ import org.apache.spark.unsafe.types.UTF8String
   * AFTER it stabilizes, exactly once.
   *
   * Exactly-once and replay: each `latestOffset` poll that finds newly
-  * stable files writes their names to an admission-log chunk under the
-  * query's checkpoint location (`<checkpoint>/graft-admitted/<i>`); the
-  * offset is just the chunk count. `planInputPartitions(start, end)`
-  * re-reads chunks [start, end) — deterministic on recovery because the
-  * log, not the directory state, defines every batch (the same
-  * WAL-then-process shape as Spark's own FileStreamSourceLog). Chunks are
-  * published via write-to-tmp + atomic rename, and log recovery ignores
-  * anything that is not a bare chunk index or snapshot, so a crash
-  * between create and rename leaves a harmless `.N.tmp` orphan instead
-  * of wedging every subsequent restart.
+  * stable files writes their `(mtime, name)` entries to an admission-log
+  * chunk under the query's checkpoint location
+  * (`<checkpoint>/graft-admitted/<i>`); the offset is just the chunk
+  * count. `planInputPartitions(start, end)` re-reads chunks [start, end)
+  * — deterministic on recovery because the log, not the directory state,
+  * defines every batch (the same WAL-then-process shape as Spark's own
+  * FileStreamSourceLog). Chunks are published via write-to-tmp + atomic
+  * rename, and log recovery ignores anything that is not a bare chunk
+  * index or snapshot, so a crash between create and rename leaves a
+  * harmless `.N.tmp` orphan instead of wedging every subsequent restart.
   *
-  * Log compaction (long-running streams must not accumulate one file
-  * per poll forever): `commit(end)` folds every chunk below the
-  * committed offset into a single `snapshot-<n>` file — those batches
-  * are durably processed and never replanned, but their file names must
-  * survive restarts for admission dedup. Recovery unions the
-  * highest-index snapshot with any remaining chunks; a crash between
-  * snapshot publish and chunk deletion only leaves redundant chunks
-  * whose contents are already in the snapshot (set-union, harmless).
+  * Log compaction (long-running streams must not accumulate one file per
+  * poll forever): once at least `compactInterval` chunks sit below the
+  * committed offset, `commit(end)` folds them and the previous snapshot
+  * into a single `snapshot-<n>` file — those batches are durably
+  * processed and never replanned, but their file names must survive
+  * restarts for admission dedup. Ordinary commits in between are cheap
+  * no-ops (Spark's FileStreamSourceLog compacts on the same interval
+  * principle). Recovery unions the highest-index snapshot with any
+  * remaining chunks; a crash between snapshot publish and chunk deletion
+  * only leaves redundant chunks whose contents are already in the
+  * snapshot (set-union, harmless).
+  *
+  * Bounded admission state (`maxFileAgeMs`): without a retention limit
+  * the admitted set — in driver memory AND in the snapshot — grows by
+  * one entry per file EVER admitted, so a year-long ingest leaks.
+  * With `maxFileAgeMs` set, compaction drops entries whose recorded
+  * mtime has aged past the retention window, and the LISTING refuses
+  * files older than the window — the invariant pair (evict only what
+  * listing refuses) means eviction can never cause re-admission, the
+  * same contract as the built-in file source's `maxFileAge`. Caveat
+  * (shared with the built-in source): a file whose mtime is REWRITTEN
+  * after its entry ages out counts as a new file.
+  *
+  * Decode semantics mirror Spark's CSV source: PERMISSIVE by default —
+  * an unparsable cell nulls that field only (`mode=FAILFAST` makes it
+  * throw); string fields preserve whitespace and null only the
+  * truly-empty value; timestamps accept ISO instants, offset datetimes
+  * (`2024-01-01T00:00:00+02:00`), and zoneless SQL forms resolved in
+  * UTC. Unsupported column types are rejected at stream construction,
+  * never silently nulled.
   *
   * Scale notes: one input partition per admitted file (micro-batch CSV
   * drops are file-at-a-time uploads; a 100 TB backlog arrives as many
@@ -66,31 +88,63 @@ import org.apache.spark.unsafe.types.UTF8String
 object StableCsvSource {
   val ProviderClass: String = classOf[StableCsvProvider].getName
 
-  private[streaming] def convert(raw: String, dt: DataType): Any = {
+  private[streaming] val SupportedTypes: Set[DataType] = Set(
+    StringType, LongType, IntegerType, DoubleType, BooleanType, TimestampType, DateType)
+
+  private[streaming] def validateSchema(schema: StructType): Unit =
+    schema.fields.foreach { f =>
+      if (!SupportedTypes.contains(f.dataType))
+        throw new IllegalArgumentException(
+          s"stable-csv: unsupported type ${f.dataType} for column '${f.name}'")
+    }
+
+  /** Timestamp string → micros since epoch. Fallback chain: ISO instant
+    * (`...Z`), offset datetime (`...+02:00`), then the zoneless SQL form
+    * resolved in UTC explicitly — `Timestamp.valueOf` would use the
+    * executor JVM's default zone.
+    */
+  private def timestampMicros(s: String): Long = {
+    val t = s.replace(' ', 'T')
+    val inst =
+      try java.time.Instant.parse(s)
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          try java.time.OffsetDateTime.parse(t).toInstant
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              java.time.LocalDateTime.parse(t).toInstant(java.time.ZoneOffset.UTC)
+          }
+      }
+    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+  }
+
+  /** One cell → one Catalyst value. Strings keep their whitespace and
+    * null only when truly empty (Spark CSV parity — a quoted `"  "` is a
+    * real value); other types trim first and treat whitespace-only as
+    * null. A non-empty cell that fails to parse is nulled (PERMISSIVE)
+    * or thrown (FAILFAST). Schema-level type support is checked at
+    * stream construction, so the catch here only ever sees data errors.
+    */
+  private[streaming] def convert(raw: String, dt: DataType, failFast: Boolean): Any = {
     if (raw == null) return null
+    if (dt == StringType) return if (raw.isEmpty) null else UTF8String.fromString(raw)
     val s = raw.trim
-    if (s.isEmpty) null
-    else dt match {
-      case StringType => UTF8String.fromString(raw)
+    if (s.isEmpty) return null
+    try dt match {
       case LongType => s.toLong
       case IntegerType => s.toInt
       case DoubleType => s.toDouble
       case BooleanType => s.toBoolean
-      case TimestampType => // micros since epoch; ISO instant or SQL form.
-        // The SQL form carries no zone: resolve it in UTC explicitly —
-        // Timestamp.valueOf would use the executor JVM's default zone.
-        val inst =
-          try java.time.Instant.parse(s)
-          catch {
-            case _: java.time.format.DateTimeParseException =>
-              java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-                .toInstant(java.time.ZoneOffset.UTC)
-          }
-        inst.getEpochSecond * 1000000L + inst.getNano / 1000L
-      case DateType => // days since epoch
-        java.time.LocalDate.parse(s).toEpochDay.toInt
+      case TimestampType => timestampMicros(s)
+      case DateType => java.time.LocalDate.parse(s).toEpochDay.toInt
       case other =>
-        throw new IllegalArgumentException(s"stable-csv: unsupported type $other")
+        throw new IllegalStateException(s"stable-csv: unvalidated type $other")
+    } catch {
+      case e: IllegalStateException => throw e
+      case scala.util.control.NonFatal(e) =>
+        if (failFast) throw new IllegalArgumentException(
+          s"stable-csv: cannot parse '$s' as $dt (mode=FAILFAST)", e)
+        else null
     }
   }
 }
@@ -107,6 +161,7 @@ class StableCsvProvider extends TableProvider {
 
 private[streaming] class StableCsvTable(schema: StructType, props: Map[String, String])
     extends Table with SupportsRead {
+  StableCsvSource.validateSchema(schema)
   override def name(): String = s"stable-csv:${props.getOrElse("path", "?")}"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -125,7 +180,8 @@ private[streaming] case class ChunkOffset(chunks: Long) extends Offset {
   override def json(): String = chunks.toString
 }
 
-private[streaming] case class CsvFilePartition(path: String, header: Boolean, delim: Char)
+private[streaming] case class CsvFilePartition(
+    path: String, header: Boolean, delim: Char, failFast: Boolean)
     extends InputPartition
 
 private[streaming] class StableCsvMicroBatchStream(
@@ -139,16 +195,40 @@ private[streaming] class StableCsvMicroBatchStream(
   private val header = props.getOrElse("header", "true").toBoolean
   private val delim = props.getOrElse("delimiter", ",").charAt(0)
   private val maxFilesPerTrigger = props.getOrElse("maxFilesPerTrigger", "1000").toInt
+  /** Retention window for admission state; `Long.MaxValue` = unbounded. */
+  private val maxFileAgeMs = props.getOrElse("maxFileAgeMs", Long.MaxValue.toString).toLong
+  /** Fold committed chunks into a snapshot only once this many have
+    * accumulated — ordinary commits are cheap no-ops, so lifetime
+    * compaction I/O is O(n·len/interval), not O(n²).
+    */
+  private val compactInterval = props.getOrElse("compactInterval", "10").toInt
+  private val failFast =
+    props.getOrElse("mode", "PERMISSIVE").toUpperCase(java.util.Locale.ROOT) match {
+      case "PERMISSIVE" => false
+      case "FAILFAST" => true
+      case m => throw new IllegalArgumentException(
+        s"stable-csv: mode must be PERMISSIVE or FAILFAST, got '$m'")
+    }
+  StableCsvSource.validateSchema(schema)
 
   private val session = org.apache.spark.sql.SparkSession.active
   private val hadoopConf = session.sparkContext.hadoopConfiguration
   private def fs = dir.getFileSystem(hadoopConf)
   private val logDir = new Path(checkpointLocation, "graft-admitted")
 
-  // admitted file set + chunk count, rebuilt from the admission log on
-  // restart so a recovered query never re-admits
+  // admitted file → recorded mtime (for retention eviction) + chunk
+  // count, rebuilt from the admission log on restart so a recovered
+  // query never re-admits; bounded by maxFileAgeMs retention
   private var chunkCount: Long = -1L
-  private val admitted = scala.collection.mutable.HashSet.empty[String]
+  private val admitted = scala.collection.mutable.HashMap.empty[String, Long]
+
+  /** Test seams: fault-injection points the crash-recovery spec
+    * overrides to throw, and an injectable clock for deterministic
+    * retention tests. No-ops / wall clock in production.
+    */
+  protected def beforeRename(name: String): Unit = ()
+  protected def afterSnapshotPublish(): Unit = ()
+  protected def nowMs: Long = System.currentTimeMillis()
 
   /** Committed chunk files only — bare numeric names. A crash between
     * tmp-create and rename leaves `.N.tmp`, which must not wedge
@@ -184,18 +264,29 @@ private[streaming] class StableCsvMicroBatchStream(
     }
   }
 
-  private def readLog(name: String): Seq[String] = {
+  /** Log entries are `<mtime>\t<path>` lines; a line with no tab (the
+    * pre-retention format) is a bare path whose age is unknown — kept
+    * forever, the no-re-admission-safe direction.
+    */
+  private def readLog(name: String): Seq[(String, Long)] = {
     val in = logDir.getFileSystem(hadoopConf).open(new Path(logDir, name))
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-    finally in.close()
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    lines.filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('\t')
+      if (i < 0) (line, Long.MaxValue) else (line.substring(i + 1), line.substring(0, i).toLong)
+    }
   }
 
-  private def writeLog(name: String, files: Seq[String]): Unit = {
+  private def writeLog(name: String, entries: Seq[(String, Long)]): Unit = {
     val lfs = logDir.getFileSystem(hadoopConf)
     val tmp = new Path(logDir, s".$name.tmp")
     val out = lfs.create(tmp, true)
-    try out.write(files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try out.write(entries.map { case (p, m) => s"$m\t$p" }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    beforeRename(name)
     lfs.rename(tmp, new Path(logDir, name)) // atomic publish
   }
 
@@ -204,7 +295,7 @@ private[streaming] class StableCsvMicroBatchStream(
 
   override def latestOffset(): Offset = {
     ensureLog()
-    val now = System.currentTimeMillis()
+    val now = nowMs
     val listed: Array[FileStatus] =
       try fs.globStatus(new Path(dir, glob)) match {
         case null => Array.empty
@@ -212,10 +303,16 @@ private[streaming] class StableCsvMicroBatchStream(
       }
       catch { case _: java.io.FileNotFoundException => Array.empty }
     val stable = listed
-      .filter(f => f.isFile && now - f.getModificationTime >= minAgeMs)
-      .map(_.getPath.toString)
-      .filterNot(admitted.contains)
-      .sorted // deterministic admission order within a chunk
+      .filter { f =>
+        val age = now - f.getModificationTime
+        // lower bound: stabilization; upper bound: the retention window —
+        // refusing over-age files is what makes compaction-time eviction
+        // unable to re-admit (the invariant pair)
+        f.isFile && age >= minAgeMs && age <= maxFileAgeMs
+      }
+      .map(f => f.getPath.toString -> f.getModificationTime)
+      .filterNot { case (p, _) => admitted.contains(p) }
+      .sortBy(_._1) // deterministic admission order within a chunk
       .take(maxFilesPerTrigger)
     if (stable.nonEmpty) {
       writeLog(chunkCount.toString, stable.toSeq)
@@ -229,8 +326,9 @@ private[streaming] class StableCsvMicroBatchStream(
     ensureLog()
     val s = start.asInstanceOf[ChunkOffset].chunks
     val e = end.asInstanceOf[ChunkOffset].chunks
-    (s until e).flatMap(i => readLog(i.toString)).map(p =>
-      CsvFilePartition(p, header, delim): InputPartition).toArray
+    (s until e).flatMap(i => readLog(i.toString)).map { case (p, _) =>
+      CsvFilePartition(p, header, delim, failFast): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -243,10 +341,15 @@ private[streaming] class StableCsvMicroBatchStream(
   }
 
   /** Compact the admission log: batches below `end` are durably
-    * processed and never replanned, so their chunks fold into one
-    * `snapshot-<e>` (file names retained for admission dedup on
-    * restart). Crash-safe: the snapshot publishes atomically BEFORE the
-    * chunks it covers are deleted — leftovers are redundant set members.
+    * processed and never replanned, so once `compactInterval` of their
+    * chunks have accumulated they fold into one `snapshot-<e>` (file
+    * names retained for admission dedup on restart); commits in between
+    * do nothing. Compaction is also where retention binds: entries older
+    * than `maxFileAgeMs` leave the snapshot AND the in-memory admitted
+    * map — safe because the listing refuses files that old, so an
+    * evicted name can only return if its file's mtime is rewritten.
+    * Crash-safe: the snapshot publishes atomically BEFORE the chunks it
+    * covers are deleted — leftovers are redundant set members.
     */
   override def commit(end: Offset): Unit = {
     ensureLog()
@@ -255,12 +358,17 @@ private[streaming] class StableCsvMicroBatchStream(
     val prev = snapshotIndex(lfs)
     if (e > prev.getOrElse(0L)) {
       val dead = chunkIndices(lfs).filter(_ < e)
-      if (dead.nonEmpty) {
-        val merged = prev.map(n => readLog(s"snapshot-$n")).getOrElse(Seq.empty) ++
-          dead.flatMap(i => readLog(i.toString))
-        writeLog(s"snapshot-$e", merged.distinct)
+      if (dead.size >= compactInterval) {
+        val merged = (prev.map(n => readLog(s"snapshot-$n")).getOrElse(Seq.empty) ++
+          dead.flatMap(i => readLog(i.toString))).distinctBy(_._1)
+        val now = nowMs
+        val (evicted, kept) =
+          merged.partition { case (_, m) => m != Long.MaxValue && now - m > maxFileAgeMs }
+        writeLog(s"snapshot-$e", kept)
+        afterSnapshotPublish()
         dead.foreach(i => lfs.delete(new Path(logDir, i.toString), false))
         prev.foreach(n => lfs.delete(new Path(logDir, s"snapshot-$n"), false))
+        evicted.foreach { case (p, _) => admitted.remove(p) }
       }
     }
   }
@@ -284,13 +392,17 @@ private[streaming] class StableCsvReaderFactory(
       private val path = new Path(p.path)
       private val in = path.getFileSystem(conf).open(path)
       // univocity — the parser behind Spark's own CSV source — handles
-      // RFC 4180 quoting including embedded newlines and escaped quotes
+      // RFC 4180 quoting including embedded newlines and escaped quotes;
+      // trimming is OFF so string columns see their exact bytes (Spark
+      // CSV read parity); non-string conversion trims in convert()
       private val parser = {
         val settings = new com.univocity.parsers.csv.CsvParserSettings
         settings.getFormat.setDelimiter(p.delim)
         settings.setHeaderExtractionEnabled(p.header)
         settings.setMaxCharsPerColumn(1 << 20)
         settings.setLineSeparatorDetectionEnabled(true)
+        settings.setIgnoreLeadingWhitespaces(false)
+        settings.setIgnoreTrailingWhitespaces(false)
         new com.univocity.parsers.csv.CsvParser(settings)
       }
       parser.beginParsing(new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
@@ -300,7 +412,8 @@ private[streaming] class StableCsvReaderFactory(
         if (cells == null) false
         else {
           val vals = schema.fields.zipWithIndex.map { case (f, i) =>
-            if (i < cells.length) StableCsvSource.convert(cells(i), f.dataType) else null
+            if (i < cells.length) StableCsvSource.convert(cells(i), f.dataType, p.failFast)
+            else null
           }
           current = InternalRow.fromSeq(vals.toIndexedSeq)
           true

@@ -70,8 +70,11 @@ object StreamingEtl {
       schema: StructType,
       minAge: java.time.Duration,
       globPattern: String = "loan_*.csv",
-      maxFilesPerTrigger: Int = 1000): DataFrame =
-    spark.readStream
+      maxFilesPerTrigger: Int = 1000,
+      maxFileAge: Option[java.time.Duration] = None,
+      compactInterval: Int = 10,
+      failFast: Boolean = false): DataFrame = {
+    val base = spark.readStream
       .format(StableCsvSource.ProviderClass)
       .schema(schema)
       .option("path", dir)
@@ -79,7 +82,12 @@ object StreamingEtl {
       .option("pathGlobFilter", globPattern)
       .option("header", "true")
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-      .load()
+      .option("compactInterval", compactInterval.toString)
+      .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
+    // retention bounds admission state (driver memory + snapshot size)
+    // to the files younger than maxFileAge — an eternal ingest stays O(window)
+    maxFileAge.fold(base)(a => base.option("maxFileAgeMs", a.toMillis.toString)).load()
+  }
 
   /** Drain all currently-available input exactly once, then stop — the
     * per-run body of the reference's scheduled task. Re-invoking with the

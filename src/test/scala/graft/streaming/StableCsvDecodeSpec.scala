@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.SparkSpec
+
+/** Cell-decode semantics of the StableCsvSource, pinned to Spark-CSV
+  * parity: strings preserve whitespace and null only the truly-empty
+  * value; unparsable cells null the FIELD (PERMISSIVE default) instead
+  * of failing the task, or throw under mode=FAILFAST; timestamps accept
+  * ISO instants, offset datetimes, and zoneless SQL forms (resolved in
+  * UTC); unsupported column types are rejected at construction, never
+  * silently nulled.
+  */
+class StableCsvDecodeSpec extends SparkSpec {
+
+  private def conv(raw: String, dt: DataType, failFast: Boolean = false): Any =
+    StableCsvSource.convert(raw, dt, failFast)
+
+  test("strings: whitespace preserved, only the truly-empty value is null") {
+    assert(conv("  ", StringType) == UTF8String.fromString("  "),
+      "a whitespace-only string is a VALUE, not null (Spark CSV parity)")
+    assert(conv(" x ", StringType) == UTF8String.fromString(" x "))
+    assert(conv("", StringType) == null)
+    assert(conv(null, StringType) == null)
+  }
+
+  test("permissive default: an unparsable cell nulls the field only") {
+    assert(conv("abc", LongType) == null)
+    assert(conv("1.5", LongType) == null, "a double in a Long column nulls, not crashes")
+    assert(conv("12x", DoubleType) == null)
+    assert(conv("not-a-date", DateType) == null)
+    assert(conv("maybe", BooleanType) == null)
+    // valid values still parse
+    assert(conv(" 42 ", LongType) == 42L, "non-string types trim before parsing")
+    assert(conv("1.5", DoubleType) == 1.5)
+  }
+
+  test("mode=FAILFAST throws on the first unparsable cell") {
+    val e = intercept[IllegalArgumentException](conv("abc", LongType, failFast = true))
+    assert(e.getMessage.contains("FAILFAST"))
+    assert(conv("42", LongType, failFast = true) == 42L)
+  }
+
+  test("timestamps: ISO instant, offset datetime, and zoneless SQL form in UTC") {
+    val utcMidnight = 1704067200000000L // 2024-01-01T00:00:00Z in micros
+    assert(conv("2024-01-01T00:00:00Z", TimestampType) == utcMidnight)
+    assert(conv("2024-01-01 00:00:00", TimestampType) == utcMidnight,
+      "the zoneless SQL form resolves in UTC, not the JVM default zone")
+    // +02:00 means two hours EARLIER in UTC
+    assert(conv("2024-01-01T02:00:00+02:00", TimestampType) == utcMidnight,
+      "offset datetimes must honor their zone offset")
+    assert(conv("2024-01-01 02:00:00+02:00", TimestampType) == utcMidnight)
+    assert(conv("2024-13-01 99:00:00", TimestampType) == null, "permissive nulls bad timestamps")
+  }
+
+  test("unsupported column types are rejected at construction, not nulled per row") {
+    val bad = StructType(Seq(StructField("d", DecimalType(10, 2))))
+    val e = intercept[IllegalArgumentException](StableCsvSource.validateSchema(bad))
+    assert(e.getMessage.contains("unsupported type"))
+    intercept[IllegalArgumentException] {
+      new StableCsvMicroBatchStream(bad,
+        Map("path" -> tmpDir("dec-in").toString), tmpDir("dec-ckpt").toString)
+    }
+  }
+
+  test("streaming end-to-end: malformed cells null their fields; good rows unaffected") {
+    val schema = StructType(Seq(
+      StructField("loan_id", LongType),
+      StructField("name", StringType),
+      StructField("amount", DoubleType)))
+    val in = tmpDir("dec2-in"); val out = tmpDir("dec2-out"); val ckpt = tmpDir("dec2-ckpt")
+    writeFile(in, "loan_m.csv",
+      "loan_id,name,amount\n1,good,10.5\n2,bad,notanumber\nxx,worse,3.25\n")
+      .toFile.setLastModified(System.currentTimeMillis() - 60000)
+    val df = StreamingEtl.stableCsvStream(
+      spark, in.toString, schema, java.time.Duration.ofSeconds(1))
+    val q = df.writeStream
+      .format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.read.schema(schema).parquet(out.toString)
+      .collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0),
+        r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+      .toSet
+    assert(rows == Set((1L, "good", 10.5), (2L, "bad", null), (null, "worse", 3.25)),
+      s"permissive decode must null only the malformed field: $rows")
+  }
+}

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Bounded admission state: `maxFileAgeMs` retention on the
+  * StableCsvSource admission log. The invariant PAIR under test:
+  * compaction evicts entries whose recorded mtime aged past retention,
+  * AND the listing refuses files that old — so eviction can never cause
+  * re-admission (the same contract as Spark's file-source `maxFileAge`).
+  * Plus the compaction cadence: ordinary commits are no-ops until
+  * `compactInterval` committed chunks accumulate.
+  *
+  * These tests drive the MicroBatchStream directly with an injected
+  * clock (the `nowMs` seam) — deterministic, no sleeps, no wall-clock
+  * flake — and one streaming-level drain proves the over-age refusal
+  * end-to-end.
+  */
+class StableCsvRetentionSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("loan_id", LongType),
+    StructField("name", StringType),
+    StructField("amount", DoubleType)))
+
+  private def props(in: java.nio.file.Path, extra: (String, String)*): Map[String, String] =
+    Map("path" -> in.toString, "minAgeMs" -> "0", "pathGlobFilter" -> "*.csv",
+      "compactInterval" -> "1") ++ extra
+
+  private class Clocked(p: Map[String, String], ckpt: String, @volatile var now: Long)
+      extends StableCsvMicroBatchStream(schema, p, ckpt) {
+    override protected def nowMs: Long = now
+  }
+
+  private def logFiles(ckpt: java.nio.file.Path): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val d = ckpt.resolve("graft-admitted")
+    if (!java.nio.file.Files.isDirectory(d)) Seq.empty
+    else java.nio.file.Files.list(d).iterator().asScala.map(_.getFileName.toString).toSeq
+  }
+
+  private def logText(ckpt: java.nio.file.Path, name: String): String =
+    java.nio.file.Files.readString(ckpt.resolve("graft-admitted").resolve(name))
+
+  test("compaction evicts aged entries; eviction never re-admits; restart stays exactly-once") {
+    spark // force an active session for SparkSession.active in the stream ctor
+    val in = tmpDir("ret-in"); val ckpt = tmpDir("ret-ckpt")
+    val base = System.currentTimeMillis()
+    val retention = 10000L
+    val p = props(in, "maxFileAgeMs" -> retention.toString)
+
+    val a = writeFile(in, "a.csv", "loan_id,name,amount\n1,a,1.0\n")
+    a.toFile.setLastModified(base)
+    val s1 = new Clocked(p, ckpt.toString, base + 1000)
+    s1.initialOffset()
+    assert(s1.latestOffset().asInstanceOf[ChunkOffset].chunks == 1L, "file a should be admitted")
+    val p1 = s1.planInputPartitions(ChunkOffset(0), ChunkOffset(1))
+    assert(p1.length == 1 && p1.head.asInstanceOf[CsvFilePartition].path.endsWith("a.csv"))
+
+    // the clock advances past retention; a fresh file lands
+    s1.now = base + 2 * retention
+    val c = writeFile(in, "c.csv", "loan_id,name,amount\n2,c,2.0\n")
+    c.toFile.setLastModified(base + 2 * retention - 1000)
+    assert(s1.latestOffset().asInstanceOf[ChunkOffset].chunks == 2L, "file c should be admitted")
+
+    // batch 0 commits -> compaction folds chunk 0; a's entry has aged out
+    s1.commit(ChunkOffset(1))
+    val snaps = logFiles(ckpt).filter(_.startsWith("snapshot-"))
+    assert(snaps == Seq("snapshot-1"), s"expected one snapshot, got ${logFiles(ckpt)}")
+    assert(!logText(ckpt, "snapshot-1").contains("a.csv"),
+      "aged entry must leave the snapshot at compaction")
+
+    // same instance: a was evicted from the in-memory admitted set, but the
+    // listing refuses over-age files — so no re-admission
+    assert(s1.latestOffset().asInstanceOf[ChunkOffset].chunks == 2L,
+      "evicted file must not be re-admitted")
+
+    // restart: a fresh instance rebuilds from the (evicted) log; still exactly-once
+    val s2 = new Clocked(p, ckpt.toString, base + 2 * retention + 1000)
+    s2.initialOffset()
+    assert(s2.latestOffset().asInstanceOf[ChunkOffset].chunks == 2L,
+      "restart after eviction re-admitted a file")
+    val p2 = s2.planInputPartitions(ChunkOffset(1), ChunkOffset(2))
+    assert(p2.length == 1 && p2.head.asInstanceOf[CsvFilePartition].path.endsWith("c.csv"))
+  }
+
+  test("a file older than maxFileAge is never admitted (streaming end-to-end)") {
+    val in = tmpDir("ret2-in"); val out = tmpDir("ret2-out"); val ckpt = tmpDir("ret2-ckpt")
+    val now = System.currentTimeMillis()
+    val fresh = writeFile(in, "loan_fresh.csv", "loan_id,name,amount\n1,f,1.0\n")
+    fresh.toFile.setLastModified(now - 60000) // 1 min old: stable, within retention
+    val stale = writeFile(in, "loan_stale.csv", "loan_id,name,amount\n2,s,2.0\n")
+    stale.toFile.setLastModified(now - 2 * 3600000L) // 2 h old: beyond retention
+
+    def drain(): Unit = {
+      val df = StreamingEtl.stableCsvStream(
+        spark, in.toString, schema, java.time.Duration.ofSeconds(1),
+        maxFileAge = Some(java.time.Duration.ofHours(1)))
+      val q = df.writeStream
+        .format("parquet").option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain(); drain()
+    val rows = spark.read.schema(schema).parquet(out.toString)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "f")), s"over-age file must never be admitted: $rows")
+  }
+
+  test("ordinary commits are no-ops until compactInterval chunks accumulate") {
+    spark
+    val in = tmpDir("ci-in"); val ckpt = tmpDir("ci-ckpt")
+    val old = System.currentTimeMillis() - 60000
+    val s = new Clocked(props(in, "compactInterval" -> "3"), ckpt.toString,
+      System.currentTimeMillis())
+    s.initialOffset()
+    (1 to 2).foreach { i =>
+      writeFile(in, s"f$i.csv", s"loan_id,name,amount\n$i,x,1.0\n").toFile.setLastModified(old)
+      assert(s.latestOffset().asInstanceOf[ChunkOffset].chunks == i.toLong)
+      s.commit(ChunkOffset(i.toLong))
+      // below the interval: commit must be a cheap no-op (no snapshot yet)
+      assert(!logFiles(ckpt).exists(_.startsWith("snapshot-")),
+        s"commit $i compacted below the interval: ${logFiles(ckpt)}")
+    }
+    writeFile(in, "f3.csv", "loan_id,name,amount\n3,x,1.0\n").toFile.setLastModified(old)
+    assert(s.latestOffset().asInstanceOf[ChunkOffset].chunks == 3L)
+    s.commit(ChunkOffset(3))
+    val names = logFiles(ckpt)
+    assert(names.count(_.startsWith("snapshot-")) == 1,
+      s"3 dead chunks must trigger compaction: $names")
+    assert(!names.exists(n => n.nonEmpty && n.forall(_.isDigit)),
+      s"compacted chunks must be deleted: $names")
+  }
+}

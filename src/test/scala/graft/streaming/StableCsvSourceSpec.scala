@@ -99,6 +99,7 @@ class StableCsvSourceSpec extends SparkSpec {
         .option("pathGlobFilter", "loan_*.csv")
         .option("header", "true")
         .option("maxFilesPerTrigger", "1")
+        .option("compactInterval", "1") // compact on every commit so the assertions below see a snapshot
         .load()
       val q = df.writeStream
         .format("parquet").option("path", out.toString)
