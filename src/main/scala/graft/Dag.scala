@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.time.Instant
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.etl.{Aggregates, Pipeline, Sessions}
+import graft.ingest.FileIngest
+import graft.report.Summary
+
+/** The end-to-end pipeline composition — the reference DAG's task chain
+  * `poll_and_process_drive_files >> run_spark_etl >> send_summary_email`
+  * (drive_auto_compress_email.py:577-602) as one callable unit:
+  *
+  *   1. ingest batch ([[graft.ingest.FileIngest.processBatch]]): discover
+  *      `incomingDir`, admit by name pattern, defer files younger than
+  *      `minAgeSeconds`, skip ledgered files, land admitted CSVs into
+  *      `<work>/raw`, gzip them into `<work>/compressed` with size
+  *      metrics, append the batch to `<work>/ledger.json`
+  *      (process_new_drive_files, drive_auto_compress_email.py:160-339);
+  *   2. ETL ([[graft.etl.Pipeline.run]]): full recompute over the ENTIRE
+  *      raw dir — like the reference, each run re-reads everything landed
+  *      so far, not just this batch's files (run_spark_etl_task,
+  *      drive_auto_compress_email.py:522-536) — writing cleaned +
+  *      aggregates parquet under `<work>/output`;
+  *   3. report: when (and only when) this run processed new files, render
+  *      the HTML summary over this batch's compression stats and the
+  *      latest aggregates, and write it to `<work>/report.html`
+  *      (send_combined_email_task skips the email when XCom is empty,
+  *      drive_auto_compress_email.py:538-563; SMTP delivery itself is a
+  *      connector, out of engine scope per SURVEY.md §2.1).
+  *
+  * All paths go through the Hadoop FileSystem API, so `incomingDir` and
+  * `workDir` may live on `file://`, `hdfs://`, or `s3a://`. The ETL stage
+  * is the distributed part; ingest is driver-side file plumbing exactly
+  * as the reference's PythonOperator is.
+  *
+  * Usage: `runMain graft.Dag <incomingDir> <workDir> [minAgeSeconds]`.
+  * Re-running is safe and incremental: the ledger makes ingest
+  * exactly-once per file, the ETL is a deterministic overwrite, and the
+  * report is only emitted for runs that ingested something new.
+  */
+object Dag {
+
+  final case class RunResult(
+      batch: FileIngest.BatchResult,
+      etl: Option[Pipeline.Result],
+      reportPath: Option[String])
+
+  def run(
+      spark: SparkSession,
+      incomingDir: String,
+      workDir: String,
+      minAgeSeconds: Long = 60L,
+      namePrefix: String = "loan_",
+      nameSuffix: String = ".csv",
+      coalesceOutput: Boolean = true,
+      now: Instant = Instant.now()): RunResult = {
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rawDir = s"$workDir/raw"
+
+    val batch = FileIngest.processBatch(
+      incomingDir = incomingDir,
+      rawDir = rawDir,
+      outputDir = s"$workDir/compressed",
+      ledgerPath = s"$workDir/ledger.json",
+      namePrefix = namePrefix,
+      nameSuffix = nameSuffix,
+      minAgeSeconds = minAgeSeconds,
+      conf = conf,
+      now = now)
+
+    // Nothing may have landed yet (first run with every file deferred):
+    // an unmatched glob makes spark.read throw, so probe the landing zone
+    // first and mirror the reference's "no input data" no-op
+    // (run_spark_etl_task, drive_auto_compress_email.py:531-535).
+    val rawPath = new Path(rawDir)
+    val rawFs = rawPath.getFileSystem(conf)
+    val hasLanded = rawFs.exists(rawPath) &&
+      rawFs.listStatus(rawPath).exists(st => st.isFile && st.getPath.getName.endsWith(nameSuffix))
+    val etl =
+      if (!hasLanded) None
+      else Pipeline.run(spark, rawDir, s"$workDir/output",
+        coalesceOutput = coalesceOutput, globPattern = s"*$nameSuffix")
+
+    val reportPath =
+      if (batch.processed.isEmpty) None
+      else {
+        val aggregates = etl
+          .map(r => Aggregates.latestSummary(spark, r.aggregatesPath))
+          .getOrElse(Seq.empty)
+        val html = Summary.renderHtml(
+          batch.processed, aggregates,
+          runTime = now.toString, source = incomingDir)
+        val p = new Path(s"$workDir/report.html")
+        val fs = p.getFileSystem(conf)
+        val out = fs.create(p, true)
+        try out.write(html.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        Some(p.toString)
+      }
+
+    RunResult(batch, etl, reportPath)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: graft.Dag <incomingDir> <workDir> [minAgeSeconds]")
+    val minAge = args.lift(2).map(_.toLong).getOrElse(60L)
+    val spark = Sessions.builder("GraftDag").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val r = run(spark, args(0), args(1), minAgeSeconds = minAge)
+      println(s"ingested: ${r.batch.processed.size} file(s) " +
+        s"(deferred ${r.batch.deferred.size}, rejected ${r.batch.rejected.size})")
+      r.batch.processed.foreach(s => println(
+        s"  ${s.filename}: ${Summary.formatSize(s.originalSize)} -> " +
+          s"${Summary.formatSize(s.compressedSize)} (ratio ${f"${s.compressionRatio}%.3f"})"))
+      r.etl match {
+        case Some(e) => println(s"etl: ${e.rowCount} cleaned rows -> ${e.cleanedPath}")
+        case None => println("etl: no input data")
+      }
+      println(r.reportPath.fold("report: skipped (no new files this run)")(p => s"report: $p"))
+    } finally spark.stop()
+  }
+}

@@ -49,20 +49,30 @@ object ScaleCurve {
     // 0 and leak cross-replica near-dups (observed: a 30x run merged 4
     // replica pairs into shared clusters). Hard-stop inside the period.
     require(factor <= 26, s"scaleDocuments supports factors up to 26, got $factor")
-    // the DIGIT rotation's period is only 10: replicas r and r+10 map
-    // digits identically, so a token containing ONLY digits would leak
-    // across those replica pairs (any letter in the token separates it,
-    // since letter rotations are distinct for all r < 26). Cheap to rule
-    // out outright rather than reason about: require the corpus has no
-    // pure-digit tokens when the factor exceeds the digit period.
-    if (factor > 10) {
-      val leaky = docs
+    // cross-replica disjointness relies on every token CHANGING under the
+    // rotation, and the rotation only touches letters and digits. Two
+    // leak classes, guarded by their exact periods:
+    //   - a token with NO letter and NO digit (pure punctuation, e.g.
+    //     "--") is invariant under EVERY rotation — identical across all
+    //     replicas, so it leaks at any factor > 1;
+    //   - a token with NO letter but some digit (e.g. "3.14") rotates
+    //     with the digit period 10 — replicas r and r+10 map it
+    //     identically, so it leaks once factor > 10. (Any letter in the
+    //     token separates all replicas, since letter rotations are
+    //     distinct for every r < 26.)
+    // One scan finds the worst class present; require rules it out.
+    if (factor > 1) {
+      val nonLetter = docs
         .select(explode(split(col("text"), " ")).as("t"))
-        .filter(col("t").rlike("^[0-9]+$"))
-        .limit(1).count()
-      require(leaky == 0,
-        s"factor $factor > 10 needs a corpus with no pure-digit tokens " +
-          "(digit rotation period is 10) — found at least one")
+        .filter(col("t").rlike("^[^A-Za-z]+$") && length(col("t")) > 0)
+      val leaky =
+        if (factor > 10) nonLetter
+        else nonLetter.filter(!col("t").rlike("[0-9]"))
+      val hit = leaky.limit(1).collect().headOption.map(_.getString(0))
+      require(hit.isEmpty,
+        s"factor $factor risks cross-replica token leakage: token '${hit.getOrElse("")}' " +
+          "contains no letter, so the alphabet rotation cannot separate replicas " +
+          "(pure-punctuation tokens are rotation-invariant; digit rotation period is 10)")
     }
     val stride = docs.agg(max("doc_id")).head().getLong(0) + 1
     def rot(s: String, r: Int): String = s.drop(r % s.length) + s.take(r % s.length)
@@ -138,17 +148,33 @@ object ScaleCurve {
       }
     }
 
-    final case class Measure(factor: Int, op: String, sec: Double, rows: Long)
-    def time(op: String, f: Int)(mk: => DataFrame)(
-        rowsOf: DataFrame => Long): Measure = {
+    // one measurement cell per (factor, operator); `mk` rebuilds the
+    // frame fresh each run, `rowsOf` documents that OUTPUT grows linearly,
+    // not just runtime (computed once, untimed — noop caches nothing)
+    final case class Cell(factor: Int, op: String, mk: () => DataFrame,
+        rowsOf: DataFrame => Long)
+    val cells: Seq[Cell] = factors.flatMap { f =>
+      val dir = s"$work/x$f"
+      def docs = Queries.t(spark, dir, "documents")
+      def emb = Queries.t(spark, dir, "embeddings")
+      Seq(
+        // rows = keepers = number of clusters (total output is trivially n)
+        Cell(f, "q68_clusters_linear",
+          () => graft.ops.NearDup.lshDedupClusters(docs),
+          _.filter(col("keep")).count()),
+        Cell(f, "pairs_full_guarded",
+          () => graft.ops.NearDup.lshNearDupPairs(docs, sliceMax = None, hotBandMax = Some(64L)),
+          _.count()),
+        Cell(f, "q64_embed_cc",
+          () => graft.ops.Clusters.embedDupClusters(emb),
+          _.count()))
+    }
+
+    def runOnce(c: Cell): Double = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      mk.write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      // the size column re-runs the pipeline untimed (noop caches nothing);
-      // it documents that OUTPUT grows linearly, not just runtime
-      val rows = rowsOf(mk)
-      Measure(f, op, sec, rows)
+      c.mk().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
 
     val loadBefore = loadavg()
@@ -156,28 +182,21 @@ object ScaleCurve {
     // factor: absorbs codegen/JIT for each, so the smallest timed point
     // doesn't carry one-time compilation the larger points skip (which
     // would fake sub-linearity)
-    locally {
-      val d = Queries.t(spark, s"$work/x${factors.min}", "documents")
-      val e = Queries.t(spark, s"$work/x${factors.min}", "embeddings")
-      graft.ops.NearDup.lshDedupClusters(d).write.format("noop").mode("overwrite").save()
-      graft.ops.NearDup.lshNearDupPairs(d, sliceMax = None, hotBandMax = Some(64L))
-        .write.format("noop").mode("overwrite").save()
-      graft.ops.Clusters.embedDupClusters(e).write.format("noop").mode("overwrite").save()
-    }
-    val results = factors.flatMap { f =>
-      val dir = s"$work/x$f"
-      def docs = Queries.t(spark, dir, "documents")
-      def emb = Queries.t(spark, dir, "embeddings")
-      Seq(
-        // rows = keepers = number of clusters (total output is trivially n)
-        time("q68_clusters_linear", f)(graft.ops.NearDup.lshDedupClusters(docs))(
-          _.filter(col("keep")).count()),
-        time("pairs_full_guarded", f)(
-          graft.ops.NearDup.lshNearDupPairs(docs, sliceMax = None, hotBandMax = Some(64L)))(
-          _.count()),
-        time("q64_embed_cc", f)(graft.ops.Clusters.embedDupClusters(emb))(_.count()))
-    }
+    cells.filter(_.factor == factors.min).foreach(runOnce)
+    // Bench-grade discipline (r6 verdict): 3 timed runs per cell,
+    // INTERLEAVED — pass 1 runs every cell once, then pass 2, ... — so one
+    // cell's samples are minutes apart and a transient host disturbance
+    // (shared-host VM) corrupts at most 1 of 3; the median rejects it.
+    val passes = 3
+    val samples: Seq[Seq[Double]] = (1 to passes).map(_ => cells.map(runOnce))
     val loadAfter = loadavg()
+
+    final case class Measure(factor: Int, op: String, sec: Double, rows: Long,
+        runs: Seq[Double])
+    val results = cells.zipWithIndex.map { case (c, i) =>
+      val runs = samples.map(_(i))
+      Measure(c.factor, c.op, runs.sorted.apply(passes / 2), c.rowsOf(c.mk()), runs)
+    }
 
     // Locale.ROOT: f-interpolators use the default locale, which can
     // emit comma decimals and corrupt the JSON artifact
@@ -189,10 +208,12 @@ object ScaleCurve {
       println(s"| ${m.factor}x | ${m.op} | ${fmt(m.sec, 2)} | ${m.rows} |")
     }
     val json = results.map { m =>
-      s"""{"factor":${m.factor},"op":"${m.op}","sec":${fmt(m.sec, 3)},"rows":${m.rows}}"""
+      s"""{"factor":${m.factor},"op":"${m.op}","sec":${fmt(m.sec, 3)},"rows":${m.rows},""" +
+        s""""runs":[${m.runs.map(fmt(_, 3)).mkString(",")}]}"""
     }.mkString("[", ",", "]")
     val line =
-      s"""{"scale_curve":$json,"load_before":"$loadBefore","load_after":"$loadAfter","base":"$base"}"""
+      s"""{"scale_curve":$json,"n":$passes,"interleaved":true,""" +
+        s""""load_before":"$loadBefore","load_after":"$loadAfter","base":"$base"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_CURVE.json"), line + "\n")
     println(line)
     spark.stop()

@@ -1,0 +1,104 @@
+package graft
+
+import java.time.Instant
+
+/** Golden end-to-end run of the composed DAG — the reference's
+  * `poll_and_process >> run_spark >> send_email_summary` chain
+  * (drive_auto_compress_email.py:577-602) demonstrated as one call:
+  * fixture CSVs in, landed + gzipped files, cleaned + aggregates parquet,
+  * and the HTML report out; a second run no-ops at ingest via the ledger
+  * and therefore emits no report.
+  */
+class DagSpec extends SparkSpec {
+
+  private val header =
+    "loan_id,customer_id,created_at,amount,interest_rate,tenure_months,status,product_type,branch,credit_score_band"
+
+  test("end-to-end: ingest -> etl -> report; second run no-ops via ledger") {
+    val incoming = tmpDir("dag_incoming"); val work = tmpDir("dag_work")
+    writeFile(incoming, "loan_batch1.csv",
+      s"""$header
+         |L1,C1,2024-01-15 10:30:00,1000.5,12.5,12,APPROVED,PERSONAL,KTM,A
+         |L2,C2,2024-01-16 11:00:00,2000.0,11.0,24,APPROVED,HOME,PKR,B
+         |L3,C3,2024-01-17 12:00:00,1500.25,10.0,36,PENDING,PERSONAL,KTM,A
+         |""".stripMargin)
+    writeFile(incoming, "loan_batch2.csv",
+      s"""$header
+         |L4,C4,2024-02-01 09:00:00,500.0,9.5,6,APPROVED,PERSONAL,KTM,A
+         |""".stripMargin)
+    // admission filter: wrong prefix is rejected, like the reference's
+    // name check (drive_auto_compress_email.py:203-204)
+    writeFile(incoming, "notes.csv", "not,a,loan,file\n")
+
+    // an ingest clock BEFORE the fixtures' mtimes: everything is younger
+    // than min-age, so ingest defers all files and the ETL stage has
+    // nothing landed — the composed run must no-op cleanly, not throw
+    val run0 = Dag.run(spark, incoming.toString, work.toString,
+      minAgeSeconds = 60L, now = Instant.parse("2020-01-01T00:00:00Z"))
+    assert(run0.batch.processed.isEmpty && run0.batch.deferred.size === 2)
+    assert(run0.etl.isEmpty && run0.reportPath.isEmpty)
+
+    // minAgeSeconds = 0: fixture files were written just now
+    val run1 = Dag.run(spark, incoming.toString, work.toString,
+      minAgeSeconds = 0L)
+
+    // stage 1: ingest — both loan files processed, the stray rejected
+    assert(run1.batch.processed.map(_.filename).sorted ===
+      Seq("loan_batch1.csv", "loan_batch2.csv"))
+    assert(run1.batch.rejected === Seq("notes.csv"))
+    assert(run1.batch.deferred.isEmpty)
+    run1.batch.processed.foreach { s =>
+      assert(new java.io.File(s.rawPath.stripPrefix("file:")).exists(), s.rawPath)
+      assert(new java.io.File(s.compressedPath.stripPrefix("file:")).exists(), s.compressedPath)
+      assert(s.originalSize > 0 && s.compressedSize > 0)
+    }
+
+    // stage 2: ETL over everything landed
+    val etl = run1.etl.get
+    assert(etl.rowCount === 4L)
+    assert(spark.read.parquet(etl.cleanedPath).count() === 4L)
+    val agg = spark.read.parquet(etl.aggregatesPath)
+      .orderBy("status", "product_type", "branch").collect()
+    // ordered by the group keys: (APPROVED, HOME) then (APPROVED, PERSONAL)
+    assert(agg.map(r => (r.getAs[String]("status"), r.getAs[String]("product_type"),
+      r.getAs[Long]("loan_count"))).toSeq ===
+      Seq(("APPROVED", "HOME", 1L), ("APPROVED", "PERSONAL", 2L), ("PENDING", "PERSONAL", 1L)))
+
+    // stage 3: report renders this batch's files and the aggregates
+    val html = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(work.resolve("report.html").toString))
+    assert(run1.reportPath.isDefined)
+    assert(html.contains("loan_batch1.csv") && html.contains("loan_batch2.csv"))
+    assert(html.contains("Loan Aggregates") && html.contains("PERSONAL"))
+    assert(html.contains("Processed <b>2</b> file(s)"))
+
+    // second run: ledger makes ingest exactly-once -> nothing processed,
+    // no report (the reference skips the email on an empty XCom,
+    // drive_auto_compress_email.py:547-549); the ETL full recompute
+    // still reproduces identical outputs
+    val run2 = Dag.run(spark, incoming.toString, work.toString,
+      minAgeSeconds = 0L)
+    assert(run2.batch.processed.isEmpty)
+    assert(run2.reportPath.isEmpty)
+    assert(run2.etl.get.rowCount === 4L)
+
+    // a file that arrives too recently is deferred, then picked up once
+    // stable (MIN_FILE_AGE_SECONDS, drive_auto_compress_email.py:227-238)
+    val f3 = writeFile(incoming, "loan_batch3.csv",
+      s"""$header
+         |L5,C5,2024-03-01 08:00:00,750.0,8.0,12,PENDING,HOME,PKR,C
+         |""".stripMargin)
+    val mtime = java.nio.file.Files.getLastModifiedTime(f3).toInstant
+    val run3 = Dag.run(spark, incoming.toString, work.toString,
+      minAgeSeconds = 3600L, now = mtime.plusSeconds(10))
+    assert(run3.batch.deferred.size === 1 && run3.batch.processed.isEmpty)
+    assert(run3.reportPath.isEmpty)
+    val run4 = Dag.run(spark, incoming.toString, work.toString,
+      minAgeSeconds = 3600L, now = mtime.plusSeconds(7200))
+    assert(run4.batch.processed.map(_.filename) === Seq("loan_batch3.csv"))
+    assert(run4.etl.get.rowCount === 5L)
+    val html4 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(work.resolve("report.html").toString))
+    assert(html4.contains("loan_batch3.csv") && !html4.contains("loan_batch1.csv"))
+  }
+}

@@ -48,6 +48,23 @@ class ScaleCurveSpec extends SparkSpec {
     intercept[IllegalArgumentException](ScaleCurve.scaleDocuments(docs, 27))
   }
 
+  test("scaleDocuments rejects rotation-invariant tokens by their exact leak period") {
+    import spark.implicits._
+    def d(text: String) =
+      Seq((0L, text, "en", "s", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // pure punctuation is invariant under EVERY rotation → leaks at any factor > 1
+    intercept[IllegalArgumentException](ScaleCurve.scaleDocuments(d("alpha -- beta"), 2))
+    // digit+punctuation rotates with period 10 → fine at factor ≤ 10, leaks beyond
+    assert(ScaleCurve.scaleDocuments(d("alpha 3.14 beta"), 2).count() == 2)
+    intercept[IllegalArgumentException](ScaleCurve.scaleDocuments(d("alpha 3.14 beta"), 11))
+    // pure digits: same period-10 bound (the pre-existing guard, now subsumed)
+    assert(ScaleCurve.scaleDocuments(d("alpha 42 beta"), 10).count() == 10)
+    intercept[IllegalArgumentException](ScaleCurve.scaleDocuments(d("alpha 42 beta"), 11))
+    // any letter in the token separates all replicas — never rejected
+    assert(ScaleCurve.scaleDocuments(d("alpha x9.9 beta"), 12).count() == 12)
+  }
+
   test("scaleEmbeddings: size multiplies, intra-replica cosines exact, norms preserved") {
     import spark.implicits._
     val emb = Seq(
