@@ -165,9 +165,14 @@ object Bench {
     // The metrics line must survive log-tail truncation: persist it to a
     // dedicated file, print it immediately, and print it again as the very
     // last line after spark.stop() so neither head- nor tail-truncation of
-    // the sbt output can lose it.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_OUT.json"), line + "\n")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_RUNS.json"), runsLine + "\n")
+    // the sbt output can lose it. An args-filtered (isolated A/B) run must
+    // NOT clobber the canonical full-catalog artifact or its vs_prev
+    // anchor — it goes to a scratch file instead.
+    val (outFile, runsFile) =
+      if (args.isEmpty) ("BENCH_OUT.json", "BENCH_RUNS.json")
+      else ("BENCH_ISOLATED.json", "BENCH_ISOLATED_RUNS.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(runsFile), runsLine + "\n")
     println(line)
     Console.out.flush()
     spark.stop()

@@ -1502,6 +1502,17 @@ object Queries {
     (s, d) => graft.ops.NearDup.lshDedupClusters(t(s, d, "documents")),
     Some(graft.ops.NearDup.clustersOracleSql))
 
+  /** Within-document repeated 3-token spans — the intra-document dedup
+    * granularity (repeated boilerplate/templated passages) that the
+    * corpus-level near-dup family (q25/q30/q35) cannot see. One map-side
+    * window pass + one (doc_id, span)-keyed aggregate; see
+    * graft.ops.TextOps.repeatedSpans for the 100 TB notes.
+    */
+  private val q69 = QueryDef(
+    "q69_repeated_spans",
+    (s, d) => graft.ops.TextOps.repeatedSpans(t(s, d, "documents")),
+    Some(graft.ops.TextOps.repeatedSpansOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -1525,5 +1536,5 @@ object Queries {
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
-    q67, q68)
+    q67, q68, q69)
 }

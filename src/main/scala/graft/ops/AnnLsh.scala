@@ -90,18 +90,22 @@ object AnnLsh {
   def annTopK(emb: DataFrame, dim: Int = 64, queryMax: Option[Long] = Some(5L),
       k: Int = 5, hotBucketMax: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // norm rides WITH the vector: one persisted (vec_id, embedding, nrm)
+    // frame means the verify stage is TWO joins (one per pair side), not
+    // four — each join here shuffles/broadcasts the candidate set, so
+    // halving the join count halves the verify stages (A/B'd on q64/q35)
     val vecs = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bk = buckets(vecs, dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = candidatesFromBuckets(bk, "query_id", strict = false, queryMax, hotBucketMax)
       .withColumnRenamed("vec_id", "neighbor_id")
-    val norms = vecs.select(col("vec_id"), sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     val sims = cand
-      .join(vecs.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
-      .join(vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")), "neighbor_id")
-      .join(norms.select(col("vec_id").as("query_id"), col("nrm").as("na")), "query_id")
-      .join(norms.select(col("vec_id").as("neighbor_id"), col("nrm").as("nb")), "neighbor_id")
+      .join(vecs.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("na")), "query_id")
+      .join(vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        col("nrm").as("nb")), "neighbor_id")
       .select(
         col("query_id"),
         col("neighbor_id"),
@@ -147,27 +151,33 @@ object AnnLsh {
       dim: Int = 64,
       sliceMax: Option[Long] = Some(100L),
       threshold: Double = 0.3,
-      hotBucketMax: Option[Long] = None): DataFrame = {
+      hotBucketMax: Option[Long] = None,
+      // `ordered = false` skips the final global sort (a range exchange
+      // plus its sampling job) for callers that immediately re-shuffle —
+      // connected components ([[Clusters.embedDupClusters]]) consumes the
+      // pairs as an unordered edge set
+      ordered: Boolean = true): DataFrame = {
+    // Norms are per-vector, not per-pair: computed once alongside the
+    // persisted vectors, so the verify stage is one join per pair side
+    // (two total) and the per-pair work is a single dot.
     val vecs = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bk = buckets(vecs, dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = candidatesFromBuckets(bk, "vec_a", strict = true, sliceMax, hotBucketMax)
       .withColumnRenamed("vec_id", "vec_b")
-    // Norms are per-vector, not per-pair: compute them once on the
-    // persisted frame and join — the per-pair work is a single dot.
-    val norms = vecs.select(col("vec_id"), sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     cand
-      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("va")), "vec_a")
-      .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("vb")), "vec_b")
-      .join(norms.select(col("vec_id").as("vec_a"), col("nrm").as("na")), "vec_a")
-      .join(norms.select(col("vec_id").as("vec_b"), col("nrm").as("nb")), "vec_b")
+      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
+        col("nrm").as("na")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
+        col("nrm").as("nb")), "vec_b")
       .select(
         col("vec_a"),
         col("vec_b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .orderBy("vec_a", "vec_b")
+      .transform(df => if (ordered) df.orderBy("vec_a", "vec_b") else df)
   }
 
   /** DuckDB SQL replicating [[nearDupPairs]]. */

@@ -82,10 +82,15 @@ object Clusters {
     // pre-partitioned ON THE JOIN KEY and cached: every round's
     // edges-to-labels join reuses this partitioning (InMemoryRelation
     // reports hash(b)), so only the small labels side shuffles per round
-    // — one up-front shuffle instead of re-shuffling edges every round
+    // — one up-front shuffle instead of re-shuffling edges every round.
+    // The edge multiset is NOT distinct'd: min-aggregation is idempotent,
+    // so duplicate or self pairs cannot change any label, and skipping
+    // the dedup saves a full edge-set exchange + aggregate (both shipped
+    // callers — q64 candidate pairs, q68 bucket-min edges — already emit
+    // distinct pairs; a caller with heavy duplication should distinct
+    // upstream, where the duplication's cause is visible)
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
       .repartition(col("b"))
       .persist()
     // initialization fused with the first propagation: label(v) starts at
@@ -134,12 +139,22 @@ object Clusters {
     * the cluster table is exactly the nodes that appeared in a pair.
     */
   def embedDupClusters(emb: DataFrame): DataFrame = {
-    val pairs = AnnLsh.nearDupPairs(emb)
+    import org.apache.spark.sql.expressions.Window
+    // ordered = false: CC consumes the pairs as an unordered edge set, so
+    // the oracle-facing global sort inside nearDupPairs would be a wasted
+    // range exchange + sampling job here
+    val pairs = AnnLsh.nearDupPairs(emb, ordered = false)
       .select(col("vec_a").as("a"), col("vec_b").as("b"))
     val cc = connectedComponents(pairs)
-    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    cc.join(sizes, "cluster_id")
-      .select(col("v").as("vec_id"), col("cluster_id"), col("cluster_size"))
+    // per-cluster size via a window over the labels, not groupBy + join
+    // back: one exchange on cluster_id instead of two — the same shape
+    // q68's lshDedupClusters uses. Trade-off shared with q68: a
+    // degenerate giant cluster lands in one window partition (the
+    // groupBy+join form would let AQE skew-split it), accepted because
+    // the window input is one row per NODE, already far smaller than the
+    // edge/pair frames upstream
+    cc.select(col("v").as("vec_id"), col("cluster_id"),
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))).as("cluster_size"))
       .orderBy("vec_id")
   }
 

@@ -318,4 +318,52 @@ object TextOps {
        |  CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_dups
        |FROM fp ORDER BY doc_id""".stripMargin
   }
+
+  /** Within-document repeated-span detection — the intra-document dedup
+    * granularity (repeated boilerplate: headers, footers, templated
+    * passages) that corpus-level near-dup (q25/q30/q35) cannot see,
+    * because it compares whole documents. A "span" is a `w`-token
+    * window; a span occurring more than once INSIDE the same document is
+    * reported with its occurrence count.
+    *
+    * Shape, scale-first: span generation is a pure map (split once,
+    * slide a window over the token array via `transform` over an index
+    * `sequence` — all codegen'd higher-order functions, no UDF, no
+    * join), then ONE aggregation keyed (doc_id, span). The key includes
+    * doc_id, so the shuffle spreads by document — a span that is
+    * globally common (classic boilerplate) does NOT hot-key the
+    * aggregate the way a global span count would. Spans are w tokens of
+    * text on the wire; at 100 TB swap the span string for a 64-bit hash
+    * in the shuffle key and re-attach text only for the reported
+    * repeats (the q20 digest-not-text discipline); kept as text here
+    * because the span IS the output.
+    */
+  def repeatedSpans(docs: DataFrame, w: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      // sequence(a, b) DESCENDS when b < a — a short doc would generate
+      // negative starts instead of zero spans, so gate on width first
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(t) - ${w - 1}), i -> concat_ws(' ', slice(t, i, $w)))"))
+        .as("span"))
+      .groupBy("doc_id", "span")
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+      .orderBy("doc_id", "span")
+
+  /** DuckDB oracle replicating [[repeatedSpans]]: identical split,
+    * 1-based window starts, inclusive list slice of `w` tokens.
+    */
+  def repeatedSpansOracleSql(w: Int = 3): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |    array_to_string(t[CAST(i AS BIGINT):CAST(i + ${w - 1} AS BIGINT)], ' ') AS span
+       |  FROM toks, unnest(range(1, len(t) - ${w - 2})) AS r(i)
+       |  WHERE len(t) >= $w)
+       |SELECT doc_id, span, CAST(count(*) AS BIGINT) AS n_occ
+       |FROM grams GROUP BY 1, 2 HAVING count(*) > 1
+       |ORDER BY doc_id, span""".stripMargin
 }

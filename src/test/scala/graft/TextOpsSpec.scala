@@ -109,4 +109,37 @@ class TextOpsSpec extends SparkSpec {
         s"doc $id '${text.take(20)}...': spark ${out(id)} != ref ${reference(text)}")
     }
   }
+
+  test("repeatedSpans: intra-doc repeats found with counts; no cross-doc leakage; short docs safe") {
+    val docs = Seq(
+      // "a b c" occurs twice (positions 1 and 6), overlapping windows distinct
+      (0L, "a b c x y a b c d"),
+      // the SAME span also appears once here — must NOT merge across docs
+      (1L, "a b c unrelated tail"),
+      // triple occurrence
+      (2L, "p q r p q r p q r"),
+      // shorter than the window: zero spans, and no negative-sequence crash
+      (3L, "only two"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextOps.repeatedSpans(docs, w = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.count { case (d, s, _) => d == 0L && s == "a b c" } == 1)
+    assert(out.find { case (d, s, _) => d == 0L && s == "a b c" }.get._3 == 2L)
+    assert(!out.exists(_._1 == 1L), "a span unique within its doc leaked in via another doc")
+    // doc 2: "p q r" ×3, plus the bridging spans "q r p" and "r p q" ×2 each
+    assert(out.find { case (d, s, _) => d == 2L && s == "p q r" }.get._3 == 3L)
+    assert(out.find { case (d, s, _) => d == 2L && s == "q r p" }.get._3 == 2L)
+    assert(!out.exists(r => r._1 == 3L || r._1 == 4L))
+    // driver-side reference on a random token stream: exact multiset equality
+    val rnd = new scala.util.Random(7)
+    val toks = Vector.fill(400)(s"t${rnd.nextInt(12)}")
+    val expected = toks.sliding(3).map(_.mkString(" ")).toSeq
+      .groupBy(identity).collect { case (s, occ) if occ.size > 1 => (9L, s, occ.size.toLong) }
+      .toSet
+    val got = TextOps.repeatedSpans(
+      Seq((9L, toks.mkString(" "))).toDF("doc_id", "text"), w = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
 }
