@@ -178,11 +178,12 @@ object ScaleCurve {
     }
 
     val loadBefore = loadavg()
-    // untimed warmup of ALL THREE measured operators at the smallest
-    // factor: absorbs codegen/JIT for each, so the smallest timed point
-    // doesn't carry one-time compilation the larger points skip (which
-    // would fake sub-linearity)
-    cells.filter(_.factor == factors.min).foreach(runOnce)
+    // untimed warmup of EVERY cell (Bench's discipline): a min-factor-only
+    // warmup absorbs codegen/JIT but leaves the LARGE factors' first timed
+    // pass paying cold page-cache parquet reads and first-time shuffle
+    // spill — observed as a 34 s pass-1 vs 8 s pass-3 at 20×, which
+    // inflates the median and fakes super-linearity
+    cells.foreach(runOnce)
     // Bench-grade discipline (r6 verdict): 3 timed runs per cell,
     // INTERLEAVED — pass 1 runs every cell once, then pass 2, ... — so one
     // cell's samples are minutes apart and a transient host disturbance
