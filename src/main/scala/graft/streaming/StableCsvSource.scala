@@ -63,14 +63,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * mtime has aged past the retention window, and the LISTING refuses
   * files older than the window — the invariant pair (evict only what
   * listing refuses) means eviction can never cause re-admission, the
-  * same contract as the built-in file source's `maxFileAge`. Caveat
-  * (shared with the built-in source): a file whose mtime is REWRITTEN
-  * after its entry ages out counts as a new file.
+  * same contract as the built-in file source's `maxFileAge`. Age is
+  * measured against the LATEST stabilized file mtime ever seen
+  * (`latestSeenMtime` — monotonic, rebuilt from the log's recorded
+  * mtimes on restart), exactly like the built-in source's
+  * latestTimestamp — NOT against the wall clock. Wall-clock aging would
+  * break both directions: a query outage (or slow backlog drain) longer
+  * than the window would silently drop every not-yet-admitted file, and
+  * a driver clock step-back after an eviction could re-admit the
+  * evicted file (duplicate rows). With the monotonic file-time
+  * reference, an idle stream ages nothing, and eviction can never be
+  * followed by a listing that accepts the same mtime. Caveats (shared
+  * with the built-in source): a file whose mtime is REWRITTEN after
+  * its entry ages out counts as a new file, and a restart can lower the
+  * reference only if the newest stabilized file was never admitted AND
+  * was deleted during the downtime.
   *
   * Decode semantics mirror Spark's CSV source: PERMISSIVE by default —
   * an unparsable cell nulls that field only (`mode=FAILFAST` makes it
-  * throw); string fields preserve whitespace and null only the
-  * truly-empty value; timestamps accept ISO instants, offset datetimes
+  * throw); string fields preserve whitespace, an unquoted empty field
+  * is null while a quoted `""` is the empty string (nullValue vs
+  * emptyValue); timestamps accept ISO instants, offset datetimes
   * (`2024-01-01T00:00:00+02:00`), and zoneless SQL forms resolved in
   * UTC. Unsupported column types are rejected at stream construction,
   * never silently nulled.
@@ -118,16 +131,20 @@ object StableCsvSource {
     inst.getEpochSecond * 1000000L + inst.getNano / 1000L
   }
 
-  /** One cell → one Catalyst value. Strings keep their whitespace and
-    * null only when truly empty (Spark CSV parity — a quoted `"  "` is a
-    * real value); other types trim first and treat whitespace-only as
-    * null. A non-empty cell that fails to parse is nulled (PERMISSIVE)
-    * or thrown (FAILFAST). Schema-level type support is checked at
-    * stream construction, so the catch here only ever sees data errors.
+  /** One cell → one Catalyst value. Strings keep their exact bytes
+    * (Spark CSV parity — a quoted `"  "` is a real value, and a quoted
+    * `""` is the EMPTY STRING, not null): the parser is configured with
+    * `emptyValue = ""`, so by the time a string cell reaches here, null
+    * means the unquoted empty field (Spark's `nullValue` default) and
+    * `""` means a deliberately quoted empty — both pass through as-is.
+    * Other types trim first and treat whitespace-only as null. A
+    * non-empty cell that fails to parse is nulled (PERMISSIVE) or
+    * thrown (FAILFAST). Schema-level type support is checked at stream
+    * construction, so the catch here only ever sees data errors.
     */
   private[streaming] def convert(raw: String, dt: DataType, failFast: Boolean): Any = {
     if (raw == null) return null
-    if (dt == StringType) return if (raw.isEmpty) null else UTF8String.fromString(raw)
+    if (dt == StringType) return UTF8String.fromString(raw)
     val s = raw.trim
     if (s.isEmpty) return null
     try dt match {
@@ -221,6 +238,14 @@ private[streaming] class StableCsvMicroBatchStream(
   // query never re-admits; bounded by maxFileAgeMs retention
   private var chunkCount: Long = -1L
   private val admitted = scala.collection.mutable.HashMap.empty[String, Long]
+  // the retention reference: max mtime over every STABILIZED file seen
+  // by a listing, monotonic within a run, rebuilt from the log's
+  // recorded mtimes on restart (legacy no-mtime entries excluded — their
+  // Long.MaxValue sentinel would refuse everything). Both the listing's
+  // over-age refusal and compaction's eviction use this same value, so
+  // monotonicity alone guarantees eviction can never precede a listing
+  // that accepts the evicted mtime.
+  private var latestSeenMtime: Long = Long.MinValue
 
   /** Test seams: fault-injection points the crash-recovery spec
     * overrides to throw, and an injectable clock for deterministic
@@ -242,15 +267,22 @@ private[streaming] class StableCsvMicroBatchStream(
       .map(_.toLong)
       .sorted
 
-  /** Highest snapshot index, if any — `snapshot-<n>` covers chunks [0, n). */
-  private def snapshotIndex(lfs: org.apache.hadoop.fs.FileSystem): Option[Long] =
+  /** All committed snapshot indices — `snapshot-<n>` covers chunks
+    * [0, n). More than one exists only after a crash between snapshot
+    * publish and superseded-snapshot deletion; recovery reads the
+    * highest, compaction deletes the rest.
+    */
+  private def snapshotIndices(lfs: org.apache.hadoop.fs.FileSystem): Seq[Long] =
     lfs.listStatus(logDir).toSeq
       .map(_.getPath.getName)
       .filter(_.startsWith("snapshot-"))
       .map(_.stripPrefix("snapshot-"))
       .filter(n => n.nonEmpty && n.forall(_.isDigit))
       .map(_.toLong)
-      .sorted.lastOption
+      .sorted
+
+  private def snapshotIndex(lfs: org.apache.hadoop.fs.FileSystem): Option[Long] =
+    snapshotIndices(lfs).lastOption
 
   private def ensureLog(): Unit = if (chunkCount < 0) {
     val lfs = logDir.getFileSystem(hadoopConf)
@@ -261,6 +293,8 @@ private[streaming] class StableCsvMicroBatchStream(
       val idx = chunkIndices(lfs)
       idx.foreach(i => admitted ++= readLog(i.toString))
       chunkCount = math.max(snap.getOrElse(0L), idx.lastOption.map(_ + 1).getOrElse(0L))
+      val known = admitted.valuesIterator.filter(_ != Long.MaxValue)
+      if (known.nonEmpty) latestSeenMtime = known.max
     }
   }
 
@@ -302,17 +336,26 @@ private[streaming] class StableCsvMicroBatchStream(
         case st => st
       }
       catch { case _: java.io.FileNotFoundException => Array.empty }
-    val stable = listed
-      .filter { f =>
-        val age = now - f.getModificationTime
-        // lower bound: stabilization; upper bound: the retention window —
-        // refusing over-age files is what makes compaction-time eviction
-        // unable to re-admit (the invariant pair)
-        f.isFile && age >= minAgeMs && age <= maxFileAgeMs
-      }
+    // lower bound first: stabilization is wall-clock by definition (has
+    // the writer finished?), and only STABILIZED files advance the
+    // retention reference — a half-written upload must not age out its
+    // older siblings
+    val stabilized = listed.filter(f => f.isFile && now - f.getModificationTime >= minAgeMs)
+    if (stabilized.nonEmpty)
+      latestSeenMtime = math.max(latestSeenMtime, stabilized.map(_.getModificationTime).max)
+    val stable = stabilized
+      // upper bound: the retention window, relative to the newest
+      // stabilized mtime ever seen (monotonic) — refusing over-age files
+      // against the SAME reference compaction evicts by is what makes
+      // eviction unable to re-admit (the invariant pair)
+      .filter(f => latestSeenMtime - f.getModificationTime <= maxFileAgeMs)
       .map(f => f.getPath.toString -> f.getModificationTime)
       .filterNot { case (p, _) => admitted.contains(p) }
-      .sortBy(_._1) // deterministic admission order within a chunk
+      // oldest first (mtime, then path for determinism): a bounded
+      // trigger drains the backlog in arrival order, so an old file
+      // cannot starve behind alphabetically-earlier newer files until
+      // retention refuses it
+      .sortBy { case (p, m) => (m, p) }
       .take(maxFilesPerTrigger)
     if (stable.nonEmpty) {
       writeLog(chunkCount.toString, stable.toSeq)
@@ -361,13 +404,22 @@ private[streaming] class StableCsvMicroBatchStream(
       if (dead.size >= compactInterval) {
         val merged = (prev.map(n => readLog(s"snapshot-$n")).getOrElse(Seq.empty) ++
           dead.flatMap(i => readLog(i.toString))).distinctBy(_._1)
-        val now = nowMs
+        // eviction ages against latestSeenMtime — the SAME monotonic
+        // reference the listing refuses by — never the wall clock (a
+        // clock step-back must not be able to re-admit an evicted file)
         val (evicted, kept) =
-          merged.partition { case (_, m) => m != Long.MaxValue && now - m > maxFileAgeMs }
+          merged.partition { case (_, m) =>
+            m != Long.MaxValue && latestSeenMtime - m > maxFileAgeMs
+          }
         writeLog(s"snapshot-$e", kept)
         afterSnapshotPublish()
         dead.foreach(i => lfs.delete(new Path(logDir, i.toString), false))
-        prev.foreach(n => lfs.delete(new Path(logDir, s"snapshot-$n"), false))
+        // delete EVERY superseded snapshot, not just the one this
+        // compaction merged: a crash between snapshot publish and
+        // deletion leaves an orphan whose index is no longer the
+        // maximum, and deleting only `prev` would keep it forever
+        snapshotIndices(lfs).filter(_ < e).foreach(n =>
+          lfs.delete(new Path(logDir, s"snapshot-$n"), false))
         evicted.foreach { case (p, _) => admitted.remove(p) }
       }
     }
@@ -403,6 +455,10 @@ private[streaming] class StableCsvReaderFactory(
         settings.setLineSeparatorDetectionEnabled(true)
         settings.setIgnoreLeadingWhitespaces(false)
         settings.setIgnoreTrailingWhitespaces(false)
+        // Spark CSV read defaults: a QUOTED empty field is the empty
+        // string (emptyValue), an unquoted empty field stays null
+        // (nullValue) — convert() relies on this distinction
+        settings.setEmptyValue("")
         new com.univocity.parsers.csv.CsvParser(settings)
       }
       parser.beginParsing(new java.io.InputStreamReader(in, StandardCharsets.UTF_8))

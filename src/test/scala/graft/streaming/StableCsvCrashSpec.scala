@@ -115,6 +115,29 @@ class StableCsvCrashSpec extends SparkSpec {
     assert(s2.latestOffset().asInstanceOf[ChunkOffset].chunks == 1L)
   }
 
+  test("an orphaned older snapshot (crash between chunk and snapshot deletion) is swept by the next compaction") {
+    spark
+    val in = tmpDir("crash4-in"); val ckpt = tmpDir("crash4-ckpt")
+    val p = props(in)
+    oldFile(in, "a.csv", 1)
+    val s = new StableCsvMicroBatchStream(schema, p, ckpt.toString)
+    s.initialOffset()
+    assert(s.latestOffset().asInstanceOf[ChunkOffset].chunks == 1L)
+    s.commit(ChunkOffset(1)) // -> snapshot-1
+    // simulate the crash window AFTER a previous compaction deleted its
+    // chunks but BEFORE it deleted the superseded snapshot: a stale
+    // lower-index snapshot left behind (recovery ignores it — only the
+    // highest index is read — but it must not accumulate forever)
+    java.nio.file.Files.writeString(
+      ckpt.resolve("graft-admitted").resolve("snapshot-0"), "")
+    oldFile(in, "b.csv", 2)
+    assert(s.latestOffset().asInstanceOf[ChunkOffset].chunks == 2L)
+    s.commit(ChunkOffset(2))
+    val names = logFiles(ckpt).filterNot(_.startsWith("."))
+    assert(names == Seq("snapshot-2"),
+      s"compaction must sweep EVERY superseded snapshot, including orphans: $names")
+  }
+
   test("crash between tmp-create and rename of a SNAPSHOT: old snapshot + chunks intact, compaction retries") {
     spark
     val in = tmpDir("crash3-in"); val ckpt = tmpDir("crash3-ckpt")

@@ -6,23 +6,27 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.SparkSpec
 
 /** Cell-decode semantics of the StableCsvSource, pinned to Spark-CSV
-  * parity: strings preserve whitespace and null only the truly-empty
-  * value; unparsable cells null the FIELD (PERMISSIVE default) instead
-  * of failing the task, or throw under mode=FAILFAST; timestamps accept
-  * ISO instants, offset datetimes, and zoneless SQL forms (resolved in
-  * UTC); unsupported column types are rejected at construction, never
-  * silently nulled.
+  * parity: strings preserve their exact bytes — an unquoted empty field
+  * is null (nullValue) while a quoted `""` is the empty string
+  * (emptyValue); unparsable cells null the FIELD (PERMISSIVE default)
+  * instead of failing the task, or throw under mode=FAILFAST;
+  * timestamps accept ISO instants, offset datetimes, and zoneless SQL
+  * forms (resolved in UTC); unsupported column types are rejected at
+  * construction, never silently nulled.
   */
 class StableCsvDecodeSpec extends SparkSpec {
 
   private def conv(raw: String, dt: DataType, failFast: Boolean = false): Any =
     StableCsvSource.convert(raw, dt, failFast)
 
-  test("strings: whitespace preserved, only the truly-empty value is null") {
+  test("strings: exact bytes preserved; null and empty are distinct values") {
     assert(conv("  ", StringType) == UTF8String.fromString("  "),
       "a whitespace-only string is a VALUE, not null (Spark CSV parity)")
     assert(conv(" x ", StringType) == UTF8String.fromString(" x "))
-    assert(conv("", StringType) == null)
+    // the parser maps an unquoted empty field to null BEFORE convert();
+    // a quoted "" arrives as the empty string and must stay one
+    assert(conv("", StringType) == UTF8String.fromString(""),
+      "a quoted empty field is the empty string, not null")
     assert(conv(null, StringType) == null)
   }
 
@@ -72,7 +76,8 @@ class StableCsvDecodeSpec extends SparkSpec {
       StructField("amount", DoubleType)))
     val in = tmpDir("dec2-in"); val out = tmpDir("dec2-out"); val ckpt = tmpDir("dec2-ckpt")
     writeFile(in, "loan_m.csv",
-      "loan_id,name,amount\n1,good,10.5\n2,bad,notanumber\nxx,worse,3.25\n")
+      "loan_id,name,amount\n1,good,10.5\n2,bad,notanumber\nxx,worse,3.25\n" +
+        "3,\"\",7.0\n4,,8.0\n") // quoted empty = "", unquoted empty = null
       .toFile.setLastModified(System.currentTimeMillis() - 60000)
     val df = StreamingEtl.stableCsvStream(
       spark, in.toString, schema, java.time.Duration.ofSeconds(1))
@@ -89,7 +94,8 @@ class StableCsvDecodeSpec extends SparkSpec {
         r.getString(1),
         if (r.isNullAt(2)) null else r.getDouble(2)))
       .toSet
-    assert(rows == Set((1L, "good", 10.5), (2L, "bad", null), (null, "worse", 3.25)),
-      s"permissive decode must null only the malformed field: $rows")
+    assert(rows == Set((1L, "good", 10.5), (2L, "bad", null), (null, "worse", 3.25),
+        (3L, "", 7.0), (4L, null, 8.0)),
+      s"permissive decode must null only the malformed field, and keep quoted-empty distinct from null: $rows")
   }
 }

@@ -9,7 +9,11 @@ import graft.SparkSpec
   * compaction evicts entries whose recorded mtime aged past retention,
   * AND the listing refuses files that old — so eviction can never cause
   * re-admission (the same contract as Spark's file-source `maxFileAge`).
-  * Plus the compaction cadence: ordinary commits are no-ops until
+  * Age is relative to the newest STABILIZED file mtime ever seen, never
+  * the wall clock: a backlog older than the window in wall terms is
+  * still ingested when nothing newer exists (outage safety), and a
+  * driver clock step-back cannot re-admit an evicted file. Plus the
+  * compaction cadence: ordinary commits are no-ops until
   * `compactInterval` committed chunks accumulate.
   *
   * These tests drive the MicroBatchStream directly with an injected
@@ -83,6 +87,62 @@ class StableCsvRetentionSpec extends SparkSpec {
       "restart after eviction re-admitted a file")
     val p2 = s2.planInputPartitions(ChunkOffset(1), ChunkOffset(2))
     assert(p2.length == 1 && p2.head.asInstanceOf[CsvFilePartition].path.endsWith("c.csv"))
+  }
+
+  test("retention ages against the newest file seen, not the wall clock") {
+    spark
+    val in = tmpDir("ret3-in"); val ckpt = tmpDir("ret3-ckpt")
+    val base = System.currentTimeMillis()
+    val retention = 10000L
+    val p = props(in, "maxFileAgeMs" -> retention.toString)
+
+    // an outage-shaped start: the only file is far older than retention
+    // in WALL terms, but nothing newer has ever been seen — it must be
+    // ingested, not silently dropped (Spark maxFileAge contract)
+    val old = writeFile(in, "backlog.csv", "loan_id,name,amount\n1,b,1.0\n")
+    old.toFile.setLastModified(base - 100 * retention)
+    val s = new Clocked(p, ckpt.toString, base)
+    s.initialOffset()
+    assert(s.latestOffset().asInstanceOf[ChunkOffset].chunks == 1L,
+      "a lone backlog file must be admitted regardless of wall-clock age")
+
+    // a much newer file arrives: the reference advances, and a file
+    // between the two ages (older than newest-retention) is now refused
+    val mid = writeFile(in, "mid.csv", "loan_id,name,amount\n2,m,2.0\n")
+    mid.toFile.setLastModified(base - 2 * retention)
+    val fresh = writeFile(in, "fresh.csv", "loan_id,name,amount\n3,f,3.0\n")
+    fresh.toFile.setLastModified(base)
+    assert(s.latestOffset().asInstanceOf[ChunkOffset].chunks == 2L)
+    val part = s.planInputPartitions(ChunkOffset(1), ChunkOffset(2))
+    assert(part.map(_.asInstanceOf[CsvFilePartition].path).forall(_.endsWith("fresh.csv")),
+      "a file older than newest-minus-retention must be refused")
+  }
+
+  test("a clock step-back after eviction cannot re-admit (monotonic reference)") {
+    spark
+    val in = tmpDir("ret4-in"); val ckpt = tmpDir("ret4-ckpt")
+    val base = System.currentTimeMillis()
+    val retention = 10000L
+    val s = new Clocked(props(in, "maxFileAgeMs" -> retention.toString),
+      ckpt.toString, base + 1000)
+    s.initialOffset()
+    val a = writeFile(in, "a.csv", "loan_id,name,amount\n1,a,1.0\n")
+    a.toFile.setLastModified(base)
+    assert(s.latestOffset().asInstanceOf[ChunkOffset].chunks == 1L)
+    val b = writeFile(in, "b.csv", "loan_id,name,amount\n2,b,2.0\n")
+    b.toFile.setLastModified(base + 2 * retention)
+    s.now = base + 2 * retention + 1000
+    assert(s.latestOffset().asInstanceOf[ChunkOffset].chunks == 2L)
+    s.commit(ChunkOffset(2)) // compacts (interval 1); a's entry evicted
+    assert(!logText(ckpt, "snapshot-2").contains("a.csv"), "a must be evicted")
+    // the driver clock steps back to just after a's mtime: a is still
+    // stabilized (now >= mtime) and under WALL-CLOCK aging its age would
+    // be 1 s — well inside retention, so the old semantics would
+    // re-admit the evicted file. The monotonic latest-seen reference
+    // (b's mtime, 2× retention newer) must keep refusing it.
+    s.now = base + 1000
+    assert(s.latestOffset().asInstanceOf[ChunkOffset].chunks == 2L,
+      "clock step-back re-admitted an evicted file")
   }
 
   test("a file older than maxFileAge is never admitted (streaming end-to-end)") {
