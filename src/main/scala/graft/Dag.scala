@@ -47,7 +47,10 @@ object Dag {
   final case class RunResult(
       batch: FileIngest.BatchResult,
       etl: Option[Pipeline.Result],
-      reportPath: Option[String])
+      reportPath: Option[String],
+      // the mailer payload is (subject, html body); SMTP delivery itself
+      // is a connector, out of engine scope (SURVEY.md §2.1)
+      reportSubject: Option[String])
 
   def run(
       spark: SparkSession,
@@ -103,7 +106,8 @@ object Dag {
         Some(p.toString)
       }
 
-    RunResult(batch, etl, reportPath)
+    RunResult(batch, etl, reportPath,
+      reportPath.map(_ => Summary.subject(batch.processed.size)))
   }
 
   def main(args: Array[String]): Unit = {
@@ -122,7 +126,8 @@ object Dag {
         case Some(e) => println(s"etl: ${e.rowCount} cleaned rows -> ${e.cleanedPath}")
         case None => println("etl: no input data")
       }
-      println(r.reportPath.fold("report: skipped (no new files this run)")(p => s"report: $p"))
+      println(r.reportPath.fold("report: skipped (no new files this run)")(p =>
+        s"report: $p (subject: ${r.reportSubject.getOrElse("")})"))
     } finally spark.stop()
   }
 }

@@ -25,6 +25,13 @@ object Summary {
     f"$v%.2f PB"
   }
 
+  /** The report's subject line — the reference's email subject
+    * (drive_auto_compress_email.py:365), `pipeline` standing in for the
+    * hard-coded DAG id.
+    */
+  def subject(fileCount: Int, pipeline: String = "loan-etl"): String =
+    s"[Loan ETL] $fileCount file(s) processed – $pipeline"
+
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 

@@ -68,6 +68,8 @@ class DagSpec extends SparkSpec {
     val html = java.nio.file.Files.readString(
       java.nio.file.Paths.get(work.resolve("report.html").toString))
     assert(run1.reportPath.isDefined)
+    // the reference's subject line (drive_auto_compress_email.py:365)
+    assert(run1.reportSubject === Some("[Loan ETL] 2 file(s) processed – loan-etl"))
     assert(html.contains("loan_batch1.csv") && html.contains("loan_batch2.csv"))
     assert(html.contains("Loan Aggregates") && html.contains("PERSONAL"))
     assert(html.contains("Processed <b>2</b> file(s)"))
