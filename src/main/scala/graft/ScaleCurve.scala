@@ -167,6 +167,15 @@ object ScaleCurve {
           _.count()),
         Cell(f, "q64_embed_cc",
           () => graft.ops.Clusters.embedDupClusters(emb),
+          _.count()),
+        // intra-doc repeated spans (q69): pure map + one keyed aggregate
+        // — the shape is trivially linear, measured here so the claim is
+        // a curve, not an assertion. Replication preserves it exactly:
+        // `translate` is a per-character bijection, so replica r has the
+        // SAME repeated-span positions as the base corpus — rows must be
+        // exactly base-rows × factor.
+        Cell(f, "q69_repeated_spans",
+          () => graft.ops.TextOps.repeatedSpans(docs),
           _.count()))
     }
 
