@@ -26,8 +26,9 @@ object Summary {
   }
 
   /** The report's subject line — the reference's email subject
-    * (drive_auto_compress_email.py:365), `pipeline` standing in for the
-    * hard-coded DAG id.
+    * (drive_auto_compress_email.py:365). The `[Loan ETL]` tag is fixed
+    * there too; only the trailing pipeline/DAG id varies, which is what
+    * `pipeline` stands in for (the reference hard-codes its dag_id).
     */
   def subject(fileCount: Int, pipeline: String = "loan-etl"): String =
     s"[Loan ETL] $fileCount file(s) processed – $pipeline"

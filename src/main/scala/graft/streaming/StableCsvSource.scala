@@ -73,11 +73,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * a driver clock step-back after an eviction could re-admit the
   * evicted file (duplicate rows). With the monotonic file-time
   * reference, an idle stream ages nothing, and eviction can never be
-  * followed by a listing that accepts the same mtime. Caveats (shared
-  * with the built-in source): a file whose mtime is REWRITTEN after
-  * its entry ages out counts as a new file, and a restart can lower the
-  * reference only if the newest stabilized file was never admitted AND
-  * was deleted during the downtime.
+  * followed by a listing that accepts the same mtime. To make the
+  * no-re-admission guarantee survive restarts even when the newest
+  * stabilized file was never admitted (maxFilesPerTrigger deferral, or
+  * deleted during downtime), every compaction persists the reference
+  * itself as a marker entry (empty path — unmatchable by any real
+  * file) in the snapshot, and recovery restores
+  * `max(marker, admitted mtimes)`. Semantics to be clear about: the
+  * window bounds how far BEHIND the newest stabilized file ingestion
+  * reaches — an idle outage loses nothing (the reference does not
+  * advance), but if uploads CONTINUED through an outage longer than
+  * the window, files older than newest-minus-window are refused by
+  * design, exactly as Spark's `maxFileAge` drops them. Remaining
+  * caveat (shared with the built-in source): a file whose mtime is
+  * REWRITTEN after its entry ages out counts as a new file.
   *
   * Decode semantics mirror Spark's CSV source: PERMISSIVE by default —
   * an unparsable cell nulls that field only (`mode=FAILFAST` makes it
@@ -293,8 +302,13 @@ private[streaming] class StableCsvMicroBatchStream(
       val idx = chunkIndices(lfs)
       idx.foreach(i => admitted ++= readLog(i.toString))
       chunkCount = math.max(snap.getOrElse(0L), idx.lastOption.map(_ + 1).getOrElse(0L))
+      // the empty-path entry is the persisted latestSeenMtime marker
+      // (written at each compaction) — it participates in the reference
+      // rebuild below and must then leave the admitted map (no real file
+      // has an empty path, but the map should hold only files)
       val known = admitted.valuesIterator.filter(_ != Long.MaxValue)
       if (known.nonEmpty) latestSeenMtime = known.max
+      admitted.remove("")
     }
   }
 
@@ -398,7 +412,13 @@ private[streaming] class StableCsvMicroBatchStream(
     ensureLog()
     val e = end.asInstanceOf[ChunkOffset].chunks
     val lfs = logDir.getFileSystem(hadoopConf)
-    val prev = snapshotIndex(lfs)
+    // one directory listing serves the whole compaction: highest snapshot
+    // = merge base, all lower indices = the sweep set (an orphan from a
+    // crash between chunk deletion and snapshot deletion is cleaned here
+    // too — deleting only the merge base would keep it forever). On an
+    // object-store checkpoint every listStatus is a remote LIST call.
+    val snaps = snapshotIndices(lfs)
+    val prev = snaps.lastOption
     if (e > prev.getOrElse(0L)) {
       val dead = chunkIndices(lfs).filter(_ < e)
       if (dead.size >= compactInterval) {
@@ -408,17 +428,20 @@ private[streaming] class StableCsvMicroBatchStream(
         // reference the listing refuses by — never the wall clock (a
         // clock step-back must not be able to re-admit an evicted file)
         val (evicted, kept) =
-          merged.partition { case (_, m) =>
-            m != Long.MaxValue && latestSeenMtime - m > maxFileAgeMs
+          merged.partition { case (p, m) =>
+            p.nonEmpty && m != Long.MaxValue && latestSeenMtime - m > maxFileAgeMs
           }
-        writeLog(s"snapshot-$e", kept)
+        // persist the reference itself as a marker entry (empty path —
+        // no real file can collide), so a restart can never regress
+        // latestSeenMtime below the value these evictions were decided
+        // against, even if the newest stabilized file was never admitted
+        val marker =
+          if (latestSeenMtime == Long.MinValue) Seq.empty
+          else Seq("" -> latestSeenMtime)
+        writeLog(s"snapshot-$e", marker ++ kept.filterNot(_._1.isEmpty))
         afterSnapshotPublish()
         dead.foreach(i => lfs.delete(new Path(logDir, i.toString), false))
-        // delete EVERY superseded snapshot, not just the one this
-        // compaction merged: a crash between snapshot publish and
-        // deletion leaves an orphan whose index is no longer the
-        // maximum, and deleting only `prev` would keep it forever
-        snapshotIndices(lfs).filter(_ < e).foreach(n =>
+        snaps.filter(_ < e).foreach(n =>
           lfs.delete(new Path(logDir, s"snapshot-$n"), false))
         evicted.foreach { case (p, _) => admitted.remove(p) }
       }

@@ -145,6 +145,50 @@ class StableCsvRetentionSpec extends SparkSpec {
       "clock step-back re-admitted an evicted file")
   }
 
+  test("compaction persists the retention reference; restart cannot regress it (marker entry)") {
+    spark
+    val in = tmpDir("ret5-in"); val ckpt = tmpDir("ret5-ckpt")
+    val base = System.currentTimeMillis()
+    val r = 10000L
+    val p = props(in, "maxFileAgeMs" -> r.toString, "maxFilesPerTrigger" -> "1")
+
+    val s = new Clocked(p, ckpt.toString, base + r + 5000)
+    s.initialOffset()
+    val a = writeFile(in, "a.csv", "loan_id,name,amount\n1,a,1.0\n")
+    a.toFile.setLastModified(base + r + 4000)
+    assert(s.latestOffset().asInstanceOf[ChunkOffset].chunks == 1L)
+
+    // one poll sees TWO new files under a 1-file trigger cap: the older
+    // is admitted, the newest only advances the retention reference —
+    // the exact state where the reference exceeds every ADMITTED mtime
+    val f1 = writeFile(in, "f1.csv", "loan_id,name,amount\n2,b,2.0\n")
+    f1.toFile.setLastModified(base + 2 * r)
+    val f2 = writeFile(in, "f2.csv", "loan_id,name,amount\n3,c,3.0\n")
+    f2.toFile.setLastModified(base + 2 * r + 5000)
+    s.now = base + 2 * r + 6000
+    assert(s.latestOffset().asInstanceOf[ChunkOffset].chunks == 2L)
+    assert(s.planInputPartitions(ChunkOffset(1), ChunkOffset(2))
+      .head.asInstanceOf[CsvFilePartition].path.endsWith("f1.csv"),
+      "oldest-first admission under the trigger cap")
+
+    // compaction: a's entry is older than reference-minus-retention ->
+    // evicted; the reference itself is written as the marker line
+    s.commit(ChunkOffset(2))
+    val snap = logText(ckpt, "snapshot-2")
+    assert(snap.linesIterator.contains(s"${base + 2 * r + 5000}\t"),
+      s"snapshot must persist the reference as an empty-path marker:\n$snap")
+    assert(!snap.contains("a.csv"))
+
+    // the never-admitted newest file vanishes; without the marker a
+    // restart would rebuild the reference from f1's mtime — low enough
+    // that evicted a.csv passes retention again and re-ingests
+    java.nio.file.Files.delete(f2)
+    val s2 = new Clocked(p, ckpt.toString, base + 2 * r + 7000)
+    s2.initialOffset()
+    assert(s2.latestOffset().asInstanceOf[ChunkOffset].chunks == 2L,
+      "restart regressed the retention reference and re-admitted an evicted file")
+  }
+
   test("a file older than maxFileAge is never admitted (streaming end-to-end)") {
     val in = tmpDir("ret2-in"); val out = tmpDir("ret2-out"); val ckpt = tmpDir("ret2-ckpt")
     val now = System.currentTimeMillis()
