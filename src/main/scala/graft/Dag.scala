@@ -57,6 +57,7 @@ object Dag {
       incomingDir: String,
       workDir: String,
       minAgeSeconds: Long = 60L,
+      maxFileAgeMs: Long = Long.MaxValue,
       namePrefix: String = "loan_",
       nameSuffix: String = ".csv",
       coalesceOutput: Boolean = true,
@@ -73,6 +74,7 @@ object Dag {
       namePrefix = namePrefix,
       nameSuffix = nameSuffix,
       minAgeSeconds = minAgeSeconds,
+      maxFileAgeMs = maxFileAgeMs,
       conf = conf,
       now = now)
 
@@ -111,14 +113,17 @@ object Dag {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: graft.Dag <incomingDir> <workDir> [minAgeSeconds]")
+    require(args.length >= 2,
+      "usage: graft.Dag <incomingDir> <workDir> [minAgeSeconds] [maxFileAgeMs]")
     val minAge = args.lift(2).map(_.toLong).getOrElse(60L)
+    val maxAge = args.lift(3).map(_.toLong).getOrElse(Long.MaxValue)
     val spark = Sessions.builder("GraftDag").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val r = run(spark, args(0), args(1), minAgeSeconds = minAge)
+      val r = run(spark, args(0), args(1), minAgeSeconds = minAge, maxFileAgeMs = maxAge)
       println(s"ingested: ${r.batch.processed.size} file(s) " +
-        s"(deferred ${r.batch.deferred.size}, rejected ${r.batch.rejected.size})")
+        s"(deferred ${r.batch.deferred.size}, rejected ${r.batch.rejected.size}, " +
+        s"expired ${r.batch.expired.size})")
       r.batch.processed.foreach(s => println(
         s"  ${s.filename}: ${Summary.formatSize(s.originalSize)} -> " +
           s"${Summary.formatSize(s.compressedSize)} (ratio ${f"${s.compressionRatio}%.3f"})"))

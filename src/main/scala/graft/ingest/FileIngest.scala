@@ -47,7 +47,7 @@ object FileIngest {
       compressedPath: String)
 
   final case class BatchResult(processed: Seq[CompressionStats], deferred: Seq[String],
-      rejected: Seq[String])
+      rejected: Seq[String], expired: Seq[String] = Seq.empty)
 
   /** The file's stable identifier: its fully-qualified URI. (The reference
     * uses the Drive file ID; for filesystem sources the URI is the
@@ -66,6 +66,22 @@ object FileIngest {
     * Re-running the same batch is a no-op: every admitted file's ID is in
     * the ledger afterwards. Partial failure re-runs are safe because copies
     * and gzip outputs are overwrites.
+    *
+    * `maxFileAgeMs` bounds the ledger with a retention window (default
+    * unbounded = the reference's behavior, whose ledger grows one entry
+    * per file forever). Age is measured against the max mtime over every
+    * STABILIZED admitted file ever listed — a monotonic, persisted
+    * reference (`retention_ref` in the ledger), never the wall clock, so
+    * a clock step-back cannot re-admit an evicted file and a restart
+    * cannot regress the reference past evictions were decided against.
+    * The same window drives both directions of the invariant pair:
+    * ledger entries older than the window are evicted at save, and a
+    * not-yet-ledgered file older than the window is refused at admission
+    * (reported in `BatchResult.expired`), so eviction can never cause
+    * re-ingestion. Entries from a pre-retention ledger have no recorded
+    * mtime and are conservatively never evicted. Shared caveat with
+    * Spark's `maxFileAge` and the streaming source: a file whose mtime
+    * is rewritten after its entry ages out counts as a new file.
     */
   def processBatch(
       incomingDir: String,
@@ -75,12 +91,13 @@ object FileIngest {
       namePrefix: String = "loan_",
       nameSuffix: String = ".csv",
       minAgeSeconds: Long = 60L,
+      maxFileAgeMs: Long = Long.MaxValue,
       conf: Configuration = new Configuration(),
       now: Instant = Instant.now()): BatchResult = {
 
     val inPath = new Path(incomingDir)
     val fs = inPath.getFileSystem(conf)
-    val processed = FileLedger.load(ledgerPath, conf)
+    val ledger = FileLedger.loadState(ledgerPath, conf)
 
     val candidates: Seq[FileStatus] =
       if (!fs.exists(inPath)) Seq.empty
@@ -90,10 +107,21 @@ object FileIngest {
       val n = st.getPath.getName
       n.startsWith(namePrefix) && n.endsWith(nameSuffix)
     }
-    val fresh = admitted.filterNot(st => processed.contains(fileId(st)))
-    val (ready, deferred) = fresh.partition { st =>
+    def stabilized(st: FileStatus): Boolean =
       (now.toEpochMilli - st.getModificationTime) / 1000.0 >= minAgeSeconds
-    }
+
+    // the retention reference advances on every stabilized admitted
+    // listing hit — including already-ledgered files still present —
+    // exactly like the streaming source's latestSeenMtime; young files
+    // must not advance it (their upload may still be in flight)
+    val ref = (Iterator.single(ledger.retentionRef) ++
+      admitted.iterator.filter(stabilized).map(_.getModificationTime)).max
+    def overAge(mtime: Long): Boolean =
+      ref != Long.MinValue && ref - mtime > maxFileAgeMs
+
+    val fresh = admitted.filterNot(st => ledger.contains(fileId(st)))
+    val (stable, deferred) = fresh.partition(stabilized)
+    val (expired, ready) = stable.partition(st => overAge(st.getModificationTime))
 
     fs.mkdirs(new Path(rawDir))
     fs.mkdirs(new Path(outputDir))
@@ -115,10 +143,32 @@ object FileIngest {
         compressedPath = gzPath.toString)
     }
 
-    if (stats.nonEmpty)
-      FileLedger.save(ledgerPath, processed ++ stats.map(_.fileId), conf, now)
+    // evict ledger entries older than the window (unknown-mtime legacy
+    // entries are kept — their age can't be established); persist
+    // whenever the durable state must change: new admissions, evictions,
+    // or a refusal decided against a not-yet-persisted reference (the
+    // persisted reference makes the refusal sticky — without it, deleting
+    // the newest file before the next run would lower the rebuilt
+    // reference and let a once-refused file ingest; once the reference is
+    // durable, repeat refusals of a lingering file change nothing and
+    // skip the rewrite)
+    val (evicted, kept) =
+      ledger.ids.partition(id => ledger.mtimes.get(id).exists(overAge))
+    if (stats.nonEmpty || evicted.nonEmpty ||
+      (expired.nonEmpty && ref > ledger.retentionRef)) {
+      val newIds = stats.map(_.fileId)
+      val newMtimes = ready.map(st => fileId(st) -> st.getModificationTime)
+      FileLedger.saveState(
+        ledgerPath,
+        FileLedger.State(
+          kept ++ newIds,
+          (ledger.mtimes -- evicted) ++ newMtimes,
+          ref),
+        conf, now)
+    }
 
-    BatchResult(stats, deferred.map(fileId), rejected.map(st => st.getPath.getName))
+    BatchResult(stats, deferred.map(fileId), rejected.map(st => st.getPath.getName),
+      expired.map(fileId))
   }
 
   private def copy(srcFs: FileSystem, src: Path, dstFs: FileSystem, dst: Path,
