@@ -47,6 +47,23 @@ object Bench {
       }.toMap
   }
 
+  /** The `"sf":"..."` field of a previous BENCH_OUT.json line — the
+    * anchor's scale factor. Ratios against an anchor measured at a
+    * DIFFERENT sf would be uniformly scaled by the data-size change,
+    * indistinguishable in shape from the host-slowdown signal vs_prev
+    * exists to flag, so a mismatch must void the comparison.
+    */
+  private[graft] def parseSf(json: String): Option[String] = {
+    val key = "\"sf\":\""
+    val i = json.indexOf(key)
+    if (i < 0) None
+    else {
+      val start = i + key.length
+      val end = json.indexOf('"', start)
+      if (end < 0) None else Some(json.substring(start, end))
+    }
+  }
+
   /** Per-query current/previous ratios and their catalog median, over the
     * queries present in both runs (with a nonzero previous time).
     *
@@ -142,9 +159,13 @@ object Bench {
     // instead of judge arithmetic
     val vsPrev = {
       val p = java.nio.file.Paths.get("BENCH_OUT.json")
+      val prevText =
+        if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p) else ""
+      // an anchor from a different scale factor is no anchor: its ratios
+      // would be uniformly off by the data-size change (vs_prev: null)
       val previous =
-        if (java.nio.file.Files.exists(p))
-          parseQueries(java.nio.file.Files.readString(p))
+        if (prevText.nonEmpty && parseSf(prevText).forall(_ == sfDir))
+          parseQueries(prevText)
         else Map.empty[String, Double]
       val (rs, median) = ratiosVsPrevious(timings, previous)
       if (rs.isEmpty) "null"

@@ -52,9 +52,12 @@ object ScaleCurve {
     // cross-replica disjointness relies on every token CHANGING under the
     // rotation, and the rotation only touches letters and digits. Two
     // leak classes, guarded by their exact periods:
-    //   - a token with NO letter and NO digit (pure punctuation, e.g.
-    //     "--") is invariant under EVERY rotation — identical across all
-    //     replicas, so it leaks at any factor > 1;
+    //   - a token with NO letter and NO digit is invariant under EVERY
+    //     rotation — identical across all replicas, so it leaks at any
+    //     factor > 1. This includes pure punctuation ("--") AND the empty
+    //     token: split-on-space emits "" for consecutive/leading/trailing
+    //     spaces, the near-dup tokenizer keeps it, and translate() leaves
+    //     it unchanged;
     //   - a token with NO letter but some digit (e.g. "3.14") rotates
     //     with the digit period 10 — replicas r and r+10 map it
     //     identically, so it leaks once factor > 10. (Any letter in the
@@ -62,9 +65,11 @@ object ScaleCurve {
     //     distinct for every r < 26.)
     // One scan finds the worst class present; require rules it out.
     if (factor > 1) {
+      // `*` not `+`: the empty token must match (it is the factor>1 leak
+      // class an anchored one-or-more regex can never see)
       val nonLetter = docs
         .select(explode(split(col("text"), " ")).as("t"))
-        .filter(col("t").rlike("^[^A-Za-z]+$") && length(col("t")) > 0)
+        .filter(col("t").rlike("^[^A-Za-z]*$"))
       val leaky =
         if (factor > 10) nonLetter
         else nonLetter.filter(!col("t").rlike("[0-9]"))
@@ -72,7 +77,8 @@ object ScaleCurve {
       require(hit.isEmpty,
         s"factor $factor risks cross-replica token leakage: token '${hit.getOrElse("")}' " +
           "contains no letter, so the alphabet rotation cannot separate replicas " +
-          "(pure-punctuation tokens are rotation-invariant; digit rotation period is 10)")
+          "(the empty token and pure punctuation are rotation-invariant; " +
+          "digit rotation period is 10)")
     }
     val stride = docs.agg(max("doc_id")).head().getLong(0) + 1
     def rot(s: String, r: Int): String = s.drop(r % s.length) + s.take(r % s.length)

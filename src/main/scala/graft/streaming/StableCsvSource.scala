@@ -255,6 +255,11 @@ private[streaming] class StableCsvMicroBatchStream(
   // monotonicity alone guarantees eviction can never precede a listing
   // that accepts the evicted mtime.
   private var latestSeenMtime: Long = Long.MinValue
+  // chunks below this index are folded into the latest snapshot — the
+  // in-memory census that lets interval-gated no-op commits skip the
+  // filesystem entirely; rebuilt from the recovery listing, advanced at
+  // each compaction
+  private var snapshotBase: Long = 0L
 
   /** Test seams: fault-injection points the crash-recovery spec
     * overrides to throw, and an injectable clock for deterministic
@@ -264,13 +269,19 @@ private[streaming] class StableCsvMicroBatchStream(
   protected def afterSnapshotPublish(): Unit = ()
   protected def nowMs: Long = System.currentTimeMillis()
 
+  /** One directory listing, parsed two ways below — on an object-store
+    * checkpoint every listStatus is a remote LIST call, so recovery and
+    * compaction each list exactly once and ordinary commits not at all.
+    */
+  private def logNames(lfs: org.apache.hadoop.fs.FileSystem): Seq[String] =
+    lfs.listStatus(logDir).toSeq.map(_.getPath.getName)
+
   /** Committed chunk files only — bare numeric names. A crash between
     * tmp-create and rename leaves `.N.tmp`, which must not wedge
     * recovery (it is superseded or rewritten by the next poll).
     */
-  private def chunkIndices(lfs: org.apache.hadoop.fs.FileSystem): Seq[Long] =
-    lfs.listStatus(logDir).toSeq
-      .map(_.getPath.getName)
+  private def chunkIndices(names: Seq[String]): Seq[Long] =
+    names
       .filter(_.forall(_.isDigit))
       .filter(_.nonEmpty)
       .map(_.toLong)
@@ -281,26 +292,24 @@ private[streaming] class StableCsvMicroBatchStream(
     * publish and superseded-snapshot deletion; recovery reads the
     * highest, compaction deletes the rest.
     */
-  private def snapshotIndices(lfs: org.apache.hadoop.fs.FileSystem): Seq[Long] =
-    lfs.listStatus(logDir).toSeq
-      .map(_.getPath.getName)
+  private def snapshotIndices(names: Seq[String]): Seq[Long] =
+    names
       .filter(_.startsWith("snapshot-"))
       .map(_.stripPrefix("snapshot-"))
       .filter(n => n.nonEmpty && n.forall(_.isDigit))
       .map(_.toLong)
       .sorted
 
-  private def snapshotIndex(lfs: org.apache.hadoop.fs.FileSystem): Option[Long] =
-    snapshotIndices(lfs).lastOption
-
   private def ensureLog(): Unit = if (chunkCount < 0) {
     val lfs = logDir.getFileSystem(hadoopConf)
     if (!lfs.exists(logDir)) { lfs.mkdirs(logDir); chunkCount = 0 }
     else {
-      val snap = snapshotIndex(lfs)
+      val names = logNames(lfs)
+      val snap = snapshotIndices(names).lastOption
       snap.foreach(n => admitted ++= readLog(s"snapshot-$n"))
-      val idx = chunkIndices(lfs)
+      val idx = chunkIndices(names)
       idx.foreach(i => admitted ++= readLog(i.toString))
+      snapshotBase = snap.getOrElse(0L)
       chunkCount = math.max(snap.getOrElse(0L), idx.lastOption.map(_ + 1).getOrElse(0L))
       // the empty-path entry is the persisted latestSeenMtime marker
       // (written at each compaction) — it participates in the reference
@@ -411,16 +420,23 @@ private[streaming] class StableCsvMicroBatchStream(
   override def commit(end: Offset): Unit = {
     ensureLog()
     val e = end.asInstanceOf[ChunkOffset].chunks
+    // interval gate from in-memory state alone: an ordinary commit makes
+    // NO filesystem call at all (a long-running stream would otherwise
+    // pay remote LIST calls every micro-batch on an object-store
+    // checkpoint). Chunks in [snapshotBase, e) are the un-folded tail;
+    // orphan chunks from a crashed compaction aren't counted here but
+    // are swept by the next real compaction's listing below.
+    if (e - snapshotBase < compactInterval) return
     val lfs = logDir.getFileSystem(hadoopConf)
     // one directory listing serves the whole compaction: highest snapshot
     // = merge base, all lower indices = the sweep set (an orphan from a
     // crash between chunk deletion and snapshot deletion is cleaned here
-    // too — deleting only the merge base would keep it forever). On an
-    // object-store checkpoint every listStatus is a remote LIST call.
-    val snaps = snapshotIndices(lfs)
+    // too — deleting only the merge base would keep it forever)
+    val names = logNames(lfs)
+    val snaps = snapshotIndices(names)
     val prev = snaps.lastOption
     if (e > prev.getOrElse(0L)) {
-      val dead = chunkIndices(lfs).filter(_ < e)
+      val dead = chunkIndices(names).filter(_ < e)
       if (dead.size >= compactInterval) {
         val merged = (prev.map(n => readLog(s"snapshot-$n")).getOrElse(Seq.empty) ++
           dead.flatMap(i => readLog(i.toString))).distinctBy(_._1)
@@ -444,8 +460,14 @@ private[streaming] class StableCsvMicroBatchStream(
         snaps.filter(_ < e).foreach(n =>
           lfs.delete(new Path(logDir, s"snapshot-$n"), false))
         evicted.foreach { case (p, _) => admitted.remove(p) }
+        snapshotBase = e
       }
     }
+    // if compaction didn't run, still reconcile the census with what the
+    // listing showed (a crashed compaction's published snapshot covers
+    // chunks this driver's counter didn't know were folded) — otherwise
+    // the gate would re-list on every subsequent commit
+    snapshotBase = math.max(snapshotBase, prev.getOrElse(0L))
   }
 
   override def stop(): Unit = ()

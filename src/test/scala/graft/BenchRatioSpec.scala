@@ -55,4 +55,18 @@ class BenchRatioSpec extends AnyFunSuite {
   test("no previous artifact -> no comparison") {
     assert(Bench.ratiosVsPrevious(Seq("a" -> 1.0), Map.empty) === (Seq.empty, None))
   }
+
+  test("parseSf reads the anchor's scale factor; a different sf must void the anchor") {
+    val line =
+      """{"metric":"total","value":62.100,"unit":"sec",""" +
+        """"queries":{"q01_group_agg":0.123},"sf":"/root/testdata/sf0.1","vs_prev":null}"""
+    assert(Bench.parseSf(line) === Some("/root/testdata/sf0.1"))
+    assert(Bench.parseSf("""{"metric":"total","value":1.0}""") === None)
+    // the guard the main loop applies: an sf0.01 run against an sf0.1
+    // anchor compares nothing (a ~0.1x wall of ratios would otherwise be
+    // shaped exactly like the host-slowdown signal vs_prev flags)
+    val prevSf = Bench.parseSf(line)
+    assert(!prevSf.forall(_ == "/root/testdata/sf0.01"))
+    assert(prevSf.forall(_ == "/root/testdata/sf0.1"))
+  }
 }

@@ -63,6 +63,10 @@ class ScaleCurveSpec extends SparkSpec {
     intercept[IllegalArgumentException](ScaleCurve.scaleDocuments(d("alpha 42 beta"), 11))
     // any letter in the token separates all replicas — never rejected
     assert(ScaleCurve.scaleDocuments(d("alpha x9.9 beta"), 12).count() == 12)
+    // the EMPTY token (split on consecutive spaces) is rotation-invariant
+    // too — the near-dup tokenizer keeps it, so it leaks at any factor > 1
+    intercept[IllegalArgumentException](ScaleCurve.scaleDocuments(d("alpha  beta"), 2))
+    intercept[IllegalArgumentException](ScaleCurve.scaleDocuments(d(" alpha beta"), 2))
   }
 
   test("scaleEmbeddings: size multiplies, intra-replica cosines exact, norms preserved") {

@@ -239,4 +239,25 @@ class StableCsvRetentionSpec extends SparkSpec {
     assert(!names.exists(n => n.nonEmpty && n.forall(_.isDigit)),
       s"compacted chunks must be deleted: $names")
   }
+
+  test("an interval-gated commit touches no filesystem at all") {
+    spark
+    val in = tmpDir("nofs-in"); val ckpt = tmpDir("nofs-ckpt")
+    val old = System.currentTimeMillis() - 60000
+    val s = new Clocked(props(in, "compactInterval" -> "100"), ckpt.toString,
+      System.currentTimeMillis())
+    s.initialOffset()
+    writeFile(in, "f1.csv", "loan_id,name,amount\n1,x,1.0\n").toFile.setLastModified(old)
+    assert(s.latestOffset().asInstanceOf[ChunkOffset].chunks == 1L)
+    // nuke the admission log out from under the source: a commit that
+    // listed, read, or wrote ANYTHING in it would throw — the in-memory
+    // interval gate must return before the first filesystem call (on an
+    // object-store checkpoint that call is a remote LIST per micro-batch)
+    import scala.jdk.CollectionConverters._
+    val d = ckpt.resolve("graft-admitted")
+    java.nio.file.Files.list(d).iterator().asScala.toSeq
+      .foreach(java.nio.file.Files.delete)
+    java.nio.file.Files.delete(d)
+    s.commit(ChunkOffset(1))
+  }
 }
