@@ -240,6 +240,71 @@ class StableCsvRetentionSpec extends SparkSpec {
       s"compacted chunks must be deleted: $names")
   }
 
+  test("retention eviction survives a compaction crash: resurrected entries re-evict, never re-ingest") {
+    spark
+    val in = tmpDir("retcrash-in"); val ckpt = tmpDir("retcrash-ckpt")
+    val base = System.currentTimeMillis()
+    val r = 10000L
+    val p = props(in, "maxFileAgeMs" -> r.toString, "compactInterval" -> "2")
+
+    class CrashingClocked(@volatile var now2: Long)
+        extends StableCsvMicroBatchStream(schema, p, ckpt.toString) {
+      @volatile var armed = false
+      override protected def nowMs: Long = now2
+      override protected def afterSnapshotPublish(): Unit =
+        if (armed) throw new RuntimeException("injected crash after snapshot publish")
+    }
+
+    val s1 = new CrashingClocked(base + 1000)
+    s1.initialOffset()
+    writeFile(in, "old.csv", "loan_id,name,amount\n1,a,1.0\n")
+      .toFile.setLastModified(base)
+    assert(s1.latestOffset().asInstanceOf[ChunkOffset].chunks == 1L)
+    s1.commit(ChunkOffset(1)) // below the interval: chunk 0 stays live
+    writeFile(in, "new.csv", "loan_id,name,amount\n2,b,2.0\n")
+      .toFile.setLastModified(base + 2 * r)
+    s1.now2 = base + 2 * r + 1000
+    assert(s1.latestOffset().asInstanceOf[ChunkOffset].chunks == 2L)
+    s1.armed = true
+    intercept[RuntimeException](s1.commit(ChunkOffset(2)))
+
+    // crash state: snapshot-2 published with old.csv evicted (marker +
+    // new.csv only), but the dead chunks — chunk 0 still holding old.csv
+    // — were never deleted
+    val snap2 = logText(ckpt, "snapshot-2")
+    assert(snap2.contains("new.csv") && !snap2.contains("old.csv"),
+      s"eviction must be durable in the published snapshot:\n$snap2")
+    assert(logFiles(ckpt).contains("0"), "dead chunk must survive the crash")
+
+    // recovery unions snapshot + dead chunks: the evicted entry is
+    // RESURRECTED into the in-memory admitted set — the safe direction
+    // (set membership can only prevent re-admission, never cause it).
+    // old.csv still sits in incoming; it must not be re-ingested, by
+    // either membership or the marker-restored age refusal.
+    val s2 = new CrashingClocked(base + 2 * r + 2000)
+    s2.initialOffset()
+    assert(s2.latestOffset().asInstanceOf[ChunkOffset].chunks == 2L,
+      "crash recovery re-admitted an evicted file")
+
+    // the next successful compaction re-evicts it durably and sweeps
+    // every dead chunk (including the pre-crash orphans)
+    Seq("f3.csv" -> 3, "f4.csv" -> 4).foreach { case (n, i) =>
+      writeFile(in, n, s"loan_id,name,amount\n$i,c,3.0\n")
+        .toFile.setLastModified(base + 2 * r)
+      s2.now2 = base + 2 * r + 2000 + i * 1000
+      assert(s2.latestOffset().asInstanceOf[ChunkOffset].chunks == i.toLong)
+      s2.commit(ChunkOffset(i.toLong))
+    }
+    val names = logFiles(ckpt).filterNot(n => n.startsWith(".") || n.endsWith(".crc"))
+    assert(names == Seq("snapshot-4"),
+      s"compaction must sweep dead chunks and superseded snapshots: $names")
+    val snap4 = logText(ckpt, "snapshot-4")
+    assert(!snap4.contains("old.csv"),
+      s"resurrected entry must re-evict at the next compaction:\n$snap4")
+    assert(Seq("new.csv", "f3.csv", "f4.csv").forall(snap4.contains),
+      s"live entries must all survive:\n$snap4")
+  }
+
   test("an interval-gated commit touches no filesystem at all") {
     spark
     val in = tmpDir("nofs-in"); val ckpt = tmpDir("nofs-ckpt")
