@@ -247,10 +247,8 @@ class StableCsvRetentionSpec extends SparkSpec {
     val r = 10000L
     val p = props(in, "maxFileAgeMs" -> r.toString, "compactInterval" -> "2")
 
-    class CrashingClocked(@volatile var now2: Long)
-        extends StableCsvMicroBatchStream(schema, p, ckpt.toString) {
+    class CrashingClocked(n: Long) extends Clocked(p, ckpt.toString, n) {
       @volatile var armed = false
-      override protected def nowMs: Long = now2
       override protected def afterSnapshotPublish(): Unit =
         if (armed) throw new RuntimeException("injected crash after snapshot publish")
     }
@@ -263,7 +261,7 @@ class StableCsvRetentionSpec extends SparkSpec {
     s1.commit(ChunkOffset(1)) // below the interval: chunk 0 stays live
     writeFile(in, "new.csv", "loan_id,name,amount\n2,b,2.0\n")
       .toFile.setLastModified(base + 2 * r)
-    s1.now2 = base + 2 * r + 1000
+    s1.now = base + 2 * r + 1000
     assert(s1.latestOffset().asInstanceOf[ChunkOffset].chunks == 2L)
     s1.armed = true
     intercept[RuntimeException](s1.commit(ChunkOffset(2)))
@@ -291,7 +289,7 @@ class StableCsvRetentionSpec extends SparkSpec {
     Seq("f3.csv" -> 3, "f4.csv" -> 4).foreach { case (n, i) =>
       writeFile(in, n, s"loan_id,name,amount\n$i,c,3.0\n")
         .toFile.setLastModified(base + 2 * r)
-      s2.now2 = base + 2 * r + 2000 + i * 1000
+      s2.now = base + 2 * r + 2000 + i * 1000
       assert(s2.latestOffset().asInstanceOf[ChunkOffset].chunks == i.toLong)
       s2.commit(ChunkOffset(i.toLong))
     }
