@@ -103,4 +103,29 @@ class DagSpec extends SparkSpec {
       java.nio.file.Paths.get(work.resolve("report.html").toString))
     assert(html4.contains("loan_batch3.csv") && !html4.contains("loan_batch1.csv"))
   }
+
+  test("retention through the composed DAG: over-age files refused, fresh ones processed") {
+    val incoming = tmpDir("dagret_in"); val work = tmpDir("dagret_work")
+    val base = System.currentTimeMillis()
+    val r = 10000L
+    writeFile(incoming, "loan_old.csv",
+      s"""$header
+         |L1,C1,2024-01-15 10:30:00,1000.5,12.5,12,APPROVED,PERSONAL,KTM,A
+         |""".stripMargin).toFile.setLastModified(base - 3 * r)
+    writeFile(incoming, "loan_new.csv",
+      s"""$header
+         |L2,C2,2024-01-16 11:00:00,2000.0,11.0,24,APPROVED,HOME,PKR,B
+         |""".stripMargin).toFile.setLastModified(base)
+    val run = Dag.run(spark, incoming.toString, work.toString,
+      minAgeSeconds = 0L, maxFileAgeMs = r, now = Instant.ofEpochMilli(base + 1000))
+    assert(run.batch.processed.map(_.filename) === Seq("loan_new.csv"))
+    assert(run.batch.expired.size === 1 && run.batch.expired.head.endsWith("loan_old.csv"))
+    assert(run.etl.get.rowCount === 1L)
+    // the refused file never reaches the landing zone or the report
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(work.resolve("raw").toString, "loan_old.csv")))
+    val html = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(work.resolve("report.html").toString))
+    assert(html.contains("loan_new.csv") && !html.contains("loan_old.csv"))
+  }
 }
