@@ -203,7 +203,12 @@ object Queries {
         .limit(1)
         .select(col("seg").as("mode_seg"))
       base
-        .crossJoin(broadcast(mode))
+        // LEFT join on true, not crossJoin: with an all-null column the
+        // 1-row mode frame is EMPTY, and a cross join would wipe out
+        // every row where the oracle's scalar subquery fills NULL —
+        // left-join semantics match the subquery in both cases, at the
+        // same broadcast cost
+        .join(broadcast(mode), lit(true), "left")
         .select(
           col("c_custkey"),
           coalesce(col("seg"), col("mode_seg")).as("seg_filled"))

@@ -152,9 +152,17 @@ object StreamingEtl {
   /** foreachBatch sink — the reference DAG's per-run shape (ST6 + ST7):
     * each micro-batch lands the raw rows, recomputes the aggregate table
     * over EVERYTHING landed so far (full-recompute semantics,
-    * loan_spark_etl.py:152-184), and renders the top-k HTML report
-    * (drive_auto_compress_email.py:353-517). Returns the path of the last
-    * report written.
+    * loan_spark_etl.py:152-184), and renders one
+    * `report_batch_<id>.html` per micro-batch under `reportDir`
+    * (drive_auto_compress_email.py:353-517).
+    *
+    * Exactly-once: foreachBatch only guarantees at-least-once delivery —
+    * a crash after the write but before the checkpoint commit replays
+    * the same batchId — so the landing write must be idempotent. Each
+    * batch OVERWRITES its own `batch-<id>` subdirectory (a replay
+    * rewrites identical rows in place) instead of appending to a shared
+    * directory, where a replay would double the rows in every later
+    * aggregate and report.
     */
   def runWithBatchReport(
       df: DataFrame,
@@ -165,8 +173,9 @@ object StreamingEtl {
     val q = df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("append").parquet(outDir)
-        val all = batch.sparkSession.read.parquet(outDir)
+        batch.write.mode("overwrite").parquet(f"$outDir/batch-$batchId%05d")
+        val all = batch.sparkSession.read
+          .option("recursiveFileLookup", "true").parquet(outDir)
         graft.etl.Aggregates.build(all)
           .write.mode("overwrite").parquet(aggDir)
         val summary = graft.etl.Aggregates.latestSummary(batch.sparkSession, aggDir)
@@ -321,9 +330,14 @@ object StreamingEtl {
         col("tb.l").as("l"), col("tb.bucket").as("bucket"))
       .as[BandedVec]
     def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+      // batch parity on malformed rows: zip_with null-pads a dim
+      // mismatch, so the batch dot is NULL and the pair is dropped —
+      // mirror that with NaN (fails any >= threshold test) instead of
+      // silently truncating to the common prefix and inventing matches
+      if (a.length != b.length) return Double.NaN
       // identical accumulation order to the batch aggregate/zip_with dot
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
+      val n = a.length
       while (i < n) {
         d += a(i).toDouble * b(i).toDouble
         na += a(i).toDouble * a(i).toDouble
@@ -331,6 +345,11 @@ object StreamingEtl {
         i += 1
       }
       val raw = d / (math.sqrt(na) * math.sqrt(nb))
+      // a zero-norm (or empty) embedding makes raw NaN; batch round()
+      // propagates the NaN and the threshold filter drops the pair,
+      // whereas BigDecimal.valueOf(NaN) would THROW and kill the whole
+      // streaming query — return the NaN and let the same filter drop it
+      if (raw.isNaN) return Double.NaN
       // Spark's round() HALF_UPs the shortest decimal repr of the double;
       // BigDecimal.valueOf goes through Double.toString — the same repr
       java.math.BigDecimal.valueOf(raw)

@@ -109,7 +109,9 @@ class StreamingEtlSpec extends SparkSpec {
     StreamingEtl.runWithBatchReport(
       StreamingEtl.csvFileStream(spark, in.toString, schema),
       out.toString, agg.toString, rep.toString, ckpt.toString)
-    assert(spark.read.parquet(out.toString).count() == 3)
+    def landed(): Long = spark.read
+      .option("recursiveFileLookup", "true").parquet(out.toString).count()
+    assert(landed() == 3)
     val aggRows = spark.read.parquet(agg.toString).collect()
     assert(aggRows.map(_.getAs[Long]("loan_count")).sum == 3)
     val reports = java.nio.file.Files.list(java.nio.file.Paths.get(rep.toString))
@@ -117,6 +119,22 @@ class StreamingEtlSpec extends SparkSpec {
     assert(reports.nonEmpty)
     val html = java.nio.file.Files.readString(java.nio.file.Paths.get(reports.sorted.last))
     assert(html.contains("APPROVED") && html.contains("150.50"))
+
+    // replay injection: foreachBatch is at-least-once — delete the
+    // batch-0 commit marker so the restarted query re-executes the SAME
+    // batchId over the recorded offsets. The idempotent per-batch
+    // overwrite must leave the landed rows unchanged (an append sink
+    // would double them, poisoning every later aggregate and report).
+    java.nio.file.Files.delete(ckpt.resolve("commits").resolve("0"))
+    // the local-FS checksum sidecar must go with it, or the replayed
+    // commit's atomic rename trips Spark's concurrent-writer detection
+    java.nio.file.Files.deleteIfExists(ckpt.resolve("commits").resolve(".0.crc"))
+    StreamingEtl.runWithBatchReport(
+      StreamingEtl.csvFileStream(spark, in.toString, schema),
+      out.toString, agg.toString, rep.toString, ckpt.toString)
+    assert(landed() == 3, "a replayed micro-batch must not duplicate landed rows")
+    val aggRows2 = spark.read.parquet(agg.toString).collect()
+    assert(aggRows2.map(_.getAs[Long]("loan_count")).sum == 3)
   }
 
   test("windowed-agg state survives restart: watermark resumes from checkpoint, no window emitted twice") {

@@ -148,6 +148,26 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(batch.nonEmpty, "no embedding near-dups in test corpus?")
   }
 
+  test("degenerate embeddings (zero-norm, dim mismatch) are dropped, never query-killing") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000)
+    val rows = Seq(
+      (1L, t(1), Seq.fill(64)(1.0f)), // genuine near-dup pair...
+      (2L, t(2), Seq.fill(64)(1.0f)), // ...identical -> cosine 1.0
+      (3L, t(3), Seq.fill(64)(0.0f)), // zero-norm: 0/0 cosine is NaN
+      (4L, t(4), Seq.fill(32)(1.0f)) // dim mismatch vs the 64-dim corpus
+    ).toDF("vec_id", "ts", "embedding")
+    // pre-fix, the zero-norm comparison crashed the whole query
+    // (BigDecimal.valueOf(NaN) throws) and the short vector silently
+    // truncated the dot to the common prefix, inventing matches the
+    // batch operator (NULL-padded zip_with dot) never emits — both must
+    // simply drop, leaving exactly the one genuine pair
+    val out = StreamingEtl.streamingEmbedNearDup(rows, dim = 64, threshold = 0.3)
+      .collect()
+    assert(out.map(m => (m.dup_of, m.vec_id, m.cosine)).toSet == Set((1L, 2L, 1.0)),
+      s"got: ${out.toSeq}")
+  }
+
   test("streamingEmbedNearDup carries vector state across micro-batches") {
     import org.apache.spark.sql.types._
     val in = tmpDir("sev-in"); val out = tmpDir("sev-out"); val ckpt = tmpDir("sev-ckpt")
