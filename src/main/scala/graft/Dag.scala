@@ -34,8 +34,11 @@ import graft.report.Summary
   *
   * All paths go through the Hadoop FileSystem API, so `incomingDir` and
   * `workDir` may live on `file://`, `hdfs://`, or `s3a://`. The ETL stage
-  * is the distributed part; ingest is driver-side file plumbing exactly
-  * as the reference's PythonOperator is.
+  * is distributed; ingest landing (copy + gzip) is driver-side file
+  * plumbing for small batches — exactly as the reference's PythonOperator
+  * is — and runs as a Spark job over the file list once the admitted
+  * batch reaches `FileIngest`'s distribute threshold, with the ledger
+  * append staying a driver-side commit point either way.
   *
   * Usage: `runMain graft.Dag <incomingDir> <workDir> [minAgeSeconds]`.
   * Re-running is safe and incremental: the ledger makes ingest
@@ -76,7 +79,8 @@ object Dag {
       minAgeSeconds = minAgeSeconds,
       maxFileAgeMs = maxFileAgeMs,
       conf = conf,
-      now = now)
+      now = now,
+      spark = Some(spark))
 
     // Nothing may have landed yet (first run with every file deferred):
     // an unmatched glob makes spark.read throw, so probe the landing zone

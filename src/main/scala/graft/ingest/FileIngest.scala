@@ -5,6 +5,7 @@ import java.util.zip.GZIPOutputStream
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
 
 /** Incremental file-arrival ingestion: discovery, admission, stabilization,
   * exactly-once dedup, landing copy, and gzip compression with per-file
@@ -82,6 +83,20 @@ object FileIngest {
     * mtime and are conservatively never evicted. Shared caveat with
     * Spark's `maxFileAge` and the streaming source: a file whose mtime
     * is rewritten after its entry ages out counts as a new file.
+    *
+    * Landing (copy + gzip + size metrics) is per-file-independent, so when
+    * `spark` is supplied and the admitted batch reaches
+    * `distributeThreshold` files it runs as a Spark job over the file list
+    * — one task per file up to the cluster's parallelism, with the Hadoop
+    * conf broadcast so executors can open any scheme the driver can. The
+    * reference lands serially on the scheduler host
+    * (drive_auto_compress_email.py:272-309), which is also our small-batch
+    * path; at 100 TB a backlog of thousands of files must not funnel
+    * through one machine's NIC. Exactly-once semantics are untouched
+    * either way: the ledger load and the post-landing ledger append stay
+    * driver-side commit points, every landed artifact is an idempotent
+    * overwrite, and a partially-failed job re-runs the whole (un-ledgered)
+    * batch exactly like a partially-failed serial loop.
     */
   def processBatch(
       incomingDir: String,
@@ -93,7 +108,9 @@ object FileIngest {
       minAgeSeconds: Long = 60L,
       maxFileAgeMs: Long = Long.MaxValue,
       conf: Configuration = new Configuration(),
-      now: Instant = Instant.now()): BatchResult = {
+      now: Instant = Instant.now(),
+      spark: Option[SparkSession] = None,
+      distributeThreshold: Int = 8): BatchResult = {
 
     val inPath = new Path(incomingDir)
     val fs = inPath.getFileSystem(conf)
@@ -126,21 +143,22 @@ object FileIngest {
     fs.mkdirs(new Path(rawDir))
     fs.mkdirs(new Path(outputDir))
 
-    val stats = ready.map { st =>
-      val name = st.getPath.getName
-      val rawPath = new Path(rawDir, name)
-      val gzPath = new Path(outputDir, s"$name.gz")
-      copy(fs, st.getPath, fs, rawPath, conf)
-      val originalSize = st.getLen
-      val compressedSize = gzipTo(fs, st.getPath, fs, gzPath)
-      CompressionStats(
-        fileId = fileId(st),
-        filename = name,
-        originalSize = originalSize,
-        compressedSize = compressedSize,
-        compressionRatio = if (originalSize > 0) compressedSize.toDouble / originalSize else 0.0,
-        rawPath = rawPath.toString,
-        compressedPath = gzPath.toString)
+    val stats: Seq[CompressionStats] = spark match {
+      case Some(ss) if ready.size >= math.max(distributeThreshold, 2) =>
+        // one (fileId, size) pair per admitted file — tiny driver-side
+        // list; the bytes themselves move executor-side, FS-to-FS
+        val tasks = ready.map(st => (fileId(st), st.getLen))
+        val slices = math.min(tasks.size, ss.sparkContext.defaultParallelism)
+        val bc = ss.sparkContext.broadcast(new SerializableHadoopConf(conf))
+        val landed = ss.sparkContext
+          .parallelize(tasks, slices)
+          .map { case (id, len) => landOne(id, len, rawDir, outputDir, bc.value.value) }
+          .collect()
+        // collect() is bounded: one small stats row per file, the same
+        // list the serial path holds; re-sort to the listing's name order
+        landed.toIndexedSeq.sortBy(_.filename)
+      case _ =>
+        ready.map(st => landOne(fileId(st), st.getLen, rawDir, outputDir, conf))
     }
 
     // evict ledger entries older than the window (unknown-mtime legacy
@@ -169,6 +187,52 @@ object FileIngest {
 
     BatchResult(stats, deferred.map(fileId), rejected.map(st => st.getPath.getName),
       expired.map(fileId))
+  }
+
+  /** Ships a Hadoop `Configuration` (not `java.io.Serializable`) into
+    * Spark tasks via its own `Writable` wire format — the same trick
+    * Spark's internal `SerializableConfiguration` uses, re-stated here
+    * because that class is `private[spark]`.
+    */
+  private final class SerializableHadoopConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** Land one admitted file: copy into `rawDir`, gzip into `outputDir`,
+    * return its size metrics. Self-contained over (URI, conf) so it runs
+    * identically on the driver (small batches) or inside a Spark task
+    * (large batches); both writes are idempotent overwrites.
+    */
+  private def landOne(
+      id: String,
+      originalSize: Long,
+      rawDir: String,
+      outputDir: String,
+      conf: Configuration): CompressionStats = {
+    val src = new Path(new java.net.URI(id))
+    val srcFs = src.getFileSystem(conf)
+    val name = src.getName
+    val rawPath = new Path(rawDir, name)
+    val gzPath = new Path(outputDir, s"$name.gz")
+    copy(srcFs, src, rawPath.getFileSystem(conf), rawPath, conf)
+    val compressedSize = gzipTo(srcFs, src, gzPath.getFileSystem(conf), gzPath)
+    CompressionStats(
+      fileId = id,
+      filename = name,
+      originalSize = originalSize,
+      compressedSize = compressedSize,
+      compressionRatio = if (originalSize > 0) compressedSize.toDouble / originalSize else 0.0,
+      rawPath = rawPath.toString,
+      compressedPath = gzPath.toString)
   }
 
   private def copy(srcFs: FileSystem, src: Path, dstFs: FileSystem, dst: Path,

@@ -118,6 +118,59 @@ class FileIngestSpec extends SparkSpec {
     assert(again.processed.isEmpty)
   }
 
+  test("distributed landing: a large batch lands as a Spark job, one task per file up to parallelism") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val (incoming, raw, out, ledger) = setup()
+    val n = 10
+    (1 to n).foreach(i =>
+      put(incoming, f"loan_$i%02d.csv", "loan_id,amount\n" + s"$i,100.0\n" * 50))
+
+    val taskCounts = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    val listener = new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        taskCounts.add(e.stageInfo.numTasks)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val dist =
+      try FileIngest.processBatch(incoming, raw, out, ledger, now = now,
+        spark = Some(spark), distributeThreshold = 2)
+      finally {
+        // listener events are async; give the bus a moment to drain
+        val deadline = System.nanoTime() + 10_000_000_000L
+        while (!taskCounts.contains(math.min(n, spark.sparkContext.defaultParallelism)) &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+
+    // the landing job actually fanned out across executor slots
+    assert(taskCounts.contains(math.min(n, spark.sparkContext.defaultParallelism)),
+      s"expected a landing stage with ${math.min(n, spark.sparkContext.defaultParallelism)} tasks, saw $taskCounts")
+    assert(dist.processed.size == n)
+    assert(dist.processed.map(_.filename) == (1 to n).map(i => f"loan_$i%02d.csv"))
+    (1 to n).foreach { i =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(raw, f"loan_$i%02d.csv")))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out, f"loan_$i%02d.csv.gz")))
+    }
+    // exactly-once survives the distributed path: ledger was appended once
+    val again = FileIngest.processBatch(incoming, raw, out, ledger, now = now,
+      spark = Some(spark), distributeThreshold = 2)
+    assert(again.processed.isEmpty, "distributed batch was re-ingested")
+
+    // stats are identical to the serial path over the same files
+    val root2 = tmpDir("ingest-serial")
+    val serial = FileIngest.processBatch(incoming, root2.resolve("raw").toString,
+      root2.resolve("out").toString, root2.resolve("ledger.json").toString, now = now)
+    def key(s: FileIngest.CompressionStats) =
+      (s.fileId, s.filename, s.originalSize, s.compressedSize, s.compressionRatio)
+    assert(dist.processed.map(key) == serial.processed.map(key))
+
+    // and the gzip bytes are a faithful round-trip
+    val gz = java.nio.file.Paths.get(out, "loan_03.csv.gz")
+    val in = new java.util.zip.GZIPInputStream(java.nio.file.Files.newInputStream(gz))
+    val back = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(back == "loan_id,amount\n" + "3,100.0\n" * 50)
+  }
+
   test("ledger round-trips through the reference JSON format") {
     val (_, _, _, ledger) = setup()
     FileLedger.save(ledger, Set("b", "a"), now = Instant.parse("2026-08-12T00:00:00Z"))
