@@ -95,7 +95,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * emptyValue); timestamps accept ISO instants, offset datetimes
   * (`2024-01-01T00:00:00+02:00`), and zoneless SQL forms resolved in
   * UTC. Unsupported column types are rejected at stream construction,
-  * never silently nulled.
+  * never silently nulled. A cell longer than `maxCharsPerColumn`
+  * (default 1 MiChar; <=0 = unlimited) follows the SAME per-cell
+  * contract: the field nulls under PERMISSIVE (with a per-file WARN
+  * counting dropped cells) and throws under FAILFAST — the limit is
+  * enforced by this reader AFTER parsing, never by the underlying
+  * parser, because a parser-level cap aborts univocity mid-file and
+  * would kill the whole query for one pathological row.
   *
   * Scale notes: one input partition per admitted file (micro-batch CSV
   * drops are file-at-a-time uploads; a 100 TB backlog arrives as many
@@ -207,7 +213,8 @@ private[streaming] case class ChunkOffset(chunks: Long) extends Offset {
 }
 
 private[streaming] case class CsvFilePartition(
-    path: String, header: Boolean, delim: Char, failFast: Boolean)
+    path: String, header: Boolean, delim: Char, failFast: Boolean,
+    maxCharsPerColumn: Int)
     extends InputPartition
 
 private[streaming] class StableCsvMicroBatchStream(
@@ -228,6 +235,11 @@ private[streaming] class StableCsvMicroBatchStream(
     * compaction I/O is O(n·len/interval), not O(n²).
     */
   private val compactInterval = props.getOrElse("compactInterval", "10").toInt
+  /** Per-cell length bound, enforced reader-side post-parse (<=0 =
+    * unlimited); an over-limit cell nulls (PERMISSIVE) or throws
+    * (FAILFAST) like any other unparsable cell.
+    */
+  private val maxCharsPerColumn = props.getOrElse("maxCharsPerColumn", (1 << 20).toString).toInt
   private val failFast =
     props.getOrElse("mode", "PERMISSIVE").toUpperCase(java.util.Locale.ROOT) match {
       case "PERMISSIVE" => false
@@ -393,7 +405,7 @@ private[streaming] class StableCsvMicroBatchStream(
     val s = start.asInstanceOf[ChunkOffset].chunks
     val e = end.asInstanceOf[ChunkOffset].chunks
     (s until e).flatMap(i => readLog(i.toString)).map { case (p, _) =>
-      CsvFilePartition(p, header, delim, failFast): InputPartition
+      CsvFilePartition(p, header, delim, failFast, maxCharsPerColumn): InputPartition
     }.toArray
   }
 
@@ -496,7 +508,13 @@ private[streaming] class StableCsvReaderFactory(
         val settings = new com.univocity.parsers.csv.CsvParserSettings
         settings.getFormat.setDelimiter(p.delim)
         settings.setHeaderExtractionEnabled(p.header)
-        settings.setMaxCharsPerColumn(1 << 20)
+        // the parser itself is UNLIMITED (Spark's CSV default): a
+        // parser-level cap throws TextParsingException mid-file, which
+        // univocity cannot recover from — one pathological cell would
+        // kill the whole query even in PERMISSIVE. The configured
+        // maxCharsPerColumn is enforced per cell below instead, with
+        // the same null-or-throw contract as any unparsable cell.
+        settings.setMaxCharsPerColumn(-1)
         settings.setLineSeparatorDetectionEnabled(true)
         settings.setIgnoreLeadingWhitespaces(false)
         settings.setIgnoreTrailingWhitespaces(false)
@@ -508,20 +526,36 @@ private[streaming] class StableCsvReaderFactory(
       }
       parser.beginParsing(new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
       private var current: InternalRow = _
+      private var oversizedCells: Long = 0L
       override def next(): Boolean = {
         val cells = parser.parseNext()
         if (cells == null) false
         else {
           val vals = schema.fields.zipWithIndex.map { case (f, i) =>
-            if (i < cells.length) StableCsvSource.convert(cells(i), f.dataType, p.failFast)
-            else null
+            val raw = if (i < cells.length) cells(i) else null
+            val bounded =
+              if (raw != null && p.maxCharsPerColumn > 0 && raw.length > p.maxCharsPerColumn) {
+                if (p.failFast) throw new IllegalArgumentException(
+                  s"stable-csv: cell of ${raw.length} chars in column '${f.name}' of ${p.path} " +
+                    s"exceeds maxCharsPerColumn=${p.maxCharsPerColumn} (mode=FAILFAST)")
+                oversizedCells += 1
+                null
+              } else raw
+            StableCsvSource.convert(bounded, f.dataType, p.failFast)
           }
           current = InternalRow.fromSeq(vals.toIndexedSeq)
           true
         }
       }
       override def get(): InternalRow = current
-      override def close(): Unit = { parser.stopParsing(); in.close() }
+      override def close(): Unit = {
+        if (oversizedCells > 0)
+          org.slf4j.LoggerFactory.getLogger(classOf[StableCsvReaderFactory]).warn(
+            s"stable-csv: nulled $oversizedCells over-limit cell(s) " +
+              s"(> ${p.maxCharsPerColumn} chars) in ${p.path} (mode=PERMISSIVE)")
+        parser.stopParsing()
+        in.close()
+      }
     }
   }
 }

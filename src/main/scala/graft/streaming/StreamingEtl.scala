@@ -73,11 +73,13 @@ object StreamingEtl {
       maxFilesPerTrigger: Int = 1000,
       maxFileAge: Option[java.time.Duration] = None,
       compactInterval: Int = 10,
-      failFast: Boolean = false): DataFrame = {
+      failFast: Boolean = false,
+      maxCharsPerColumn: Int = 1 << 20): DataFrame = {
     val base = spark.readStream
       .format(StableCsvSource.ProviderClass)
       .schema(schema)
       .option("path", dir)
+      .option("maxCharsPerColumn", maxCharsPerColumn.toString)
       .option("minAgeMs", minAge.toMillis.toString)
       .option("pathGlobFilter", globPattern)
       .option("header", "true")

@@ -69,6 +69,62 @@ class StableCsvDecodeSpec extends SparkSpec {
     }
   }
 
+  test("oversized cell mid-file: PERMISSIVE nulls the field, every other row survives") {
+    // a cell over maxCharsPerColumn must follow the per-cell contract
+    // (null the FIELD), not abort univocity and kill the whole query —
+    // the parser runs unlimited and the bound is enforced post-parse
+    val schema = StructType(Seq(
+      StructField("loan_id", LongType),
+      StructField("name", StringType),
+      StructField("amount", DoubleType)))
+    val in = tmpDir("big-in"); val out = tmpDir("big-out"); val ckpt = tmpDir("big-ckpt")
+    val huge = "x" * ((1 << 20) + 5) // just over the 1 MiChar default
+    writeFile(in, "loan_big.csv",
+      s"loan_id,name,amount\n1,before,10.5\n2,$huge,20.5\n3,after,30.5\n")
+      .toFile.setLastModified(System.currentTimeMillis() - 60000)
+    val df = StreamingEtl.stableCsvStream(
+      spark, in.toString, schema, java.time.Duration.ofSeconds(1))
+    val q = df.writeStream
+      .format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.read.schema(schema).parquet(out.toString)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+      .toSeq
+    assert(rows == Seq((1L, "before", 10.5), (2L, null, 20.5), (3L, "after", 30.5)),
+      s"the oversized cell must null only its field and the rows around it must survive: " +
+        rows.map { case (a, b, c) => (a, Option(b).map(_.take(20)), c) })
+  }
+
+  test("oversized cell under mode=FAILFAST fails the query") {
+    val schema = StructType(Seq(
+      StructField("loan_id", LongType),
+      StructField("name", StringType)))
+    val in = tmpDir("bigf-in"); val out = tmpDir("bigf-out"); val ckpt = tmpDir("bigf-ckpt")
+    writeFile(in, "loan_bigf.csv", s"loan_id,name\n1,${"y" * 64}\n")
+      .toFile.setLastModified(System.currentTimeMillis() - 60000)
+    val df = StreamingEtl.stableCsvStream(
+      spark, in.toString, schema, java.time.Duration.ofSeconds(1),
+      failFast = true, maxCharsPerColumn = 16)
+    val q = df.writeStream
+      .format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](q.awaitTermination())
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(20).toSeq
+    assert(chain(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("maxCharsPerColumn")),
+      s"expected the FAILFAST oversized-cell error in the cause chain: ${e.getMessage}")
+  }
+
   test("streaming end-to-end: malformed cells null their fields; good rows unaffected") {
     val schema = StructType(Seq(
       StructField("loan_id", LongType),
