@@ -165,19 +165,67 @@ object StreamingEtl {
     * rewrites identical rows in place) instead of appending to a shared
     * directory, where a replay would double the rows in every later
     * aggregate and report.
+    *
+    * Landing-dir lifecycle (`compactInterval`): the faithful default
+    * (0 = off) keeps one `batch-<id>` dir per trigger forever — exactly
+    * the reference, whose landing zone grows one file per run — but a
+    * long-lived stream then re-reads O(n) dirs every trigger, O(n²)
+    * lifetime read I/O. With `compactInterval = K`, once K dirs below
+    * the CURRENT batch have accumulated they fold into one
+    * `base-<id>` parquet dir covering every batch id below `id`, and
+    * the folded dirs are deleted. Only ids < current fold: batches
+    * below the running batch are durably committed in the checkpoint
+    * (Spark replays at most the newest uncommitted batch), so the fold
+    * reads settled data, while the current batch keeps its own dir so
+    * a replay overwrite stays idempotent. The every-trigger read then
+    * selects highest `base-<n>` + the `batch-<id>` dirs with id >= n —
+    * aggregates see exactly the same rows as the uncompacted layout.
+    * Crash-safe without atomic rename: the new base publishes BEFORE
+    * the dirs it covers are deleted, the highest base always wins at
+    * read time, and any leftover dir below it is excluded by the
+    * id >= n rule and swept by the next compaction.
     */
   def runWithBatchReport(
       df: DataFrame,
       outDir: String,
       aggDir: String,
       reportDir: String,
-      checkpoint: String): Unit = {
+      checkpoint: String,
+      compactInterval: Int = 0): Unit = {
     val q = df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.write.mode("overwrite").parquet(f"$outDir/batch-$batchId%05d")
-        val all = batch.sparkSession.read
-          .option("recursiveFileLookup", "true").parquet(outDir)
+        val all =
+          if (compactInterval <= 0)
+            // faithful unbounded layout: every batch dir, forever (ST6)
+            batch.sparkSession.read
+              .option("recursiveFileLookup", "true").parquet(outDir)
+          else {
+            val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+            val out = new org.apache.hadoop.fs.Path(outDir)
+            val fs = out.getFileSystem(conf)
+            val (base, live) = landingState(fs, out)
+            val foldable = live.filter(_._1 < batchId)
+            if (foldable.size >= compactInterval) {
+              val srcs = (base.map(_._2).toSeq ++ foldable.map(_._2)).map(_.toString)
+              // overwrite → a replayed compaction republishes identically
+              batch.sparkSession.read.parquet(srcs: _*)
+                .write.mode("overwrite").parquet(f"$outDir/base-$batchId%05d")
+              // sweep everything the new base supersedes, including
+              // leftovers of a compaction that crashed mid-delete
+              fs.listStatus(out).foreach { st =>
+                val n = st.getPath.getName
+                val superseded =
+                  dirId(n, "batch-").exists(_ < batchId) ||
+                    dirId(n, "base-").exists(_ < batchId)
+                if (superseded) fs.delete(st.getPath, true)
+              }
+            }
+            val (b2, l2) = landingState(fs, out)
+            val paths = (b2.map(_._2).toSeq ++ l2.map(_._2)).map(_.toString)
+            batch.sparkSession.read.parquet(paths: _*)
+          }
         graft.etl.Aggregates.build(all)
           .write.mode("overwrite").parquet(aggDir)
         val summary = graft.etl.Aggregates.latestSummary(batch.sparkSession, aggDir)
@@ -191,6 +239,31 @@ object StreamingEtl {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** `<prefix><digits>` directory name → its numeric id. */
+  private def dirId(name: String, prefix: String): Option[Long] =
+    if (!name.startsWith(prefix)) None
+    else {
+      val d = name.stripPrefix(prefix)
+      if (d.nonEmpty && d.forall(_.isDigit)) Some(d.toLong) else None
+    }
+
+  /** The landing dir's authoritative contents: highest `base-<n>` (if
+    * any) plus the live `batch-<id>` dirs (id >= n). Anything below the
+    * highest base is a crash leftover whose rows the base already holds
+    * — reading it would double-count, so selection excludes it.
+    */
+  private def landingState(fs: org.apache.hadoop.fs.FileSystem,
+      out: org.apache.hadoop.fs.Path)
+      : (Option[(Long, org.apache.hadoop.fs.Path)], Seq[(Long, org.apache.hadoop.fs.Path)]) = {
+    val st = if (fs.exists(out)) fs.listStatus(out).toSeq.filter(_.isDirectory) else Seq.empty
+    val bases = st.flatMap(s => dirId(s.getPath.getName, "base-").map(_ -> s.getPath))
+    val base = bases.sortBy(_._1).lastOption
+    val live = st.flatMap(s => dirId(s.getPath.getName, "batch-").map(_ -> s.getPath))
+      .filter { case (id, _) => base.forall(id >= _._1) }
+      .sortBy(_._1)
+    (base, live)
   }
 
   /** Stream-stream interval join: purchases matched to same-user clicks

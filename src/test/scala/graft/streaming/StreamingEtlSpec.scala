@@ -137,6 +137,59 @@ class StreamingEtlSpec extends SparkSpec {
     assert(aggRows2.map(_.getAs[Long]("loan_count")).sum == 3)
   }
 
+  test("landing-dir compaction: dir count bounded, aggregates identical, newest-batch replay still exact") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("loan_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("amount", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("status", org.apache.spark.sql.types.StringType)))
+    val in = tmpDir("cp-in")
+    val n = 8
+    (0 until n).foreach(i => writeFile(in, s"loan_$i.csv",
+      s"loan_id,amount,status\nL$i,${100.0 + i},${if (i % 2 == 0) "APPROVED" else "REJECTED"}\n"))
+    def stream() = StreamingEtl.csvFileStream(spark, in.toString, schema, maxFilesPerTrigger = 1)
+
+    // faithful layout (compactInterval = 0): one dir per batch, forever
+    val outA = tmpDir("cp-outA"); val aggA = tmpDir("cp-aggA")
+    StreamingEtl.runWithBatchReport(stream(), outA.toString, aggA.toString,
+      tmpDir("cp-repA").toString, tmpDir("cp-ckptA").toString)
+    def dirs(p: java.nio.file.Path): Seq[String] =
+      java.nio.file.Files.list(p).toArray.map(_.toString.split('/').last).sorted.toSeq
+    assert(dirs(outA).count(_.startsWith("batch-")) == n)
+
+    // compacted layout: same input, compactInterval = 3
+    val outB = tmpDir("cp-outB"); val aggB = tmpDir("cp-aggB")
+    val ckptB = tmpDir("cp-ckptB")
+    StreamingEtl.runWithBatchReport(stream(), outB.toString, aggB.toString,
+      tmpDir("cp-repB").toString, ckptB.toString, compactInterval = 3)
+    // trace with n=8, K=3: fold at batch 3 (base-3) and batch 6 (base-6)
+    // → final layout is one base + the ≤K un-folded tail, bounded for
+    // any number of triggers
+    val dB = dirs(outB)
+    assert(dB.count(_.startsWith("base-")) == 1, s"exactly one live base: $dB")
+    assert(dB.count(_.startsWith("batch-")) <= 3, s"tail bounded by K: $dB")
+
+    // the selected read sees exactly the same rows as the faithful layout
+    def landedRows(p: java.nio.file.Path): Set[(String, Double, String)] =
+      spark.read.option("recursiveFileLookup", "true").parquet(p.toString)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSet
+    assert(landedRows(outB) == landedRows(outA))
+    def aggRows(p: java.nio.file.Path): Set[Seq[Any]] =
+      spark.read.parquet(p.toString).collect().map(_.toSeq).toSet
+    assert(aggRows(aggB) == aggRows(aggA),
+      "aggregates over the compacted layout must match the uncompacted run")
+
+    // replay of the newest batch (the only one Spark can replay) is
+    // still exact: its dir survived compaction, the overwrite is
+    // idempotent, and re-running the compaction check is a no-op
+    java.nio.file.Files.delete(ckptB.resolve("commits").resolve((n - 1).toString))
+    java.nio.file.Files.deleteIfExists(ckptB.resolve("commits").resolve(s".${n - 1}.crc"))
+    StreamingEtl.runWithBatchReport(stream(), outB.toString, aggB.toString,
+      tmpDir("cp-repB2").toString, ckptB.toString, compactInterval = 3)
+    assert(landedRows(outB) == landedRows(outA),
+      "a replayed newest batch must not duplicate or lose landed rows")
+    assert(aggRows(aggB) == aggRows(aggA))
+  }
+
   test("windowed-agg state survives restart: watermark resumes from checkpoint, no window emitted twice") {
     import org.apache.spark.sql.types._
     val in = tmpDir("wm-in"); val out = tmpDir("wm-out"); val ckpt = tmpDir("wm-ckpt")
