@@ -168,4 +168,48 @@ class StableCsvCrashSpec extends SparkSpec {
     val names = logFiles(ckpt).filterNot(_.startsWith("."))
     assert(names == Seq("snapshot-1"), s"retry must compact cleanly: $names")
   }
+
+  test("recovery after long uptime replans only the uncommitted tail, from live chunks") {
+    // Long-running stream: many poll/commit rounds with compactInterval=2
+    // fold the committed history into snapshots repeatedly, then one
+    // batch is admitted but NOT committed (the crash window Spark
+    // actually replays). Recovery must (a) find only the snapshot plus
+    // the tail chunk on disk — the folded chunks are gone, so a replan
+    // that touched them would throw — and (b) plan the tail range to
+    // exactly its own files. This pins the invariant that compaction
+    // folds only chunks below a durably-committed offset, which is what
+    // keeps every recovery-replannable range above the fold line.
+    spark
+    val in = tmpDir("tail-in"); val ckpt = tmpDir("tail-ckpt")
+    val p = props(in) + ("compactInterval" -> "2")
+
+    val s1 = new StableCsvMicroBatchStream(schema, p, ckpt.toString)
+    s1.initialOffset()
+    (0 until 6).foreach { i =>
+      oldFile(in, s"f$i.csv", i)
+      assert(s1.latestOffset().asInstanceOf[ChunkOffset].chunks == i + 1L)
+      s1.commit(ChunkOffset(i + 1L))
+    }
+    // admitted but never committed: the only range recovery may replay
+    oldFile(in, "tail.csv", 99)
+    assert(s1.latestOffset().asInstanceOf[ChunkOffset].chunks == 7L)
+
+    // after three compactions (at e=2, 4, 6) the log holds exactly the
+    // latest snapshot and the uncommitted tail chunk — O(window), not
+    // O(uptime)
+    val names = logFiles(ckpt).filterNot(_.startsWith("."))
+    assert(names.sorted == Seq("6", "snapshot-6"),
+      s"expected snapshot-6 + tail chunk 6 only, got $names")
+
+    // recovery: fresh instance, checkpoint says [6, 7) is uncommitted
+    val s2 = new StableCsvMicroBatchStream(schema, p, ckpt.toString)
+    s2.initialOffset()
+    val parts = s2.planInputPartitions(ChunkOffset(6), ChunkOffset(7))
+    assert(parts.length == 1 &&
+      parts.head.asInstanceOf[CsvFilePartition].path.endsWith("tail.csv"),
+      "the uncommitted tail must replan to exactly its own file")
+    // census intact: nothing re-admits, folded or not
+    assert(s2.latestOffset().asInstanceOf[ChunkOffset].chunks == 7L,
+      "recovery re-admitted files already folded into the snapshot")
+  }
 }
