@@ -116,27 +116,75 @@ object Dag {
       reportPath.map(_ => Summary.subject(batch.processed.size)))
   }
 
+  /** The chain on a fixed schedule — the reference DAG's
+    * `schedule_interval=timedelta(minutes=1)`
+    * (drive_auto_compress_email.py:582) as a long-running command. Runs
+    * are strictly sequential (ST2: the next starts only after the
+    * previous finishes, then waits out the interval — ST1's
+    * fixed-interval trigger), each with single-run semantics: the shared
+    * ledger makes every iteration exactly-once over whatever arrived
+    * since the last. `iterations = 0` loops forever; `sleep` and `clock`
+    * are seams so tests drive arrivals between iterations
+    * deterministically.
+    */
+  def runLoop(
+      spark: SparkSession,
+      incomingDir: String,
+      workDir: String,
+      intervalSeconds: Long,
+      minAgeSeconds: Long = 60L,
+      maxFileAgeMs: Long = Long.MaxValue,
+      iterations: Long = 0L,
+      sleep: Long => Unit = Thread.sleep,
+      clock: () => Instant = () => Instant.now(),
+      onRun: RunResult => Unit = _ => ()): Unit = {
+    var i = 0L
+    var done = false
+    while (!done) {
+      onRun(run(spark, incomingDir, workDir,
+        minAgeSeconds = minAgeSeconds, maxFileAgeMs = maxFileAgeMs, now = clock()))
+      i += 1
+      if (iterations > 0 && i >= iterations) done = true
+      else sleep(intervalSeconds * 1000L)
+    }
+  }
+
+  private def printRun(r: RunResult): Unit = {
+    println(s"ingested: ${r.batch.processed.size} file(s) " +
+      s"(deferred ${r.batch.deferred.size}, rejected ${r.batch.rejected.size}, " +
+      s"expired ${r.batch.expired.size})")
+    r.batch.processed.foreach(s => println(
+      s"  ${s.filename}: ${Summary.formatSize(s.originalSize)} -> " +
+        s"${Summary.formatSize(s.compressedSize)} (ratio ${f"${s.compressionRatio}%.3f"})"))
+    r.etl match {
+      case Some(e) => println(s"etl: ${e.rowCount} cleaned rows -> ${e.cleanedPath}")
+      case None => println("etl: no input data")
+    }
+    println(r.reportPath.fold("report: skipped (no new files this run)")(p =>
+      s"report: $p (subject: ${r.reportSubject.getOrElse("")})"))
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2,
-      "usage: graft.Dag <incomingDir> <workDir> [minAgeSeconds] [maxFileAgeMs]")
-    val minAge = args.lift(2).map(_.toLong).getOrElse(60L)
-    val maxAge = args.lift(3).map(_.toLong).getOrElse(Long.MaxValue)
+    // `--interval <seconds>` anywhere in the arg list turns the one-shot
+    // run into the reference's every-N-seconds loop
+    val (flagArgs, positional) = {
+      val i = args.indexOf("--interval")
+      if (i < 0) (None, args.toSeq)
+      else (Some(args(i + 1).toLong), args.toSeq.patch(i, Nil, 2))
+    }
+    require(positional.length >= 2,
+      "usage: graft.Dag <incomingDir> <workDir> [minAgeSeconds] [maxFileAgeMs] [--interval <seconds>]")
+    val minAge = positional.lift(2).map(_.toLong).getOrElse(60L)
+    val maxAge = positional.lift(3).map(_.toLong).getOrElse(Long.MaxValue)
     val spark = Sessions.builder("GraftDag").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try {
-      val r = run(spark, args(0), args(1), minAgeSeconds = minAge, maxFileAgeMs = maxAge)
-      println(s"ingested: ${r.batch.processed.size} file(s) " +
-        s"(deferred ${r.batch.deferred.size}, rejected ${r.batch.rejected.size}, " +
-        s"expired ${r.batch.expired.size})")
-      r.batch.processed.foreach(s => println(
-        s"  ${s.filename}: ${Summary.formatSize(s.originalSize)} -> " +
-          s"${Summary.formatSize(s.compressedSize)} (ratio ${f"${s.compressionRatio}%.3f"})"))
-      r.etl match {
-        case Some(e) => println(s"etl: ${e.rowCount} cleaned rows -> ${e.cleanedPath}")
-        case None => println("etl: no input data")
-      }
-      println(r.reportPath.fold("report: skipped (no new files this run)")(p =>
-        s"report: $p (subject: ${r.reportSubject.getOrElse("")})"))
+    try flagArgs match {
+      case Some(interval) =>
+        runLoop(spark, positional(0), positional(1), interval,
+          minAgeSeconds = minAge, maxFileAgeMs = maxAge, onRun = printRun)
+      case None =>
+        printRun(run(spark, positional(0), positional(1),
+          minAgeSeconds = minAge, maxFileAgeMs = maxAge))
     } finally spark.stop()
   }
 }

@@ -45,7 +45,7 @@ class DagSpec extends SparkSpec {
     // stage 1: ingest — both loan files processed, the stray rejected
     assert(run1.batch.processed.map(_.filename).sorted ===
       Seq("loan_batch1.csv", "loan_batch2.csv"))
-    assert(run1.batch.rejected === Seq("notes.csv"))
+    assert(run1.batch.rejected.map(_.split('/').last) === Seq("notes.csv"))
     assert(run1.batch.deferred.isEmpty)
     run1.batch.processed.foreach { s =>
       assert(new java.io.File(s.rawPath.stripPrefix("file:")).exists(), s.rawPath)
@@ -102,6 +102,44 @@ class DagSpec extends SparkSpec {
     val html4 = java.nio.file.Files.readString(
       java.nio.file.Paths.get(work.resolve("report.html").toString))
     assert(html4.contains("loan_batch3.csv") && !html4.contains("loan_batch1.csv"))
+  }
+
+  test("loop mode: a file arriving between iterations is ingested by exactly the next one") {
+    val incoming = tmpDir("dagloop_in"); val work = tmpDir("dagloop_work")
+    writeFile(incoming, "loan_first.csv",
+      s"""$header
+         |L1,C1,2024-01-15 10:30:00,1000.5,12.5,12,APPROVED,PERSONAL,KTM,A
+         |""".stripMargin)
+    val results = scala.collection.mutable.Buffer.empty[Dag.RunResult]
+    var slept = Seq.empty[Long]
+    Dag.runLoop(spark, incoming.toString, work.toString,
+      intervalSeconds = 60L,
+      minAgeSeconds = 0L,
+      iterations = 2L,
+      // the sleep seam doubles as the between-iterations arrival: the
+      // second file lands while the loop waits out its interval
+      sleep = { ms =>
+        slept :+= ms
+        writeFile(incoming, "loan_second.csv",
+          s"""$header
+             |L2,C2,2024-01-16 11:00:00,2000.0,11.0,24,APPROVED,HOME,PKR,B
+             |""".stripMargin)
+        ()
+      },
+      onRun = results += _)
+
+    assert(slept === Seq(60000L), "two iterations sleep exactly once, for the full interval")
+    assert(results.size === 2)
+    assert(results(0).batch.processed.map(_.filename) === Seq("loan_first.csv"))
+    // the second iteration ingests exactly the new arrival — the first
+    // file is in the shared ledger, so single-run semantics hold per tick
+    assert(results(1).batch.processed.map(_.filename) === Seq("loan_second.csv"))
+    assert(results(1).etl.get.rowCount === 2L,
+      "the ETL full recompute sees everything landed so far")
+    val html = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(work.resolve("report.html").toString))
+    assert(html.contains("loan_second.csv") && !html.contains("loan_first.csv"),
+      "the tick's report covers only its own batch")
   }
 
   test("retention through the composed DAG: over-age files refused, fresh ones processed") {
