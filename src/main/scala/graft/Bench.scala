@@ -162,9 +162,12 @@ object Bench {
       val prevText =
         if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p) else ""
       // an anchor from a different scale factor is no anchor: its ratios
-      // would be uniformly off by the data-size change (vs_prev: null)
+      // would be uniformly off by the data-size change (vs_prev: null).
+      // `contains`, not `forall`: an anchor with a missing or truncated
+      // "sf" field is of UNKNOWN scale — exactly the ambiguity this
+      // guard exists to void — so it must be rejected, not accepted
       val previous =
-        if (prevText.nonEmpty && parseSf(prevText).forall(_ == sfDir))
+        if (prevText.nonEmpty && parseSf(prevText).contains(sfDir))
           parseQueries(prevText)
         else Map.empty[String, Double]
       val (rs, median) = ratiosVsPrevious(timings, previous)

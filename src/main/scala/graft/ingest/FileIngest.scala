@@ -47,6 +47,11 @@ object FileIngest {
       rawPath: String,
       compressedPath: String)
 
+  /** One identifier form throughout: `deferred`, `rejected`, and
+    * `expired` all carry fully-qualified fileId URIs (the same handle
+    * `CompressionStats.fileId` uses), so consumers never special-case
+    * which field holds which form.
+    */
   final case class BatchResult(processed: Seq[CompressionStats], deferred: Seq[String],
       rejected: Seq[String], expired: Seq[String] = Seq.empty)
 
@@ -185,8 +190,7 @@ object FileIngest {
         conf, now)
     }
 
-    BatchResult(stats, deferred.map(fileId), rejected.map(st => st.getPath.getName),
-      expired.map(fileId))
+    BatchResult(stats, deferred.map(fileId), rejected.map(fileId), expired.map(fileId))
   }
 
   /** Ships a Hadoop `Configuration` (not `java.io.Serializable`) into

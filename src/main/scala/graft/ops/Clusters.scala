@@ -36,6 +36,14 @@ object Clusters {
     * min node id reachable through the pair graph. `reliable`: None =
     * use reliable checkpointing iff a checkpoint dir is set; Some(b)
     * forces the choice (Some(true) requires a checkpoint dir).
+    *
+    * Caller contract: `pairs` should be DISTINCT (and need not be
+    * symmetric — both directions are generated internally). Correctness
+    * survives duplicates (min-aggregation is idempotent), but the edge
+    * multiset is deliberately NOT dedup'd here — that skip saves a full
+    * edge exchange + aggregate — so a heavily duplicated input inflates
+    * every round's shuffle by its duplication factor. Distinct upstream,
+    * where the duplication's cause is visible.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       reliable: Option[Boolean] = None): DataFrame = {

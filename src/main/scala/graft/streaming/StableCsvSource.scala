@@ -77,9 +77,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * no-re-admission guarantee survive restarts even when the newest
   * stabilized file was never admitted (maxFilesPerTrigger deferral, or
   * deleted during downtime), every compaction persists the reference
-  * itself as a marker entry (empty path — unmatchable by any real
-  * file) in the snapshot, and recovery restores
-  * `max(marker, admitted mtimes)`. Semantics to be clear about: the
+  * itself as a dedicated `#ref\t<mtime>` marker line in the snapshot
+  * (recognized explicitly by the log reader — path entries stay real
+  * paths), and recovery restores `max(marker, admitted mtimes)`. Semantics to be clear about: the
   * window bounds how far BEHIND the newest stabilized file ingestion
   * reaches — an idle outage loses nothing (the reference does not
   * advance), but if uploads CONTINUED through an outage longer than
@@ -318,16 +318,21 @@ private[streaming] class StableCsvMicroBatchStream(
     else {
       val names = logNames(lfs)
       val snap = snapshotIndices(names).lastOption
-      snap.foreach(n => admitted ++= readLog(s"snapshot-$n"))
+      // the snapshot may carry a `#ref` marker line — the persisted
+      // latestSeenMtime, written at each compaction; it participates in
+      // the reference rebuild below but never enters the admitted map
+      val snapRef = snap.flatMap { n =>
+        val (entries, ref) = readLogAndRef(s"snapshot-$n")
+        admitted ++= entries
+        ref
+      }
       val idx = chunkIndices(names)
       idx.foreach(i => admitted ++= readLog(i.toString))
       snapshotBase = snap.getOrElse(0L)
       chunkCount = math.max(snap.getOrElse(0L), idx.lastOption.map(_ + 1).getOrElse(0L))
-      // the empty-path entry is the persisted latestSeenMtime marker
-      // (written at each compaction) — it participates in the reference
-      // rebuild below and must then leave the admitted map (no real file
-      // has an empty path, but the map should hold only files)
-      val known = admitted.valuesIterator.filter(_ != Long.MaxValue)
+      // legacy marker form (an empty-path entry): fold its value in and
+      // drop it from the map, so pre-#ref checkpoints restore identically
+      val known = admitted.valuesIterator.filter(_ != Long.MaxValue) ++ snapRef.iterator
       if (known.nonEmpty) latestSeenMtime = known.max
       admitted.remove("")
     }
@@ -335,25 +340,38 @@ private[streaming] class StableCsvMicroBatchStream(
 
   /** Log entries are `<mtime>\t<path>` lines; a line with no tab (the
     * pre-retention format) is a bare path whose age is unknown — kept
-    * forever, the no-re-admission-safe direction.
+    * forever, the no-re-admission-safe direction. A `#ref\t<mtime>`
+    * line is the persisted retention reference (snapshots only) —
+    * recognized by prefix, returned separately, never an entry: the
+    * path field of an entry is always a real path.
     */
-  private def readLog(name: String): Seq[(String, Long)] = {
+  private def readLogAndRef(name: String): (Seq[(String, Long)], Option[Long]) = {
     val in = logDir.getFileSystem(hadoopConf).open(new Path(logDir, name))
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
-    lines.filter(_.nonEmpty).map { line =>
+    val ref = lines.collectFirst { case l if l.startsWith(RefMarkerPrefix) =>
+      l.stripPrefix(RefMarkerPrefix).toLong
+    }
+    val entries = lines.filter(l => l.nonEmpty && !l.startsWith(RefMarkerPrefix)).map { line =>
       val i = line.indexOf('\t')
       if (i < 0) (line, Long.MaxValue) else (line.substring(i + 1), line.substring(0, i).toLong)
     }
+    (entries, ref)
   }
 
-  private def writeLog(name: String, entries: Seq[(String, Long)]): Unit = {
+  private def readLog(name: String): Seq[(String, Long)] = readLogAndRef(name)._1
+
+  private val RefMarkerPrefix = "#ref\t"
+
+  private def writeLog(name: String, entries: Seq[(String, Long)],
+      ref: Option[Long] = None): Unit = {
     val lfs = logDir.getFileSystem(hadoopConf)
     val tmp = new Path(logDir, s".$name.tmp")
     val out = lfs.create(tmp, true)
-    try out.write(entries.map { case (p, m) => s"$m\t$p" }
-      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try out.write(
+      (ref.map(m => s"$RefMarkerPrefix$m").toSeq ++ entries.map { case (p, m) => s"$m\t$p" })
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     beforeRename(name)
     lfs.rename(tmp, new Path(logDir, name)) // atomic publish
@@ -459,14 +477,14 @@ private[streaming] class StableCsvMicroBatchStream(
           merged.partition { case (p, m) =>
             p.nonEmpty && m != Long.MaxValue && latestSeenMtime - m > maxFileAgeMs
           }
-        // persist the reference itself as a marker entry (empty path —
-        // no real file can collide), so a restart can never regress
-        // latestSeenMtime below the value these evictions were decided
-        // against, even if the newest stabilized file was never admitted
-        val marker =
-          if (latestSeenMtime == Long.MinValue) Seq.empty
-          else Seq("" -> latestSeenMtime)
-        writeLog(s"snapshot-$e", marker ++ kept.filterNot(_._1.isEmpty))
+        // persist the reference itself as a dedicated #ref marker line,
+        // so a restart can never regress latestSeenMtime below the value
+        // these evictions were decided against, even if the newest
+        // stabilized file was never admitted (the empty-path filter
+        // drops a legacy-format marker entry carried in from an old
+        // snapshot — the new marker supersedes it)
+        writeLog(s"snapshot-$e", kept.filterNot(_._1.isEmpty),
+          ref = if (latestSeenMtime == Long.MinValue) None else Some(latestSeenMtime))
         afterSnapshotPublish()
         dead.foreach(i => lfs.delete(new Path(logDir, i.toString), false))
         snaps.filter(_ < e).foreach(n =>

@@ -66,7 +66,14 @@ class BenchRatioSpec extends AnyFunSuite {
     // anchor compares nothing (a ~0.1x wall of ratios would otherwise be
     // shaped exactly like the host-slowdown signal vs_prev flags)
     val prevSf = Bench.parseSf(line)
-    assert(!prevSf.forall(_ == "/root/testdata/sf0.01"))
-    assert(prevSf.forall(_ == "/root/testdata/sf0.1"))
+    assert(!prevSf.contains("/root/testdata/sf0.01"))
+    assert(prevSf.contains("/root/testdata/sf0.1"))
+    // an anchor with NO sf field is of unknown scale and must also void
+    // the comparison — `contains` rejects None where `forall` would
+    // silently accept it
+    val legacy = Bench.parseSf("""{"metric":"total","value":1.0,"queries":{"q01":0.1}}""")
+    assert(legacy === None)
+    assert(!legacy.contains("/root/testdata/sf0.1"),
+      "a missing sf field must never match any anchor scale")
   }
 }

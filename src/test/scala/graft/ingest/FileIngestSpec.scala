@@ -30,7 +30,10 @@ class FileIngestSpec extends SparkSpec {
     put(incoming, "loan_c.txt", "y\n3\n")
     val res = FileIngest.processBatch(incoming, raw, out, ledger, now = now)
     assert(res.processed.map(_.filename) == Seq("loan_a.csv"))
-    assert(res.rejected.toSet == Set("other_b.csv", "loan_c.txt"))
+    // rejected carries fileId URIs, the same identifier form as every
+    // other BatchResult field
+    assert(res.rejected.map(_.split('/').last).toSet == Set("other_b.csv", "loan_c.txt"))
+    assert(res.rejected.forall(_.startsWith("file:")))
   }
 
   test("exactly-once: a second run of the same batch processes nothing") {

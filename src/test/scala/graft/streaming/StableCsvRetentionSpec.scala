@@ -175,8 +175,8 @@ class StableCsvRetentionSpec extends SparkSpec {
     // evicted; the reference itself is written as the marker line
     s.commit(ChunkOffset(2))
     val snap = logText(ckpt, "snapshot-2")
-    assert(snap.linesIterator.contains(s"${base + 2 * r + 5000}\t"),
-      s"snapshot must persist the reference as an empty-path marker:\n$snap")
+    assert(snap.linesIterator.contains(s"#ref\t${base + 2 * r + 5000}"),
+      s"snapshot must persist the reference as a dedicated #ref marker line:\n$snap")
     assert(!snap.contains("a.csv"))
 
     // the never-admitted newest file vanishes; without the marker a
