@@ -142,27 +142,44 @@ object Clusters {
     labels.select(col("v"), col("lbl").as("cluster_id"))
   }
 
+  /** Append `cluster_size` to a (node, cluster_id) frame. Default: a
+    * window over cluster_id — ONE exchange, the shape both q64 and q68
+    * ship with, accepted because the input is one row per NODE, already
+    * far smaller than the edge/pair frames upstream. `viaAgg = true` is
+    * the skew escape hatch for a corpus with a degenerate giant cluster:
+    * groupBy + join-back costs a second exchange, but the aggregate gets
+    * map-side partials and the join gets AQE skew-splitting, so no
+    * single task has to hold the giant cluster's whole partition.
+    * Results are identical either way; column order is preserved.
+    */
+  private[ops] def withClusterSizes(labeled: DataFrame, viaAgg: Boolean): DataFrame =
+    if (!viaAgg) {
+      import org.apache.spark.sql.expressions.Window
+      labeled.withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+    } else {
+      val sizes = labeled.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      labeled.join(sizes, "cluster_id")
+        .select(labeled.columns.map(col).toIndexedSeq :+ col("cluster_size"): _*)
+    }
+
   /** q64 body: clusters over the embedding near-dup pairs (q35), with
     * per-cluster sizes. Singleton vectors (no near-dup) are excluded —
     * the cluster table is exactly the nodes that appeared in a pair.
+    * `sizesViaAgg` selects the skew-splittable size computation
+    * ([[withClusterSizes]]); the default keeps the shipped one-exchange
+    * window plan.
     */
-  def embedDupClusters(emb: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def embedDupClusters(emb: DataFrame, sizesViaAgg: Boolean = false): DataFrame = {
     // ordered = false: CC consumes the pairs as an unordered edge set, so
     // the oracle-facing global sort inside nearDupPairs would be a wasted
     // range exchange + sampling job here
     val pairs = AnnLsh.nearDupPairs(emb, ordered = false)
       .select(col("vec_a").as("a"), col("vec_b").as("b"))
     val cc = connectedComponents(pairs)
-    // per-cluster size via a window over the labels, not groupBy + join
-    // back: one exchange on cluster_id instead of two — the same shape
-    // q68's lshDedupClusters uses. Trade-off shared with q68: a
-    // degenerate giant cluster lands in one window partition (the
-    // groupBy+join form would let AQE skew-split it), accepted because
-    // the window input is one row per NODE, already far smaller than the
-    // edge/pair frames upstream
-    cc.select(col("v").as("vec_id"), col("cluster_id"),
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))).as("cluster_size"))
+    withClusterSizes(
+      cc.select(col("v").as("vec_id"), col("cluster_id")), sizesViaAgg)
       .orderBy("vec_id")
   }
 

@@ -163,8 +163,7 @@ object NearDup {
     * component, keep = exactly the cluster minimum — the same
     * keeper-election rule as exact-dedup q66.
     */
-  def lshDedupClusters(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def lshDedupClusters(docs: DataFrame, sizesViaAgg: Boolean = false): DataFrame = {
     val bk = bands(signatures(tokens(docs)))
     // bucket minimum via groupBy + equi-join, NOT a window: the aggregate
     // gets map-side partials and the join gets AQE skew-splitting, so a
@@ -185,11 +184,13 @@ object NearDup {
     edges.count()
     val cc = Clusters.connectedComponents(edges)
     edges.unpersist(false)
-    docs.select(col("doc_id"))
+    val labeled = docs.select(col("doc_id"))
       .join(cc.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+    // size via Clusters.withClusterSizes: the shipped plan is the
+    // one-exchange window; sizesViaAgg = true swaps in the
+    // AQE-skew-splittable groupBy + join-back for degenerate corpora
+    Clusters.withClusterSizes(labeled, sizesViaAgg)
       .select(
         col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("keep"))

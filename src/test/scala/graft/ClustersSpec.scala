@@ -119,4 +119,31 @@ class ClustersSpec extends SparkSpec {
     assert(rddDirs.size == 1,
       s"superseded checkpoints not cleaned: ${rddDirs.size} rdd-* dirs under $dir")
   }
+
+  test("sizesViaAgg escape hatch: identical results, window-free size plan") {
+    // the skew escape hatch (groupBy + join-back instead of the window)
+    // must be a pure plan swap: same rows out of both q64's and q68's
+    // bodies, and the viaAgg plan must actually avoid the window operator
+    // whose single-partition-per-cluster behavior it exists to escape
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val viaWindow = Clusters.embedDupClusters(emb).collect().toSeq
+    val viaAgg = Clusters.embedDupClusters(emb, sizesViaAgg = true).collect().toSeq
+    assert(viaAgg.nonEmpty && viaAgg == viaWindow,
+      "sizesViaAgg must not change embedDupClusters results")
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val w2 = graft.ops.NearDup.lshDedupClusters(docs).collect().toSeq
+    val a2 = graft.ops.NearDup.lshDedupClusters(docs, sizesViaAgg = true).collect().toSeq
+    assert(a2.nonEmpty && a2 == w2,
+      "sizesViaAgg must not change lshDedupClusters results")
+
+    val aggPlan = Clusters.embedDupClusters(emb, sizesViaAgg = true)
+      .queryExecution.optimizedPlan.toString
+    assert(!aggPlan.contains("windowspecdefinition"),
+      s"viaAgg size computation must not contain a window:\n$aggPlan")
+    val winPlan = Clusters.embedDupClusters(emb)
+      .queryExecution.optimizedPlan.toString
+    assert(winPlan.contains("windowspecdefinition"),
+      "the default (shipped) plan keeps the one-exchange window shape")
+  }
 }
