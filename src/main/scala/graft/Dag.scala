@@ -123,9 +123,13 @@ object Dag {
     * previous finishes, then waits out the interval — ST1's
     * fixed-interval trigger), each with single-run semantics: the shared
     * ledger makes every iteration exactly-once over whatever arrived
-    * since the last. `iterations = 0` loops forever; `sleep` and `clock`
-    * are seams so tests drive arrivals between iterations
-    * deterministically.
+    * since the last. A tick that throws is logged and the loop
+    * continues — the scheduler this mirrors fails that one DAG run and
+    * still fires the next, and every tick is independently idempotent
+    * (ledger-gated ingest, overwrite ETL), so a transient failure
+    * (object-store 503, network blip) must not kill a long-running
+    * service. `iterations = 0` loops forever; `sleep` and `clock` are
+    * seams so tests drive arrivals between iterations deterministically.
     */
   def runLoop(
       spark: SparkSession,
@@ -141,8 +145,13 @@ object Dag {
     var i = 0L
     var done = false
     while (!done) {
-      onRun(run(spark, incomingDir, workDir,
+      try onRun(run(spark, incomingDir, workDir,
         minAgeSeconds = minAgeSeconds, maxFileAgeMs = maxFileAgeMs, now = clock()))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"dag tick failed (continuing; next tick in ${intervalSeconds}s)", e)
+      }
       i += 1
       if (iterations > 0 && i >= iterations) done = true
       else sleep(intervalSeconds * 1000L)
@@ -170,7 +179,10 @@ object Dag {
     val (flagArgs, positional) = {
       val i = args.indexOf("--interval")
       if (i < 0) (None, args.toSeq)
-      else (Some(args(i + 1).toLong), args.toSeq.patch(i, Nil, 2))
+      else {
+        require(i + 1 < args.length, "--interval requires a <seconds> value")
+        (Some(args(i + 1).toLong), args.toSeq.patch(i, Nil, 2))
+      }
     }
     require(positional.length >= 2,
       "usage: graft.Dag <incomingDir> <workDir> [minAgeSeconds] [maxFileAgeMs] [--interval <seconds>]")

@@ -99,9 +99,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * (default 1 MiChar; <=0 = unlimited) follows the SAME per-cell
   * contract: the field nulls under PERMISSIVE (with a per-file WARN
   * counting dropped cells) and throws under FAILFAST — the limit is
-  * enforced by this reader AFTER parsing, never by the underlying
-  * parser, because a parser-level cap aborts univocity mid-file and
-  * would kill the whole query for one pathological row.
+  * enforced by the reader AFTER parsing, because a parser-level cap
+  * at that value aborts univocity mid-file and would kill the whole
+  * query for one pathological row. A second, far higher parser-level
+  * hard cap (8x the limit, floor 4 MiChar) bounds memory against a
+  * runaway cell (an unterminated quote swallowing a huge file):
+  * blowing it truncates that one FILE at the offending record
+  * (PERMISSIVE, logged) instead of OOMing the executor.
   *
   * Scale notes: one input partition per admitted file (micro-batch CSV
   * drops are file-at-a-time uploads; a 100 TB backlog arrives as many
@@ -522,17 +526,30 @@ private[streaming] class StableCsvReaderFactory(
       // RFC 4180 quoting including embedded newlines and escaped quotes;
       // trimming is OFF so string columns see their exact bytes (Spark
       // CSV read parity); non-string conversion trims in convert()
+      // Two-tier cell-length defense. The configured maxCharsPerColumn
+      // is enforced per cell AFTER parsing (null-or-throw, like any
+      // unparsable cell) — a parser-level cap at that value would throw
+      // TextParsingException mid-file, which univocity cannot recover
+      // from, killing the whole query for one oversized-but-buffered
+      // cell. The parser still needs SOME bound, though: unlimited
+      // buffering means a single runaway cell (an unterminated quote
+      // swallowing the rest of a huge file) OOMs the executor before
+      // the post-parse check ever sees it. So the parser cap sits well
+      // ABOVE the cell limit (8x, floor 4 MiChar): cells between the
+      // two tiers parse fine and null their field; a cell blowing the
+      // hard cap truncates THIS FILE at that record (logged WARN,
+      // remaining records of the file are unreadable — univocity state
+      // is unreliable past the throw) in PERMISSIVE, or fails the
+      // query in FAILFAST. Memory stays bounded either way.
+      private val hardCap: Int =
+        if (p.maxCharsPerColumn <= 0) -1 // explicit unlimited
+        else math.min(Int.MaxValue.toLong,
+          math.max(p.maxCharsPerColumn.toLong * 8, 1L << 22)).toInt
       private val parser = {
         val settings = new com.univocity.parsers.csv.CsvParserSettings
         settings.getFormat.setDelimiter(p.delim)
         settings.setHeaderExtractionEnabled(p.header)
-        // the parser itself is UNLIMITED (Spark's CSV default): a
-        // parser-level cap throws TextParsingException mid-file, which
-        // univocity cannot recover from — one pathological cell would
-        // kill the whole query even in PERMISSIVE. The configured
-        // maxCharsPerColumn is enforced per cell below instead, with
-        // the same null-or-throw contract as any unparsable cell.
-        settings.setMaxCharsPerColumn(-1)
+        settings.setMaxCharsPerColumn(hardCap)
         settings.setLineSeparatorDetectionEnabled(true)
         settings.setIgnoreLeadingWhitespaces(false)
         settings.setIgnoreTrailingWhitespaces(false)
@@ -546,7 +563,19 @@ private[streaming] class StableCsvReaderFactory(
       private var current: InternalRow = _
       private var oversizedCells: Long = 0L
       override def next(): Boolean = {
-        val cells = parser.parseNext()
+        val cells =
+          try parser.parseNext()
+          catch {
+            case e: com.univocity.parsers.common.TextParsingException =>
+              if (p.failFast) throw new IllegalArgumentException(
+                s"stable-csv: unparsable record in ${p.path} " +
+                  s"(parser hard cap $hardCap chars; mode=FAILFAST)", e)
+              org.slf4j.LoggerFactory.getLogger(classOf[StableCsvReaderFactory]).warn(
+                s"stable-csv: truncating ${p.path} at a record exceeding the " +
+                  s"parser hard cap ($hardCap chars); remaining records of this " +
+                  "file are dropped (mode=PERMISSIVE)")
+              null
+          }
         if (cells == null) false
         else {
           val vals = schema.fields.zipWithIndex.map { case (f, i) =>

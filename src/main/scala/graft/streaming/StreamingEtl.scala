@@ -207,22 +207,35 @@ object StreamingEtl {
             val fs = out.getFileSystem(conf)
             val (base, live) = landingState(fs, out)
             val foldable = live.filter(_._1 < batchId)
-            if (foldable.size >= compactInterval) {
-              val srcs = (base.map(_._2).toSeq ++ foldable.map(_._2)).map(_.toString)
-              // overwrite → a replayed compaction republishes identically
-              batch.sparkSession.read.parquet(srcs: _*)
-                .write.mode("overwrite").parquet(f"$outDir/base-$batchId%05d")
-              // sweep everything the new base supersedes, including
-              // leftovers of a compaction that crashed mid-delete
-              fs.listStatus(out).foreach { st =>
-                val n = st.getPath.getName
-                val superseded =
-                  dirId(n, "batch-").exists(_ < batchId) ||
-                    dirId(n, "base-").exists(_ < batchId)
-                if (superseded) fs.delete(st.getPath, true)
+            val (b2, l2) =
+              if (foldable.size < compactInterval) (base, live) // dir unchanged — reuse
+              else {
+                val srcs = (base.map(_._2).toSeq ++ foldable.map(_._2)).map(_.toString)
+                // overwrite → a replayed compaction republishes identically
+                val newBase = new org.apache.hadoop.fs.Path(out, f"base-$batchId%05d")
+                batch.sparkSession.read.parquet(srcs: _*)
+                  .write.mode("overwrite").parquet(newBase.toString)
+                // sweep everything the new base supersedes — including
+                // leftovers of a compaction that crashed mid-delete —
+                // but ONLY once the base is provably committed: if the
+                // _SUCCESS marker is absent (marksuccessfuljobs
+                // disabled), selection will never recognize the base,
+                // and deleting the dirs it covers would lose their rows
+                val committed = fs.exists(
+                  new org.apache.hadoop.fs.Path(newBase, "_SUCCESS"))
+                if (committed) fs.listStatus(out).foreach { st =>
+                  val n = st.getPath.getName
+                  val superseded =
+                    dirId(n, "batch-").exists(_ < batchId) ||
+                      dirId(n, "base-").exists(_ < batchId)
+                  if (superseded) fs.delete(st.getPath, true)
+                }
+                else org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"landing compaction: $newBase has no _SUCCESS marker " +
+                    "(mapreduce.fileoutputcommitter.marksuccessfuljobs disabled?); " +
+                    "skipping the sweep — layout stays uncompacted but correct")
+                landingState(fs, out)
               }
-            }
-            val (b2, l2) = landingState(fs, out)
             val paths = (b2.map(_._2).toSeq ++ l2.map(_._2)).map(_.toString)
             batch.sparkSession.read.parquet(paths: _*)
           }
@@ -249,16 +262,26 @@ object StreamingEtl {
       if (d.nonEmpty && d.forall(_.isDigit)) Some(d.toLong) else None
     }
 
-  /** The landing dir's authoritative contents: highest `base-<n>` (if
-    * any) plus the live `batch-<id>` dirs (id >= n). Anything below the
-    * highest base is a crash leftover whose rows the base already holds
-    * — reading it would double-count, so selection excludes it.
+  /** The landing dir's authoritative contents: highest COMMITTED
+    * `base-<n>` (if any) plus the live `batch-<id>` dirs (id >= n).
+    * Anything below the highest base is a crash leftover whose rows the
+    * base already holds — reading it would double-count, so selection
+    * excludes it. A base is committed only once its `_SUCCESS` marker
+    * exists: the multi-file parquet publish is NOT atomic, so a crash
+    * mid-fold leaves a partial `base-<n>` that must not win the
+    * highest-base rule (it would silently drop every batch it claimed
+    * to cover while the un-folded dirs still exist). A partial base is
+    * ignored, later overwritten by a re-fold at the same or higher id,
+    * and swept by that fold's deletion pass.
     */
   private def landingState(fs: org.apache.hadoop.fs.FileSystem,
       out: org.apache.hadoop.fs.Path)
       : (Option[(Long, org.apache.hadoop.fs.Path)], Seq[(Long, org.apache.hadoop.fs.Path)]) = {
     val st = if (fs.exists(out)) fs.listStatus(out).toSeq.filter(_.isDirectory) else Seq.empty
     val bases = st.flatMap(s => dirId(s.getPath.getName, "base-").map(_ -> s.getPath))
+      .filter { case (_, p) =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      }
     val base = bases.sortBy(_._1).lastOption
     val live = st.flatMap(s => dirId(s.getPath.getName, "batch-").map(_ -> s.getPath))
       .filter { case (id, _) => base.forall(id >= _._1) }

@@ -142,6 +142,37 @@ class DagSpec extends SparkSpec {
       "the tick's report covers only its own batch")
   }
 
+  test("loop mode: a failed tick is isolated — the loop continues and the next tick is exact") {
+    // the scheduler this mirrors fails one DAG run and still fires the
+    // next; every tick is independently idempotent, so a transient
+    // failure must not kill the long-running loop
+    val incoming = tmpDir("dagfail_in"); val work = tmpDir("dagfail_work")
+    writeFile(incoming, "loan_first.csv",
+      s"""$header
+         |L1,C1,2024-01-15 10:30:00,1000.5,12.5,12,APPROVED,PERSONAL,KTM,A
+         |""".stripMargin)
+    val results = scala.collection.mutable.Buffer.empty[Dag.RunResult]
+    var calls = 0
+    Dag.runLoop(spark, incoming.toString, work.toString,
+      intervalSeconds = 60L, minAgeSeconds = 0L, iterations = 2L,
+      sleep = { _ =>
+        writeFile(incoming, "loan_second.csv",
+          s"""$header
+             |L2,C2,2024-01-16 11:00:00,2000.0,11.0,24,APPROVED,HOME,PKR,B
+             |""".stripMargin)
+        ()
+      },
+      onRun = { r =>
+        calls += 1
+        if (calls == 1) throw new RuntimeException("injected tick failure")
+        results += r
+      })
+    assert(calls === 2, "the loop must survive a failed tick and run the next")
+    // tick 1's ingest completed before the injected failure, so its file
+    // is ledgered; tick 2 processes exactly the between-ticks arrival
+    assert(results.map(_.batch.processed.map(_.filename)) === Seq(Seq("loan_second.csv")))
+  }
+
   test("retention through the composed DAG: over-age files refused, fresh ones processed") {
     val incoming = tmpDir("dagret_in"); val work = tmpDir("dagret_work")
     val base = System.currentTimeMillis()

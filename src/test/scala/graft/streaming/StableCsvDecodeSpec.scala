@@ -101,6 +101,38 @@ class StableCsvDecodeSpec extends SparkSpec {
         rows.map { case (a, b, c) => (a, Option(b).map(_.take(20)), c) })
   }
 
+  test("runaway cell past the parser hard cap: file truncated at the record, query survives") {
+    // tier 2 of the cell-length defense: a cell beyond 8x the limit
+    // (floor 4 MiChar) trips univocity's own cap — unrecoverable
+    // mid-file, so PERMISSIVE drops the REST OF THAT FILE (logged) but
+    // the rows before it, and the query itself, survive. This is the
+    // unterminated-quote / multi-GB-cell memory bound: without the
+    // parser cap the whole cell would buffer on-heap before tier 1
+    // could null it.
+    val schema = StructType(Seq(
+      StructField("loan_id", LongType),
+      StructField("name", StringType)))
+    val in = tmpDir("cap-in"); val out = tmpDir("cap-out"); val ckpt = tmpDir("cap-ckpt")
+    val runaway = "z" * ((1 << 22) + 100) // past the 4 MiChar floor
+    writeFile(in, "loan_cap.csv",
+      s"loan_id,name\n1,first\n2,$runaway\n3,after\n")
+      .toFile.setLastModified(System.currentTimeMillis() - 60000)
+    val df = StreamingEtl.stableCsvStream(
+      spark, in.toString, schema, java.time.Duration.ofSeconds(1),
+      maxCharsPerColumn = 1024)
+    val q = df.writeStream
+      .format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination() // must NOT throw
+    val rows = spark.read.schema(schema).parquet(out.toString)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "first")),
+      s"rows before the runaway record survive; the file truncates there: $rows")
+  }
+
   test("oversized cell under mode=FAILFAST fails the query") {
     val schema = StructType(Seq(
       StructField("loan_id", LongType),

@@ -188,6 +188,19 @@ class StreamingEtlSpec extends SparkSpec {
     assert(landedRows(outB) == landedRows(outA),
       "a replayed newest batch must not duplicate or lose landed rows")
     assert(aggRows(aggB) == aggRows(aggA))
+
+    // a PARTIAL base — the multi-file parquet publish is not atomic, so
+    // a crash mid-fold leaves a base-<id> dir without _SUCCESS — must
+    // not win the highest-base rule: it claims to cover every batch but
+    // holds none of their rows. Plant one above every live id and run
+    // one more trigger: selection must ignore it and read the real dirs
+    java.nio.file.Files.createDirectories(outB.resolve("base-99990"))
+    writeFile(in, s"loan_$n.csv",
+      s"loan_id,amount,status\nL$n,${100.0 + n},APPROVED\n")
+    StreamingEtl.runWithBatchReport(stream(), outB.toString, aggB.toString,
+      tmpDir("cp-repB3").toString, ckptB.toString, compactInterval = 3)
+    assert(landedRows(outB).map(_._1) == (0 to n).map(i => s"L$i").toSet,
+      "a partial (uncommitted) base dir must not shadow the live batch dirs")
   }
 
   test("windowed-agg state survives restart: watermark resumes from checkpoint, no window emitted twice") {
