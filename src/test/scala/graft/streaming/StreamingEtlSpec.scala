@@ -203,6 +203,47 @@ class StreamingEtlSpec extends SparkSpec {
       "a partial (uncommitted) base dir must not shadow the live batch dirs")
   }
 
+  test("incremental aggregates: streaming state matches the full recompute, across restarts") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("loan_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("amount", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("status", org.apache.spark.sql.types.StringType)))
+    val in = tmpDir("inc-in")
+    writeFile(in, "loan_0.csv", "loan_id,amount,status\nL0,100.0,APPROVED\nL1,50.5,APPROVED\n")
+    writeFile(in, "loan_1.csv", "loan_id,amount,status\nL2,10.0,REJECTED\n")
+
+    // incremental: first drain covers files 0-1, then a restart with the
+    // SAME checkpoint picks up file 2 — the running totals must carry
+    val aggB = tmpDir("inc-aggB"); val repB = tmpDir("inc-repB"); val ckptB = tmpDir("inc-ckptB")
+    StreamingEtl.runWithIncrementalReport(
+      StreamingEtl.csvFileStream(spark, in.toString, schema),
+      aggB.toString, repB.toString, ckptB.toString)
+    writeFile(in, "loan_2.csv", "loan_id,amount,status\nL3,25.0,APPROVED\nL4,5.0,PENDING\n")
+    StreamingEtl.runWithIncrementalReport(
+      StreamingEtl.csvFileStream(spark, in.toString, schema),
+      aggB.toString, repB.toString, ckptB.toString)
+
+    // faithful full recompute over the same five rows = the oracle
+    val outA = tmpDir("inc-outA"); val aggA = tmpDir("inc-aggA")
+    StreamingEtl.runWithBatchReport(
+      StreamingEtl.csvFileStream(spark, in.toString, schema),
+      outA.toString, aggA.toString, tmpDir("inc-repA").toString,
+      tmpDir("inc-ckptA").toString)
+
+    def aggRows(p: java.nio.file.Path): Set[Seq[Any]] =
+      spark.read.parquet(p.toString).collect().map(_.toSeq).toSet
+    assert(aggRows(aggB) == aggRows(aggA),
+      "state-maintained aggregates must equal the full recompute")
+    // and the per-trigger report rendered from the state
+    val reports = java.nio.file.Files.list(repB).toArray.map(_.toString)
+      .filter(_.endsWith(".html"))
+    assert(reports.nonEmpty)
+    val html = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(reports.sorted.last))
+    assert(html.contains("APPROVED") && html.contains("175.50"),
+      s"report must reflect the carried state (100.0+50.5+25.0): $html")
+  }
+
   test("windowed-agg state survives restart: watermark resumes from checkpoint, no window emitted twice") {
     import org.apache.spark.sql.types._
     val in = tmpDir("wm-in"); val out = tmpDir("wm-out"); val ckpt = tmpDir("wm-ckpt")
