@@ -174,6 +174,27 @@ class FileIngestSpec extends SparkSpec {
     assert(back == "loan_id,amount\n" + "3,100.0\n" * 50)
   }
 
+  test("distributed landing over scheme-qualified URIs: executors resolve the broadcast conf") {
+    // the S8 path story must hold on the distributed path too: executors
+    // rebuild the FileSystem from the BROADCAST driver conf, so a
+    // fully-qualified file:// batch lands exactly like the serial path
+    val (incoming, raw, out, ledger) = setup()
+    (1 to 4).foreach(i => put(incoming, s"loan_q$i.csv", s"loan_id\n$i\n"))
+    val res = FileIngest.processBatch(
+      s"file://$incoming", s"file://$raw", s"file://$out", s"file://$ledger",
+      now = now, spark = Some(spark), distributeThreshold = 2)
+    assert(res.processed.size == 4)
+    assert(res.processed.forall(_.fileId.startsWith("file:")))
+    (1 to 4).foreach { i =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(raw, s"loan_q$i.csv")))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out, s"loan_q$i.csv.gz")))
+    }
+    val again = FileIngest.processBatch(
+      s"file://$incoming", s"file://$raw", s"file://$out", s"file://$ledger",
+      now = now, spark = Some(spark), distributeThreshold = 2)
+    assert(again.processed.isEmpty)
+  }
+
   test("ledger round-trips through the reference JSON format") {
     val (_, _, _, ledger) = setup()
     FileLedger.save(ledger, Set("b", "a"), now = Instant.parse("2026-08-12T00:00:00Z"))
