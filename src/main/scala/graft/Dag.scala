@@ -142,15 +142,33 @@ object Dag {
       sleep: Long => Unit = Thread.sleep,
       clock: () => Instant = () => Instant.now(),
       onRun: RunResult => Unit = _ => ()): Unit = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
     var i = 0L
     var done = false
     while (!done) {
-      try onRun(run(spark, incomingDir, workDir,
-        minAgeSeconds = minAgeSeconds, maxFileAgeMs = maxFileAgeMs, now = clock()))
-      catch {
-        case scala.util.control.NonFatal(e) =>
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"dag tick failed (continuing; next tick in ${intervalSeconds}s)", e)
+      // the run and the result delivery fail DIFFERENTLY: a failed run
+      // committed nothing (ledger untouched → the next tick retries the
+      // same files), while a failed onRun follows a COMMITTED run — the
+      // ledger already holds its files, so this result will never be
+      // re-delivered and the error must say exactly what was dropped
+      val result =
+        try Some(run(spark, incomingDir, workDir,
+          minAgeSeconds = minAgeSeconds, maxFileAgeMs = maxFileAgeMs, now = clock()))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            log.warn(s"dag tick failed before commit — its files will be " +
+              s"retried next tick (in ${intervalSeconds}s)", e)
+            None
+        }
+      result.foreach { r =>
+        try onRun(r)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            log.error(s"dag tick result delivery failed AFTER commit — " +
+              s"${r.batch.processed.size} processed file(s) " +
+              s"(${r.batch.processed.map(_.filename).mkString(", ")}) are " +
+              "ledgered and this result will not be re-delivered", e)
+        }
       }
       i += 1
       if (iterations > 0 && i >= iterations) done = true

@@ -49,18 +49,27 @@ object Aggregates {
     */
   def latestSummary(spark: SparkSession, aggregatesDir: String,
       limit: Int = 10): Seq[Map[String, Any]] =
-    try {
-      var df = spark.read.parquet(aggregatesDir)
-      if (df.columns.contains("loan_count"))
-        df = df.orderBy(col("loan_count").desc)
-      df.limit(limit).collect().toIndexedSeq.map { (r: Row) =>
-        r.schema.fieldNames.zipWithIndex
-          .map { case (n, i) => n -> r.get(i) }
-          .toMap
-      }
-    } catch {
+    try summaryOf(spark.read.parquet(aggregatesDir), limit)
+    catch {
       // NonFatal, not Throwable: the reference catches Exception
       // (loan_spark_etl.py:216-218); swallowing OOM/interrupts is worse.
       case scala.util.control.NonFatal(_) => Seq.empty
     }
+
+  /** The same top-k summary over an aggregate FRAME already in hand —
+    * no read-back, no defensive swallow: a failure here is the caller's
+    * to see. Used by the incremental streaming sink, whose per-trigger
+    * state frame IS the latest aggregate table.
+    */
+  def summaryOf(aggregates: DataFrame, limit: Int = 10): Seq[Map[String, Any]] = {
+    val df =
+      if (aggregates.columns.contains("loan_count"))
+        aggregates.orderBy(col("loan_count").desc)
+      else aggregates
+    df.limit(limit).collect().toIndexedSeq.map { (r: Row) =>
+      r.schema.fieldNames.zipWithIndex
+        .map { case (n, i) => n -> r.get(i) }
+        .toMap
+    }
+  }
 }

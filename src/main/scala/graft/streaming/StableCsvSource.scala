@@ -540,11 +540,24 @@ private[streaming] class StableCsvReaderFactory(
       // hard cap truncates THIS FILE at that record (logged WARN,
       // remaining records of the file are unreadable — univocity state
       // is unreliable past the throw) in PERMISSIVE, or fails the
-      // query in FAILFAST. Memory stays bounded either way.
+      // query in FAILFAST.
+      //
+      // Cost model, eyes open: a finite cap makes univocity allocate
+      // char[hardCap] EAGERLY per reader (DefaultCharAppender), so the
+      // default 8 MiChar cap costs 16 MB per open partition reader —
+      // a deliberate price for a hard per-reader memory bound (32
+      // concurrent readers = 512 MB, predictable; an unbounded lazy
+      // appender is 0 MB until the one pathological file takes the
+      // executor down). A configured limit so large that 8x would
+      // approach the VM array cap falls back to the lazy unlimited
+      // appender instead of eagerly allocating gigabytes (or throwing
+      // "array size exceeds VM limit" at construction): at that size
+      // the user has explicitly chosen giant cells and the memory
+      // bound is theirs.
       private val hardCap: Int =
         if (p.maxCharsPerColumn <= 0) -1 // explicit unlimited
-        else math.min(Int.MaxValue.toLong,
-          math.max(p.maxCharsPerColumn.toLong * 8, 1L << 22)).toInt
+        else if (p.maxCharsPerColumn > (1 << 26)) -1 // giant limit: lazy, user's bound
+        else math.max(p.maxCharsPerColumn * 8, 1 << 22)
       private val parser = {
         val settings = new com.univocity.parsers.csv.CsvParserSettings
         settings.getFormat.setDelimiter(p.delim)
@@ -568,12 +581,15 @@ private[streaming] class StableCsvReaderFactory(
           catch {
             case e: com.univocity.parsers.common.TextParsingException =>
               if (p.failFast) throw new IllegalArgumentException(
-                s"stable-csv: unparsable record in ${p.path} " +
-                  s"(parser hard cap $hardCap chars; mode=FAILFAST)", e)
+                s"stable-csv: unparsable record in ${p.path} (mode=FAILFAST)", e)
+              // the WARN reports the parser's OWN diagnosis (hard-cap
+              // overflow is the common cause, but not the only one) —
+              // whatever the reason, univocity's state is unreliable
+              // past the throw, so the rest of this file is dropped
               org.slf4j.LoggerFactory.getLogger(classOf[StableCsvReaderFactory]).warn(
-                s"stable-csv: truncating ${p.path} at a record exceeding the " +
-                  s"parser hard cap ($hardCap chars); remaining records of this " +
-                  "file are dropped (mode=PERMISSIVE)")
+                s"stable-csv: truncating ${p.path} at an unparsable record; " +
+                  "remaining records of this file are dropped (mode=PERMISSIVE). " +
+                  s"Parser: ${Option(e.getMessage).getOrElse("?").linesIterator.next()}")
               null
           }
         if (cells == null) false

@@ -215,25 +215,26 @@ object StreamingEtl {
                 val newBase = new org.apache.hadoop.fs.Path(out, f"base-$batchId%05d")
                 batch.sparkSession.read.parquet(srcs: _*)
                   .write.mode("overwrite").parquet(newBase.toString)
-                // sweep everything the new base supersedes — including
-                // leftovers of a compaction that crashed mid-delete —
-                // but ONLY once the base is provably committed: if the
-                // _SUCCESS marker is absent (marksuccessfuljobs
-                // disabled), selection will never recognize the base,
-                // and deleting the dirs it covers would lose their rows
-                val committed = fs.exists(
-                  new org.apache.hadoop.fs.Path(newBase, "_SUCCESS"))
-                if (committed) fs.listStatus(out).foreach { st =>
+                // write() returning is the in-JVM completion signal;
+                // persist it as our own marker so RECOVERY can tell a
+                // committed base from a crash-partial one without
+                // depending on the cluster's _SUCCESS setting
+                // (marksuccessfuljobs may be disabled). Ordering makes
+                // every crash window safe: before the marker, dirs
+                // below the base still exist and landingState ignores
+                // the base; after the marker, the base is authoritative
+                // and a half-finished sweep's leftovers are excluded
+                // from selection and re-swept by the next fold.
+                val mk = fs.create(
+                  new org.apache.hadoop.fs.Path(newBase, CommitMarker), true)
+                mk.close()
+                fs.listStatus(out).foreach { st =>
                   val n = st.getPath.getName
                   val superseded =
                     dirId(n, "batch-").exists(_ < batchId) ||
                       dirId(n, "base-").exists(_ < batchId)
                   if (superseded) fs.delete(st.getPath, true)
                 }
-                else org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                  s"landing compaction: $newBase has no _SUCCESS marker " +
-                    "(mapreduce.fileoutputcommitter.marksuccessfuljobs disabled?); " +
-                    "skipping the sweep — layout stays uncompacted but correct")
                 landingState(fs, out)
               }
             val paths = (b2.map(_._2).toSeq ++ l2.map(_._2)).map(_.toString)
@@ -241,17 +242,26 @@ object StreamingEtl {
           }
         graft.etl.Aggregates.build(all)
           .write.mode("overwrite").parquet(aggDir)
-        val summary = graft.etl.Aggregates.latestSummary(batch.sparkSession, aggDir)
-        val html = graft.report.Summary.renderHtml(
-          Seq.empty, summary, runTime = s"batch-$batchId", source = outDir)
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(reportDir))
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(reportDir, f"report_batch_$batchId%05d.html"), html)
-        ()
+        writeBatchReport(
+          graft.etl.Aggregates.latestSummary(batch.sparkSession, aggDir),
+          reportDir, batchId, source = outDir)
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Render one `report_batch_<id>.html` under `reportDir` — the shared
+    * tail of both foreachBatch sinks.
+    */
+  private def writeBatchReport(summary: Seq[Map[String, Any]],
+      reportDir: String, batchId: Long, source: String): Unit = {
+    val html = graft.report.Summary.renderHtml(
+      Seq.empty, summary, runTime = s"batch-$batchId", source = source)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(reportDir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(reportDir, f"report_batch_$batchId%05d.html"), html)
+    ()
   }
 
   /** Incremental-aggregate sink — the at-scale companion to
@@ -281,14 +291,17 @@ object StreamingEtl {
       .outputMode("complete")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the state frame feeds the table overwrite and the summary; it
+        // is deliberately NOT persisted — the complete-mode output is
+        // group-key-cardinality rows, cheaper to re-emit than to cache
+        // (and caching a foreachBatch frame trips InMemoryRelation's
+        // attribute remap on the streaming state plan)
         batch.write.mode("overwrite").parquet(aggDir)
-        val summary = graft.etl.Aggregates.latestSummary(batch.sparkSession, aggDir)
-        val html = graft.report.Summary.renderHtml(
-          Seq.empty, summary, runTime = s"batch-$batchId", source = aggDir)
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(reportDir))
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(reportDir, f"report_batch_$batchId%05d.html"), html)
-        ()
+        // summary from the state IN HAND — no read-back from aggDir,
+        // and no latestSummary error-swallow: a failure here should
+        // fail the trigger loudly, not render an empty report
+        writeBatchReport(graft.etl.Aggregates.summaryOf(batch),
+          reportDir, batchId, source = aggDir)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -303,28 +316,45 @@ object StreamingEtl {
       if (d.nonEmpty && d.forall(_.isDigit)) Some(d.toLong) else None
     }
 
+  /** The graft-side base commit marker, written AFTER the parquet job
+    * returns — independent of `mapreduce.fileoutputcommitter.
+    * marksuccessfuljobs`, which controls `_SUCCESS` and may be off.
+    */
+  private val CommitMarker = "_GRAFT_COMMITTED"
+
   /** The landing dir's authoritative contents: highest COMMITTED
     * `base-<n>` (if any) plus the live `batch-<id>` dirs (id >= n).
     * Anything below the highest base is a crash leftover whose rows the
     * base already holds — reading it would double-count, so selection
-    * excludes it. A base is committed only once its `_SUCCESS` marker
-    * exists: the multi-file parquet publish is NOT atomic, so a crash
-    * mid-fold leaves a partial `base-<n>` that must not win the
+    * excludes it. The multi-file parquet publish is NOT atomic, so a
+    * crash mid-fold leaves a partial `base-<n>` that must not win the
     * highest-base rule (it would silently drop every batch it claimed
-    * to cover while the un-folded dirs still exist). A partial base is
-    * ignored, later overwritten by a re-fold at the same or higher id,
-    * and swept by that fold's deletion pass.
+    * to cover while the un-folded dirs still exist). A base counts as
+    * committed when any of these hold:
+    *   - our [[CommitMarker]] exists (written post-publish, pre-sweep);
+    *   - `_SUCCESS` exists (Spark's own job marker, when enabled);
+    *   - no `batch-<id'>` with id' below the base remains — the sweep
+    *     only ever runs after a completed publish, so the covered dirs'
+    *     absence is itself proof of commit (the migration path for
+    *     bases written by earlier versions on marker-less clusters).
+    * A partial base matches none of them (its covered dirs are still
+    * present), is ignored by selection, and is overwritten and swept by
+    * a later fold.
     */
   private def landingState(fs: org.apache.hadoop.fs.FileSystem,
       out: org.apache.hadoop.fs.Path)
       : (Option[(Long, org.apache.hadoop.fs.Path)], Seq[(Long, org.apache.hadoop.fs.Path)]) = {
     val st = if (fs.exists(out)) fs.listStatus(out).toSeq.filter(_.isDirectory) else Seq.empty
+    val batches = st.flatMap(s => dirId(s.getPath.getName, "batch-").map(_ -> s.getPath))
+    val minBatch = batches.map(_._1).minOption
     val bases = st.flatMap(s => dirId(s.getPath.getName, "base-").map(_ -> s.getPath))
-      .filter { case (_, p) =>
-        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      .filter { case (id, p) =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, CommitMarker)) ||
+          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) ||
+          minBatch.forall(_ >= id)
       }
     val base = bases.sortBy(_._1).lastOption
-    val live = st.flatMap(s => dirId(s.getPath.getName, "batch-").map(_ -> s.getPath))
+    val live = batches
       .filter { case (id, _) => base.forall(id >= _._1) }
       .sortBy(_._1)
     (base, live)

@@ -167,6 +167,11 @@ class StreamingEtlSpec extends SparkSpec {
     val dB = dirs(outB)
     assert(dB.count(_.startsWith("base-")) == 1, s"exactly one live base: $dB")
     assert(dB.count(_.startsWith("batch-")) <= 3, s"tail bounded by K: $dB")
+    // the fold publishes its own commit marker (post-write, pre-sweep)
+    // so recovery never depends on the cluster's _SUCCESS setting
+    val baseDir = dB.find(_.startsWith("base-")).get
+    assert(java.nio.file.Files.exists(outB.resolve(baseDir).resolve("_GRAFT_COMMITTED")),
+      "a folded base must carry the graft commit marker")
 
     // the selected read sees exactly the same rows as the faithful layout
     def landedRows(p: java.nio.file.Path): Set[(String, Double, String)] =
@@ -201,6 +206,39 @@ class StreamingEtlSpec extends SparkSpec {
       tmpDir("cp-repB3").toString, ckptB.toString, compactInterval = 3)
     assert(landedRows(outB).map(_._1) == (0 to n).map(i => s"L$i").toSet,
       "a partial (uncommitted) base dir must not shadow the live batch dirs")
+  }
+
+  test("legacy markerless base: authoritative when swept, ignored while partial") {
+    // migration rule: a base written by a version without markers (and
+    // on a cluster with _SUCCESS disabled) is provably committed when
+    // no batch dir below it remains — the sweep only ever ran after a
+    // completed publish. Craft that state by hand: rows only in a
+    // markerless base, then stream one new batch over it.
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("loan_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("amount", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("status", org.apache.spark.sql.types.StringType)))
+    val in = tmpDir("lg-in"); val out = tmpDir("lg-out"); val agg = tmpDir("lg-agg")
+    import spark.implicits._
+    Seq(("L0", 100.0, "APPROVED"), ("L1", 50.5, "REJECTED"))
+      .toDF("loan_id", "amount", "status")
+      .write.mode("overwrite").parquet(out.resolve("base-00000").toString)
+    // strip every marker: legacy-committed shape (swept, no markers)
+    java.nio.file.Files.deleteIfExists(out.resolve("base-00000").resolve("_SUCCESS"))
+    java.nio.file.Files.deleteIfExists(out.resolve("base-00000").resolve("._SUCCESS.crc"))
+
+    writeFile(in, "loan_new.csv", "loan_id,amount,status\nL2,10.0,APPROVED\n")
+    StreamingEtl.runWithBatchReport(
+      StreamingEtl.csvFileStream(spark, in.toString, schema),
+      out.toString, agg.toString, tmpDir("lg-rep").toString,
+      tmpDir("lg-ckpt").toString, compactInterval = 3)
+    val rows = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out.resolve("base-00000").toString)
+    assert(rows.count() == 2, "the legacy base itself must survive the run")
+    val aggRows = spark.read.parquet(agg.toString).collect()
+      .map(r => (r.getAs[String]("status"), r.getAs[Long]("loan_count"))).toSet
+    assert(aggRows == Set(("APPROVED", 2L), ("REJECTED", 1L)),
+      s"the markerless-but-swept base must stay authoritative: $aggRows")
   }
 
   test("incremental aggregates: streaming state matches the full recompute, across restarts") {
