@@ -241,6 +241,18 @@ class StreamingEtlSpec extends SparkSpec {
       s"the markerless-but-swept base must stay authoritative: $aggRows")
   }
 
+  test("incremental aggregates: an empty source drains without error") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("loan_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("amount", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("status", org.apache.spark.sql.types.StringType)))
+    val in = tmpDir("inc0-in")
+    StreamingEtl.runWithIncrementalReport(
+      StreamingEtl.csvFileStream(spark, in.toString, schema),
+      tmpDir("inc0-agg").toString, tmpDir("inc0-rep").toString,
+      tmpDir("inc0-ckpt").toString) // must not throw
+  }
+
   test("incremental aggregates: streaming state matches the full recompute, across restarts") {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("loan_id", org.apache.spark.sql.types.StringType),
