@@ -210,31 +210,7 @@ object StreamingEtl {
             val (b2, l2) =
               if (foldable.size < compactInterval) (base, live) // dir unchanged — reuse
               else {
-                val srcs = (base.map(_._2).toSeq ++ foldable.map(_._2)).map(_.toString)
-                // overwrite → a replayed compaction republishes identically
-                val newBase = new org.apache.hadoop.fs.Path(out, f"base-$batchId%05d")
-                batch.sparkSession.read.parquet(srcs: _*)
-                  .write.mode("overwrite").parquet(newBase.toString)
-                // write() returning is the in-JVM completion signal;
-                // persist it as our own marker so RECOVERY can tell a
-                // committed base from a crash-partial one without
-                // depending on the cluster's _SUCCESS setting
-                // (marksuccessfuljobs may be disabled). Ordering makes
-                // every crash window safe: before the marker, dirs
-                // below the base still exist and landingState ignores
-                // the base; after the marker, the base is authoritative
-                // and a half-finished sweep's leftovers are excluded
-                // from selection and re-swept by the next fold.
-                val mk = fs.create(
-                  new org.apache.hadoop.fs.Path(newBase, CommitMarker), true)
-                mk.close()
-                fs.listStatus(out).foreach { st =>
-                  val n = st.getPath.getName
-                  val superseded =
-                    dirId(n, "batch-").exists(_ < batchId) ||
-                      dirId(n, "base-").exists(_ < batchId)
-                  if (superseded) fs.delete(st.getPath, true)
-                }
+                foldLanding(batch.sparkSession, fs, out, batchId, base, foldable)
                 landingState(fs, out)
               }
             val paths = (b2.map(_._2).toSeq ++ l2.map(_._2)).map(_.toString)
@@ -320,7 +296,48 @@ object StreamingEtl {
     * returns — independent of `mapreduce.fileoutputcommitter.
     * marksuccessfuljobs`, which controls `_SUCCESS` and may be off.
     */
-  private val CommitMarker = "_GRAFT_COMMITTED"
+  private[streaming] val CommitMarker = "_GRAFT_COMMITTED"
+
+  /** Fold `base` + `foldable` batch dirs into one committed
+    * `base-<batchId>` and sweep what it supersedes. Publish order makes
+    * every crash window recoverable by [[landingState]]'s selection
+    * rules: before the marker lands, the dirs the new base covers still
+    * exist and the (markerless, un-swept) base is ignored; after the
+    * marker, the base is authoritative and any half-swept leftover is
+    * excluded from selection and re-swept by the next fold. The
+    * `crashBeforeMarker` / `crashAfterMarker` seams exist for the
+    * crash-injection spec; no-ops in production.
+    */
+  private[streaming] def foldLanding(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      out: org.apache.hadoop.fs.Path,
+      batchId: Long,
+      base: Option[(Long, org.apache.hadoop.fs.Path)],
+      foldable: Seq[(Long, org.apache.hadoop.fs.Path)],
+      crashBeforeMarker: () => Unit = () => (),
+      crashAfterMarker: () => Unit = () => ()): Unit = {
+    val srcs = (base.map(_._2).toSeq ++ foldable.map(_._2)).map(_.toString)
+    // overwrite → a replayed compaction republishes identically
+    val newBase = new org.apache.hadoop.fs.Path(out, f"base-$batchId%05d")
+    spark.read.parquet(srcs: _*)
+      .write.mode("overwrite").parquet(newBase.toString)
+    crashBeforeMarker()
+    // write() returning is the in-JVM completion signal; persist it as
+    // our own marker so RECOVERY can tell a committed base from a
+    // crash-partial one without depending on the cluster's _SUCCESS
+    // setting (marksuccessfuljobs may be disabled)
+    val mk = fs.create(new org.apache.hadoop.fs.Path(newBase, CommitMarker), true)
+    mk.close()
+    crashAfterMarker()
+    fs.listStatus(out).foreach { st =>
+      val n = st.getPath.getName
+      val superseded =
+        dirId(n, "batch-").exists(_ < batchId) ||
+          dirId(n, "base-").exists(_ < batchId)
+      if (superseded) fs.delete(st.getPath, true)
+    }
+  }
 
   /** The landing dir's authoritative contents: highest COMMITTED
     * `base-<n>` (if any) plus the live `batch-<id>` dirs (id >= n).
@@ -341,7 +358,7 @@ object StreamingEtl {
     * present), is ignored by selection, and is overwritten and swept by
     * a later fold.
     */
-  private def landingState(fs: org.apache.hadoop.fs.FileSystem,
+  private[streaming] def landingState(fs: org.apache.hadoop.fs.FileSystem,
       out: org.apache.hadoop.fs.Path)
       : (Option[(Long, org.apache.hadoop.fs.Path)], Seq[(Long, org.apache.hadoop.fs.Path)]) = {
     val st = if (fs.exists(out)) fs.listStatus(out).toSeq.filter(_.isDirectory) else Seq.empty
