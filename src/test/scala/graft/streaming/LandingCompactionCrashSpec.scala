@@ -72,6 +72,46 @@ class LandingCompactionCrashSpec extends SparkSpec {
     assert(StreamingEtl.landingState(fs, out)._2.isEmpty, "retry must complete the sweep")
   }
 
+  test("randomized land/fold/crash sequences: selection is exact after every step") {
+    // generalizes the pinned windows: any interleaving of landings,
+    // completed folds, and folds crashed at either seam (optionally on
+    // a marker-less cluster) must leave the selection covering exactly
+    // the landed rows — no loss, no double count — at EVERY step, not
+    // just at quiescence. Fixed seeds keep failures reproducible.
+    import spark.implicits._
+    for (seed <- Seq(7L, 41L, 1913L)) {
+      val rng = new scala.util.Random(seed)
+      val dir = tmpDir(s"lccr$seed")
+      val out = new Path(dir.toString)
+      val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val expected = scala.collection.mutable.Set.empty[(String, Double)]
+      (0 until 10).foreach { id =>
+        val row = (s"L$seed-$id", id * 10.0)
+        Seq(row).toDF("loan_id", "amount")
+          .write.mode("overwrite").parquet(f"$out/batch-$id%05d")
+        expected += row
+        val (base, live) = StreamingEtl.landingState(fs, out)
+        val foldable = live.filter(_._1 < id)
+        if (foldable.size >= 3) rng.nextInt(3) match {
+          case 0 => // completed fold
+            StreamingEtl.foldLanding(spark, fs, out, id, base, foldable)
+          case 1 => // crash before the marker; sometimes marker-less cluster
+            intercept[RuntimeException](StreamingEtl.foldLanding(
+              spark, fs, out, id, base, foldable,
+              crashBeforeMarker = () => throw new RuntimeException("injected")))
+            if (rng.nextBoolean())
+              fs.delete(new Path(f"$out/base-$id%05d/_SUCCESS"), false)
+          case _ => // crash after the marker, before the sweep
+            intercept[RuntimeException](StreamingEtl.foldLanding(
+              spark, fs, out, id, base, foldable,
+              crashAfterMarker = () => throw new RuntimeException("injected")))
+        }
+        assert(selectedRows(fs, out) == expected.toSet,
+          s"seed=$seed step=$id: selection diverged from the landed rows")
+      }
+    }
+  }
+
   test("crash between marker and sweep: base authoritative, leftovers excluded (no double count)") {
     val (out, fs, rows) = mkLanding()
     intercept[RuntimeException](foldAll(out, fs,
