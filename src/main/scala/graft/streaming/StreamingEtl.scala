@@ -184,6 +184,19 @@ object StreamingEtl {
     * the dirs it covers are deleted, the highest base always wins at
     * read time, and any leftover dir below it is excluded by the
     * id >= n rule and swept by the next compaction.
+    *
+    * Cost model, stated honestly: the fold is SINGLE-LEVEL — every
+    * compaction rewrites base + tail, so lifetime write I/O is
+    * O(n²/K) in trigger count (amortized one history rewrite per K
+    * triggers), the same shape as Spark's own CompactibleFileStreamLog,
+    * which rewrites its whole entry history every compactInterval.
+    * That is the right trade for bounding dir count when the landing
+    * data is modest or retention-trimmed; for a stream whose landed
+    * history grows truly large, size K to the expected history/batch
+    * ratio — or use [[runWithIncrementalReport]], which maintains the
+    * aggregate as streaming state and never re-reads or rewrites the
+    * landing history at all (the at-scale answer when the aggregate,
+    * not the raw landing zone, is the product).
     */
   def runWithBatchReport(
       df: DataFrame,
