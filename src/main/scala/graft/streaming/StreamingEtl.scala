@@ -173,7 +173,11 @@ object StreamingEtl {
     * lifetime read I/O. With `compactInterval = K`, once K dirs below
     * the CURRENT batch have accumulated they fold into one
     * `base-<id>` parquet dir covering every batch id below `id`, and
-    * the folded dirs are deleted. Only ids < current fold: batches
+    * the folded dirs are deleted. Both modes read via the same
+    * base-aware selection (the knob only gates folds), so toggling
+    * compaction off against a dir that already holds a base — possibly
+    * with crash leftovers beneath it — still reads each row exactly
+    * once. Only ids < current fold: batches
     * below the running batch are durably committed in the checkpoint
     * (Spark replays at most the newest uncommitted batch), so the fold
     * reads settled data, while the current batch keeps its own dir so
@@ -209,26 +213,27 @@ object StreamingEtl {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.write.mode("overwrite").parquet(f"$outDir/batch-$batchId%05d")
-        val all =
-          if (compactInterval <= 0)
-            // faithful unbounded layout: every batch dir, forever (ST6)
-            batch.sparkSession.read
-              .option("recursiveFileLookup", "true").parquet(outDir)
+        // BOTH modes read through the selection rule, never a blind
+        // recursive listing: with no base ever folded the selection is
+        // exactly "every batch dir" (the faithful layout), and once any
+        // base exists — including one left by a PREVIOUS run with
+        // compaction on, then turned off — a recursive read would count
+        // crash-leftover dirs alongside the base that already holds
+        // their rows. compactInterval only gates whether folds RUN.
+        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val out = new org.apache.hadoop.fs.Path(outDir)
+        val fs = out.getFileSystem(conf)
+        val (base, live) = landingState(fs, out)
+        val foldable = live.filter(_._1 < batchId)
+        val (b2, l2) =
+          if (compactInterval <= 0 || foldable.size < compactInterval)
+            (base, live) // dir unchanged — reuse the listing
           else {
-            val conf = batch.sparkSession.sparkContext.hadoopConfiguration
-            val out = new org.apache.hadoop.fs.Path(outDir)
-            val fs = out.getFileSystem(conf)
-            val (base, live) = landingState(fs, out)
-            val foldable = live.filter(_._1 < batchId)
-            val (b2, l2) =
-              if (foldable.size < compactInterval) (base, live) // dir unchanged — reuse
-              else {
-                foldLanding(batch.sparkSession, fs, out, batchId, base, foldable)
-                landingState(fs, out)
-              }
-            val paths = (b2.map(_._2).toSeq ++ l2.map(_._2)).map(_.toString)
-            batch.sparkSession.read.parquet(paths: _*)
+            foldLanding(batch.sparkSession, fs, out, batchId, base, foldable)
+            landingState(fs, out)
           }
+        val paths = (b2.map(_._2).toSeq ++ l2.map(_._2)).map(_.toString)
+        val all = batch.sparkSession.read.parquet(paths: _*)
         graft.etl.Aggregates.build(all)
           .write.mode("overwrite").parquet(aggDir)
         writeBatchReport(

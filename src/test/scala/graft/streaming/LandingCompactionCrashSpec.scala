@@ -72,6 +72,43 @@ class LandingCompactionCrashSpec extends SparkSpec {
     assert(StreamingEtl.landingState(fs, out)._2.isEmpty, "retry must complete the sweep")
   }
 
+  test("compaction toggled OFF over a base with crash leftovers: rows still counted exactly once") {
+    // a run with compaction on suffers a marker-crash (sweep never ran,
+    // leftover dirs below the base), then the operator restarts the
+    // SAME checkpoint with compactInterval=0. The faithful mode must
+    // still read through the base-aware selection — a blind recursive
+    // read would count the leftovers alongside the base that already
+    // holds their rows
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("loan_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("amount", org.apache.spark.sql.types.DoubleType)))
+    val in = tmpDir("lcc-off-in"); val outD = tmpDir("lcc-off-out")
+    val agg = tmpDir("lcc-off-agg"); val ckpt = tmpDir("lcc-off-ckpt")
+    val n = 8
+    (0 until n).foreach(i => writeFile(in, s"loan_$i.csv", s"loan_id,amount\nL$i,${i * 10.0}\n"))
+    def stream() = StreamingEtl.csvFileStream(spark, in.toString, schema, maxFilesPerTrigger = 1)
+    StreamingEtl.runWithBatchReport(stream(), outD.toString, agg.toString,
+      tmpDir("lcc-off-rep1").toString, ckpt.toString, compactInterval = 3)
+    val out = new Path(outD.toString)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (base, _) = StreamingEtl.landingState(fs, out)
+    assert(base.isDefined)
+    // plant an unswept leftover BELOW the base, duplicating a folded
+    // row — exactly what a crash between marker and sweep leaves behind
+    Seq(("L0", 0.0)).toDF("loan_id", "amount")
+      .write.parquet(f"$out/batch-${base.get._1 - 1}%05d")
+
+    // restart the same checkpoint with compaction OFF + one new file
+    writeFile(in, s"loan_$n.csv", s"loan_id,amount\nL$n,${n * 10.0}\n")
+    StreamingEtl.runWithBatchReport(stream(), outD.toString, agg.toString,
+      tmpDir("lcc-off-rep2").toString, ckpt.toString) // compactInterval = 0
+    val total = spark.read.parquet(agg.toString).collect()
+      .map(_.getAs[Long]("loan_count")).sum
+    assert(total == n + 1,
+      s"expected the ${n + 1} landed rows exactly once, leftover excluded; got $total")
+  }
+
   test("randomized land/fold/crash sequences: selection is exact after every step") {
     // generalizes the pinned windows: any interleaving of landings,
     // completed folds, and folds crashed at either seam (optionally on
@@ -126,7 +163,6 @@ class LandingCompactionCrashSpec extends SparkSpec {
     // and they are re-swept by a later fold (id 4, nothing to read below
     // it but the sweep clears the orphans)
     StreamingEtl.foldLanding(spark, fs, out, batchId = 4, b, Seq.empty)
-    import scala.jdk.CollectionConverters._
     val names = fs.listStatus(out).map(_.getPath.getName).toSet
     assert(!names.exists(_.startsWith("batch-")),
       s"orphaned batch dirs must be swept by the next fold: $names")
