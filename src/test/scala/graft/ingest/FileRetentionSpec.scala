@@ -37,6 +37,63 @@ class FileRetentionSpec extends SparkSpec {
     FileIngest.processBatch(incoming, raw, out, ledger,
       minAgeSeconds = 0L, maxFileAgeMs = R, now = Instant.ofEpochMilli(nowMs))
 
+  test("randomized arrival sequences: exactly-once and never-re-admit hold against an oracle model") {
+    // model-based pin of the invariant pair under random interleavings:
+    // files arrive with random mtimes (sometimes older than the window,
+    // sometimes in the past relative to files already seen), batches run
+    // at random times, files are sometimes deleted between runs. The
+    // independent model tracks only the CONTRACT: (a) no file ever
+    // processes twice; (b) a file refused as expired never processes
+    // later; (c) a stabilized file inside the window processes in the
+    // batch that first lists it. Fixed seeds for reproducibility.
+    for (seed <- Seq(5L, 83L, 997L)) {
+      val rng = new scala.util.Random(seed)
+      val (incoming, raw, out, ledger) = setup()
+      val base = 1_700_000_000_000L
+      var now = base
+      val everProcessed = scala.collection.mutable.Set.empty[String]
+      val everExpired = scala.collection.mutable.Set.empty[String]
+      val present = scala.collection.mutable.Map.empty[String, Long] // name -> mtime
+      var nextId = 0
+      (0 until 12).foreach { _ =>
+        // random arrivals: mtime anywhere from far-past to now
+        (0 until rng.nextInt(3)).foreach { _ =>
+          val name = s"loan_r$nextId.csv"; nextId += 1
+          val mtime = now - rng.nextLong(3 * R)
+          put(incoming, name, mtime)
+          present(name) = mtime
+        }
+        // random deletions of lingering files
+        present.keys.toSeq.foreach { n =>
+          if (rng.nextInt(5) == 0) { Files.delete(Paths.get(incoming, n)); present -= n }
+        }
+        now += rng.nextLong(R / 2)
+        val res = run(incoming, raw, out, ledger, now)
+        val processedNames = res.processed.map(_.filename)
+        // (a) exactly-once, ever
+        processedNames.foreach { n =>
+          assert(!everProcessed.contains(n), s"seed=$seed: $n processed twice")
+        }
+        everProcessed ++= processedNames
+        // (b) an expired verdict is final
+        processedNames.foreach { n =>
+          assert(!everExpired.contains(n), s"seed=$seed: expired $n re-admitted")
+        }
+        everExpired ++= res.expired.map(_.split('/').last)
+        // (c) every present stabilized file was dealt with: processed
+        // now, processed before, or expired (no silent loss)
+        present.keys.foreach { n =>
+          assert(everProcessed.contains(n) || everExpired.contains(n) ||
+            processedNames.contains(n),
+            s"seed=$seed: stabilized in-window file $n silently dropped")
+        }
+      }
+      // a final quiet re-run is a no-op: nothing new, nothing re-done
+      val fin = run(incoming, raw, out, ledger, now + 1)
+      assert(fin.processed.isEmpty, s"seed=$seed: quiet re-run reprocessed ${fin.processed}")
+    }
+  }
+
   test("eviction + refusal share one reference: an evicted file still in incoming never re-ingests") {
     val (incoming, raw, out, ledger) = setup()
     val t0 = System.currentTimeMillis() - 10 * R
