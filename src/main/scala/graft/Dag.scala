@@ -55,6 +55,19 @@ object Dag {
       // is a connector, out of engine scope (SURVEY.md §2.1)
       reportSubject: Option[String])
 
+  /** A tick failure AFTER the ingest ledger commit: `batch`'s files are
+    * ledgered and will NOT be re-ingested, so the failed ETL/report tail
+    * of this run is lost for this tick. The landed DATA still surfaces —
+    * the next run's full recompute re-reads the whole raw dir — but the
+    * per-batch report is gone. Distinguished from a pre-commit failure
+    * (plain exception out of the ingest stage), whose files stay
+    * un-ledgered and are retried whole on the next run.
+    */
+  final class PostCommitFailure(val batch: FileIngest.BatchResult, cause: Throwable)
+      extends RuntimeException(
+        s"dag run failed after the ingest ledger commit " +
+          s"(${batch.processed.size} file(s) already ledgered)", cause)
+
   def run(
       spark: SparkSession,
       incomingDir: String,
@@ -82,54 +95,102 @@ object Dag {
       now = now,
       spark = Some(spark))
 
-    // Nothing may have landed yet (first run with every file deferred):
-    // an unmatched glob makes spark.read throw, so probe the landing zone
-    // first and mirror the reference's "no input data" no-op
-    // (run_spark_etl_task, drive_auto_compress_email.py:531-535).
-    val rawPath = new Path(rawDir)
-    val rawFs = rawPath.getFileSystem(conf)
-    val hasLanded = rawFs.exists(rawPath) &&
-      rawFs.listStatus(rawPath).exists(st => st.isFile && st.getPath.getName.endsWith(nameSuffix))
-    val etl =
-      if (!hasLanded) None
-      else Pipeline.run(spark, rawDir, s"$workDir/output",
-        coalesceOutput = coalesceOutput, globPattern = s"*$nameSuffix")
+    // Everything below runs AFTER the ingest ledger append — the batch's
+    // files are durably committed — so a failure here is a different
+    // operational event than one above: wrap it as [[PostCommitFailure]]
+    // (cause preserved) so callers — runLoop's tick isolation foremost —
+    // can log exactly which commit point the tick reached instead of
+    // promising a retry that will never happen.
+    try {
+      // Nothing may have landed yet (first run with every file deferred):
+      // an unmatched glob makes spark.read throw, so probe the landing
+      // zone first and mirror the reference's "no input data" no-op
+      // (run_spark_etl_task, drive_auto_compress_email.py:531-535).
+      val rawPath = new Path(rawDir)
+      val rawFs = rawPath.getFileSystem(conf)
+      val hasLanded = rawFs.exists(rawPath) &&
+        rawFs.listStatus(rawPath).exists(st => st.isFile && st.getPath.getName.endsWith(nameSuffix))
+      val etl =
+        if (!hasLanded) None
+        else Pipeline.run(spark, rawDir, s"$workDir/output",
+          coalesceOutput = coalesceOutput, globPattern = s"*$nameSuffix")
 
-    val reportPath =
-      if (batch.processed.isEmpty) None
-      else {
-        val aggregates = etl
-          .map(r => Aggregates.latestSummary(spark, r.aggregatesPath))
-          .getOrElse(Seq.empty)
-        val html = Summary.renderHtml(
-          batch.processed, aggregates,
-          runTime = now.toString, source = incomingDir)
-        val p = new Path(s"$workDir/report.html")
-        val fs = p.getFileSystem(conf)
-        val out = fs.create(p, true)
-        try out.write(html.getBytes(StandardCharsets.UTF_8))
-        finally out.close()
-        Some(p.toString)
+      val reportPath =
+        if (batch.processed.isEmpty) None
+        else {
+          val aggregates = etl
+            .map(r => Aggregates.latestSummary(spark, r.aggregatesPath))
+            .getOrElse(Seq.empty)
+          val html = Summary.renderHtml(
+            batch.processed, aggregates,
+            runTime = now.toString, source = incomingDir)
+          val p = new Path(s"$workDir/report.html")
+          val fs = p.getFileSystem(conf)
+          val out = fs.create(p, true)
+          try out.write(html.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          Some(p.toString)
+        }
+
+      RunResult(batch, etl, reportPath,
+        reportPath.map(_ => Summary.subject(batch.processed.size)))
+    } catch {
+      case scala.util.control.NonFatal(e) => throw new PostCommitFailure(batch, e)
+    }
+  }
+
+  /** Cooperative shutdown handle for [[runLoop]]: `requestStop()` is safe
+    * from any thread (`main`'s SIGTERM hook uses it), never interrupts an
+    * in-flight tick — the loop finishes the tick it is on, delivers its
+    * result, and exits instead of starting another — and wakes the
+    * between-ticks wait immediately so shutdown is prompt even mid-sleep.
+    */
+  final class LoopControl {
+    private[this] val lock = new Object
+    @volatile private[this] var stop = false
+    def requestStop(): Unit = lock.synchronized { stop = true; lock.notifyAll() }
+    def stopRequested: Boolean = stop
+    /** Stop-aware sleep: waits up to `millis`, returning early the moment
+      * `requestStop()` fires — runLoop's default `sleep` seam.
+      */
+    private[graft] def await(millis: Long): Unit = lock.synchronized {
+      val deadline = System.nanoTime() + millis * 1000000L
+      var rem = millis
+      while (!stop && rem > 0) {
+        lock.wait(rem)
+        rem = (deadline - System.nanoTime()) / 1000000L
       }
-
-    RunResult(batch, etl, reportPath,
-      reportPath.map(_ => Summary.subject(batch.processed.size)))
+    }
   }
 
   /** The chain on a fixed schedule — the reference DAG's
     * `schedule_interval=timedelta(minutes=1)`
     * (drive_auto_compress_email.py:582) as a long-running command. Runs
     * are strictly sequential (ST2: the next starts only after the
-    * previous finishes, then waits out the interval — ST1's
-    * fixed-interval trigger), each with single-run semantics: the shared
-    * ledger makes every iteration exactly-once over whatever arrived
-    * since the last. A tick that throws is logged and the loop
-    * continues — the scheduler this mirrors fails that one DAG run and
-    * still fires the next, and every tick is independently idempotent
-    * (ledger-gated ingest, overwrite ETL), so a transient failure
-    * (object-store 503, network blip) must not kill a long-running
-    * service. `iterations = 0` loops forever; `sleep` and `clock` are
-    * seams so tests drive arrivals between iterations deterministically.
+    * previous finishes — one run at a time, `max_active_runs=1`), on a
+    * FIXED-RATE grid (ST1): tick k fires at `start + k*interval`
+    * wall-clock, like the cron it mirrors, so run duration does not
+    * drift the schedule — a 40 s run on a 60 s interval leaves 20 s of
+    * wait, not 60. A run that overruns one or more grid slots skips
+    * them (logged) and fires on the next future slot, preserving ST2
+    * over playing catch-up with back-to-back runs.
+    *
+    * A tick that throws is logged — with the commit point it reached —
+    * and the loop continues: a pre-commit failure left the ledger
+    * untouched, so the SAME files retry next tick; a
+    * [[PostCommitFailure]] means the tick's files are ledgered and only
+    * its ETL/report tail was lost (the data surfaces via the next
+    * tick's full recompute, the per-batch report does not). The
+    * scheduler this mirrors fails that one DAG run and still fires the
+    * next, and every tick is independently idempotent, so a transient
+    * failure (object-store 503, network blip) must not kill a
+    * long-running service.
+    *
+    * `iterations = 0` loops until `control.requestStop()`; shutdown is
+    * graceful — the in-flight tick always completes and delivers before
+    * the loop exits. `sleep` and `clock` are seams so tests drive
+    * arrivals and the grid deterministically; `sleep = null` (the
+    * default) waits via `control`, making the wait stop-interruptible.
     */
   def runLoop(
       spark: SparkSession,
@@ -139,25 +200,37 @@ object Dag {
       minAgeSeconds: Long = 60L,
       maxFileAgeMs: Long = Long.MaxValue,
       iterations: Long = 0L,
-      sleep: Long => Unit = Thread.sleep,
+      sleep: Long => Unit = null,
       clock: () => Instant = () => Instant.now(),
-      onRun: RunResult => Unit = _ => ()): Unit = {
+      onRun: RunResult => Unit = _ => (),
+      control: LoopControl = new LoopControl): Unit = {
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
-    var i = 0L
+    val doSleep: Long => Unit = if (sleep != null) sleep else control.await
+    val intervalMs = intervalSeconds * 1000L
+    val epochMs = clock().toEpochMilli // tick 0 fires immediately; slot k is epoch + k*interval
+    var grid = 0L // the grid slot of the tick just run
+    var runs = 0L
     var done = false
     while (!done) {
-      // the run and the result delivery fail DIFFERENTLY: a failed run
-      // committed nothing (ledger untouched → the next tick retries the
-      // same files), while a failed onRun follows a COMMITTED run — the
-      // ledger already holds its files, so this result will never be
-      // re-delivered and the error must say exactly what was dropped
+      // the run and the result delivery fail DIFFERENTLY, and the run
+      // itself fails differently on each side of the ledger append: the
+      // log must state the commit point, not promise retries that a
+      // post-commit failure will never get
       val result =
         try Some(run(spark, incomingDir, workDir,
           minAgeSeconds = minAgeSeconds, maxFileAgeMs = maxFileAgeMs, now = clock()))
         catch {
+          case e: PostCommitFailure =>
+            log.error(s"dag tick failed AFTER the ingest ledger commit — " +
+              s"${e.batch.processed.size} file(s) " +
+              s"(${e.batch.processed.map(_.filename).mkString(", ")}) are " +
+              "ledgered and will not be re-ingested; this tick's ETL/report " +
+              "output is lost (landed data surfaces via the next tick's " +
+              "full recompute, the per-batch report does not)", e.getCause)
+            None
           case scala.util.control.NonFatal(e) =>
-            log.warn(s"dag tick failed before commit — its files will be " +
-              s"retried next tick (in ${intervalSeconds}s)", e)
+            log.warn("dag tick failed before the ingest ledger commit — " +
+              "its files are un-ledgered and will be retried next tick", e)
             None
         }
       result.foreach { r =>
@@ -170,9 +243,23 @@ object Dag {
               "ledgered and this result will not be re-delivered", e)
         }
       }
-      i += 1
-      if (iterations > 0 && i >= iterations) done = true
-      else sleep(intervalSeconds * 1000L)
+      runs += 1
+      if ((iterations > 0 && runs >= iterations) || control.stopRequested) done = true
+      else {
+        val nowMs = clock().toEpochMilli
+        // next grid slot strictly in the future; a slow run skips the
+        // slots it overran rather than firing late-and-drifting (fixed
+        // rate) or back-to-back (which would burst-load the cluster)
+        val due = math.max(grid + 1, (nowMs - epochMs) / intervalMs + 1)
+        if (due > grid + 1)
+          log.warn(s"dag tick overran ${due - grid - 1} scheduled slot(s) — " +
+            s"skipping to stay on the fixed-rate grid (next fire at " +
+            s"start+${due * intervalSeconds}s)")
+        val ms = epochMs + due * intervalMs - nowMs
+        if (ms > 0) doSleep(ms)
+        grid = due
+        if (control.stopRequested) done = true
+      }
     }
   }
 
@@ -210,8 +297,27 @@ object Dag {
     spark.sparkContext.setLogLevel("WARN")
     try flagArgs match {
       case Some(interval) =>
-        runLoop(spark, positional(0), positional(1), interval,
-          minAgeSeconds = minAge, maxFileAgeMs = maxAge, onRun = printRun)
+        // SIGTERM/SIGINT → finish the in-flight tick, deliver its
+        // result, exit the loop cleanly; the latch holds JVM teardown
+        // until the loop has exited so the tick's tail (ledger append →
+        // ETL → report) is not cut mid-phase. Best-effort by nature:
+        // shutdown hooks run concurrently, so Spark's own hook may stop
+        // the context under a long in-flight tick — that tick then fails
+        // and is logged with the commit point it reached, which is
+        // exactly the loop's normal failure-isolation path.
+        val control = new LoopControl
+        val exited = new java.util.concurrent.CountDownLatch(1)
+        Runtime.getRuntime.addShutdownHook(new Thread(
+          () => {
+            control.requestStop()
+            exited.await(10, java.util.concurrent.TimeUnit.MINUTES)
+            ()
+          },
+          "graft-dag-shutdown"))
+        try runLoop(spark, positional(0), positional(1), interval,
+          minAgeSeconds = minAge, maxFileAgeMs = maxAge, onRun = printRun,
+          control = control)
+        finally exited.countDown()
       case None =>
         printRun(run(spark, positional(0), positional(1),
           minAgeSeconds = minAge, maxFileAgeMs = maxAge))

@@ -99,9 +99,19 @@ object FileIngest {
     * path; at 100 TB a backlog of thousands of files must not funnel
     * through one machine's NIC. Exactly-once semantics are untouched
     * either way: the ledger load and the post-landing ledger append stay
-    * driver-side commit points, every landed artifact is an idempotent
-    * overwrite, and a partially-failed job re-runs the whole (un-ledgered)
-    * batch exactly like a partially-failed serial loop.
+    * driver-side commit points, every landed artifact publishes by
+    * tmp-write + atomic rename (speculation-safe — see [[publish]]), and a
+    * partially-failed job re-runs the whole (un-ledgered) batch exactly
+    * like a partially-failed serial loop.
+    *
+    * Distribution precondition: every path involved (incoming, raw,
+    * output) must be visible from executors at the same URIs. A `file:`
+    * (or scheme-less, defaulting to `file:`) directory on a multi-node
+    * cluster names each executor's LOCAL disk, so tasks would land
+    * artifacts fragmented across machines while the driver ledgers them
+    * as processed. When any of the three dirs resolves to `file:` and the
+    * cluster is not local-mode, the batch falls back to the serial driver
+    * path — same results, same ledger, no silent fragmentation.
     */
   def processBatch(
       incomingDir: String,
@@ -149,7 +159,9 @@ object FileIngest {
     fs.mkdirs(new Path(outputDir))
 
     val stats: Seq[CompressionStats] = spark match {
-      case Some(ss) if ready.size >= math.max(distributeThreshold, 2) =>
+      case Some(ss) if ready.size >= math.max(distributeThreshold, 2) &&
+          (ss.sparkContext.isLocal ||
+            Seq(incomingDir, rawDir, outputDir).forall(executorVisible(_, conf))) =>
         // one (fileId, size) pair per admitted file — tiny driver-side
         // list; the bytes themselves move executor-side, FS-to-FS
         val tasks = ready.map(st => (fileId(st), st.getLen))
@@ -211,24 +223,46 @@ object FileIngest {
     }
   }
 
+  /** True when `dir`'s scheme is one a remote executor can resolve to the
+    * same bytes the driver sees. `file:` (and scheme-less paths when the
+    * default FS is `file:`) name machine-local disks, which only coincide
+    * with the driver's in local-mode. Pure string/conf inspection — no
+    * FileSystem is instantiated, so the check is free and connection-less.
+    */
+  private[ingest] def executorVisible(dir: String, conf: Configuration): Boolean = {
+    val scheme = Option(new Path(dir).toUri.getScheme)
+      .getOrElse(FileSystem.getDefaultUri(conf).getScheme)
+    scheme != "file"
+  }
+
   /** Land one admitted file: copy into `rawDir`, gzip into `outputDir`,
     * return its size metrics. Self-contained over (URI, conf) so it runs
     * identically on the driver (small batches) or inside a Spark task
-    * (large batches); both writes are idempotent overwrites.
+    * (large batches). Both artifacts publish via tmp-write + rename
+    * ([[publish]]), so concurrent speculative attempts of the same task
+    * never interleave bytes at a final path. `attemptTag` defaults to the
+    * Spark task attempt ID (or a driver-side UUID) and is injectable only
+    * for the concurrent-attempt spec.
     */
-  private def landOne(
+  private[ingest] def landOne(
       id: String,
       originalSize: Long,
       rawDir: String,
       outputDir: String,
-      conf: Configuration): CompressionStats = {
+      conf: Configuration,
+      attemptTag: String = null): CompressionStats = {
+    val tag = Option(attemptTag).getOrElse(defaultAttemptTag())
     val src = new Path(new java.net.URI(id))
     val srcFs = src.getFileSystem(conf)
     val name = src.getName
     val rawPath = new Path(rawDir, name)
     val gzPath = new Path(outputDir, s"$name.gz")
-    copy(srcFs, src, rawPath.getFileSystem(conf), rawPath, conf)
-    val compressedSize = gzipTo(srcFs, src, gzPath.getFileSystem(conf), gzPath)
+    publish(rawPath, tag, conf) { (dstFs, tmp) =>
+      copy(srcFs, src, dstFs, tmp, conf)
+    }
+    val compressedSize = publish(gzPath, tag, conf) { (dstFs, tmp) =>
+      gzipTo(srcFs, src, dstFs, tmp)
+    }
     CompressionStats(
       fileId = id,
       filename = name,
@@ -237,6 +271,52 @@ object FileIngest {
       compressionRatio = if (originalSize > 0) compressedSize.toDouble / originalSize else 0.0,
       rawPath = rawPath.toString,
       compressedPath = gzPath.toString)
+  }
+
+  /** Task-attempt-unique tag for tmp-path isolation: inside a Spark task,
+    * (stage, partition, attempt) — distinct for every speculative or
+    * retried attempt of the same logical task; on the driver (serial
+    * path, no concurrency) a UUID.
+    */
+  private def defaultAttemptTag(): String =
+    Option(org.apache.spark.TaskContext.get())
+      .map(tc => s"${tc.stageId}-${tc.partitionId}-${tc.taskAttemptId}")
+      .getOrElse("driver-" + java.util.UUID.randomUUID())
+
+  /** Write-then-rename publish: materialize the artifact at an
+    * attempt-unique hidden tmp path in the destination directory, then
+    * rename into place; returns the published file's size.
+    *
+    * Rename is the atomic commit: on HDFS-like stores a rename onto an
+    * existing destination fails (single winner), on POSIX local FS it
+    * atomically replaces — either way no reader ever observes a
+    * half-written or interleaved final file, which the pre-r9 direct
+    * `create(dst, true)` could produce under `spark.speculation=true`
+    * when two attempts of the same task ran concurrently. A losing
+    * attempt finds the destination already published, discards its tmp,
+    * and adopts the winner's artifact: both attempts wrote the same bytes
+    * from the same admitted source (Java gzip output is deterministic —
+    * fixed header, zero mtime), so adoption preserves the metrics
+    * contract. The tmp lives in the destination directory (same
+    * filesystem, so rename never degrades to a copy) under a
+    * `.`-prefixed name that every Hadoop/Spark reader ignores; a tmp
+    * orphaned by a crashed attempt is likewise invisible to readers and
+    * harmless.
+    */
+  private def publish(dst: Path, tag: String, conf: Configuration)(
+      write: (FileSystem, Path) => Unit): Long = {
+    val fs = dst.getFileSystem(conf)
+    val tmp = new Path(dst.getParent, s".${dst.getName}.inprogress-$tag")
+    var committed = false
+    try {
+      write(fs, tmp)
+      committed = fs.rename(tmp, dst)
+      if (!committed && !fs.exists(dst))
+        throw new java.io.IOException(s"publish failed: cannot rename $tmp to $dst")
+    } finally {
+      if (!committed) fs.delete(tmp, false)
+    }
+    fs.getFileStatus(dst).getLen
   }
 
   private def copy(srcFs: FileSystem, src: Path, dstFs: FileSystem, dst: Path,
@@ -249,8 +329,8 @@ object FileIngest {
     } finally in.close()
   }
 
-  /** Stream-compress src into a gzip file at dst; returns compressed size. */
-  private def gzipTo(srcFs: FileSystem, src: Path, dstFs: FileSystem, dst: Path): Long = {
+  /** Stream-compress src into a gzip file at dst. */
+  private def gzipTo(srcFs: FileSystem, src: Path, dstFs: FileSystem, dst: Path): Unit = {
     val in = srcFs.open(src)
     try {
       val rawOut = dstFs.create(dst, true)
@@ -264,6 +344,5 @@ object FileIngest {
         }
       } finally gz.close()
     } finally in.close()
-    dstFs.getFileStatus(dst).getLen
   }
 }

@@ -130,6 +130,20 @@ object StableCsvSource {
           s"stable-csv: unsupported type ${f.dataType} for column '${f.name}'")
     }
 
+  /** The parser-tier cap for a configured per-cell limit (tier 2 of the
+    * cell-length defense — see the reader's cost-model comment): 8x the
+    * limit with a 4 MiChar floor and a 64 MiChar ceiling (the ceiling
+    * bounds the EAGER univocity buffer at 128 MB/reader — without it a
+    * limit just under the lazy threshold would eagerly allocate ~1 GiB
+    * per open reader); -1 (unlimited, lazy appender) for non-positive
+    * limits and for limits above the ceiling, where the user has
+    * explicitly chosen giant cells and owns the memory bound.
+    */
+  private[streaming] def parserHardCap(maxCharsPerColumn: Int): Int =
+    if (maxCharsPerColumn <= 0) -1
+    else if (maxCharsPerColumn > (1 << 26)) -1
+    else math.min(math.max(maxCharsPerColumn.toLong * 8L, 1L << 22), 1L << 26).toInt
+
   /** Timestamp string → micros since epoch. Fallback chain: ISO instant
     * (`...Z`), offset datetime (`...+02:00`), then the zoneless SQL form
     * resolved in UTC explicitly — `Timestamp.valueOf` would use the
@@ -548,16 +562,24 @@ private[streaming] class StableCsvReaderFactory(
       // a deliberate price for a hard per-reader memory bound (32
       // concurrent readers = 512 MB, predictable; an unbounded lazy
       // appender is 0 MB until the one pathological file takes the
-      // executor down). A configured limit so large that 8x would
-      // approach the VM array cap falls back to the lazy unlimited
+      // executor down). The eager allocation is itself CAPPED at
+      // 64 MiChar (128 MB of char[]) — without the ceiling, a
+      // configured limit just under the lazy-fallback threshold would
+      // 8x to a ~1 GiB eager buffer per open reader, and a handful of
+      // concurrent readers would OOM the executor before any data
+      // flowed. The worst configurable eager case is therefore 128 MB
+      // per reader (limit in (8 MiChar, 64 MiChar]); the 8x headroom
+      // between the cell limit and the parser cap shrinks toward 1x
+      // as the limit approaches the ceiling — a cell just over such a
+      // giant limit then truncates its file (tier-1 behavior) instead
+      // of nulling the cell, the right degradation when the user has
+      // asked for cells within 8x of the bound anyway. A configured
+      // limit ABOVE the ceiling falls back to the lazy unlimited
       // appender instead of eagerly allocating gigabytes (or throwing
       // "array size exceeds VM limit" at construction): at that size
       // the user has explicitly chosen giant cells and the memory
       // bound is theirs.
-      private val hardCap: Int =
-        if (p.maxCharsPerColumn <= 0) -1 // explicit unlimited
-        else if (p.maxCharsPerColumn > (1 << 26)) -1 // giant limit: lazy, user's bound
-        else math.max(p.maxCharsPerColumn * 8, 1 << 22)
+      private val hardCap: Int = StableCsvSource.parserHardCap(p.maxCharsPerColumn)
       private val parser = {
         val settings = new com.univocity.parsers.csv.CsvParserSettings
         settings.getFormat.setDelimiter(p.delim)

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming re-expression of the reference's hand-rolled
@@ -209,7 +209,45 @@ object StreamingEtl {
       reportDir: String,
       checkpoint: String,
       compactInterval: Int = 0): Unit = {
-    val q = df.writeStream
+    val q = batchReportWriter(df, outDir, aggDir, reportDir, checkpoint, compactInterval)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** ST1 continuous-service form of [[runWithBatchReport]]: the same
+    * foreachBatch sink on a `ProcessingTime` trigger, so the reference's
+    * every-minute cron runs as ONE long-lived stream instead of a
+    * drain-per-run loop — no per-run JVM/session spin-up, and the
+    * checkpoint still makes each admitted file exactly-once across
+    * service restarts. Caller owns the lifecycle (`stop()`); the full
+    * landing/compaction/report semantics are identical to the drain
+    * form because both wrap the same writer.
+    */
+  def startWithBatchReport(
+      df: DataFrame,
+      outDir: String,
+      aggDir: String,
+      reportDir: String,
+      checkpoint: String,
+      compactInterval: Int = 0,
+      interval: String = "1 minute"): StreamingQuery =
+    batchReportWriter(df, outDir, aggDir, reportDir, checkpoint, compactInterval)
+      .trigger(Trigger.ProcessingTime(interval))
+      .start()
+
+  /** The shared ST6+ST7 foreachBatch writer behind [[runWithBatchReport]]
+    * (AvailableNow) and [[startWithBatchReport]] (ProcessingTime) — the
+    * trigger is the ONLY difference between the two public forms.
+    */
+  private def batchReportWriter(
+      df: DataFrame,
+      outDir: String,
+      aggDir: String,
+      reportDir: String,
+      checkpoint: String,
+      compactInterval: Int): DataStreamWriter[Row] =
+    df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.write.mode("overwrite").parquet(f"$outDir/batch-$batchId%05d")
@@ -240,10 +278,6 @@ object StreamingEtl {
           graft.etl.Aggregates.latestSummary(batch.sparkSession, aggDir),
           reportDir, batchId, source = outDir)
       }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
 
   /** Render one `report_batch_<id>.html` under `reportDir` — the shared
     * tail of both foreachBatch sinks.

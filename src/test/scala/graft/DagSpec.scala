@@ -112,6 +112,10 @@ class DagSpec extends SparkSpec {
          |""".stripMargin)
     val results = scala.collection.mutable.Buffer.empty[Dag.RunResult]
     var slept = Seq.empty[Long]
+    // a FIXED injected clock (ahead of the fixtures' real mtimes, so
+    // minAge 0 admits them): zero elapsed time on the fixed-rate grid
+    // means each wait is exactly the full interval — deterministic
+    val fixedNow = Instant.now().plusSeconds(30)
     Dag.runLoop(spark, incoming.toString, work.toString,
       intervalSeconds = 60L,
       minAgeSeconds = 0L,
@@ -126,6 +130,7 @@ class DagSpec extends SparkSpec {
              |""".stripMargin)
         ()
       },
+      clock = () => fixedNow,
       onRun = results += _)
 
     assert(slept === Seq(60000L), "two iterations sleep exactly once, for the full interval")
@@ -171,6 +176,135 @@ class DagSpec extends SparkSpec {
     // tick 1's ingest completed before the injected failure, so its file
     // is ledgered; tick 2 processes exactly the between-ticks arrival
     assert(results.map(_.batch.processed.map(_.filename)) === Seq(Seq("loan_second.csv")))
+  }
+
+  test("loop mode: fixed-rate grid — a slow run skips overrun slots and fires on the grid") {
+    // the reference cron fires every minute wall-clock regardless of run
+    // duration (drive_auto_compress_email.py:582): a 130 s run on a 60 s
+    // interval must NOT sleep another 60 s (fixed-delay drift) nor fire
+    // twice back-to-back to catch up — it skips the two overrun slots
+    // and fires on the 180 s grid point
+    val incoming = tmpDir("daggrid_in"); val work = tmpDir("daggrid_work")
+    writeFile(incoming, "loan_first.csv",
+      s"""$header
+         |L1,C1,2024-01-15 10:30:00,1000.5,12.5,12,APPROVED,PERSONAL,KTM,A
+         |""".stripMargin)
+    val t0 = Instant.now().plusSeconds(60) // ahead of fixture mtimes: minAge 0 admits
+    // scripted clock, one entry per read: loop epoch, tick-1 `now`,
+    // post-tick-1 scheduling read (the tick "took" 130 s), tick-2 `now`
+    val times = scala.collection.mutable.Queue(
+      t0, t0.plusSeconds(1), t0.plusSeconds(130), t0.plusSeconds(181))
+    var last = t0
+    val slept = scala.collection.mutable.Buffer.empty[Long]
+    Dag.runLoop(spark, incoming.toString, work.toString,
+      intervalSeconds = 60L, minAgeSeconds = 0L, iterations = 2L,
+      sleep = { ms => slept += ms; () },
+      clock = () => { if (times.nonEmpty) last = times.dequeue(); last })
+    assert(slept.toSeq === Seq(50000L),
+      "finished at +130s: the 60s and 120s slots are skipped; next fire is the 180s grid point, 50s away")
+  }
+
+  test("loop mode: stop requested mid-tick finishes the tick, delivers it, and exits without sleeping") {
+    val incoming = tmpDir("dagstop_in"); val work = tmpDir("dagstop_work")
+    writeFile(incoming, "loan_first.csv",
+      s"""$header
+         |L1,C1,2024-01-15 10:30:00,1000.5,12.5,12,APPROVED,PERSONAL,KTM,A
+         |""".stripMargin)
+    val control = new Dag.LoopControl
+    var delivered = Seq.empty[Dag.RunResult]
+    // iterations = 0 would loop forever: only the stop request ends it
+    Dag.runLoop(spark, incoming.toString, work.toString,
+      intervalSeconds = 60L, minAgeSeconds = 0L, iterations = 0L,
+      sleep = _ => fail("the loop must exit after the stopped tick, not wait for another"),
+      onRun = { r => delivered :+= r; control.requestStop() },
+      control = control)
+    assert(delivered.size === 1, "the in-flight tick completes and delivers exactly once")
+    assert(delivered.head.batch.processed.map(_.filename) === Seq("loan_first.csv"))
+  }
+
+  test("loop mode: stop during the between-ticks wait exits before the next tick") {
+    val incoming = tmpDir("dagstop2_in"); val work = tmpDir("dagstop2_work")
+    writeFile(incoming, "loan_first.csv",
+      s"""$header
+         |L1,C1,2024-01-15 10:30:00,1000.5,12.5,12,APPROVED,PERSONAL,KTM,A
+         |""".stripMargin)
+    val control = new Dag.LoopControl
+    var ticks = 0
+    Dag.runLoop(spark, incoming.toString, work.toString,
+      intervalSeconds = 60L, minAgeSeconds = 0L, iterations = 0L,
+      sleep = _ => control.requestStop(), // SIGTERM arrives mid-wait
+      onRun = _ => ticks += 1,
+      control = control)
+    assert(ticks === 1, "no further tick may start once stop is requested during the wait")
+  }
+
+  test("LoopControl.await wakes promptly on requestStop from another thread") {
+    // the default (seam-less) sleep path must not hold shutdown hostage
+    // for the rest of a long interval
+    val c = new Dag.LoopControl
+    val t = new Thread(() => { Thread.sleep(100); c.requestStop() })
+    t.start()
+    val start = System.nanoTime()
+    c.await(60000L)
+    val waitedMs = (System.nanoTime() - start) / 1000000L
+    t.join()
+    assert(c.stopRequested)
+    assert(waitedMs < 30000L, s"await must wake on requestStop, waited ${waitedMs}ms")
+  }
+
+  test("post-commit failure: files stay ledgered, PostCommitFailure names them, data still surfaces") {
+    val incoming = tmpDir("dagpc_in"); val work = tmpDir("dagpc_work")
+    writeFile(incoming, "loan_a.csv",
+      s"""$header
+         |L1,C1,2024-01-15 10:30:00,1000.5,12.5,12,APPROVED,PERSONAL,KTM,A
+         |""".stripMargin)
+    // sabotage the REPORT phase — after the ledger append and the ETL:
+    // report.html pre-created as a non-empty directory makes fs.create throw
+    val rpt = java.nio.file.Paths.get(work.resolve("report.html").toString)
+    java.nio.file.Files.createDirectories(rpt)
+    java.nio.file.Files.writeString(rpt.resolve("occupied"), "x")
+    val e = intercept[Dag.PostCommitFailure](
+      Dag.run(spark, incoming.toString, work.toString, minAgeSeconds = 0L))
+    assert(e.batch.processed.map(_.filename) === Seq("loan_a.csv"),
+      "the failure must carry exactly the batch that was ledgered")
+    assert(e.getCause != null, "the underlying report-phase error is preserved")
+
+    // the ledger committed BEFORE the failure: the next run must not
+    // re-ingest (no retry exists for a post-commit failure) — but the
+    // landed data still surfaces via the full recompute
+    java.nio.file.Files.delete(rpt.resolve("occupied"))
+    java.nio.file.Files.delete(rpt)
+    val again = Dag.run(spark, incoming.toString, work.toString, minAgeSeconds = 0L)
+    assert(again.batch.processed.isEmpty, "post-commit failure must not re-ingest its files")
+    assert(again.etl.get.rowCount === 1L, "the landed data surfaces via the next full recompute")
+    assert(again.reportPath.isEmpty, "no new files -> the lost batch report is NOT re-rendered")
+  }
+
+  test("loop mode: a post-commit tick failure is isolated and the loop continues") {
+    val incoming = tmpDir("dagpcl_in"); val work = tmpDir("dagpcl_work")
+    writeFile(incoming, "loan_a.csv",
+      s"""$header
+         |L1,C1,2024-01-15 10:30:00,1000.5,12.5,12,APPROVED,PERSONAL,KTM,A
+         |""".stripMargin)
+    val rpt = java.nio.file.Paths.get(work.resolve("report.html").toString)
+    java.nio.file.Files.createDirectories(rpt)
+    java.nio.file.Files.writeString(rpt.resolve("occupied"), "x")
+    val results = scala.collection.mutable.Buffer.empty[Dag.RunResult]
+    Dag.runLoop(spark, incoming.toString, work.toString,
+      intervalSeconds = 60L, minAgeSeconds = 0L, iterations = 2L,
+      // clear the sabotage between ticks — tick 2 must run clean
+      sleep = { _ =>
+        java.nio.file.Files.delete(rpt.resolve("occupied"))
+        java.nio.file.Files.delete(rpt)
+        ()
+      },
+      onRun = results += _)
+    // tick 1 failed post-commit (not delivered); tick 2 has nothing new
+    // to ingest — loan_a is ledgered — and delivers an empty-batch result
+    assert(results.size === 1)
+    assert(results.head.batch.processed.isEmpty,
+      "the post-commit tick's files are ledgered; the next tick must not retry them")
+    assert(results.head.etl.get.rowCount === 1L)
   }
 
   test("retention through the composed DAG: over-age files refused, fresh ones processed") {

@@ -195,6 +195,78 @@ class FileIngestSpec extends SparkSpec {
     assert(again.processed.isEmpty)
   }
 
+  test("speculative attempts: concurrent landers at one destination publish a single intact artifact") {
+    // spark.speculation can run two attempts of the same landing task at
+    // once; the publish protocol (attempt-unique tmp + rename) must never
+    // let them interleave bytes at the final path. Race real threads
+    // repeatedly — any interleaving corrupts the gzip round-trip.
+    val (incoming, raw, out, _) = setup()
+    val body = "loan_id,amount\n" + (1 to 2000).map(i => s"$i,${i * 3.5}").mkString("\n")
+    put(incoming, "loan_race.csv", body)
+    val id = s"file://$incoming/loan_race.csv"
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val attempts = 4
+    (1 to 10).foreach { round =>
+      val barrier = new java.util.concurrent.CyclicBarrier(attempts)
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[FileIngest.CompressionStats]()
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to attempts).map { a =>
+        new Thread(() => {
+          try {
+            barrier.await()
+            results.add(FileIngest.landOne(id, body.length.toLong, raw, out, conf,
+              attemptTag = s"r$round-a$a"))
+          } catch { case t: Throwable => errors.add(t) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errors.isEmpty, s"round $round: ${errors.peek()}")
+      // every attempt reports the same published artifact
+      assert(results.size == attempts)
+      assert(results.stream().map(_.compressedSize).distinct().count() == 1)
+      // the raw copy is byte-identical to the source
+      assert(java.nio.file.Files.readString(java.nio.file.Paths.get(raw, "loan_race.csv")) == body)
+      // the gz is one complete stream, not an interleaving
+      val in = new java.util.zip.GZIPInputStream(
+        java.nio.file.Files.newInputStream(java.nio.file.Paths.get(out, "loan_race.csv.gz")))
+      val back = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      assert(back == body, s"round $round: corrupt gzip publish")
+    }
+    // no attempt left its tmp behind in either destination dir
+    def tmps(dir: String) = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .filter(_.getFileName.toString.contains(".inprogress-")).count()
+    assert(tmps(raw) == 0 && tmps(out) == 0, "orphaned .inprogress tmp files")
+  }
+
+  test("losing attempt adopts the winner's published artifact unchanged") {
+    val (incoming, raw, out, _) = setup()
+    val body = "loan_id\n" + (1 to 100).mkString("\n")
+    put(incoming, "loan_w.csv", body)
+    val id = s"file://$incoming/loan_w.csv"
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val winner = FileIngest.landOne(id, body.length.toLong, raw, out, conf, attemptTag = "w")
+    val gzBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out, "loan_w.csv.gz"))
+    // a straggler attempt arrives after the publish: same stats, bytes untouched
+    val loser = FileIngest.landOne(id, body.length.toLong, raw, out, conf, attemptTag = "l")
+    assert(loser == winner)
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out, "loan_w.csv.gz")), gzBytes))
+  }
+
+  test("distribution guard: file:-backed dirs only distribute on a local-mode cluster") {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    // scheme-less and file: paths name machine-local disks
+    assert(!FileIngest.executorVisible("/data/incoming", conf))
+    assert(!FileIngest.executorVisible("file:///data/incoming", conf))
+    // shared stores are executor-visible at the same URIs
+    assert(FileIngest.executorVisible("hdfs://nn:8020/data/incoming", conf))
+    assert(FileIngest.executorVisible("s3a://bucket/incoming", conf))
+    // a scheme-less path against a cluster default FS inherits that scheme
+    val clusterConf = new org.apache.hadoop.conf.Configuration()
+    clusterConf.set("fs.defaultFS", "hdfs://nn:8020")
+    assert(FileIngest.executorVisible("/data/incoming", clusterConf))
+  }
+
   test("ledger round-trips through the reference JSON format") {
     val (_, _, _, ledger) = setup()
     FileLedger.save(ledger, Set("b", "a"), now = Instant.parse("2026-08-12T00:00:00Z"))

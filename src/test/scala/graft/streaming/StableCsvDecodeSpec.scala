@@ -133,6 +133,25 @@ class StableCsvDecodeSpec extends SparkSpec {
       s"rows before the runaway record survive; the file truncates there: $rows")
   }
 
+  test("parser hard cap: 8x with 4 MiChar floor, 64 MiChar eager ceiling, lazy beyond") {
+    // the eager univocity buffer is char[hardCap]; without the ceiling a
+    // limit just under the lazy threshold would 8x to ~1 GiB per open
+    // reader — the ceiling bounds the worst configurable case at 128 MB
+    import StableCsvSource.parserHardCap
+    assert(parserHardCap(0) == -1 && parserHardCap(-5) == -1, "non-positive: unlimited lazy")
+    assert(parserHardCap(1 << 20) == 1 << 23, "default 1 MiChar limit -> 8 MiChar cap (16 MB)")
+    assert(parserHardCap(1024) == 1 << 22, "tiny limits keep the 4 MiChar floor")
+    assert(parserHardCap((1 << 26) - 1) == 1 << 26,
+      "just under the lazy threshold: ceiling binds (128 MB eager), NOT ~1 GiB")
+    assert(parserHardCap(1 << 24) == 1 << 26, "8x above the ceiling clamps to it")
+    assert(parserHardCap(1 << 26) == 1 << 26, "at the threshold the cap equals the limit")
+    assert(parserHardCap((1 << 26) + 1) == -1, "above the threshold: lazy, user's bound")
+    // every finite cap still dominates its limit (tier-2 sits at/above tier-1)
+    Seq(1, 1 << 10, 1 << 20, 1 << 23, 1 << 25, 1 << 26).foreach { lim =>
+      assert(parserHardCap(lim) >= lim, s"cap must be >= limit for $lim")
+    }
+  }
+
   test("oversized cell under mode=FAILFAST fails the query") {
     val schema = StructType(Seq(
       StructField("loan_id", LongType),
