@@ -31,16 +31,36 @@ object Queries {
   /** Load one of the driver's parquet tables. Plain parquet scan: column
     * pruning + predicate pushdown reach the scan via Catalyst.
     *
-    * events.ts is parquet TIMESTAMP(NANOS): with
-    * spark.sql.legacy.parquet.nanosAsLong it arrives as a long of epoch
-    * nanos, which we truncate to micros (same truncation DuckDB applies
-    * casting TIMESTAMP_NS → TIMESTAMP) and restore to TimestampType.
+    * events.ts has shipped in three physical shapes across testdata
+    * regenerations, all normalized here to session-zoned TimestampType so
+    * every downstream consumer (unix_micros, withWatermark, window()) sees
+    * one type:
+    *   - LongType: parquet TIMESTAMP(NANOS) read under
+    *     spark.sql.legacy.parquet.nanosAsLong — truncate nanos to micros
+    *     (the same truncation DuckDB applies casting TIMESTAMP_NS →
+    *     TIMESTAMP) and restore to TimestampType;
+    *   - TimestampNTZType: parquet timestamp[us] with isAdjustedToUTC=false
+    *     — cast to TimestampType, value-preserving under the pinned UTC
+    *     session timezone (Verify/Bench set spark.sql.session.timeZone=UTC);
+    *   - TimestampType: passthrough.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** Normalize an events-shaped DataFrame's `ts` column to TimestampType
+    * (see [[t]] for the three stored shapes). Shared by the batch query
+    * catalog and the streaming specs so a testdata regeneration can't
+    * silently diverge the two paths.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
 
   /** Elementwise dot product of two float-array columns, accumulated in

@@ -11,8 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // testdata events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects;
-      // read as long and convert in the query layer (Queries.t).
+      // testdata events.ts has shipped as TIMESTAMP(NANOS) (older driver
+      // generations) and as micros TIMESTAMP_NTZ (current). nanosAsLong keeps
+      // a nanos regeneration readable (arrives as long); Queries.t normalizes
+      // every stored shape to session-zoned TimestampType under UTC.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
