@@ -306,16 +306,48 @@ object StreamingEtl {
     * (idempotent under foreachBatch replay — complete mode re-emits
     * the full state) and renders the same per-batch HTML report as
     * the faithful path. Raw-row landing, when also needed, runs as
-    * its own query ([[runAvailableNow]]) — one streaming query cannot
-    * feed two sinks.
+    * its own query — one streaming query cannot feed two sinks;
+    * [[startLandAndIncrementalReport]] composes both over one source.
     */
   def runWithIncrementalReport(
       df: DataFrame,
       aggDir: String,
       reportDir: String,
       checkpoint: String): Unit = {
-    val agg = graft.etl.Aggregates.build(df)
-    val q = agg.writeStream
+    val q = incrementalReportWriter(df, aggDir, reportDir, checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** ST1 continuous-service form of [[runWithIncrementalReport]] — the
+    * at-scale sink (O(new rows + group-key cardinality) per trigger, no
+    * landing-history re-read) running as the reference's every-minute
+    * service instead of a drain-per-run loop. Caller owns the lifecycle
+    * (`stop()`); the checkpoint carries the running totals across
+    * restarts exactly once per admitted file, same as the drain form —
+    * both wrap the same writer, the trigger is the only difference.
+    */
+  def startWithIncrementalReport(
+      df: DataFrame,
+      aggDir: String,
+      reportDir: String,
+      checkpoint: String,
+      interval: String = "1 minute"): StreamingQuery =
+    incrementalReportWriter(df, aggDir, reportDir, checkpoint)
+      .trigger(Trigger.ProcessingTime(interval))
+      .start()
+
+  /** The shared complete-mode state writer behind
+    * [[runWithIncrementalReport]] (AvailableNow) and
+    * [[startWithIncrementalReport]] (ProcessingTime).
+    */
+  private def incrementalReportWriter(
+      df: DataFrame,
+      aggDir: String,
+      reportDir: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    graft.etl.Aggregates.build(df).writeStream
       .outputMode("complete")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -331,9 +363,38 @@ object StreamingEtl {
         writeBatchReport(graft.etl.Aggregates.summaryOf(batch),
           reportDir, batchId, source = aggDir)
       }
-      .trigger(Trigger.AvailableNow())
+
+  /** Compose raw-row landing AND the incremental report as TWO streaming
+    * queries over ONE logical source: Spark instantiates an independent
+    * file-admission log per query (each checkpoint tracks its own seen-file
+    * offsets), so every arriving file reaches BOTH sinks exactly once —
+    * including across restarts, where each query resumes from its own
+    * checkpoint independently. This is the deployment shape the reference's
+    * DAG implies (land the rows, keep the report current) without ever
+    * re-reading the landing zone: the aggregate is streaming state, the
+    * landing sink is a plain append. Caller owns both lifecycles; stop the
+    * returned queries in either order.
+    */
+  def startLandAndIncrementalReport(
+      df: DataFrame,
+      outDir: String,
+      aggDir: String,
+      reportDir: String,
+      landCheckpoint: String,
+      reportCheckpoint: String,
+      interval: String = "1 minute"): (StreamingQuery, StreamingQuery) = {
+    require(landCheckpoint != reportCheckpoint,
+      "each query needs its own checkpoint — sharing one corrupts both offset logs")
+    val land = df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", landCheckpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(interval))
       .start()
-    q.awaitTermination()
+    val report = startWithIncrementalReport(
+      df, aggDir, reportDir, reportCheckpoint, interval)
+    (land, report)
   }
 
   /** `<prefix><digits>` directory name → its numeric id. */

@@ -241,6 +241,106 @@ class StreamingEtlSpec extends SparkSpec {
       s"the markerless-but-swept base must stay authoritative: $aggRows")
   }
 
+  test("startWithBatchReport (ST1+ST6+ST7): ProcessingTime service renders a report per arrival, exactly-once, clean stop") {
+    val in = tmpDir("sbr-in"); val out = tmpDir("sbr-out"); val agg = tmpDir("sbr-agg")
+    val rep = tmpDir("sbr-rep"); val ckpt = tmpDir("sbr-ckpt")
+    writeFile(in, "loan_a.csv", "loan_id,amount,status\nL1,100.0,APPROVED\nL2,50.5,APPROVED\n")
+    val q = StreamingEtl.startWithBatchReport(
+      StreamingEtl.csvFileStream(spark, in.toString, loanSchema),
+      out.toString, agg.toString, rep.toString, ckpt.toString,
+      interval = "1 second")
+    def reports(): Seq[String] = java.nio.file.Files.list(rep).toArray
+      .map(_.toString).filter(_.endsWith(".html")).sorted.toSeq
+    try {
+      q.processAllAvailable() // trigger 1: file a
+      assert(reports().size == 1, "first arrival must render a report")
+      writeFile(in, "loan_b.csv", "loan_id,amount,status\nL3,10.0,REJECTED\n")
+      q.processAllAvailable() // trigger 2: file b
+    } finally q.stop()
+    assert(q.exception.isEmpty, s"service must stop cleanly: ${q.exception}")
+    // one report per data-carrying trigger, cumulative aggregates current
+    assert(reports().size == 2, s"got ${reports()}")
+    val landed = spark.read.option("recursiveFileLookup", "true")
+      .schema(loanSchema).parquet(out.toString)
+    assert(landed.count() == 3 && landed.select("loan_id").distinct().count() == 3,
+      "each admitted file lands exactly once")
+    val aggRows = spark.read.parquet(agg.toString).collect()
+      .map(r => (r.getAs[String]("status"), r.getAs[Long]("loan_count"))).toSet
+    assert(aggRows == Set(("APPROVED", 2L), ("REJECTED", 1L)), s"got $aggRows")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(reports().last)).contains("REJECTED"),
+      "latest report must reflect the second arrival")
+    // restart with the same checkpoint: nothing new → nothing reprocessed
+    val q2 = StreamingEtl.startWithBatchReport(
+      StreamingEtl.csvFileStream(spark, in.toString, loanSchema),
+      out.toString, agg.toString, rep.toString, ckpt.toString,
+      interval = "1 second")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .schema(loanSchema).parquet(out.toString).count() == 3,
+      "restart must not duplicate landed rows")
+  }
+
+  test("startWithIncrementalReport: state carries across two ProcessingTime triggers") {
+    val in = tmpDir("sir-in"); val agg = tmpDir("sir-agg")
+    val rep = tmpDir("sir-rep"); val ckpt = tmpDir("sir-ckpt")
+    writeFile(in, "loan_a.csv", "loan_id,amount,status\nL1,100.0,APPROVED\nL2,50.5,APPROVED\n")
+    val q = StreamingEtl.startWithIncrementalReport(
+      StreamingEtl.csvFileStream(spark, in.toString, loanSchema),
+      agg.toString, rep.toString, ckpt.toString, interval = "1 second")
+    try {
+      q.processAllAvailable() // trigger 1
+      writeFile(in, "loan_b.csv", "loan_id,amount,status\nL3,25.0,APPROVED\nL4,10.0,REJECTED\n")
+      q.processAllAvailable() // trigger 2: totals must CARRY, not reset
+    } finally q.stop()
+    assert(q.exception.isEmpty, s"service must stop cleanly: ${q.exception}")
+    val aggRows = spark.read.parquet(agg.toString).collect()
+      .map(r => (r.getAs[String]("status"), r.getAs[Long]("loan_count"),
+        BigDecimal(r.getAs[Double]("total_amount")).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP))).toSet
+    assert(aggRows == Set(
+      ("APPROVED", 3L, BigDecimal("175.50")),
+      ("REJECTED", 1L, BigDecimal("10.00"))), s"got $aggRows")
+    val reports = java.nio.file.Files.list(rep).toArray.map(_.toString)
+      .filter(_.endsWith(".html")).sorted
+    assert(reports.size == 2, "one report per data-carrying trigger")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(reports.last)).contains("175.50"),
+      "second trigger's report must show the carried running total")
+  }
+
+  test("startLandAndIncrementalReport: both sinks exactly-once over one source, across a restart") {
+    val in = tmpDir("lir-in"); val out = tmpDir("lir-out"); val agg = tmpDir("lir-agg")
+    val rep = tmpDir("lir-rep")
+    val landCkpt = tmpDir("lir-ckptL"); val repCkpt = tmpDir("lir-ckptR")
+    writeFile(in, "loan_a.csv", "loan_id,amount,status\nL1,100.0,APPROVED\nL2,50.5,APPROVED\n")
+    def startBoth() = StreamingEtl.startLandAndIncrementalReport(
+      StreamingEtl.csvFileStream(spark, in.toString, loanSchema),
+      out.toString, agg.toString, rep.toString,
+      landCkpt.toString, repCkpt.toString, interval = "1 second")
+
+    val (land1, rep1) = startBoth()
+    try { land1.processAllAvailable(); rep1.processAllAvailable() }
+    finally { land1.stop(); rep1.stop() }
+
+    // restart both from their own checkpoints; a new file arrives after
+    writeFile(in, "loan_b.csv", "loan_id,amount,status\nL3,25.0,REJECTED\n")
+    val (land2, rep2) = startBoth()
+    try { land2.processAllAvailable(); rep2.processAllAvailable() }
+    finally { land2.stop(); rep2.stop() }
+    assert(land2.exception.isEmpty && rep2.exception.isEmpty)
+
+    val landed = spark.read.schema(loanSchema).parquet(out.toString)
+    assert(landed.count() == 3 && landed.select("loan_id").distinct().count() == 3,
+      "landing sink must hold each row exactly once across the restart")
+    val aggRows = spark.read.parquet(agg.toString).collect()
+      .map(r => (r.getAs[String]("status"), r.getAs[Long]("loan_count"))).toSet
+    assert(aggRows == Set(("APPROVED", 2L), ("REJECTED", 1L)),
+      s"report state must resume, not recount: $aggRows")
+    assert(java.nio.file.Files.list(rep).toArray.map(_.toString)
+      .exists(_.endsWith(".html")), "reports rendered")
+  }
+
   test("incremental aggregates: an empty source drains without error") {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("loan_id", org.apache.spark.sql.types.StringType),
