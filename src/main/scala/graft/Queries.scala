@@ -64,14 +64,12 @@ object Queries {
   }
 
   /** Elementwise dot product of two float-array columns, accumulated in
-    * double (matches the oracle's CAST(x AS DOUBLE) products). Stays inside
-    * codegen'd higher-order functions — no UDF.
+    * double (matches the oracle's CAST(x AS DOUBLE) products). Native
+    * codegen'd expression — no UDF, no higher-order-function boxing
+    * ([[graft.functions.VecDot]]).
     */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    graft.functions.VectorFunctions.vecDot(a, b)
 
   private val stopwords = Seq("the", "a", "and", "of", "to")
   private val stopwordSqlList = stopwords.map(s => s"'$s'").mkString(", ")

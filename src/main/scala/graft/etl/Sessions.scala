@@ -35,6 +35,9 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // SQL-text names for graft's native expressions (vec_dot); the
+      // Scala Column API works without this (graft.functions)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
     checkpointDir.fold(b)(dir => b.config("spark.checkpoint.dir", dir))
   }

@@ -37,11 +37,10 @@ object AnnIvf {
   val NList = 16
   val NProbe = 4
 
+  // native codegen'd loop, bit-identical to the aggregate/zip_with fold
+  // it replaces (see graft.functions.VecDot)
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    graft.functions.VectorFunctions.vecDot(a, b)
 
   /** Per-vector array of (score, -centroid_id) structs against the literal
     * centroids; struct ordering = score asc then centroid id desc, so

@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   *
   * Plan shape, scale-first:
   *   1. signatures: per vector, L×H sign-bit dot products against fixed
-  *      hyperplanes — a pure map (higher-order `zip_with`/`aggregate` over
-  *      literal weight arrays; no UDF, no shuffle), then a narrow explode
+  *      hyperplanes — a pure map (native codegen'd [[graft.functions.VecDot]]
+  *      against literal weight arrays; no UDF, no shuffle), then a narrow explode
   *      to (vec_id, table, bucket) — L rows per vector.
   *   2. candidates: equi-join query buckets against corpus buckets on
   *      (table, bucket) — fingerprints cross the wire, never embeddings;
@@ -46,16 +46,14 @@ object AnnLsh {
   private def weight(l: Int, j: Int, i: Int): Double =
     (h7(s"h:$l:$j:$i").toDouble % 2001 - 1000) / 1000.0
 
-  /** Measured (sf0.1, 64 hyperplanes x dim 64): this higher-order-function
-    * form runs ~10x FASTER than an unrolled element_at(i)*lit(w_i) chain —
-    * the 4096-term tree defeats whole-stage codegen (method splitting, no
-    * CSE, per-element bounds checks) while the lambda loops the array once.
+  /** Native codegen'd primitive loop ([[graft.functions.VecDot]]) —
+    * bit-identical accumulation to the interpreted `aggregate`/`zip_with`
+    * form it replaces (and to the unrolled element_at chain both beat):
+    * same left-to-right double fold, same NULL-on-mismatch semantics, no
+    * per-element boxing.
     */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    graft.functions.VectorFunctions.vecDot(a, b)
 
   /** Array of the L (l, bucket) key structs for a vector column — the
     * map-side LSH signature as a standalone expression, exposed so

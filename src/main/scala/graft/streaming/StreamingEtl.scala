@@ -629,12 +629,12 @@ object StreamingEtl {
         col("tb.l").as("l"), col("tb.bucket").as("bucket"))
       .as[BandedVec]
     def cosine(a: Seq[Float], b: Seq[Float]): Double = {
-      // batch parity on malformed rows: zip_with null-pads a dim
-      // mismatch, so the batch dot is NULL and the pair is dropped —
-      // mirror that with NaN (fails any >= threshold test) instead of
-      // silently truncating to the common prefix and inventing matches
+      // batch parity on malformed rows: the batch dot (VecDot) is NULL
+      // on a dim mismatch and the pair is dropped — mirror that with NaN
+      // (fails any >= threshold test) instead of silently truncating to
+      // the common prefix and inventing matches
       if (a.length != b.length) return Double.NaN
-      // identical accumulation order to the batch aggregate/zip_with dot
+      // identical accumulation order to the batch VecDot loop
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       val n = a.length
       while (i < n) {
