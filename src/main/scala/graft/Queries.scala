@@ -1536,6 +1536,33 @@ object Queries {
     (s, d) => graft.ops.TextOps.repeatedSpans(t(s, d, "documents")),
     Some(graft.ops.TextOps.repeatedSpansOracleSql()))
 
+  /** Sequence packing (concat-and-chunk): deterministic shard + running
+    * token offset + covering chunk ids per document — one window pass
+    * per independent shard; see graft.ops.TrainPipe for the 100 TB notes.
+    */
+  private val q70 = QueryDef(
+    "q70_pack_sequences",
+    (s, d) => graft.ops.TrainPipe.packSequences(t(s, d, "documents")),
+    Some(graft.ops.TrainPipe.packOracleSql()))
+
+  /** Benchmark decontamination: per corpus doc, distinct 3-token shingles
+    * shared with the held-out (doc_id % 10 == 0) set — broadcast probe of
+    * the benchmark grams, aggregate keyed by doc_id (never by gram).
+    */
+  private val q71 = QueryDef(
+    "q71_decontaminate",
+    (s, d) => graft.ops.TrainPipe.decontaminate(t(s, d, "documents")),
+    Some(graft.ops.TrainPipe.decontaminateOracleSql()))
+
+  /** Deterministic stratified mixture sample: per-language basis-point
+    * rates decided by each doc's own md5 bucket — a pure map-side filter,
+    * stable across runs/partitionings/engines.
+    */
+  private val q72 = QueryDef(
+    "q72_mix_sample",
+    (s, d) => graft.ops.TrainPipe.mixtureSample(t(s, d, "documents")),
+    Some(graft.ops.TrainPipe.mixtureOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -1559,5 +1586,6 @@ object Queries {
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
-    q67, q68, q69)
+    q67, q68, q69,
+    q70, q71, q72)
 }

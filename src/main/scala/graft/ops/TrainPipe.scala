@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-pipeline composition operators: the steps between "clean
+  * corpus" and "token stream" that a large-scale LLM data pipeline runs
+  * after the dedup/quality family (q20/q25/q45) — sequence packing,
+  * benchmark decontamination, and mixture sampling.
+  *
+  * All constants are md5-derived or literal so the DuckDB oracles
+  * regenerate them exactly (same discipline as [[NearDup]]/[[AnnLsh]]).
+  */
+object TrainPipe {
+
+  /** First 7 hex digits of md5(prefix + doc_id) as a 28-bit long — the
+    * deterministic, partition-independent per-doc hash used for shard
+    * assignment and sampling (same construction as [[NearDup.seeds]]).
+    */
+  private def docHash(prefix: String, idCol: Column): Column =
+    conv(substring(md5(concat(lit(prefix), idCol.cast("string")).cast("binary")), 1, 7), 16, 10)
+      .cast("long")
+
+  // -------------------------------------------------------------------
+  // Sequence packing (concat-and-chunk): documents are concatenated in
+  // deterministic order within a shard and the token stream is cut into
+  // fixed `contextLen` chunks — the standard LLM pre-training packing
+  // (docs straddle chunk boundaries; no padding waste). Each doc's
+  // placement is fully described by its stream offset.
+  //
+  // Scale shape: ONE window pass per shard (sum over doc order), shards
+  // are independent — the 100 TB form partitions by shard and packs
+  // every shard in parallel; no global sequential dependency, no driver
+  // state. Chunk ids are pure arithmetic on the running offset.
+  // -------------------------------------------------------------------
+
+  /** (doc_id, shard, n_tokens, tok_offset, chunk_first, chunk_last):
+    * tok_offset = tokens before this doc in its shard's stream;
+    * chunk_first/chunk_last = the `contextLen`-token chunks the doc's
+    * span [tok_offset, tok_offset + n_tokens) covers.
+    */
+  def packSequences(docs: DataFrame, contextLen: Int = 256, shards: Int = 8): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(
+        col("doc_id"),
+        (docHash("shard:", col("doc_id")) % shards).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("chunk_first", expr(s"tok_offset DIV $contextLen"))
+      .withColumn("chunk_last", expr(s"(tok_offset + n_tokens - 1) DIV $contextLen"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB hex7 parse of md5(`argSql`) — shared literal arithmetic. */
+  private def duckHex7(argSql: String): String =
+    s"""CAST(list_reduce(
+       |  list_transform(range(1, 8),
+       |    p -> instr('0123456789abcdef', substr(md5($argSql), p, 1)) - 1),
+       |  (acc, v) -> acc * 16 + v) AS BIGINT)""".stripMargin
+
+  /** DuckDB SQL replicating [[packSequences]]. */
+  def packOracleSql(contextLen: Int = 256, shards: Int = 8): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    ${duckHex7("'shard:' || doc_id")} % $shards AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    CAST(COALESCE(sum(n_tokens) OVER (
+       |      PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS tok_offset
+       |  FROM t)
+       |SELECT doc_id, shard, n_tokens, tok_offset,
+       |  tok_offset // $contextLen AS chunk_first,
+       |  (tok_offset + n_tokens - 1) // $contextLen AS chunk_last
+       |FROM o ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Benchmark decontamination: count, per corpus document, how many of
+  // its distinct w-token shingles also appear in a held-out (benchmark/
+  // eval) document set — the contamination check run before training so
+  // eval data does not leak into the train stream.
+  //
+  // Scale shape: the held-out gram set is benchmark-sized (tiny next to
+  // a 100 TB corpus), so it is BROADCAST — corpus grams are generated
+  // map-side (same codegen'd window machinery as [[TextOps
+  // .repeatedSpans]]) and probed without shuffling gram text; the only
+  // shuffle is the per-doc count aggregate, keyed by doc_id (never by
+  // gram, so a globally common shingle cannot hot-key it). At corpus
+  // scale swap the gram string for a 64-bit hash in the probe.
+  // -------------------------------------------------------------------
+
+  /** (doc_id, n_grams, n_hit) for every corpus doc (`doc_id % heldoutMod
+    * != 0`) with at least `w` tokens: n_grams = its distinct w-token
+    * shingles, n_hit = how many of them appear anywhere in the held-out
+    * set (`doc_id % heldoutMod == 0`).
+    */
+  def decontaminate(docs: DataFrame, w: Int = 3, heldoutMod: Int = 10): DataFrame = {
+    def gramsOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      // sequence(a, b) DESCENDS when b < a (same guard as repeatedSpans)
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(t) - ${w - 1}), i -> concat_ws(' ', slice(t, i, $w)))"))
+        .as("gram"))
+      .distinct()
+    val held = gramsOf(docs.filter(col("doc_id") % heldoutMod === 0))
+      .select(col("gram")).distinct()
+    val corpus = gramsOf(docs.filter(col("doc_id") % heldoutMod =!= 0))
+    val totals = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = corpus.join(broadcast(held), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB SQL replicating [[decontaminate]]. */
+  def decontaminateOracleSql(w: Int = 3, heldoutMod: Int = 10): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT doc_id,
+       |    array_to_string(t[CAST(i AS BIGINT):CAST(i + ${w - 1} AS BIGINT)], ' ') AS gram
+       |  FROM toks, unnest(range(1, len(t) - ${w - 2})) AS r(i)
+       |  WHERE len(t) >= $w),
+       |held AS (
+       |  SELECT DISTINCT gram FROM grams WHERE doc_id % $heldoutMod = 0),
+       |corp AS (SELECT * FROM grams WHERE doc_id % $heldoutMod <> 0),
+       |tot AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY 1),
+       |hit AS (
+       |  SELECT c.doc_id, count(*) AS n_hit
+       |  FROM corp c JOIN held h USING (gram) GROUP BY 1)
+       |SELECT tot.doc_id, CAST(tot.n_grams AS BIGINT) AS n_grams,
+       |  CAST(COALESCE(hit.n_hit, 0) AS BIGINT) AS n_hit
+       |FROM tot LEFT JOIN hit USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Mixture sampling: build a training mixture by sampling each stratum
+  // (here: language) at its own rate, deterministically — the doc's own
+  // hash decides membership, so the sample is identical across runs,
+  // partitionings, and engines, and composes with incremental ingest
+  // (a re-run over grown data keeps every previously sampled doc).
+  //
+  // Scale shape: a pure map-side filter (hash + threshold compare), no
+  // shuffle at all before the output sort; rates are a literal CASE.
+  // -------------------------------------------------------------------
+
+  /** Default language mixture (basis points per lang). */
+  val DefaultRates: Seq[(String, Int)] =
+    Seq("en" -> 2500, "de" -> 5000, "es" -> 7500, "fr" -> 10000, "zh" -> 1000)
+
+  /** (doc_id, lang, source) of the sampled mixture: keep a doc iff its
+    * md5 bucket (0..9999) < its language's basis-point rate. Unlisted
+    * languages default to 0 bps (dropped).
+    */
+  def mixtureSample(docs: DataFrame, rates: Seq[(String, Int)] = DefaultRates): DataFrame = {
+    val bps = rates.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col("lang") === k, lit(v.toLong)).otherwise(acc)
+    }
+    docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        (docHash("mix:", col("doc_id")) % 10000).as("bucket"), bps.as("bps"))
+      .filter(col("bucket") < col("bps"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB SQL replicating [[mixtureSample]]. */
+  def mixtureOracleSql(rates: Seq[(String, Int)] = DefaultRates): String = {
+    val cases = rates.map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+    s"""SELECT doc_id, lang, source
+       |FROM documents
+       |WHERE ${duckHex7("'mix:' || doc_id")} % 10000
+       |  < CASE lang $cases ELSE 0 END
+       |ORDER BY doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TrainPipe
+
+/** Contracts for the training-pipeline composition operators
+  * (q70 packing / q71 decontamination / q72 mixture sampling); the
+  * DuckDB hash-compare is the cross-engine gate, these pin the
+  * algebraic and physical properties.
+  */
+class TrainPipeSpec extends SparkSpec {
+
+  private lazy val docs = Queries.t(spark, "/root/testdata/sf0.001", "documents")
+
+  test("packing: offsets are exact running sums and chunks cover the doc span") {
+    val out = TrainPipe.packSequences(docs, contextLen = 64, shards = 4)
+      .collect()
+    assert(out.nonEmpty)
+    // per shard: rows in doc_id order have tok_offset == sum of previous
+    // n_tokens, and chunk ids are the straddle arithmetic of that span
+    out.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      var run = 0L
+      rows.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(3) === run, s"offset mismatch at doc ${r.getLong(0)}")
+        run += r.getLong(2)
+        assert(r.getLong(4) === r.getLong(3) / 64)
+        assert(r.getLong(5) === (r.getLong(3) + r.getLong(2) - 1) / 64)
+        assert(r.getLong(4) <= r.getLong(5))
+      }
+    }
+    // shard is doc-hash-derived: every doc appears exactly once
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
+  }
+
+  test("packing is partition-independent (same result at 1 and 7 partitions)") {
+    val a = TrainPipe.packSequences(docs.repartition(1)).collect().toSeq
+    val b = TrainPipe.packSequences(docs.repartition(7)).collect().toSeq
+    assert(a === b)
+  }
+
+  test("decontamination: a planted copy of a held-out doc hits on every gram") {
+    import spark.implicits._
+    val base = Seq(
+      (0L, "alpha beta gamma delta epsilon"), // held-out (0 % 10 == 0)
+      (1L, "alpha beta gamma delta epsilon"), // exact copy -> all grams hit
+      (2L, "zeta eta theta iota kappa"))      // disjoint -> zero hits
+      .toDF("doc_id", "text")
+    val out = TrainPipe.decontaminate(base).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    val copy = out(0)
+    assert(copy.getLong(1) === 3L) // 5 tokens -> 3 distinct 3-grams
+    assert(copy.getLong(2) === copy.getLong(1)) // every gram contaminated
+    assert(out(1).getLong(2) === 0L)
+  }
+
+  test("decontamination plan: held-out gram set is broadcast") {
+    val plan = TrainPipe.decontaminate(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("mixture sample: deterministic, partition-independent, rate-ordered") {
+    val a = TrainPipe.mixtureSample(docs.repartition(1)).collect().toSeq
+    val b = TrainPipe.mixtureSample(docs.repartition(5)).collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+    // fr samples at 100%: every fr doc is kept; zh at 10%: fewer than half
+    val frAll = docs.filter(col("lang") === "fr").count()
+    assert(a.count(_.getString(1) == "fr").toLong === frAll)
+    val zhAll = docs.filter(col("lang") === "zh").count()
+    assert(a.count(_.getString(1) == "zh").toLong <= zhAll / 2)
+    // a language with no rate is dropped entirely
+    val none = TrainPipe.mixtureSample(docs, rates = Seq("fr" -> 10000))
+      .select("lang").distinct().collect().map(_.getString(0)).toSeq
+    assert(none === Seq("fr"))
+  }
+
+  test("mixture sample plan: no shuffle before the output sort") {
+    val df = TrainPipe.mixtureSample(docs)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // exactly the range exchange of the final orderBy, nothing else
+    assert(exchanges.length <= 1, df.queryExecution.executedPlan.toString)
+  }
+}
