@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.VecDot
+import graft.functions.{RollingMinFingerprint, VecDot}
 
 /** Session extensions registering graft's native expressions in the SQL
   * function registry, so `spark.sql("... vec_dot(a, b) ...")` resolves
@@ -28,6 +28,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => VecDot(a, b)
         case other => throw new IllegalArgumentException(
           s"vec_dot requires exactly 2 arguments, got ${other.length}")
+      }))
+    // single-arg SQL form with the catalog's fingerprint constants
+    // (graft.ops.TextOps.Fingerprint{K,B,P})
+    ext.injectFunction((
+      FunctionIdentifier("rolling_fingerprint"),
+      new ExpressionInfo(classOf[RollingMinFingerprint].getName, "rolling_fingerprint"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text) => RollingMinFingerprint(text,
+          graft.ops.TextOps.FingerprintK,
+          graft.ops.TextOps.FingerprintB,
+          graft.ops.TextOps.FingerprintP)
+        case other => throw new IllegalArgumentException(
+          s"rolling_fingerprint requires exactly 1 argument, got ${other.length}")
       }))
   }
 }

@@ -245,19 +245,19 @@ object TextOps {
   // window, cheap to compare.
   //
   // The window hash is a Rabin–Karp polynomial, h = Σ code(c_j)·B^(k-1-j)
-  // mod P (B = 257, P = 2^31−1), over a codepoint array computed ONCE
-  // per document (split + ascii), with windows indexing it via O(1)
-  // try_element_at and the k terms unrolled flat (powers pre-reduced
-  // mod P as literals; max sum ≈ 8·(0x10FFFF·2^31) < 2^54, exact in
-  // BIGINT on both engines). Two formulations that look equivalent are
-  // not: positional substring(text, i, 1) re-scans the UTF-8 string
-  // from the start every call (O(i)), so per-window substrings cost
-  // O(k·L²) per doc and measured 5–6× SLOWER than even the
-  // md5-per-window digest this replaces; and a nested per-window
-  // aggregate() fold pays k interpreted lambda dispatches per window.
-  // Codepoint-array + flat indexing is the form that wins. Positions
-  // past the end (docs shorter than k) contribute code 0 on both
-  // engines (coalesce over out-of-bounds NULL).
+  // mod P (B = 257, P = 2^31−1), over the document's codepoints. Exact
+  // integer arithmetic (every term < 2^52, window sum < 2^55 — exact in
+  // BIGINT on both engines), so ANY evaluation order gives the same
+  // value mod P — which is what lets the Spark side run a native
+  // single-pass expression ([[graft.functions.RollingMinFingerprint]])
+  // while the DuckDB oracle keeps the flat-indexed list_transform form.
+  // Formulation history (r6, kept for the record): positional
+  // substring(text, i, 1) re-scans UTF-8 from the start (O(k·L²)/doc,
+  // 5–6× slower than even an md5-per-window digest); a per-window
+  // aggregate() fold pays k interpreted lambda dispatches per window;
+  // the codepoint-array + try_element_at HOF form beat both, and the
+  // native expression replaces it (r11) — one primitive loop, no
+  // per-character lambda, no per-window dispatch.
   // -------------------------------------------------------------------
 
   /** Character window width of the rolling fingerprint. */
@@ -267,11 +267,6 @@ object TextOps {
   val FingerprintB = 257L
   val FingerprintP = 2147483647L
 
-  /** (doc_id, fp, n_dups): fp = min over all k-char windows of the
-    * polynomial window hash; n_dups = docs sharing the fingerprint. The
-    * codepoint array is computed once per doc, windows are slices over
-    * it — a pure map over `sequence`, no shuffle until the count.
-    */
   /** B^(k-1-j) mod P for j = 0..k-1 — literals shared with the oracle. */
   private def fingerprintPows: IndexedSeq[Long] =
     (0 until FingerprintK).map { j =>
@@ -280,24 +275,21 @@ object TextOps {
       p
     }
 
-  def fingerprints(docs: DataFrame): DataFrame = {
-    val k = FingerprintK
-    val terms = fingerprintPows.zipWithIndex.map { case (pw, j) =>
-      s"coalesce(try_element_at(codes, i + $j), 0L) * ${pw}L"
-    }.mkString(" + ")
-    val fp = expr(
-      s"""array_min(transform(
-         |  sequence(1, greatest(size(codes) - ${k - 1}, 1)),
-         |  i -> ($terms) % $FingerprintP))""".stripMargin)
+  /** (doc_id, fp, n_dups): fp = min over all k-char windows of the
+    * polynomial window hash; n_dups = docs sharing the fingerprint.
+    * The fingerprint is one native map-side pass per doc
+    * ([[graft.functions.RollingMinFingerprint]]); no shuffle until the
+    * count.
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
-        expr("transform(split(text, ''), c -> cast(ascii(c) as long))").as("codes"))
-      .select(col("doc_id"), fp.as("fp"))
+        graft.functions.TextFunctions.rollingFingerprint(
+          col("text"), FingerprintK, FingerprintB, FingerprintP).as("fp"))
       .withColumn("n_dups",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
       .select(col("doc_id"), col("fp"), col("n_dups").cast("long").as("n_dups"))
       .orderBy("doc_id")
-  }
 
   def fingerprintsOracleSql: String = {
     val k = FingerprintK
