@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{RollingMinFingerprint, VecDot}
+import graft.functions.{RollingMinFingerprint, SimHash32, VecDot}
 
 /** Session extensions registering graft's native expressions in the SQL
   * function registry, so `spark.sql("... vec_dot(a, b) ...")` resolves
@@ -41,6 +41,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.ops.TextOps.FingerprintP)
         case other => throw new IllegalArgumentException(
           s"rolling_fingerprint requires exactly 1 argument, got ${other.length}")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text) => SimHash32(text)
+        case other => throw new IllegalArgumentException(
+          s"simhash32 requires exactly 1 argument, got ${other.length}")
       }))
   }
 }

@@ -83,6 +83,82 @@ object RollingMinFingerprint {
   }
 }
 
+/** Native per-row 32-bit SimHash (Charikar '02) of a text column — the
+  * streaming fingerprint ([[graft.ops.TextOps.simhashColumn]]).
+  *
+  * Replaces a pipeline of `transform(array_distinct(split(text, " ")),
+  * md5-hash)` plus 32 separate `aggregate()` bit-vote folds — each fold
+  * an interpreted re-walk of the token-hash array (32 × T lambda
+  * dispatches per row). One pass here: tokens once, all 32 vote counters
+  * updated per token hash.
+  *
+  * BIT-IDENTICAL to the HOF form and to the batch groupBy simhash:
+  *   - tokens = `split(text, " ")` with Spark's limit -1 semantics
+  *     (leading AND trailing empty tokens kept), first-occurrence
+  *     distinct (order is irrelevant to the vote sums);
+  *   - token hash = first 8 hex digits of md5(utf8 bytes) as an
+  *     unsigned 32-bit value — the cross-engine [[graft.ops.NearDup]]
+  *     construction;
+  *   - bit j of the fingerprint set iff the +1/-1 majority vote over
+  *     distinct tokens is >= 0; null text -> null.
+  */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash32"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash32.compute(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash32.compute($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash32 {
+
+  /** One-pass SimHash — called from interpreted eval and generated code. */
+  def compute(s: String): Long = {
+    // limit -1 matches Spark's split(): trailing empty tokens survive
+    val toks = s.split(" ", -1)
+    val seen = new java.util.HashSet[String]()
+    val votes = new Array[Int](32)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (seen.add(t)) {
+        md.reset()
+        val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 8 hex digits of the md5 = first 4 bytes, big-endian unsigned
+        val x = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        var j = 0
+        while (j < 32) {
+          if (((x >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 32) {
+      if (votes(j) >= 0) fp |= 1L << j
+      j += 1
+    }
+    fp
+  }
+}
+
 /** Column-API surface for graft's native text expressions (registry-free,
   * same bridge as [[VectorFunctions]]; SQL names via
   * [[graft.GraftExtensions]]).
@@ -91,4 +167,7 @@ object TextFunctions {
 
   def rollingFingerprint(text: Column, k: Int, b: Long, p: Long): Column =
     ColumnBridge.column(RollingMinFingerprint(ColumnBridge.expression(text), k, b, p))
+
+  def simhash32(text: Column): Column =
+    ColumnBridge.column(SimHash32(ColumnBridge.expression(text)))
 }

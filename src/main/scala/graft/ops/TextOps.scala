@@ -60,23 +60,19 @@ object TextOps {
 
   /** Per-row (shuffle-free) SimHash of a text column — bit-identical to
     * [[simhash]] (same distinct whitespace tokens, same 32-bit md5 token
-    * hash, same majority vote) but computed entirely inside the row with
-    * higher-order functions. This is the STREAMING form: the groupBy in
-    * [[simhash]] would be a stateful aggregate inside a stream, and a
-    * query gets only one stateful-operator chain — fingerprinting must
-    * be a map so the downstream dedup state can own it
+    * hash, same majority vote) but computed entirely inside the row.
+    * This is the STREAMING form: the groupBy in [[simhash]] would be a
+    * stateful aggregate inside a stream, and a query gets only one
+    * stateful-operator chain — fingerprinting must be a map so the
+    * downstream dedup state can own it
     * ([[graft.streaming.StreamingEtl.streamingNearDup]]). Null text →
     * null fingerprint (the batch form simply emits no row for such docs).
+    * One native pass ([[graft.functions.SimHash32]]); it replaced 32
+    * interpreted per-bit `aggregate()` folds over the token-hash array
+    * (TextExprsSpec pins the parity).
     */
-  def simhashColumn(textCol: Column): Column = {
-    val xs = transform(array_distinct(split(textCol, " ")), t => tokenHash32(t))
-    val fp = (0 until SimHashBits).map { j =>
-      val vote = aggregate(xs, lit(0),
-        (acc, x) => acc + when(shiftright(x, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-      when(vote >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    when(textCol.isNull, lit(null).cast("long")).otherwise(fp)
-  }
+  def simhashColumn(textCol: Column): Column =
+    graft.functions.TextFunctions.simhash32(textCol)
 
   /** Near-duplicate pairs by SimHash: byte-band equi-join for candidates,
     * hamming distance <= maxHamming verified on the 32-bit fingerprints
