@@ -88,11 +88,12 @@ object TrainPipe {
   //
   // Scale shape: the held-out gram set is benchmark-sized (tiny next to
   // a 100 TB corpus), so it is BROADCAST — corpus grams are generated
-  // map-side (same codegen'd window machinery as [[TextOps
-  // .repeatedSpans]]) and probed without shuffling gram text; the only
-  // shuffle is the per-doc count aggregate, keyed by doc_id (never by
-  // gram, so a globally common shingle cannot hot-key it). At corpus
-  // scale swap the gram string for a 64-bit hash in the probe.
+  // map-side (same window machinery as [[TextOps.repeatedSpans]]),
+  // deduped per doc with ONE (doc_id, gram)-keyed shuffle, then probed
+  // against the broadcast without moving gram text again; the final
+  // aggregate is keyed by doc_id (never by gram, so a globally common
+  // shingle cannot hot-key it). At corpus scale swap the gram string
+  // for a 64-bit hash in the shuffle key and the probe.
   // -------------------------------------------------------------------
 
   /** (doc_id, n_grams, n_hit) for every corpus doc (`doc_id % heldoutMod
@@ -101,6 +102,12 @@ object TrainPipe {
     * set (`doc_id % heldoutMod == 0`).
     */
   def decontaminate(docs: DataFrame, w: Int = 3, heldoutMod: Int = 10): DataFrame = {
+    // Per-doc distinct via the (doc_id, gram) shuffle, NOT row-side
+    // array_distinct: the in-row form looks shuffle-free but measured
+    // 2.3x SLOWER end-to-end at sf0.1 (ArrayDistinct's interpreted
+    // per-element set build costs more than shuffling the short rows;
+    // same lesson as the HOF dots). At 100 TB hash the gram to 64 bits
+    // before this shuffle (the q20 digest-not-text discipline).
     def gramsOf(df: DataFrame): DataFrame = df
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       // sequence(a, b) DESCENDS when b < a (same guard as repeatedSpans)
@@ -111,13 +118,15 @@ object TrainPipe {
       .distinct()
     val held = gramsOf(docs.filter(col("doc_id") % heldoutMod === 0))
       .select(col("gram")).distinct()
-    val corpus = gramsOf(docs.filter(col("doc_id") % heldoutMod =!= 0))
-    val totals = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val hits = corpus.join(broadcast(held), "gram")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    totals.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("hit", lit(1L))
+    // one pass downstream of the distinct: the broadcast LEFT join marks
+    // contaminated grams and a single doc_id-keyed aggregate emits both
+    // counts — rows are distinct per doc, so n_grams = count(*), and
+    // count(hit) counts only the matched (non-null) rows
+    gramsOf(docs.filter(col("doc_id") % heldoutMod =!= 0))
+      .join(broadcast(held), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
       .orderBy("doc_id")
   }
 
