@@ -58,18 +58,41 @@ object NearDup {
     conv(substring(md5(tok.cast("binary")), 1, 7), 16, 10).cast("long")
 
   /** Per-doc MinHash signature: (doc_id, m0 .. m{K-1}).
-    * One explode + one hash aggregate: at scale this is a map-side partial
-    * min per (doc, i) followed by a final min — no interpreted lambdas.
+    *
+    * One native map-side pass per document ([[graft.functions
+    * .MinHashSig]]): no generator, no exchange — the corpus never moves
+    * for signatures. Replaced (r11) the explode → 64-column min
+    * aggregate, which was codegen'd and map-side-partialed but still
+    * shuffled a (doc, i)-minima row per document; bit-identical values
+    * (exact integer arithmetic, min is order-free — MinHashExprsSpec
+    * pins frame equality against the aggregate form).
+    *
+    * Edge parity with the aggregate form: docs with a NULL or empty
+    * `toks` emitted no exploded rows and are ABSENT; a doc whose tokens
+    * are all NULL was present with all-NULL minima — the NULL signature
+    * array reproduces exactly that through element_at. The m-columns
+    * project from a single `sig` alias in a SEPARATE projection:
+    * CollapseProject keeps a non-cheap alias referenced 64 times
+    * un-inlined, so the signature is computed once per row (plan-pinned
+    * in the spec).
     */
-  def signatures(tok: DataFrame): DataFrame = {
-    val hashed = tok
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .select(col("doc_id"), tokenHash(col("tok")).as("x"))
-    val aggs = seeds.zipWithIndex.map { case ((a, b), i) =>
-      min((col("x") * a + b) % P).as(s"m$i")
-    }
-    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-  }
+  def signatures(tok: DataFrame): DataFrame =
+    tok
+      .filter(size(col("toks")) > 0)
+      // spread the signature map across cores: a small corpus arrives as
+      // ONE scan partition (single parquet block), and without the old
+      // aggregate's exchange the md5 x K-min work — and everything
+      // downstream of the persisted bands — would run on that one task.
+      // The old form had the same single-task signature stage (its
+      // explode + map-side partials ran on the scan partition); this
+      // shuffle moves fingerprint-scale token arrays once and buys full
+      // parallelism for the heavy map. At cluster scale the scan is
+      // already thousands of partitions and AQE coalesces this exchange.
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.MinHashFunctions.minhashSig(col("toks"), seeds, P).as("sig"))
+      .select(col("doc_id") +:
+        (0 until K).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
 
   /** Explode a signature frame into (doc_id, band, k1, k2) band keys. */
   def bands(sig: DataFrame): DataFrame = {
