@@ -36,27 +36,22 @@ object TextOps {
     */
   val SimHashBands = 4
 
-  /** (doc_id, fp) — one aggregate pass: explode distinct tokens, 32
-    * conditional sums (+1 if bit set, -1 if not), majority vote per bit.
-    * Map-side partial aggregation keeps the shuffle at 32 longs per doc.
+  /** (doc_id, fp) — one native map-side pass per document
+    * ([[graft.functions.SimHash32]]; bit-identical to the explode + 32
+    * conditional-sum aggregate it replaced, TextExprsSpec pins all three
+    * forms against each other). Same spread discipline as
+    * [[NearDup.signatures]]: without the old aggregate's exchange a
+    * single-block scan would serialize the md5-per-token work AND the
+    * persisted band frame downstream, so repartition(doc_id) first —
+    * at cluster scale the scan is already parallel and AQE coalesces it.
+    * Null-text docs are absent (the explode emitted no rows for them).
     */
-  def simhash(docs: DataFrame): DataFrame = {
-    val hashed = NearDup.tokens(docs)
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .select(col("doc_id"), tokenHash32(col("tok")).as("x"))
-    val sums = (0 until SimHashBits).map { j =>
-      sum(when(shiftright(col("x"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j")
-    }
-    hashed
-      .groupBy("doc_id")
-      .agg(sums.head, sums.tail: _*)
-      .select(
-        col("doc_id"),
-        (0 until SimHashBits)
-          .map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _)
-          .as("fp"))
-  }
+  def simhash(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.simhash32(col("text")).as("fp"))
 
   /** Per-row (shuffle-free) SimHash of a text column — bit-identical to
     * [[simhash]] (same distinct whitespace tokens, same 32-bit md5 token
