@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types._
 
@@ -102,6 +102,117 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused random-hyperplane LSH bucketing: ALL L×H sign-bit dots of a
+  * float-array column against the fixed hyperplane matrix, emitted as the
+  * `array<struct<l:int, bucket:bigint>>` the LSH family explodes
+  * ([[graft.ops.AnnLsh.bucketArray]]).
+  *
+  * Why fused: the compositional form — 64 separate [[VecDot]]s against 64
+  * literal weight arrays, summed through 64 CASE WHENs inside one
+  * generator expression — is all codegen'd, but the generated method is
+  * enormous; HotSpot refuses to JIT methods past its bytecode limit, so
+  * the whole projection runs as INTERPRETED bytecode (measured: 1.4–1.8 s
+  * for 2,000 rows at sf0.1 — ~200× slower than the arithmetic warrants).
+  * One compact loop here JITs fine.
+  *
+  * BIT-IDENTICAL to the compositional form:
+  *   - each hyperplane dot is the same left-to-right double fold over the
+  *     float elements (weights exact literals);
+  *   - bit j of table l is set iff dot(v, w_{l,j}) >= 0 (NaN compares
+  *     false, exactly like the double comparison it replaces);
+  *   - a NULL vector, a vector whose length differs from `dim`, or one
+  *     containing a NULL element made every per-hyperplane dot NULL in
+  *     the zip_with form, so every CASE contributed 0 — reproduced as
+  *     all-zero buckets for all L tables (the expression itself is
+  *     NON-nullable, matching the old array(struct(...)) output).
+  */
+case class LshBucketKeys(child: Expression, weights: Seq[Double],
+    tables: Int, bitsPerTable: Int, dim: Int)
+    extends UnaryExpression {
+
+  require(weights.length == tables * bitsPerTable * dim,
+    s"weights must be tables*bitsPerTable*dim = ${tables * bitsPerTable * dim} doubles")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("l", IntegerType, nullable = false),
+    StructField("bucket", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "lsh_bucket_keys"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val wArr: Array[Double] = weights.toArray
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    LshBucketKeys.compute(
+      if (v == null) null else v.asInstanceOf[ArrayData],
+      wArr, tables, bitsPerTable, dim)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val wRef = ctx.addReferenceObj("lshWeights", wArr, "double[]")
+    ev.copy(
+      code = code"""
+        |${childGen.code}
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        |  graft.functions.LshBucketKeys.compute(
+        |    ${childGen.isNull} ? null : ${childGen.value},
+        |    $wRef, $tables, $bitsPerTable, $dim);
+       """.stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshBucketKeys {
+
+  /** All L bucket keys in one pass; invalid vectors (null / wrong length
+    * / null element) yield all-zero buckets — see the class doc.
+    */
+  def compute(v: ArrayData, w: Array[Double], tables: Int, bits: Int, dim: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val out = new Array[Any](tables)
+    var valid = v != null && v.numElements() == dim
+    if (valid) {
+      var i = 0
+      while (valid && i < dim) { if (v.isNullAt(i)) valid = false; i += 1 }
+    }
+    if (!valid) {
+      var l = 0
+      while (l < tables) { out(l) = new GenericInternalRow(Array[Any](l, 0L)); l += 1 }
+      return new GenericArrayData(out)
+    }
+    val fv = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { fv(i) = v.getFloat(i).toDouble; i += 1 }
+    var l = 0
+    while (l < tables) {
+      var bucket = 0L
+      var j = 0
+      while (j < bits) {
+        val off = (l * bits + j) * dim
+        var acc = 0.0
+        var k = 0
+        while (k < dim) { acc += fv(k) * w(off + k); k += 1 }
+        if (acc >= 0.0) bucket |= 1L << j
+        j += 1
+      }
+      out(l) = new GenericInternalRow(Array[Any](l, bucket))
+      l += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Column-API surface for graft's native vector expressions. No function-
   * registry registration is required for these (the Column wraps the
   * expression directly via [[ColumnBridge]]); SQL-text access to the same
@@ -114,4 +225,12 @@ object VectorFunctions {
     */
   def vecDot(a: Column, b: Column): Column =
     ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** All L×H LSH sign-bit bucket keys of a float-vector column in one
+    * fused pass — see [[LshBucketKeys]].
+    */
+  def lshBucketKeys(v: Column, weights: Seq[Double],
+      tables: Int, bitsPerTable: Int, dim: Int): Column =
+    ColumnBridge.column(
+      LshBucketKeys(ColumnBridge.expression(v), weights, tables, bitsPerTable, dim))
 }

@@ -59,15 +59,18 @@ object AnnLsh {
     * map-side LSH signature as a standalone expression, exposed so
     * streaming callers can explode it while carrying event-time/payload
     * columns ([[graft.streaming.StreamingEtl.streamingEmbedNearDup]]).
+    *
+    * One fused native pass ([[graft.functions.LshBucketKeys]]); the
+    * compositional 64-VecDot/CASE tree it replaced was codegen'd but
+    * exceeded HotSpot's JIT method limit and ran as interpreted bytecode
+    * (~200× slower — BENCH_NOTES r11). Bit-identical keys
+    * (VectorExprsSpec pins parity against the compositional form).
     */
-  def bucketArray(vecCol: Column, dim: Int): Column =
-    array((0 until L).map { l =>
-      val bucket = (0 until H).map { j =>
-        val w = array((0 until dim).map(i => lit(weight(l, j, i))): _*)
-        when(dot(vecCol, w) >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(l).as("l"), bucket.as("bucket"))
-    }: _*)
+  def bucketArray(vecCol: Column, dim: Int): Column = {
+    val flat: Seq[Double] =
+      for { l <- 0 until L; j <- 0 until H; i <- 0 until dim } yield weight(l, j, i)
+    graft.functions.VectorFunctions.lshBucketKeys(vecCol, flat, L, H, dim)
+  }
 
   /** (vec_id, l, bucket) — L bucket keys per vector, computed map-side. */
   def buckets(emb: DataFrame, dim: Int, vecCol: String = "embedding"): DataFrame =

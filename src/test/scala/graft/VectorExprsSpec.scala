@@ -117,6 +117,63 @@ class VectorExprsSpec extends SparkSpec {
     assert(r === 9.0)
   }
 
+  /** The exact pre-round-11 compositional bucketArray (64 VecDots + CASE
+    * sums), kept as the parity baseline for the fused expression.
+    */
+  private def compositionalBucketArray(vecCol: Column, dim: Int): Column = {
+    import graft.ops.AnnLsh.{H, L}
+    def h7(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.substring(0, 7), 16)
+    }
+    def weight(l: Int, j: Int, i: Int): Double =
+      (h7(s"h:$l:$j:$i").toDouble % 2001 - 1000) / 1000.0
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    array((0 until L).map { l =>
+      val bucket = (0 until H).map { j =>
+        val w = array((0 until dim).map(i => lit(weight(l, j, i))): _*)
+        when(dot(vecCol, w) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(l).as("l"), bucket.as("bucket"))
+    }: _*)
+  }
+
+  test("fused lsh bucket keys equal the compositional 64-dot form on real embeddings") {
+    val emb = Queries.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val fused = graft.ops.AnnLsh.buckets(emb, 64)
+    val composed = emb
+      .select(col("vec_id"), explode(compositionalBucketArray(col("embedding"), 64)).as("tb"))
+      .select(col("vec_id"), col("tb.l").as("l"), col("tb.bucket").as("bucket"))
+    assert(fused.count() > 0)
+    assert(fused.exceptAll(composed).count() === 0)
+    assert(composed.exceptAll(fused).count() === 0)
+  }
+
+  test("fused lsh bucket keys: null / wrong-length / null-element vectors get all-zero buckets") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = Seq(
+      Row(0L, null),
+      Row(1L, Seq.fill(10)(1f)),             // wrong length (dim=64)
+      Row(2L, (Seq.fill(63)(1f) :+ null)),   // null element
+      Row(3L, Seq.fill(64)(0.5f)))           // valid
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val fused = graft.ops.AnnLsh.buckets(df, 64)
+    val composed = df
+      .select(col("vec_id"), explode(compositionalBucketArray(col("embedding"), 64)).as("tb"))
+      .select(col("vec_id"), col("tb.l").as("l"), col("tb.bucket").as("bucket"))
+    assert(fused.exceptAll(composed).count() === 0)
+    assert(composed.exceptAll(fused).count() === 0)
+    // invalid vectors: 16 rows each, every bucket zero
+    val z = fused.filter(col("vec_id") < 3 && col("bucket") === 0L).count()
+    assert(z === 3L * graft.ops.AnnLsh.L)
+  }
+
   test("vec_dot rejects non-array / non-numeric-array inputs at analysis") {
     val df = spark.range(1).select(
       array(lit("x")).as("s"), array(lit(1), lit(2)).as("i"))
