@@ -213,6 +213,119 @@ object LshBucketKeys {
   }
 }
 
+/** Fused IVF centroid scoring: the array of (score, -centroid_id)
+  * structs [[graft.ops.AnnIvf]] ranks for assignment and probing, in one
+  * JIT-friendly pass — the compositional form (nlist literal-array dots,
+  * each divided, rounded, and packed into structs inside one expression
+  * tree) hit the same HotSpot method-size interpretation cliff as
+  * [[LshBucketKeys]].
+  *
+  * Parity with `struct(round(dot(v, w_c)/nrm_c, 6) AS s, -cid AS nc)`:
+  *   - same left-to-right double fold per centroid;
+  *   - `round(_, 6)` reproduced exactly (Spark's RoundBase: NaN/Infinite
+  *     pass through, else BigDecimal.valueOf + HALF_UP);
+  *   - a NULL vector, a length mismatch vs a centroid, or a NULL element
+  *     made that centroid's dot NULL, so `s` is NULL for that struct
+  *     while `nc` stays — reproduced field-for-field (the expression
+  *     itself is non-nullable, like the array(struct(...)) it replaces).
+  */
+case class IvfScores(child: Expression, centroids: Seq[(Long, Seq[Double])],
+    norms: Seq[Double])
+    extends UnaryExpression {
+
+  require(centroids.nonEmpty && centroids.length == norms.length,
+    "centroids and norms must be non-empty and equal-length")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("s", DoubleType, nullable = true),
+    StructField("nc", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "ivf_scores"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val ids: Array[Long] = centroids.map(_._1).toArray
+  @transient private lazy val vecs: Array[Array[Double]] =
+    centroids.map(_._2.toArray).toArray
+  @transient private lazy val nrms: Array[Double] = norms.toArray
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    IvfScores.compute(
+      if (v == null) null else v.asInstanceOf[ArrayData], ids, vecs, nrms)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val idsRef = ctx.addReferenceObj("ivfIds", ids, "long[]")
+    val vecsRef = ctx.addReferenceObj("ivfVecs", vecs, "double[][]")
+    val nrmsRef = ctx.addReferenceObj("ivfNrms", nrms, "double[]")
+    ev.copy(
+      code = code"""
+        |${childGen.code}
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        |  graft.functions.IvfScores.compute(
+        |    ${childGen.isNull} ? null : ${childGen.value},
+        |    $idsRef, $vecsRef, $nrmsRef);
+       """.stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object IvfScores {
+
+  /** Spark's round(_, 6) for doubles: NaN/Infinite pass through, else
+    * shortest-decimal-repr HALF_UP (RoundBase's BigDecimal.valueOf path).
+    */
+  private def round6(d: Double): Double =
+    if (d.isNaN || d.isInfinite) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def compute(v: ArrayData, ids: Array[Long], cents: Array[Array[Double]],
+      nrms: Array[Double]): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val k = ids.length
+    val out = new Array[Any](k)
+    val n = if (v == null) -1 else v.numElements()
+    var anyNull = v == null
+    if (!anyNull) {
+      var i = 0
+      while (!anyNull && i < n) { if (v.isNullAt(i)) anyNull = true; i += 1 }
+    }
+    var fv: Array[Double] = null
+    if (!anyNull) {
+      fv = new Array[Double](n)
+      var i = 0
+      while (i < n) { fv(i) = v.getFloat(i).toDouble; i += 1 }
+    }
+    var c = 0
+    while (c < k) {
+      val w = cents(c)
+      // dot is NULL (-> s NULL) on null vector, any null element, or a
+      // length mismatch with THIS centroid (zip_with null-padding)
+      if (anyNull || w.length != n) {
+        out(c) = new GenericInternalRow(Array[Any](null, -ids(c)))
+      } else {
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += fv(i) * w(i); i += 1 }
+        out(c) = new GenericInternalRow(Array[Any](round6(acc / nrms(c)), -ids(c)))
+      }
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Column-API surface for graft's native vector expressions. No function-
   * registry registration is required for these (the Column wraps the
   * expression directly via [[ColumnBridge]]); SQL-text access to the same
@@ -233,4 +346,10 @@ object VectorFunctions {
       tables: Int, bitsPerTable: Int, dim: Int): Column =
     ColumnBridge.column(
       LshBucketKeys(ColumnBridge.expression(v), weights, tables, bitsPerTable, dim))
+
+  /** IVF centroid (score, -id) struct array in one fused pass — see
+    * [[IvfScores]].
+    */
+  def ivfScores(v: Column, centroids: Seq[(Long, Seq[Double])], norms: Seq[Double]): Column =
+    ColumnBridge.column(IvfScores(ColumnBridge.expression(v), centroids, norms))
 }

@@ -45,15 +45,18 @@ object AnnIvf {
   /** Per-vector array of (score, -centroid_id) structs against the literal
     * centroids; struct ordering = score asc then centroid id desc, so
     * `array_max` / descending sort pick max score with min id on ties.
+    * One fused native pass ([[graft.functions.IvfScores]]) — the
+    * compositional nlist-dot struct array hit the same JIT method-size
+    * interpretation cliff as the LSH bucketing (BENCH_NOTES r11);
+    * bit-identical scores, AnnIvfSpec + the q44 oracle pin it.
     */
-  private def scored(vecCol: Column, cents: Seq[(Long, Array[Float])]): Column =
-    array(cents.map { case (cid, v) =>
-      val w = array(v.toIndexedSeq.map(f => lit(f.toDouble)): _*)
-      val nrm = math.sqrt(v.foldLeft(0.0)((acc, f) => acc + f.toDouble * f.toDouble))
-      struct(
-        round(dot(vecCol, w) / lit(nrm), 6).as("s"),
-        lit(-cid).as("nc"))
-    }: _*)
+  private def scored(vecCol: Column, cents: Seq[(Long, Array[Float])]): Column = {
+    val centroids = cents.map { case (cid, v) => cid -> v.toIndexedSeq.map(_.toDouble) }
+    val norms = cents.map { case (_, v) =>
+      math.sqrt(v.foldLeft(0.0)((acc, f) => acc + f.toDouble * f.toDouble))
+    }
+    graft.functions.VectorFunctions.ivfScores(vecCol, centroids, norms)
+  }
 
   /** Best (max) centroid score for a vector column — the per-vector term
     * of the spherical-k-means objective; exposed for the training spec.

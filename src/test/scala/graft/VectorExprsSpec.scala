@@ -174,6 +174,30 @@ class VectorExprsSpec extends SparkSpec {
     assert(z === 3L * graft.ops.AnnLsh.L)
   }
 
+  test("fused ivf scores equal the compositional round(dot/nrm) struct array") {
+    val emb = Queries.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = graft.ops.AnnIvf.initCentroids(emb)
+    // compositional baseline: the exact pre-round-11 scored() form
+    def hofDotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val composed = array(cents.map { case (cid, v) =>
+      val w = array(v.toIndexedSeq.map(f => lit(f.toDouble)): _*)
+      val nrm = math.sqrt(v.foldLeft(0.0)((acc, f) => acc + f.toDouble * f.toDouble))
+      struct(
+        round(hofDotD(col("embedding"), w) / lit(nrm), 6).as("s"),
+        lit(-cid).as("nc"))
+    }: _*)
+    val fused = graft.ops.AnnIvf.bestScore(col("embedding"), cents)
+    val both = emb.filter(col("embedding").isNotNull).select(
+      array_max(composed).getField("s").as("hof"),
+      fused.as("native"))
+    assert(both.filter(
+      not(col("native") === col("hof")) ||
+        col("native").isNull =!= col("hof").isNull).count() === 0)
+    assert(both.count() > 0)
+  }
+
   test("vec_dot rejects non-array / non-numeric-array inputs at analysis") {
     val df = spark.range(1).select(
       array(lit("x")).as("s"), array(lit(1), lit(2)).as("i"))
