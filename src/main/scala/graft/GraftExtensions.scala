@@ -50,5 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"simhash32 requires exactly 1 argument, got ${other.length}")
       }))
+    // Rule[LogicalPlan] leg: rewrite the interpreted aggregate(zip_with)
+    // dot-product idiom into the native VecDot (result-preserving by
+    // construction — see graft.plans.DotProductRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
   }
 }
