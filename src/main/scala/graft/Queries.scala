@@ -568,17 +568,20 @@ object Queries {
     "q24_ann_cosine",
     (s, d) => {
       val e = t(s, d, "embeddings")
+      // norms ride with each side (computed once per vector, not per
+      // pair — the same bit-identical sqrt(dot(v,v)) either way)
       val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nn"))
       val sims = broadcast(q)
         .join(c, col("query_id") =!= col("neighbor_id"))
         .select(
           col("query_id"),
           col("neighbor_id"),
           round(
-            dot(col("qv"), col("nv")) /
-              (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("nv"), col("nv")))),
+            dot(col("qv"), col("nv")) / (col("qn") * col("nn")),
             4).as("cosine"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(desc("cosine"), asc("neighbor_id"))

@@ -163,13 +163,18 @@ object AnnIvf {
     // the min-centroid tie-break, and surface as null-cosine neighbors the
     // oracle (whose unnest of NULL yields no rows) never produces.
     val valid = emb.filter(col("embedding").isNotNull)
+    // norms ride with each side (once per vector, not per candidate
+    // pair — bit-identical sqrt(dot(v,v)) either way; the AnnLsh
+    // fused-norm discipline)
     val assigned = valid.select(
       col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nn"),
       (-array_max(sc).getField("nc")).as("list_id"))
     val probes = valid
       .filter(col("vec_id") < queryMax)
       .select(
         col("vec_id").as("query_id"), col("embedding").as("qv"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qn"),
         explode(transform(
           slice(reverse(array_sort(sc)), 1, nprobe),
           x => -x.getField("nc"))).as("list_id"))
@@ -181,8 +186,7 @@ object AnnIvf {
       col("query_id"),
       col("vec_id").as("neighbor_id"),
       round(
-        dot(col("qv"), col("embedding")) /
-          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("embedding"), col("embedding")))),
+        dot(col("qv"), col("embedding")) / (col("qn") * col("nn")),
         4).as("cosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), asc("neighbor_id"))
     sims
