@@ -1566,6 +1566,50 @@ object Queries {
     (s, d) => graft.ops.TrainPipe.mixtureSample(t(s, d, "documents")),
     Some(graft.ops.TrainPipe.mixtureOracleSql()))
 
+  /** PII redaction (graft.ops.QualityOps.scrubPii): the corpus is synthetic
+    * word salad with no PII, so the query plants deterministic synthetic
+    * PII (email/IPv4/phone derived from doc_id) in-query — identically on
+    * both engines — then counts and scrubs it. Pure map-side projection.
+    */
+  private val q73 = QueryDef(
+    "q73_pii_scrub",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val aug = concat_ws(
+        " ",
+        col("text"),
+        concat(lit("user"), col("doc_id").cast("string"), lit("@mail.example.com")),
+        concat(lit("10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0.1")),
+        concat(
+          lit("555-0"),
+          lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+          lit("-0000")))
+      graft.ops.QualityOps
+        .scrubPii(docs.select(col("doc_id"), aug.as("text")))
+        .orderBy("doc_id")
+    },
+    Some(graft.ops.QualityOps.scrubPiiOracleSql(
+      "text || ' user' || doc_id || '@mail.example.com 10.' || " +
+        "(doc_id % 256) || '.0.1 555-0' || " +
+        "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-0000'") +
+      " ORDER BY doc_id"))
+
+  /** Gopher-style repetition quality metrics + keep flag — two
+    * (doc_id, term)-keyed aggregations, per-doc windows, no text joins.
+    */
+  private val q74 = QueryDef(
+    "q74_repetition",
+    (s, d) => graft.ops.QualityOps.repetitionStats(t(s, d, "documents")),
+    Some(graft.ops.QualityOps.repetitionOracleSql()))
+
+  /** Length-curriculum sharding: literal stage bounds (no global sort),
+    * hash shards, deterministic within-shard positions.
+    */
+  private val q75 = QueryDef(
+    "q75_curriculum",
+    (s, d) => graft.ops.TrainPipe.curriculum(t(s, d, "documents")),
+    Some(graft.ops.TrainPipe.curriculumOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -1590,5 +1634,5 @@ object Queries {
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
     q67, q68, q69,
-    q70, q71, q72)
+    q70, q71, q72, q73, q74, q75)
 }

@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus quality/safety operators a large-scale training-data pipeline
+  * runs between ingest and packing: PII redaction and repetition-based
+  * quality metrics (the Gopher/C4-style "repetitious document" filters).
+  *
+  * Extends the reference's cleaning surface (null-scrub + cast hygiene,
+  * /root/reference/airflow/include/loan_spark_etl.py:131-149) with the
+  * text-specific scrubbing an LLM corpus needs. Both operators are pure
+  * map-side or (doc_id, term)-keyed aggregations — no joins on text, no
+  * driver state — so they scale to 100 TB as embarrassingly parallel
+  * passes.
+  *
+  * Regex patterns are restricted to the Java-regex ∩ RE2 common subset
+  * (character classes, bounded repetition, ASCII `\b`) so the DuckDB
+  * oracles replay them byte-identically.
+  */
+object QualityOps {
+
+  /** PII patterns: email, dotted-quad IPv4, NNN-NNN-NNNN phone. */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Redact PII from `textCol`: per doc, the match count of each PII
+    * class (counted on the original text) plus the scrubbed text with
+    * matches replaced by `<EMAIL>`/`<IP>`/`<PHONE>` in that fixed order.
+    *
+    * Scale shape: a single narrow projection — regexp count + chained
+    * regexp_replace are whole-stage-codegen'd per row, nothing shuffles
+    * before the output sort. Null text yields null counts/clean (total,
+    * never throws).
+    */
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val txt = col(textCol)
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(txt, lit(EmailPat), lit(0))).cast("long").as("n_email"),
+      size(regexp_extract_all(txt, lit(Ipv4Pat), lit(0))).cast("long").as("n_ip"),
+      size(regexp_extract_all(txt, lit(PhonePat), lit(0))).cast("long").as("n_phone"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(txt, EmailPat, "<EMAIL>"),
+          Ipv4Pat, "<IP>"),
+        PhonePat, "<PHONE>").as("clean"))
+  }
+
+  /** DuckDB SQL replicating [[scrubPii]] over a text expression
+    * `textSql` (defaults to the raw column). DuckDB's regexp_replace
+    * needs the explicit 'g' flag to match Spark's replace-all.
+    */
+  def scrubPiiOracleSql(textSql: String = "text"): String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(s, '$EmailPat')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(s, '$Ipv4Pat')) AS BIGINT) AS n_ip,
+       |  CAST(len(regexp_extract_all(s, '$PhonePat')) AS BIGINT) AS n_phone,
+       |  regexp_replace(regexp_replace(regexp_replace(s,
+       |    '$EmailPat', '<EMAIL>', 'g'),
+       |    '$Ipv4Pat', '<IP>', 'g'),
+       |    '$PhonePat', '<PHONE>', 'g') AS clean
+       |FROM (SELECT doc_id, $textSql AS s FROM documents)""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Repetition metrics (Gopher-style quality filter): documents that are
+  // mostly repeated tokens or dominated by one bigram are boilerplate /
+  // spam and are dropped before training. Per doc:
+  //   dup_tok_frac    = 1 - distinct_tokens / total_tokens
+  //   top_bigram_frac = occurrences of the most frequent bigram / bigrams
+  //   keep            = both below their thresholds
+  //
+  // Scale shape: two (doc_id, term)-keyed aggregations (map-side partial
+  // combine applies; the key includes doc_id so a globally common term
+  // cannot hot-key a reducer) + per-doc windows whose partitions are
+  // doc-sized. No in-row HOF set-builds (array_distinct measured 2.3x
+  // slower than the shuffle form at sf0.1 — see TrainPipe.decontaminate),
+  // no text in any join key.
+  // -------------------------------------------------------------------
+
+  /** (doc_id, n_tokens, dup_tok_frac, top_bigram, top_bigram_frac, keep);
+    * ties on the top bigram break to the lexicographically smallest.
+    * Docs with < 2 tokens get top_bigram = '' and frac 0.
+    */
+  def repetitionStats(
+      docs: DataFrame,
+      maxDupTokFrac: Double = 0.75,
+      maxTopBigramFrac: Double = 0.055): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val tokStats = toks
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_tokens"), count(lit(1)).as("n_distinct"))
+    // same slice-window shingle generator as TrainPipe.decontaminate (w=2)
+    val biCounts = toks
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat_ws(' ', slice(t, i, 2)))"))
+        .as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
+    val wTot = Window.partitionBy("doc_id")
+    val wRank = Window.partitionBy("doc_id")
+      .orderBy(col("cnt").desc, col("bigram").asc)
+    val top = biCounts
+      .withColumn("n_bigrams", sum("cnt").over(wTot))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") === 1)
+      .select(
+        col("doc_id"),
+        col("bigram").as("top_bigram"),
+        round(col("cnt").cast("double") / col("n_bigrams"), 4)
+          .as("top_bigram_frac"))
+    tokStats
+      .join(top, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4)
+          .as("dup_tok_frac"),
+        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+      .withColumn(
+        "keep",
+        (col("dup_tok_frac") <= maxDupTokFrac &&
+          col("top_bigram_frac") <= maxTopBigramFrac).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB SQL replicating [[repetitionStats]]. */
+  def repetitionOracleSql(
+      maxDupTokFrac: Double = 0.75,
+      maxTopBigramFrac: Double = 0.055): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |ts AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+       |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1),
+       |bi AS (
+       |  SELECT doc_id,
+       |    array_to_string(t[CAST(i AS BIGINT):CAST(i + 1 AS BIGINT)], ' ') AS bigram
+       |  FROM toks, unnest(range(1, len(t))) AS r(i)
+       |  WHERE len(t) >= 2),
+       |bc AS (SELECT doc_id, bigram, count(*) AS cnt FROM bi GROUP BY 1, 2),
+       |tp AS (
+       |  SELECT doc_id, bigram, cnt,
+       |    sum(cnt) OVER (PARTITION BY doc_id) AS n_bigrams,
+       |    row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY cnt DESC, bigram ASC) AS rn
+       |  FROM bc),
+       |j AS (
+       |  SELECT ts.doc_id, ts.n_tokens,
+       |    round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS dup_tok_frac,
+       |    COALESCE(tp.bigram, '') AS top_bigram,
+       |    COALESCE(round(CAST(tp.cnt AS DOUBLE) / tp.n_bigrams, 4), 0.0)
+       |      AS top_bigram_frac
+       |  FROM ts LEFT JOIN (SELECT * FROM tp WHERE rn = 1) tp USING (doc_id))
+       |SELECT j.*,
+       |  CAST(dup_tok_frac <= $maxDupTokFrac
+       |    AND top_bigram_frac <= $maxTopBigramFrac AS INTEGER) AS keep
+       |FROM j ORDER BY doc_id""".stripMargin
+}

@@ -191,4 +191,72 @@ object TrainPipe {
        |  < CASE lang $cases ELSE 0 END
        |ORDER BY doc_id""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Curriculum sharding: order the corpus into length-graded training
+  // stages (short docs first — the standard length-curriculum warmup),
+  // each stage split into hash-assigned shards with a deterministic
+  // within-shard position. Stage boundaries are FIXED literals, not
+  // quantiles: no global sort, no sampled statistics, same assignment on
+  // any engine or data subset.
+  //
+  // Scale shape: stage + shard are pure map-side arithmetic; the only
+  // non-narrow step is the per-(stage, shard) position window, whose
+  // partition count is stages × shards — set shards to O(executors) at
+  // 100 TB and every window partition is a bounded, evenly-hashed slice
+  // (never a global single-partition window).
+  // -------------------------------------------------------------------
+
+  /** Default stage boundaries on n_chars (stage i = chars < bounds(i),
+    * last stage = the rest). */
+  val DefaultStageBounds: Seq[Int] = Seq(150, 300, 450)
+
+  /** (doc_id, stage, shard, pos): stage = first length bound exceeding
+    * the doc's n_chars; shard = doc-hash modulo `shards`; pos = 0-based
+    * deterministic position within (stage, shard), ordered by an
+    * independent doc hash (tie-broken by doc_id) so within-stage order
+    * is a stable pseudo-random shuffle, not ingest order.
+    */
+  def curriculum(
+      docs: DataFrame,
+      bounds: Seq[Int] = DefaultStageBounds,
+      shards: Int = 8): DataFrame = {
+    val stage = bounds.zipWithIndex
+      .foldLeft(when(lit(false), lit(0))) { case (acc, (b, i)) =>
+        acc.when(col("n_chars") < b, lit(i))
+      }
+      .otherwise(lit(bounds.length))
+    docs
+      .select(
+        col("doc_id"),
+        stage.as("stage"),
+        (docHash("cur:", col("doc_id")) % shards).as("shard"),
+        docHash("ord:", col("doc_id")).as("ord"))
+      .withColumn(
+        "pos",
+        (row_number().over(
+          Window.partitionBy("stage", "shard").orderBy("ord", "doc_id"))
+          - 1).cast("long"))
+      .select(col("doc_id"), col("stage"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB SQL replicating [[curriculum]]. */
+  def curriculumOracleSql(
+      bounds: Seq[Int] = DefaultStageBounds,
+      shards: Int = 8): String = {
+    val cases = bounds.zipWithIndex
+      .map { case (b, i) => s"WHEN n_chars < $b THEN $i" }
+      .mkString(" ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE $cases ELSE ${bounds.length} END AS stage,
+       |    ${duckHex7("'cur:' || doc_id")} % $shards AS shard,
+       |    ${duckHex7("'ord:' || doc_id")} AS ord
+       |  FROM documents)
+       |SELECT doc_id, stage, shard,
+       |  row_number() OVER (
+       |    PARTITION BY stage, shard ORDER BY ord, doc_id) - 1 AS pos
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.QualityOps
+
+/** Contracts for the corpus quality/safety operators (q73 PII scrub,
+  * q74 repetition metrics); the DuckDB hash-compare is the cross-engine
+  * gate, these pin the semantics on hand-checkable fixtures plus the
+  * physical properties.
+  */
+class QualityOpsSpec extends SparkSpec {
+
+  private lazy val implicits = spark.implicits
+  import implicits._
+
+  test("scrubPii: counts and redacts each PII class, fixed order") {
+    val docs = Seq(
+      (1L, "mail me at a.b+c@mail.example.com or x@y.co thanks"),
+      (2L, "from 10.0.0.1 to 192.168.1.255 end"),
+      (3L, "call 555-123-4567 now"),
+      (4L, "clean text with no pii at all"))
+      .toDF("doc_id", "text")
+    val out = QualityOps.scrubPii(docs).orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 2L) // two emails
+    assert(out(0).getString(4) === "mail me at <EMAIL> or <EMAIL> thanks")
+    assert(out(1).getLong(2) === 2L) // two IPs
+    assert(out(1).getString(4) === "from <IP> to <IP> end")
+    assert(out(2).getLong(3) === 1L) // one phone
+    assert(out(2).getString(4) === "call <PHONE> now")
+    assert(out(3).getLong(1) === 0L && out(3).getLong(2) === 0L
+      && out(3).getLong(3) === 0L)
+    assert(out(3).getString(4) === "clean text with no pii at all")
+  }
+
+  test("scrubPii is total on null text") {
+    val docs = Seq((1L, "a@b.co"), (2L, null)).toDF("doc_id", "text")
+    val out = QualityOps.scrubPii(docs).orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 1L)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(4)) // null in, null out
+  }
+
+  test("scrubPii plan: pure narrow projection, zero shuffles") {
+    val docs = Queries.t(spark, "/root/testdata/sf0.001", "documents")
+    val plan = QualityOps.scrubPii(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("repetitionStats: hand-computed metrics and threshold flag") {
+    val docs = Seq(
+      (1L, "a a a b"),       // 4 toks, 2 distinct -> dup 0.5; bigrams a a ×2, a b -> 0.6667
+      (2L, "u v w x y z"),   // all distinct -> dup 0; all bigrams unique -> 0.2
+      (3L, "solo"))          // 1 token: no bigrams
+      .toDF("doc_id", "text")
+    val out = QualityOps
+      .repetitionStats(docs, maxDupTokFrac = 0.4, maxTopBigramFrac = 0.5)
+      .collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(1) === 4L)
+    assert(byId(1L).getDouble(2) === 0.5)
+    assert(byId(1L).getString(3) === "a a")
+    assert(byId(1L).getDouble(4) === 0.6667)
+    assert(byId(1L).getInt(5) === 0) // fails both thresholds
+    assert(byId(2L).getDouble(2) === 0.0)
+    assert(byId(2L).getDouble(4) === 0.2)
+    assert(byId(2L).getInt(5) === 1)
+    assert(byId(3L).getString(3) === "")
+    assert(byId(3L).getDouble(4) === 0.0)
+  }
+
+  test("repetitionStats: top-bigram ties break to the lexicographically smallest") {
+    val docs = Seq((1L, "c a b c a")).toDF("doc_id", "text")
+    // bigrams: "c a" ×2, "a b", "b c" -> top is "c a" (count wins) ...
+    val out = QualityOps.repetitionStats(docs).collect()
+    assert(out(0).getString(3) === "c a")
+    // all-distinct bigrams: "a b", "b c", "c d" all count 1 -> "a b" wins
+    val tied = QualityOps
+      .repetitionStats(Seq((1L, "a b c d")).toDF("doc_id", "text"))
+      .collect()
+    assert(tied(0).getString(3) === "a b")
+    assert(tied(0).getDouble(4) === 0.3333)
+  }
+
+  test("repetitionStats is partition-independent") {
+    val docs = Queries.t(spark, "/root/testdata/sf0.001", "documents")
+    val a = QualityOps.repetitionStats(docs.repartition(1)).collect().toSeq
+    val b = QualityOps.repetitionStats(docs.repartition(7)).collect().toSeq
+    assert(a === b)
+  }
+
+  test("repetitionStats plan: aggregations are (doc_id, term)-keyed with partial combine") {
+    val docs = Queries.t(spark, "/root/testdata/sf0.001", "documents")
+    val plan = QualityOps.repetitionStats(docs)
+      .queryExecution.executedPlan.toString
+    // partial_count before the exchange = map-side combine on both legs
+    assert(plan.contains("partial_count"), plan)
+    // no join keyed on raw text/bigram: the only join is the doc_id stats join
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}

@@ -85,4 +85,52 @@ class TrainPipeSpec extends SparkSpec {
     // exactly the range exchange of the final orderBy, nothing else
     assert(exchanges.length <= 1, df.queryExecution.executedPlan.toString)
   }
+
+  test("curriculum: stages honor the length bounds, every doc placed once") {
+    val out = TrainPipe.curriculum(docs).collect()
+    assert(out.length.toLong === docs.count())
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
+    val chars = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val expected = chars(r.getLong(0)) match {
+        case n if n < 150 => 0
+        case n if n < 300 => 1
+        case n if n < 450 => 2
+        case _            => 3
+      }
+      assert(r.getInt(1) === expected, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("curriculum: positions are dense 0..n-1 within every (stage, shard)") {
+    val out = TrainPipe.curriculum(docs, shards = 4).collect()
+    out.groupBy(r => (r.getInt(1), r.getLong(2))).foreach {
+      case ((stage, shard), rows) =>
+        val pos = rows.map(_.getLong(3)).sorted.toSeq
+        assert(pos === (0L until rows.length).toSeq,
+          s"stage=$stage shard=$shard positions not dense")
+    }
+  }
+
+  test("curriculum is partition-independent and hash-ordered, not ingest-ordered") {
+    val a = TrainPipe.curriculum(docs.repartition(1)).collect().toSeq
+    val b = TrainPipe.curriculum(docs.repartition(7)).collect().toSeq
+    assert(a === b)
+    // within at least one shard the position order differs from doc_id
+    // order (the ord hash reshuffles the stage stream)
+    val reordered = a.groupBy(r => (r.getInt(1), r.getLong(2))).exists {
+      case (_, rows) =>
+        val byPos = rows.sortBy(_.getLong(3)).map(_.getLong(0)).toSeq
+        byPos != byPos.sorted
+    }
+    assert(reordered, "curriculum order degenerated to ingest order")
+  }
+
+  test("curriculum plan: windows are (stage, shard)-partitioned, never global") {
+    val plan = TrainPipe.curriculum(docs)
+      .queryExecution.executedPlan.toString
+    // the position window must not collapse to a single partition
+    assert(!plan.contains("SinglePartition"), plan)
+  }
 }
