@@ -52,7 +52,15 @@ object Plans {
     Audit("q71_decontaminate", "decontamination: held-out gram set BROADCAST; aggregate keyed by doc_id",
       mustContain = Seq("BroadcastHashJoin"), mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin")),
     Audit("q72_mix_sample", "mixture sample: pure map-side hash filter — no join, no aggregate, no shuffle before the output sort",
-      mustNotContain = Seq("Join", "HashAggregate", "Window")))
+      mustNotContain = Seq("Join", "HashAggregate", "Window")),
+    Audit("q73_pii_scrub", "PII scrub: pure narrow regex projection — no join, no aggregate, no window; only the output sort shuffles",
+      mustNotContain = Seq("Join", "HashAggregate", "Window")),
+    Audit("q74_repetition", "repetition metrics: (doc_id, term)-keyed hash aggregates with partial combine; stats join keyed on doc_id only",
+      mustContain = Seq("HashAggregate", "partial_count"),
+      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    Audit("q75_curriculum", "curriculum: literal stage bounds (no global sort of the data), position window partitioned by (stage, shard) — never a single-partition window",
+      mustContain = Seq("Window"),
+      mustNotContain = Seq("Join", "SinglePartition")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
