@@ -60,7 +60,19 @@ object Plans {
       mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
     Audit("q75_curriculum", "curriculum: literal stage bounds (no global sort of the data), position window partitioned by (stage, shard) — never a single-partition window",
       mustContain = Seq("Window"),
-      mustNotContain = Seq("Join", "SinglePartition")))
+      mustNotContain = Seq("Join", "SinglePartition")),
+    Audit("q76_bloom_decontaminate", "bloom decontamination: codegen'd might_contain prefilter on the probe side; exact verify joins only the bloom-positive sliver",
+      mustContain = Seq("might_contain", "BroadcastHashJoin"),
+      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin")),
+    Audit("q77_freq_quality", "frequency quality: token-keyed vocab agg with partial combine, top-V broadcast to the probe join, doc_id-keyed final agg",
+      mustContain = Seq("BroadcastHashJoin", "partial_count"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    Audit("q78_incremental_neardup", "incremental near-dup: crawl-sized delta band keys BROADCAST over the base — base never shuffles for the probe; no nested loop anywhere",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    Audit("q79_budget_sample", "token-budget sampling: per-lang totals broadcast, integer bucket threshold map-side — no window, no ordered prefix scan",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("Window", "SortMergeJoin", "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1610,6 +1610,43 @@ object Queries {
     (s, d) => graft.ops.TrainPipe.curriculum(t(s, d, "documents")),
     Some(graft.ops.TrainPipe.curriculumOracleSql()))
 
+  /** Bloom-prefiltered decontamination: same answer (and oracle) as q71,
+    * but the probe is Spark's own Bloom sketch broadcast as a binary
+    * literal + exact verify of only the bloom-positive sliver — the
+    * at-scale form when the held-out gram broadcast is the bottleneck.
+    */
+  private val q76 = QueryDef(
+    "q76_bloom_decontaminate",
+    (s, d) => graft.ops.TrainPipe.decontaminateBloom(t(s, d, "documents")),
+    Some(graft.ops.TrainPipe.decontaminateOracleSql()))
+
+  /** Corpus-frequency quality filter: coverage of the corpus's own top-V
+    * vocabulary per doc — exact-integer aggregations, floats only in
+    * per-row division (the q61 determinism discipline).
+    */
+  private val q77 = QueryDef(
+    "q77_freq_quality",
+    (s, d) => graft.ops.QualityOps.freqQuality(t(s, d, "documents")),
+    Some(graft.ops.QualityOps.freqQualityOracleSql()))
+
+  /** Incremental near-dup: new batch (doc_id % 5 == 0) against the
+    * existing base corpus — delta band keys BROADCAST so the base never
+    * shuffles; exact Jaccard verify on candidates only.
+    */
+  private val q78 = QueryDef(
+    "q78_incremental_neardup",
+    (s, d) => graft.ops.NearDup.incrementalNearDupPairs(t(s, d, "documents")),
+    Some(graft.ops.NearDup.incrementalOracleSql()))
+
+  /** Per-language token-budget downsampling: one per-lang total agg,
+    * then a map-side integer bucket threshold (no ordered prefix scan,
+    * no float rate) — the scalable form of "at most B tokens per lang".
+    */
+  private val q79 = QueryDef(
+    "q79_budget_sample",
+    (s, d) => graft.ops.TrainPipe.budgetSample(t(s, d, "documents")),
+    Some(graft.ops.TrainPipe.budgetOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -1634,5 +1671,5 @@ object Queries {
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
     q67, q68, q69,
-    q70, q71, q72, q73, q74, q75)
+    q70, q71, q72, q73, q74, q75, q76, q77, q78, q79)
 }

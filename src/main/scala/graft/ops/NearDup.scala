@@ -169,6 +169,51 @@ object NearDup {
       .distinct()
   }
 
+  /** Incremental near-dup: flag every NEW document that near-duplicates
+    * the EXISTING corpus — the nightly "dedup the fresh crawl against the
+    * base" shape, where re-running full-corpus dedup ([[lshDedupClusters]])
+    * would re-shuffle 100 TB to admit a 0.1% delta. Here the split is
+    * `doc_id % deltaMod == 0` = delta (new batch), the rest = base.
+    *
+    * Scale shape: the base's band keys are corpus-scale but computed once
+    * (at cluster scale they are the materialized frames the Scaladoc on
+    * [[lshNearDupPairs]] describes — read back from storage, not rebuilt);
+    * the delta's band keys are crawl-sized and BROADCAST, so the candidate
+    * probe is a MAP-SIDE join over the base — the base never shuffles and
+    * no text moves. Exact Jaccard verification touches candidate pairs
+    * only. New-vs-new duplicates are deliberately out of scope (they are
+    * the delta's own intra-batch dedup, q25's shape at batch size).
+    *
+    * Output: (doc_id, dup_of, jaccard) — each delta doc against each base
+    * doc with verified Jaccard ≥ `threshold`, ordered.
+    */
+  def incrementalNearDupPairs(
+      docs: DataFrame,
+      deltaMod: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    val tok = tokens(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bk = bands(signatures(tok)).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deltaBk = bk.filter(col("doc_id") % deltaMod === 0)
+      .select(col("doc_id").as("new_id"), col("band"), col("k1"), col("k2"))
+    val baseBk = bk.filter(col("doc_id") % deltaMod =!= 0)
+    val cand = baseBk
+      .join(broadcast(deltaBk), Seq("band", "k1", "k2"))
+      .select(col("new_id"), col("doc_id").as("base_id"))
+      .distinct()
+    cand
+      .join(tok.select(col("doc_id").as("new_id"), col("toks").as("ta")), "new_id")
+      .join(tok.select(col("doc_id").as("base_id"), col("toks").as("tb")), "base_id")
+      .withColumn(
+        "jaccard",
+        round(
+          size(array_intersect(col("ta"), col("tb"))).cast("double") /
+            size(array_union(col("ta"), col("tb"))),
+          4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id").as("doc_id"), col("base_id").as("dup_of"), col("jaccard"))
+      .orderBy("doc_id", "dup_of")
+  }
+
   /** Full-corpus duplicate clusters at LINEAR candidate cost — the shape a
     * 100 TB dedup actually runs. Enumerating every near-dup pair is
     * inherently quadratic in cluster size (a B-doc template cluster is
@@ -264,6 +309,45 @@ object NearDup {
        |  cc.doc_id = cc.cluster_id AS keep
        |FROM cc JOIN sizes USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB SQL replicating [[incrementalNearDupPairs]] exactly. */
+  def incrementalOracleSql(deltaMod: Int = 5, threshold: Double = 0.5): String = {
+    val minCols = seeds.zipWithIndex
+      .map { case ((a, b), i) => s"min((x*$a+$b)%$P) AS m$i" }
+      .mkString(",\n    ")
+    val sigList = (0 until K).map(i => s"m$i").mkString("[", ", ", "]")
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+       |  FROM documents),
+       |tx AS (
+       |  SELECT doc_id, CAST(list_reduce(
+       |    list_transform(range(1, 8),
+       |      i -> instr('0123456789abcdef', substr(md5(tok), i, 1)) - 1),
+       |    (acc, v) -> acc * 16 + v) AS BIGINT) AS x
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tok)),
+       |mins AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM tx GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b, sig[2*b+1] AS k1, sig[2*b+2] AS k2
+       |  FROM (SELECT doc_id, $sigList AS sig FROM mins),
+       |       (SELECT unnest(range(0, $Bands)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT d.doc_id AS doc_id, e.doc_id AS dup_of
+       |  FROM bands d JOIN bands e
+       |    ON d.b = e.b AND d.k1 = e.k1 AND d.k2 = e.k2
+       |  WHERE d.doc_id % $deltaMod = 0 AND e.doc_id % $deltaMod <> 0),
+       |ver AS (
+       |  SELECT cand.doc_id, cand.dup_of,
+       |    round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) AS jaccard
+       |  FROM cand
+       |  JOIN tok ta ON ta.doc_id = cand.doc_id
+       |  JOIN tok tb ON tb.doc_id = cand.dup_of)
+       |SELECT doc_id, dup_of, jaccard FROM ver
+       |WHERE jaccard >= $threshold ORDER BY doc_id, dup_of""".stripMargin
   }
 
   /** DuckDB SQL replicating [[lshNearDupPairs]] exactly (same constants,

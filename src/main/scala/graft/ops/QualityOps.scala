@@ -129,6 +129,87 @@ object QualityOps {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------------
+  // Corpus-frequency quality (the CCNet-style LM filter's exact-integer
+  // cousin): score each document by how much of it is made of the
+  // corpus's own most common tokens. Documents far from the corpus
+  // distribution (low coverage of the top-V vocabulary) are outliers —
+  // OCR noise, code dumps, wrong-language fragments.
+  //
+  // Determinism discipline (the q61 lesson): every AGGREGATION stays in
+  // exact integers (counts and sums of longs), and floating point enters
+  // only in per-row division of two longs — identical IEEE doubles on
+  // any engine, any partitioning. No float ever crosses a shuffle.
+  //
+  // Scale shape: the vocabulary aggregation is token-keyed with map-side
+  // partial combine (hot tokens fold before the shuffle); top-V is
+  // vocabulary-sized and BROADCAST to the probe join; the per-doc
+  // aggregate is doc_id-keyed. Two shuffles total at any corpus size.
+  // -------------------------------------------------------------------
+
+  /** (doc_id, n_toks, n_common, common_frac, mean_vocab_freq, keep):
+    * n_common = tokens of the doc inside the corpus top-`vocabSize`
+    * vocabulary (count desc, token asc tie-break); mean_vocab_freq =
+    * mean corpus count of those matched tokens (0.0 when none);
+    * keep = common_frac >= `minCommonFrac` (on the rounded value).
+    */
+  def freqQuality(
+      docs: DataFrame,
+      vocabSize: Int = 10,
+      minCommonFrac: Double = 0.30): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(vocabSize)
+    toks
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_toks"),
+        count(col("cnt")).as("n_common"),
+        coalesce(sum(col("cnt")), lit(0L)).as("sum_freq"))
+      .select(
+        col("doc_id"),
+        col("n_toks"),
+        col("n_common"),
+        round(col("n_common").cast("double") / col("n_toks"), 4)
+          .as("common_frac"),
+        when(col("n_common") === 0, lit(0.0))
+          .otherwise(round(col("sum_freq").cast("double") / col("n_common"), 4))
+          .as("mean_vocab_freq"))
+      .withColumn("keep", (col("common_frac") >= minCommonFrac).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB SQL replicating [[freqQuality]]. */
+  def freqQualityOracleSql(
+      vocabSize: Int = 10,
+      minCommonFrac: Double = 0.30): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM toks GROUP BY 1
+       |  ORDER BY cnt DESC, tok ASC LIMIT $vocabSize),
+       |a AS (
+       |  SELECT t.doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_toks,
+       |    CAST(count(v.cnt) AS BIGINT) AS n_common,
+       |    CAST(COALESCE(sum(v.cnt), 0) AS BIGINT) AS sum_freq
+       |  FROM toks t LEFT JOIN vocab v USING (tok)
+       |  GROUP BY 1)
+       |SELECT doc_id, n_toks, n_common,
+       |  round(CAST(n_common AS DOUBLE) / n_toks, 4) AS common_frac,
+       |  CASE WHEN n_common = 0 THEN 0.0
+       |    ELSE round(CAST(sum_freq AS DOUBLE) / n_common, 4) END
+       |    AS mean_vocab_freq,
+       |  CAST(round(CAST(n_common AS DOUBLE) / n_toks, 4) >= $minCommonFrac
+       |    AS INTEGER) AS keep
+       |FROM a ORDER BY doc_id""".stripMargin
+
   /** DuckDB SQL replicating [[repetitionStats]]. */
   def repetitionOracleSql(
       maxDupTokFrac: Double = 0.75,

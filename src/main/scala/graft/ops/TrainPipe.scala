@@ -101,29 +101,30 @@ object TrainPipe {
     * shingles, n_hit = how many of them appear anywhere in the held-out
     * set (`doc_id % heldoutMod == 0`).
     */
+  // Per-doc distinct via the (doc_id, gram) shuffle, NOT row-side
+  // array_distinct: the in-row form looks shuffle-free but measured
+  // 2.3x SLOWER end-to-end at sf0.1 (ArrayDistinct's interpreted
+  // per-element set build costs more than shuffling the short rows;
+  // same lesson as the HOF dots). At 100 TB hash the gram to 64 bits
+  // before this shuffle (the q20 digest-not-text discipline).
+  private def gramsOf(df: DataFrame, w: Int): DataFrame = df
+    .select(col("doc_id"), split(col("text"), " ").as("t"))
+    // sequence(a, b) DESCENDS when b < a (same guard as repeatedSpans)
+    .filter(size(col("t")) >= w)
+    .select(col("doc_id"), explode(expr(
+      s"transform(sequence(1, size(t) - ${w - 1}), i -> concat_ws(' ', slice(t, i, $w)))"))
+      .as("gram"))
+    .distinct()
+
   def decontaminate(docs: DataFrame, w: Int = 3, heldoutMod: Int = 10): DataFrame = {
-    // Per-doc distinct via the (doc_id, gram) shuffle, NOT row-side
-    // array_distinct: the in-row form looks shuffle-free but measured
-    // 2.3x SLOWER end-to-end at sf0.1 (ArrayDistinct's interpreted
-    // per-element set build costs more than shuffling the short rows;
-    // same lesson as the HOF dots). At 100 TB hash the gram to 64 bits
-    // before this shuffle (the q20 digest-not-text discipline).
-    def gramsOf(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      // sequence(a, b) DESCENDS when b < a (same guard as repeatedSpans)
-      .filter(size(col("t")) >= w)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(t) - ${w - 1}), i -> concat_ws(' ', slice(t, i, $w)))"))
-        .as("gram"))
-      .distinct()
-    val held = gramsOf(docs.filter(col("doc_id") % heldoutMod === 0))
+    val held = gramsOf(docs.filter(col("doc_id") % heldoutMod === 0), w)
       .select(col("gram")).distinct()
       .withColumn("hit", lit(1L))
     // one pass downstream of the distinct: the broadcast LEFT join marks
     // contaminated grams and a single doc_id-keyed aggregate emits both
     // counts — rows are distinct per doc, so n_grams = count(*), and
     // count(hit) counts only the matched (non-null) rows
-    gramsOf(docs.filter(col("doc_id") % heldoutMod =!= 0))
+    gramsOf(docs.filter(col("doc_id") % heldoutMod =!= 0), w)
       .join(broadcast(held), Seq("gram"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
@@ -150,6 +151,61 @@ object TrainPipe {
        |  CAST(COALESCE(hit.n_hit, 0) AS BIGINT) AS n_hit
        |FROM tot LEFT JOIN hit USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Bloom-prefiltered decontamination: same answer as [[decontaminate]],
+  // different at-scale probe. The broadcast form ships every held-out
+  // gram STRING to every executor; at a 100 TB corpus against a large
+  // eval union that broadcast is the limiting term. Here the held-out
+  // set is folded into Spark's own Bloom sketch (~1.1 bytes/gram at 3%
+  // fpp, built with ONE partial+merge aggregation), the probe is a
+  // map-side codegen'd `might_contain` on xxhash64(gram) — zero extra
+  // shuffle, no gram strings move — and only the bloom-POSITIVE sliver
+  // of corpus grams reaches the exact verify join that removes false
+  // positives. No false negatives, so bloom-negative grams are
+  // definitively clean and skip the join entirely. The two probe
+  // branches share one gram-generation scan via exchange reuse.
+  // -------------------------------------------------------------------
+
+  /** Identical output contract to [[decontaminate]] (same oracle);
+    * the Bloom sketch + exact-verify form of the probe.
+    */
+  def decontaminateBloom(docs: DataFrame, w: Int = 3, heldoutMod: Int = 10): DataFrame = {
+    val held = gramsOf(docs.filter(col("doc_id") % heldoutMod === 0), w)
+      .select(col("gram")).distinct()
+    val corpus = gramsOf(docs.filter(col("doc_id") % heldoutMod =!= 0), w)
+    // benchmark-sized actions: the count sizes the sketch, the head
+    // collects its serialized bytes (KBs) for the probe-side literal
+    val nHeld = held.count()
+    val sketch =
+      if (nHeld == 0) null
+      else held
+        .agg(graft.functions.SketchFunctions
+          .bloomFilterAgg(xxhash64(col("gram")), nHeld).as("bf"))
+        .head.getAs[Array[Byte]](0)
+    if (sketch == null)
+      // empty held-out set: every corpus gram is clean, no probe at all
+      corpus.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"))
+        .select(col("doc_id"), col("n_grams"), lit(0L).as("n_hit"))
+        .orderBy("doc_id")
+    else {
+      val flagged = corpus.withColumn(
+        "mc",
+        graft.functions.SketchFunctions.mightContain(sketch, xxhash64(col("gram"))))
+      // bloom-positive grams get the exact broadcast verify (kills the
+      // ~3% false positives); negatives are clean by construction
+      val positive = flagged.filter(col("mc"))
+        .join(broadcast(held.withColumn("hit", lit(1L))), Seq("gram"), "left")
+        .select(col("doc_id"), col("hit"))
+      val negative = flagged.filter(!col("mc"))
+        .select(col("doc_id"), lit(null).cast("long").as("hit"))
+      positive.unionByName(negative)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+        .orderBy("doc_id")
+    }
+  }
 
   // -------------------------------------------------------------------
   // Mixture sampling: build a training mixture by sampling each stratum
@@ -191,6 +247,58 @@ object TrainPipe {
        |  < CASE lang $cases ELSE 0 END
        |ORDER BY doc_id""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Token-budget downsampling: cap each language at a token budget — the
+  // "2T tokens total, at most B per language" mixing constraint — by
+  // hash-sampling each stratum at rate budget/total. The greedy ordered
+  // prefix (sort by priority, running sum, cut at the budget) needs a
+  // single ordered scan per stratum — a one-partition window at 100 TB —
+  // so this uses the scalable form: ONE per-lang total aggregate, then a
+  // pure map-side integer threshold on the doc's own md5 bucket.
+  //
+  // Determinism discipline: the keep test is bucket * total <
+  // budget * 10000 in 64-bit INTEGER arithmetic (no float rate, no
+  // engine disagreement; products stay < 2^63 up to ~10^14 tokens per
+  // stratum). total <= budget implies every bucket passes, so "keep all
+  // of a small language" needs no special case.
+  // -------------------------------------------------------------------
+
+  /** (doc_id, lang, n_tokens) of the docs kept by per-language
+    * token-budget sampling at `budgetTokens` per language: keep iff
+    * bucket(doc) * total_tokens(lang) < budgetTokens * 10000, bucket
+    * uniform on 0..9999 from the doc's own hash — so the expected kept
+    * token mass per language is min(total, budget), the sample is
+    * stable across runs/partitionings/engines, and a re-run over grown
+    * data keeps a subset-consistent selection (rate only shrinks).
+    */
+  def budgetSample(docs: DataFrame, budgetTokens: Long = 3000L): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val totals = toks.groupBy("lang").agg(sum("n_tokens").as("total"))
+    toks
+      .join(broadcast(totals), Seq("lang"))
+      .withColumn("bucket", docHash("budget:", col("doc_id")) % 10000)
+      .filter(col("bucket") * col("total") < lit(budgetTokens) * lit(10000L))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB SQL replicating [[budgetSample]]. */
+  def budgetOracleSql(budgetTokens: Long = 3000L): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |tot AS (
+       |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total
+       |  FROM t GROUP BY 1)
+       |SELECT doc_id, t.lang, n_tokens
+       |FROM t JOIN tot ON t.lang = tot.lang
+       |WHERE ${duckHex7("'budget:' || doc_id")} % 10000 * total
+       |  < $budgetTokens * 10000
+       |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
   // Curriculum sharding: order the corpus into length-graded training

@@ -42,4 +42,35 @@ class MinHashLshSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "plan fell back to BNLJ")
     assert(!plan.contains("CartesianProduct"), "plan fell back to cartesian")
   }
+
+  test("q78 incremental pairs = exactly the full-corpus pairs that cross the split") {
+    val docs = Queries.t(spark, sf, "documents")
+    // full-corpus ground truth at the same constants, as unordered pairs
+    val full = graft.ops.NearDup.lshNearDupPairs(docs, sliceMax = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val inc = graft.ops.NearDup.incrementalNearDupPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(inc.nonEmpty, "fixture has no cross-split near-dups; test is vacuous")
+    // every incremental hit appears in the full pair set, same jaccard
+    inc.foreach { case ((d, b), j) =>
+      assert(d % 5 == 0 && b % 5 != 0)
+      val key = (math.min(d, b), math.max(d, b))
+      assert(full.get(key).contains(j), s"pair $key missing or jaccard differs")
+    }
+    // and every full pair crossing the split is found by the incremental form
+    val crossing = full.keys.filter {
+      case (a, b) => (a % 5 == 0) != (b % 5 == 0)
+    }.toSet
+    val incKeys = inc.map { case ((d, b), _) => (math.min(d, b), math.max(d, b)) }.toSet
+    assert(incKeys === crossing)
+  }
+
+  test("q78 plan: delta band keys broadcast — the base side never shuffles for the probe") {
+    val docs = Queries.t(spark, sf, "documents")
+    val df = graft.ops.NearDup.incrementalNearDupPairs(docs)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -98,4 +98,44 @@ class QualityOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct")
       && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("freqQuality: hand-computed coverage on a tiny corpus") {
+    val docs = Seq(
+      (1L, "a a b c"),
+      (2L, "a b x y"),
+      (3L, "x y z z"))
+      .toDF("doc_id", "text")
+    // corpus counts: a=3, b=2, x=2, y=2, z=2, c=1
+    // top-3 (cnt desc, tok asc tie-break): a(3), b(2), x(2)
+    val out = QualityOps.freqQuality(docs, vocabSize = 3, minCommonFrac = 0.5)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // doc1: 4 toks, common a,a,b -> 3; sum_freq 3+3+2=8; mean 8/3 -> 2.6667
+    assert(out(0).getLong(1) === 4L && out(0).getLong(2) === 3L)
+    assert(out(0).getDouble(3) === 0.75)
+    assert(out(0).getDouble(4) === 2.6667)
+    assert(out(0).getInt(5) === 1)
+    // doc3: only x in vocab -> 1/4 coverage, mean 2.0, dropped
+    assert(out(2).getLong(2) === 1L)
+    assert(out(2).getDouble(3) === 0.25)
+    assert(out(2).getDouble(4) === 2.0)
+    assert(out(2).getInt(5) === 0)
+  }
+
+  test("freqQuality is partition-independent") {
+    val docs = Queries.t(spark, "/root/testdata/sf0.001", "documents")
+    val a = QualityOps.freqQuality(docs.repartition(1)).collect().toSeq
+    val b = QualityOps.freqQuality(docs.repartition(7)).collect().toSeq
+    assert(a === b)
+  }
+
+  test("freqQuality plan: vocabulary broadcast to the probe, aggs partial-combined") {
+    val docs = Queries.t(spark, "/root/testdata/sf0.001", "documents")
+    val df = QualityOps.freqQuality(docs)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
 }

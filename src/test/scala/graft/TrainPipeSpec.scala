@@ -61,6 +61,39 @@ class TrainPipeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("bloom decontamination matches the exact broadcast form bit-for-bit") {
+    val exact = TrainPipe.decontaminate(docs).collect().toSeq
+    val bloom = TrainPipe.decontaminateBloom(docs).collect().toSeq
+    assert(bloom === exact)
+  }
+
+  test("bloom decontamination: planted copy hits; empty held-out set is total") {
+    import spark.implicits._
+    val base = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val out = TrainPipe.decontaminateBloom(base).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(out(0).getLong(2) === out(0).getLong(1)) // copy: every gram hit
+    assert(out(1).getLong(2) === 0L)                // disjoint: none
+    // no doc_id % 10 == 0 docs -> no sketch -> every corpus gram clean
+    val none = TrainPipe.decontaminateBloom(base.filter(col("doc_id") =!= 0))
+      .collect()
+    assert(none.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(none.forall(_.getLong(2) === 0L))
+  }
+
+  test("bloom decontamination plan: codegen'd might_contain prefilter + broadcast verify") {
+    val df = TrainPipe.decontaminateBloom(docs)
+    df.collect() // resolve AQE so the final physical plan is inspectable
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("mixture sample: deterministic, partition-independent, rate-ordered") {
     val a = TrainPipe.mixtureSample(docs.repartition(1)).collect().toSeq
     val b = TrainPipe.mixtureSample(docs.repartition(5)).collect().toSeq
@@ -84,6 +117,35 @@ class TrainPipeSpec extends SparkSpec {
     }
     // exactly the range exchange of the final orderBy, nothing else
     assert(exchanges.length <= 1, df.queryExecution.executedPlan.toString)
+  }
+
+  test("budget sample: deterministic, keeps small languages whole, strictly downsamples big ones") {
+    val budget = 200L
+    val a = TrainPipe.budgetSample(docs, budgetTokens = budget).collect()
+    val b = TrainPipe.budgetSample(docs.repartition(7), budgetTokens = budget)
+      .collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.nonEmpty)
+    val kept = a.groupBy(_.getString(1))
+      .map { case (l, rs) => l -> rs.map(_.getLong(2)).sum }
+    val totals = docs
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("lang").agg(sum("n").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, tot) =>
+      if (tot <= budget)
+        assert(kept.getOrElse(lang, 0L) === tot, s"$lang under budget must keep all")
+      else
+        assert(kept.getOrElse(lang, 0L) < tot, s"$lang over budget must shed tokens")
+    }
+  }
+
+  test("budget sample plan: totals broadcast, no window / ordered prefix scan") {
+    val df = TrainPipe.budgetSample(docs)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"), plan)
   }
 
   test("curriculum: stages honor the length bounds, every doc placed once") {
