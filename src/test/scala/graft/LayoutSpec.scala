@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Layout
+
+/** Range-sorted parquet layout — the high-cardinality complement of
+  * Hive partitioning (PartitioningSpec). The skipping contract is the
+  * footer statistics: disjoint, tight per-file key ranges mean a pushed
+  * predicate reads O(matching files) at any scale.
+  */
+class LayoutSpec extends SparkSpec {
+
+  test("range-sorted write: disjoint ordered per-file ranges, no row lost") {
+    val dir = tmpDir("layout-lineitem")
+    val li = Queries.t(spark, "/root/testdata/sf0.001", "lineitem")
+    Layout.writeRangeSorted(li, dir.toString, "l_orderkey", numFiles = 8)
+
+    val ranges = Layout.fileRanges(spark, dir.toString, "l_orderkey")
+      .orderBy("lo").collect()
+    assert(ranges.length >= 2, "need multiple files for skipping to mean anything")
+    // strictly disjoint: repartitionByRange keeps equal keys together,
+    // so consecutive files must not overlap even at the boundary key
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(b.getLong(1) > a.getLong(2),
+        s"overlap: [${a.getLong(1)},${a.getLong(2)}] then [${b.getLong(1)},${b.getLong(2)}]")
+      case _ =>
+    }
+    assert(ranges.map(_.getLong(3)).sum === li.count())
+    // layout changes bytes on disk, never rows
+    assert(spark.read.parquet(dir.toString).exceptAll(li).isEmpty)
+  }
+
+  test("point predicate: pushed to parquet, and exactly one file's range can match") {
+    val dir = tmpDir("layout-orders")
+    val orders = Queries.t(spark, "/root/testdata/sf0.001", "orders")
+    Layout.writeRangeSorted(orders, dir.toString, "o_orderkey", numFiles = 6)
+
+    val key = orders.agg(max("o_orderkey")).head.getLong(0) / 2
+    val probe = spark.read.parquet(dir.toString)
+      .filter(col("o_orderkey") === key)
+    val plan = probe.queryExecution.executedPlan.toString
+    // the predicate reaches the parquet reader -> row-group stats apply
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderkey"), plan)
+
+    // disjointness means at most ONE file's [lo, hi] can contain the key:
+    // every other file is skippable from footer stats alone
+    val containing = Layout.fileRanges(spark, dir.toString, "o_orderkey")
+      .filter(col("lo") <= key && col("hi") >= key).count()
+    assert(containing <= 1)
+    // and the probe answer matches the unlaid-out table
+    assert(probe.count() === orders.filter(col("o_orderkey") === key).count())
+  }
+}
