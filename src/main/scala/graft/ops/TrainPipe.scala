@@ -190,17 +190,18 @@ object TrainPipe {
         .select(col("doc_id"), col("n_grams"), lit(0L).as("n_hit"))
         .orderBy("doc_id")
     else {
-      val flagged = corpus.withColumn(
-        "mc",
-        graft.functions.SketchFunctions.mightContain(sketch, xxhash64(col("gram"))))
       // bloom-positive grams get the exact broadcast verify (kills the
-      // ~3% false positives); negatives are clean by construction
-      val positive = flagged.filter(col("mc"))
-        .join(broadcast(held.withColumn("hit", lit(1L))), Seq("gram"), "left")
-        .select(col("doc_id"), col("hit"))
-      val negative = flagged.filter(!col("mc"))
-        .select(col("doc_id"), lit(null).cast("long").as("hit"))
-      positive.unionByName(negative)
+      // ~3% false positives); negatives are clean by construction, so
+      // they probe with a NULL key — left-join rows with a null key
+      // never match and skip the hash lookup — keeping the whole probe
+      // ONE pass with no branch split or re-scan of the gram exchange
+      val mc = graft.functions.SketchFunctions
+        .mightContain(sketch, xxhash64(col("gram")))
+      corpus
+        .withColumn("probe", when(mc, col("gram")))
+        .join(
+          broadcast(held.select(col("gram").as("probe"), lit(1L).as("hit"))),
+          Seq("probe"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
         .orderBy("doc_id")
