@@ -72,7 +72,10 @@ object Plans {
       mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
     Audit("q79_budget_sample", "token-budget sampling: per-lang totals broadcast, integer bucket threshold map-side — no window, no ordered prefix scan",
       mustContain = Seq("BroadcastHashJoin"),
-      mustNotContain = Seq("Window", "SortMergeJoin", "CartesianProduct")))
+      mustNotContain = Seq("Window", "SortMergeJoin", "CartesianProduct")),
+    Audit("q80_stratified_topk", "stratified top-k: phase-1 window partitioned by (lang, shard) — bounded slices, never one task per stratum over the corpus; no join anywhere",
+      mustContain = Seq("Window"),
+      mustNotContain = Seq("Join", "SinglePartition", "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1647,6 +1647,15 @@ object Queries {
     (s, d) => graft.ops.TrainPipe.budgetSample(t(s, d, "documents")),
     Some(graft.ops.TrainPipe.budgetOracleSql()))
 
+  /** Stratified top-k: per-language quality quotas via exact two-phase
+    * top-k — (lang, shard)-bounded windows first, then the tiny
+    * k × shards survivor frame; no stratum ever sorts in one task.
+    */
+  private val q80 = QueryDef(
+    "q80_stratified_topk",
+    (s, d) => graft.ops.TrainPipe.stratifiedTopK(t(s, d, "documents")),
+    Some(graft.ops.TrainPipe.stratifiedTopKOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -1671,5 +1680,5 @@ object Queries {
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
     q67, q68, q69,
-    q70, q71, q72, q73, q74, q75, q76, q77, q78, q79)
+    q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80)
 }

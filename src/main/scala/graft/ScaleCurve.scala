@@ -174,6 +174,13 @@ object ScaleCurve {
         Cell(f, "q64_embed_cc",
           () => graft.ops.Clusters.embedDupClusters(emb),
           _.count()),
+        // incremental near-dup (q78): replicas are token-bijected, so
+        // cross-split pairs exist only within a replica — output must be
+        // exactly linear, and runtime should track the base-side linear
+        // band build (the probe itself is a map-side broadcast join)
+        Cell(f, "q78_incremental",
+          () => graft.ops.NearDup.incrementalNearDupPairs(docs),
+          _.count()),
         // intra-doc repeated spans (q69): pure map + one keyed aggregate
         // — the shape is trivially linear, measured here so the claim is
         // a curve, not an assertion. Replication preserves it exactly:

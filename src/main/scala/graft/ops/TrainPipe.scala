@@ -302,6 +302,67 @@ object TrainPipe {
        |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // Stratified top-k (per-language quality quotas): keep the k "best"
+  // documents of every stratum. The naive window — rank over the whole
+  // stratum — sorts each stratum in ONE task, which at 100 TB is a
+  // straggler (a stratum is corpus-scale). Two-phase top-k is exact and
+  // bounded: rank within (stratum, hash-shard) and keep k per shard
+  // (each window partition is a 1/shards slice), then rank the
+  // k × shards survivors per stratum (a tiny frame) for the final k.
+  // Same trick as q75's (stage, shard) windows: set shards ≈ executors
+  // and no window partition ever exceeds a bounded slice.
+  // -------------------------------------------------------------------
+
+  /** (doc_id, lang, n_chars, rk): the `k` longest docs per language
+    * (n_chars desc, doc_id asc tie-break — any per-doc quality score
+    * substitutes for n_chars unchanged), rk = 1-based rank within the
+    * language. Exact: phase-1 candidates provably contain the stratum
+    * top-k because each shard contributes its own top-k.
+    */
+  def stratifiedTopK(docs: DataFrame, k: Int = 10, shards: Int = 8): DataFrame = {
+    val w1 = Window
+      .partitionBy("lang", "shard")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val w2 = Window
+      .partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    docs
+      .select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        (docHash("topk:", col("doc_id")) % shards).as("shard"))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= k)
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= k)
+      // BIGINT on both engines (Spark row_number is int, DuckDB's BIGINT)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("lang", "rk")
+  }
+
+  /** DuckDB SQL replicating [[stratifiedTopK]] (two-phase form replayed
+    * literally — the phases are exact, so this equals the one-phase
+    * top-k, but replaying the same arithmetic keeps the compare honest).
+    */
+  def stratifiedTopKOracleSql(k: Int = 10, shards: Int = 8): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    ${duckHex7("'topk:' || doc_id")} % $shards AS shard
+       |  FROM documents),
+       |p1 AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY lang, shard
+       |    ORDER BY n_chars DESC, doc_id ASC) AS r1
+       |  FROM t),
+       |p2 AS (
+       |  SELECT doc_id, lang, n_chars, row_number() OVER (
+       |    PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rk
+       |  FROM p1 WHERE r1 <= $k)
+       |SELECT doc_id, lang, n_chars, CAST(rk AS BIGINT) AS rk
+       |FROM p2 WHERE rk <= $k
+       |ORDER BY lang, rk""".stripMargin
+
+  // -------------------------------------------------------------------
   // Curriculum sharding: order the corpus into length-graded training
   // stages (short docs first — the standard length-curriculum warmup),
   // each stage split into hash-assigned shards with a deterministic

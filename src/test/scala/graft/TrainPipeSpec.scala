@@ -152,6 +152,33 @@ class TrainPipeSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("stratified top-k: two-phase result equals the naive one-phase top-k") {
+    import org.apache.spark.sql.expressions.Window
+    val out = TrainPipe.stratifiedTopK(docs, k = 7, shards = 4).collect()
+    val naive = docs
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id").asc))
+        .cast("long"))
+      .filter(col("rk") <= 7)
+      .orderBy("lang", "rk")
+      .collect()
+    assert(out.toSeq === naive.toSeq)
+    // every language contributes at most k rows, ranks dense from 1
+    out.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      assert(rows.length <= 7)
+      assert(rows.map(_.getLong(3)).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+  }
+
+  test("stratified top-k plan: every window partitions by (lang, shard) or the survivor frame — never a lone stratum sort of the corpus") {
+    val df = TrainPipe.stratifiedTopK(docs)
+    val plan = df.queryExecution.executedPlan.toString
+    // phase-1 window key includes the shard column
+    assert(plan.contains("shard"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("curriculum: stages honor the length bounds, every doc placed once") {
     val out = TrainPipe.curriculum(docs).collect()
     assert(out.length.toLong === docs.count())
