@@ -1635,8 +1635,12 @@ object Queries {
     */
   private val q78 = QueryDef(
     "q78_incremental_neardup",
-    (s, d) => graft.ops.NearDup.incrementalNearDupPairs(t(s, d, "documents")),
-    Some(graft.ops.NearDup.incrementalOracleSql()))
+    // deltaMod = 50: a 2% delta — the nightly-crawl-vs-corpus ratio the
+    // operator models (the synthetic corpus is so self-similar that a
+    // 20% delta yields millions of true pairs, which measures pair
+    // materialization, not the incremental probe)
+    (s, d) => graft.ops.NearDup.incrementalNearDupPairs(t(s, d, "documents"), deltaMod = 50),
+    Some(graft.ops.NearDup.incrementalOracleSql(deltaMod = 50)))
 
   /** Per-language token-budget downsampling: one per-lang total agg,
     * then a map-side integer bucket threshold (no ordered prefix scan,

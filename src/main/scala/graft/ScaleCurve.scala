@@ -80,7 +80,14 @@ object ScaleCurve {
           "(the empty token and pure punctuation are rotation-invariant; " +
           "digit rotation period is 10)")
     }
-    val stride = docs.agg(max("doc_id")).head().getLong(0) + 1
+    // stride padded UP to a multiple of 5 so every replica keeps the
+    // base's doc_id % 5 residue classes — the q78 incremental cell's
+    // delta/base split must land identically in each replica or its
+    // "output exactly linear" contract breaks for bases whose max id+1
+    // is not ≡ 0 (mod 5). (For the shipped sf corpora the raw stride is
+    // already a multiple of 5, so padding changes nothing there.)
+    val rawStride = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val stride = ((rawStride + 4) / 5) * 5
     def rot(s: String, r: Int): String = s.drop(r % s.length) + s.take(r % s.length)
     (0 until factor).map { r =>
       val from = Lower + Upper + Digit
@@ -177,7 +184,12 @@ object ScaleCurve {
         // incremental near-dup (q78): replicas are token-bijected, so
         // cross-split pairs exist only within a replica — output must be
         // exactly linear, and runtime should track the base-side linear
-        // band build (the probe itself is a map-side broadcast join)
+        // band build (the probe itself is a map-side broadcast join).
+        // Linearity additionally needs every replica to keep the BASE's
+        // doc_id % 5 split: replica ids are offset by stride = max+1, so
+        // the offset must be ≡ 0 (mod 5) or each replica elects a
+        // different residue class as "delta" and rows stop being
+        // factor-linear. Guarded at synthesis time below.
         Cell(f, "q78_incremental",
           () => graft.ops.NearDup.incrementalNearDupPairs(docs),
           _.count()),

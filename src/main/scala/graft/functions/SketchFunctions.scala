@@ -28,6 +28,15 @@ object SketchFunctions {
     * `xxhash64(col)`), sized for `estimatedItems` distinct values at the
     * expression's default false-positive rate (3%). Returns the
     * serialized filter as one binary value.
+    *
+    * Sizing cap: Spark silently clamps the item/bit counts to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+    * `.maxNumBits` (defaults 4M items / 2^26 bits). Past ~4M distinct
+    * values the sketch is undersized and the false-positive rate
+    * degrades beyond 3% — answers stay exact wherever a verify join
+    * follows (the [[graft.ops.TrainPipe.decontaminateBloom]] pattern),
+    * but the positive sliver grows; raise those confs when the build
+    * side is that large.
     */
   def bloomFilterAgg(hashed: Column, estimatedItems: Long): Column =
     ColumnBridge.column(

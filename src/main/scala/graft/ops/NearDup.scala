@@ -137,9 +137,25 @@ object NearDup {
     val tok = tokens(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bk = bands(signatures(tok)).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = candidatesFromBands(bk, sliceMax, hotBandMax)
+    verifiedJaccard(cand, tok, "doc_a", "doc_b", threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Attach both token sets to candidate pairs (`leftCol`, `rightCol`),
+    * compute the exact Jaccard at the oracle-pinned 4dp rounding, and
+    * keep pairs ≥ `threshold`. Shared by the full-corpus and incremental
+    * forms so the verify arithmetic can never drift between them (q78's
+    * bit-equality spec depends on it).
+    */
+  private def verifiedJaccard(
+      cand: DataFrame,
+      tok: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      threshold: Double): DataFrame =
     cand
-      .join(tok.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
-      .join(tok.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
+      .join(tok.select(col("doc_id").as(leftCol), col("toks").as("ta")), leftCol)
+      .join(tok.select(col("doc_id").as(rightCol), col("toks").as("tb")), rightCol)
       .withColumn(
         "jaccard",
         round(
@@ -147,9 +163,7 @@ object NearDup {
             size(array_union(col("ta"), col("tb"))),
           4))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy("doc_a", "doc_b")
-  }
+      .select(col(leftCol), col(rightCol), col("jaccard"))
 
   /** Distinct candidate pairs (doc_a < doc_b) sharing ≥ 1 band bucket —
     * the join whose physical shape FullCorpusSpec pins down: broadcast of
@@ -200,16 +214,7 @@ object NearDup {
       .join(broadcast(deltaBk), Seq("band", "k1", "k2"))
       .select(col("new_id"), col("doc_id").as("base_id"))
       .distinct()
-    cand
-      .join(tok.select(col("doc_id").as("new_id"), col("toks").as("ta")), "new_id")
-      .join(tok.select(col("doc_id").as("base_id"), col("toks").as("tb")), "base_id")
-      .withColumn(
-        "jaccard",
-        round(
-          size(array_intersect(col("ta"), col("tb"))).cast("double") /
-            size(array_union(col("ta"), col("tb"))),
-          4))
-      .filter(col("jaccard") >= threshold)
+    verifiedJaccard(cand, tok, "new_id", "base_id", threshold)
       .select(col("new_id").as("doc_id"), col("base_id").as("dup_of"), col("jaccard"))
       .orderBy("doc_id", "dup_of")
   }

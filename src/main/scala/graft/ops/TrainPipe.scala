@@ -154,28 +154,44 @@ object TrainPipe {
 
   // -------------------------------------------------------------------
   // Bloom-prefiltered decontamination: same answer as [[decontaminate]],
-  // different at-scale probe. The broadcast form ships every held-out
-  // gram STRING to every executor; at a 100 TB corpus against a large
-  // eval union that broadcast is the limiting term. Here the held-out
-  // set is folded into Spark's own Bloom sketch (~1.1 bytes/gram at 3%
-  // fpp, built with ONE partial+merge aggregation), the probe is a
-  // map-side codegen'd `might_contain` on xxhash64(gram) — zero extra
-  // shuffle, no gram strings move — and only the bloom-POSITIVE sliver
-  // of corpus grams reaches the exact verify join that removes false
-  // positives. No false negatives, so bloom-negative grams are
-  // definitively clean and skip the join entirely. The two probe
-  // branches share one gram-generation scan via exchange reuse.
+  // different at-scale probe. The exact broadcast form ships every
+  // held-out gram STRING to every executor AND left-joins the FULL
+  // corpus gram stream against it. Here the held-out set is folded into
+  // Spark's own Bloom sketch (~1.1 bytes/gram at 3% fpp, built with ONE
+  // partial+merge aggregation), the prefilter is a map-side codegen'd
+  // `might_contain` on xxhash64(gram) — zero extra shuffle, no gram
+  // strings move — and only the bloom-POSITIVE sliver of corpus grams
+  // carries a non-null key into the exact verify join that removes
+  // false positives (no false negatives ⇒ null-keyed rows are
+  // definitively clean and never probe the hash table). When the held
+  // set itself outgrows string broadcast, pass verifyBroadcast = false:
+  // the verify becomes a shuffle join whose probe side is only the
+  // positive sliver — the full-stream broadcast join is never needed at
+  // any scale.
   // -------------------------------------------------------------------
 
   /** Identical output contract to [[decontaminate]] (same oracle);
     * the Bloom sketch + exact-verify form of the probe.
+    * `verifyBroadcast` picks the verify join's physical shape:
+    * broadcast (benchmark-sized held set, the default) or shuffle
+    * (held set too large to ship as strings — only bloom-positive
+    * grams reach the shuffle).
     */
-  def decontaminateBloom(docs: DataFrame, w: Int = 3, heldoutMod: Int = 10): DataFrame = {
+  def decontaminateBloom(
+      docs: DataFrame,
+      w: Int = 3,
+      heldoutMod: Int = 10,
+      verifyBroadcast: Boolean = true): DataFrame = {
+    // persisted: three consumers (the sizing count, the sketch build,
+    // and the verify join) would otherwise each re-run the held docs'
+    // gram explode + distinct shuffle
     val held = gramsOf(docs.filter(col("doc_id") % heldoutMod === 0), w)
       .select(col("gram")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = gramsOf(docs.filter(col("doc_id") % heldoutMod =!= 0), w)
-    // benchmark-sized actions: the count sizes the sketch, the head
-    // collects its serialized bytes (KBs) for the probe-side literal
+    // benchmark-sized actions: the count sizes the sketch (and
+    // materializes the cache), the head collects the serialized filter
+    // (KBs) for the probe-side literal
     val nHeld = held.count()
     val sketch =
       if (nHeld == 0) null
@@ -190,17 +206,17 @@ object TrainPipe {
         .select(col("doc_id"), col("n_grams"), lit(0L).as("n_hit"))
         .orderBy("doc_id")
     else {
-      // bloom-positive grams get the exact broadcast verify (kills the
-      // ~3% false positives); negatives are clean by construction, so
-      // they probe with a NULL key — left-join rows with a null key
-      // never match and skip the hash lookup — keeping the whole probe
-      // ONE pass with no branch split or re-scan of the gram exchange
+      // bloom-positive grams get the exact verify (kills the ~3% false
+      // positives); negatives are clean by construction, so they probe
+      // with a NULL key — left-join rows with a null key never match
+      // and skip the hash lookup — keeping the whole probe ONE pass
+      // with no branch split or re-scan of the gram exchange
       val mc = graft.functions.SketchFunctions
         .mightContain(sketch, xxhash64(col("gram")))
+      val verify = held.select(col("gram").as("probe"), lit(1L).as("hit"))
       corpus
         .withColumn("probe", when(mc, col("gram")))
-        .join(
-          broadcast(held.select(col("gram").as("probe"), lit(1L).as("hit"))),
+        .join(if (verifyBroadcast) broadcast(verify) else verify,
           Seq("probe"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))

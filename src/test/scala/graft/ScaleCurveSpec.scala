@@ -30,12 +30,14 @@ class ScaleCurveSpec extends SparkSpec {
     }
     val base01 = overlap(scaled, 0L, 1L)
     assert(base01 == 3L) // alpha beta gamma
+    // stride pads max(doc_id)+1 = 3 up to 5 (mod-5 alignment for the
+    // q78 incremental cell), so replica r starts at r*5
     (1 to 2).foreach { r =>
-      val s = r * 3L
+      val s = r * 5L
       assert(overlap(scaled, s, s + 1) == base01, s"replica $r lost intra-similarity")
     }
     // cross-replica: the SAME doc in different replicas shares no tokens
-    val cross = scaled.filter(col("doc_id").isin(0L, 3L))
+    val cross = scaled.filter(col("doc_id").isin(0L, 5L))
       .select(split(lower(col("text")), " ").as("t"))
       .collect().map(_.getSeq[String](0).toSet)
     assert((cross(0) & cross(1)).isEmpty, s"cross-replica leak: ${cross(0) & cross(1)}")

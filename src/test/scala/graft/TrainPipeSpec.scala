@@ -65,6 +65,11 @@ class TrainPipeSpec extends SparkSpec {
     val exact = TrainPipe.decontaminate(docs).collect().toSeq
     val bloom = TrainPipe.decontaminateBloom(docs).collect().toSeq
     assert(bloom === exact)
+    // the at-scale verify shape (shuffle join of the positive sliver)
+    // must answer identically too
+    val shuffled = TrainPipe
+      .decontaminateBloom(docs, verifyBroadcast = false).collect().toSeq
+    assert(shuffled === exact)
   }
 
   test("bloom decontamination: planted copy hits; empty held-out set is total") {
