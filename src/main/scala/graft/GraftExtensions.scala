@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{RollingMinFingerprint, SimHash32, VecDot}
+import graft.functions.{QuantizeI8, RollingMinFingerprint, SimHash32, VecDot, VecDotI8}
 
 /** Session extensions registering graft's native expressions in the SQL
   * function registry, so `spark.sql("... vec_dot(a, b) ...")` resolves
@@ -49,6 +49,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text) => SimHash32(text)
         case other => throw new IllegalArgumentException(
           s"simhash32 requires exactly 1 argument, got ${other.length}")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_quantize_i8"),
+      new ExpressionInfo(classOf[QuantizeI8].getName, "vec_quantize_i8"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v) => QuantizeI8(v)
+        case other => throw new IllegalArgumentException(
+          s"vec_quantize_i8 requires exactly 1 argument, got ${other.length}")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot_i8"),
+      new ExpressionInfo(classOf[VecDotI8].getName, "vec_dot_i8"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => VecDotI8(a, b)
+        case other => throw new IllegalArgumentException(
+          s"vec_dot_i8 requires exactly 2 arguments, got ${other.length}")
       }))
     // Rule[LogicalPlan] leg: rewrite the interpreted aggregate(zip_with)
     // dot-product idiom into the native VecDot (result-preserving by

@@ -1660,6 +1660,26 @@ object Queries {
     (s, d) => graft.ops.TrainPipe.stratifiedTopK(t(s, d, "documents")),
     Some(graft.ops.TrainPipe.stratifiedTopKOracleSql()))
 
+  /** Compression-ratio quality signal: DEFLATE size over raw UTF-8 size
+    * per doc — the compressibility companion to q74's token-level
+    * repetition fractions. Rows-only gate (compressor output is not
+    * SQL-expressible); map-side, zero shuffles.
+    */
+  private val q81 = QueryDef(
+    "q81_compress_ratio",
+    (s, d) => graft.ops.QualityOps.compressionRatio(t(s, d, "documents")),
+    None)
+
+  /** Int8-quantized cosine top-k: the memory-bound similarity-search
+    * scale path (4× smaller resident corpus, exact integer dots) next to
+    * exact q24 / LSH q29 / IVF q44. Quantization arithmetic replayed
+    * exactly by the DuckDB oracle.
+    */
+  private val q82 = QueryDef(
+    "q82_ann_quantized",
+    (s, d) => graft.ops.Quantize.annTopKQuantized(t(s, d, "embeddings")),
+    Some(graft.ops.Quantize.oracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -1684,5 +1704,6 @@ object Queries {
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
     q67, q68, q69,
-    q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80)
+    q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
+    q81, q82)
 }

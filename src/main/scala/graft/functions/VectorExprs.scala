@@ -326,12 +326,150 @@ object IvfScores {
   }
 }
 
+/** Symmetric per-vector int8 scalar quantization of a float-array
+  * embedding: `q_i = floor(x_i * (127 / max|x|) + 0.5)` packed into a
+  * `binary` value, one byte per dimension — 4× smaller than float32.
+  *
+  * At 100 TB this is the memory story for similarity search: a quantized
+  * corpus holds 4× more vectors per executor (or broadcasts 4× more
+  * queries), and the integer dot ([[VecDotI8]]) runs in exact 64-bit
+  * arithmetic, so any engine — Spark here, DuckDB in the oracle —
+  * reproduces it bit-for-bit. Per-vector scales cancel in cosine, so
+  * quantized cosine needs no dequantization.
+  *
+  * Determinism contract (the q82 oracle replays this in SQL):
+  *   - `max|x|` and `x * scale` are IEEE double ops on exactly-widened
+  *     floats — identical on any engine;
+  *   - rounding is `floor(v + 0.5)` (ties toward +∞), NOT `round()`,
+  *     sidestepping engine-dependent tie modes;
+  *   - `max|x| = 0` (zero vector) → all-zero bytes;
+  *   - NULL array, NULL element, or non-finite `max|x|` → NULL (the
+  *     [[VecDot]] null discipline).
+  */
+case class QuantizeI8(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_quantize_i8"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    QuantizeI8.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("qbytes")
+      s"""
+         |byte[] $r = graft.functions.QuantizeI8.compute($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object QuantizeI8 {
+
+  /** Null on null element or non-finite max|x|; all-zero bytes on a zero
+    * vector; otherwise `(byte) floor(x_i * (127 / max|x|) + 0.5)`.
+    */
+  def compute(v: ArrayData): Array[Byte] = {
+    val n = v.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = math.abs(v.getFloat(i).toDouble)
+      if (x > maxAbs) maxAbs = x
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (maxAbs == 0.0) return out
+    if (maxAbs.isNaN || maxAbs.isInfinite) return null
+    val scale = 127.0 / maxAbs
+    i = 0
+    while (i < n) {
+      out(i) = math.floor(v.getFloat(i).toDouble * scale + 0.5).toByte
+      i += 1
+    }
+    out
+  }
+}
+
+/** Exact integer dot product of two int8-quantized vectors
+  * ([[QuantizeI8]] binaries), accumulated in long. Length mismatch →
+  * NULL (mirroring [[VecDot]]). Products are bounded by 127² per
+  * element, so a 64-bit accumulator is exact to ~7·10¹⁴ dimensions —
+  * any engine computes the identical value.
+  */
+case class VecDotI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_dot_i8"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length) return null
+    var acc = 0L
+    var i = 0
+    while (i < x.length) { acc += x(i).toLong * y(i).toLong; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.length != $b.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $a.length; $i++) {
+         |    $acc += (long) $a[$i] * (long) $b[$i];
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API surface for graft's native vector expressions. No function-
   * registry registration is required for these (the Column wraps the
   * expression directly via [[ColumnBridge]]); SQL-text access to the same
   * expressions is registered by [[graft.GraftExtensions]].
   */
 object VectorFunctions {
+
+  /** int8-quantize a float-vector column to a binary — see [[QuantizeI8]]. */
+  def vecQuantizeI8(v: Column): Column =
+    ColumnBridge.column(QuantizeI8(ColumnBridge.expression(v)))
+
+  /** Exact long dot of two quantized binaries — see [[VecDotI8]]. */
+  def vecDotI8(a: Column, b: Column): Column =
+    ColumnBridge.column(VecDotI8(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** `vec_dot(a, b)`: double dot product of two float/double array
     * columns — see [[VecDot]] for the exact null/length semantics.

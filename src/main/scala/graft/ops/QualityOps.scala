@@ -243,4 +243,63 @@ object QualityOps {
        |  CAST(dup_tok_frac <= $maxDupTokFrac
        |    AND top_bigram_frac <= $maxTopBigramFrac AS INTEGER) AS keep
        |FROM j ORDER BY doc_id""".stripMargin
+
+  /** Compression-ratio quality signal: per doc, the DEFLATE-compressed
+    * size over the raw UTF-8 size. Highly templated / repetitive text
+    * (boilerplate, log spam, keyword stuffing) compresses far below
+    * natural prose, so a low ratio is a cheap structural quality flag —
+    * the compressibility companion to [[repetitionStats]]' token-level
+    * fractions (it catches long-range repetition that per-token and
+    * per-bigram fractions miss).
+    *
+    * Scale shape: pure map-side — zero shuffles before the output sort,
+    * no joins, no text movement; one `java.util.zip.Deflater` (raw mode,
+    * fixed level) is reused across a whole partition and its native
+    * memory is released on task completion. At 100 TB this is an
+    * embarrassingly parallel scan pass at near-I/O speed.
+    *
+    * Gate: rows-only (like q42/q67) — DEFLATE output length is a
+    * property of the compressor, not SQL-expressible in the DuckDB
+    * oracle. Determinism within the engine (fixed JDK zlib + fixed
+    * level + reset-per-doc) is spec-pinned across partitionings in
+    * QuantizeSpec's sibling CompressionRatioSpec.
+    */
+  def compressionRatio(
+      docs: DataFrame,
+      level: Int = 6,
+      minRatio: Double = 0.1): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sizes = docs
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Option[Long], String)] // doc_id may be null in dirty corpora
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(level, /* nowrap = */ true)
+        // free the native zlib state when the task ends, not at GC time
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val bytes =
+            if (text == null) Array.emptyByteArray
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          (id, bytes.length.toLong, n)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_deflate")
+    sizes
+      .select(
+        col("doc_id"), col("n_bytes"), col("n_deflate"),
+        round(
+          col("n_deflate").cast("double") /
+            greatest(col("n_bytes"), lit(1L)).cast("double"),
+          4).as("ratio"))
+      .withColumn("keep", (col("ratio") >= minRatio).cast("int"))
+      .orderBy("doc_id")
+  }
 }

@@ -138,4 +138,63 @@ class QualityOpsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(plan.contains("partial_count"), plan)
   }
+
+  test("compressionRatio: repetitive text compresses far below prose") {
+    val prose = "The quarterly report outlines seventeen distinct findings " +
+      "about migratory patterns, each supported by independent field notes " +
+      "gathered across four seasons and nine observation sites in varied terrain."
+    val spam = ("buy now " * 60).trim
+    val docs = Seq((1L, prose), (2L, spam)).toDF("doc_id", "text")
+    val out = QualityOps.compressionRatio(docs).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val proseRatio = byId(1L).getAs[Double]("ratio")
+    val spamRatio = byId(2L).getAs[Double]("ratio")
+    assert(proseRatio > 0.4, s"prose ratio $proseRatio")
+    assert(spamRatio < 0.15, s"spam ratio $spamRatio")
+    assert(spamRatio < proseRatio / 2)
+    // keep flag applies the literal threshold
+    assert(byId(1L).getAs[Int]("keep") === 1)
+    assert(byId(2L).getAs[Int]("keep") === 0)
+    // n_bytes is the UTF-8 length
+    assert(byId(1L).getAs[Long]("n_bytes") ===
+      prose.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
+  }
+
+  test("compressionRatio is deterministic across partitionings") {
+    val docs = Queries.t(spark, "/root/testdata/sf0.001", "documents")
+    val a = QualityOps.compressionRatio(docs).collect().toSeq
+    val b = QualityOps.compressionRatio(docs.repartition(11)).collect().toSeq
+    assert(a === b)
+    assert(a.size > 100)
+    // ratios live in (0, ~1]: deflate never inflates text this long, and
+    // nothing collapses to zero bytes
+    assert(a.forall { r =>
+      val ratio = r.getAs[Double]("ratio"); ratio > 0.0 && ratio <= 1.2
+    })
+  }
+
+  test("compressionRatio is total on null text and null doc_id") {
+    val docs = Seq(
+      (java.lang.Long.valueOf(1L), "some ordinary text"),
+      (java.lang.Long.valueOf(2L), null),
+      (null.asInstanceOf[java.lang.Long], "orphan row"))
+      .toDF("doc_id", "text")
+    val out = QualityOps.compressionRatio(docs).collect()
+    assert(out.length === 3)
+    // null text behaves as empty input: 0 raw bytes, tiny deflate block
+    val nullText = out.find(r => !r.isNullAt(0) && r.getAs[Long]("doc_id") == 2L).get
+    assert(nullText.getAs[Long]("n_bytes") === 0L)
+    assert(nullText.getAs[Long]("n_deflate") > 0L)
+  }
+
+  test("compressionRatio plan: map-side only, no shuffle before the output sort") {
+    val docs = Queries.t(spark, "/root/testdata/sf0.001", "documents")
+    val df = QualityOps.compressionRatio(docs)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the only Exchange is the range partitioning for the final orderBy
+    val exchanges = "Exchange [a-z]+".r.findAllIn(plan).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+  }
 }
