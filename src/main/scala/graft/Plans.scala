@@ -75,7 +75,12 @@ object Plans {
       mustNotContain = Seq("Window", "SortMergeJoin", "CartesianProduct")),
     Audit("q80_stratified_topk", "stratified top-k: phase-1 window partitioned by (lang, shard) — bounded slices, never one task per stratum over the corpus; no join anywhere",
       mustContain = Seq("Window"),
-      mustNotContain = Seq("Join", "SinglePartition", "CartesianProduct")))
+      mustNotContain = Seq("Join", "SinglePartition", "CartesianProduct")),
+    Audit("q81_compress_ratio", "compression ratio: pure map-side deflate pass — no join, no aggregate, no window; only the output sort shuffles",
+      mustNotContain = Seq("Join", "HashAggregate", "Window")),
+    Audit("q82_ann_quantized", "quantized ANN: native vec_quantize_i8/vec_dot_i8 in the projection, bounded query sliver broadcast (the q24 brute-force shape on 4×-smaller vectors); no shuffle join of the corpus",
+      mustContain = Seq("vec_dot_i8"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
