@@ -80,7 +80,10 @@ object Plans {
       mustNotContain = Seq("Join", "HashAggregate", "Window")),
     Audit("q82_ann_quantized", "quantized ANN: native vec_quantize_i8/vec_dot_i8 in the projection, bounded query sliver broadcast (the q24 brute-force shape on 4×-smaller vectors); no shuffle join of the corpus",
       mustContain = Seq("vec_dot_i8"),
-      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    Audit("q83_topk_sketch", "sketched exact top-k: recount phase is a codegen'd IN-set filter + hash aggregate over <= capacity candidate keys — no join, the tail vocabulary never shuffles",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("Join", "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

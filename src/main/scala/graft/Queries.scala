@@ -1680,6 +1680,19 @@ object Queries {
     (s, d) => graft.ops.Quantize.annTopKQuantized(t(s, d, "embeddings")),
     Some(graft.ops.Quantize.oracleSql()))
 
+  /** Exact top-k words via Misra–Gries candidates + exact recount — the
+    * bounded-shuffle scale path for q21 (shuffle carries ≤ capacity keys
+    * per partition, independent of vocabulary size). Same oracle as q21:
+    * the sketch guarantee makes the recounted answer exactly the full
+    * top-k.
+    */
+  private val q83 = QueryDef(
+    "q83_topk_sketch",
+    (s, d) => graft.ops.TextOps.topKWordsSketched(t(s, d, "documents")),
+    Some("""SELECT word, count(*) AS cnt FROM (
+           |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 20""".stripMargin))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -1705,5 +1718,5 @@ object Queries {
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
     q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82)
+    q81, q82, q83)
 }

@@ -349,4 +349,43 @@ object TextOps {
        |SELECT doc_id, span, CAST(count(*) AS BIGINT) AS n_occ
        |FROM grams GROUP BY 1, 2 HAVING count(*) > 1
        |ORDER BY doc_id, span""".stripMargin
+
+  /** Exact top-k words via a Misra–Gries candidate sketch + exact
+    * recount — the at-scale form of q21's full-vocabulary aggregate.
+    *
+    * Two passes, both cheap:
+    *   1. ONE sketch aggregation ([[graft.functions.MisraGriesAgg]]):
+    *      O(capacity) state per partition partial, a few KB over the
+    *      shuffle, merged to ≤ `capacity` candidate terms. Every term
+    *      with true frequency > N/(capacity+1) is guaranteed to survive
+    *      regardless of partitioning (mergeable-summaries bound), so
+    *      with capacity sized above N/f_k the true top-k are all
+    *      candidates.
+    *   2. Exact recount of ONLY the candidates: a codegen'd IN-set
+    *      filter (map-side, prunes the tail vocabulary before any
+    *      shuffle) + a hash aggregate over ≤ `capacity` keys.
+    *
+    * Contrast at 100 TB: q21's direct groupBy shuffles one partial row
+    * per DISTINCT word per partition — a web-scale vocabulary (100 M+
+    * terms) makes that the dominant shuffle. Here the shuffle carries at
+    * most `capacity` keys per partition, independent of vocabulary size,
+    * and the answer is still EXACT (same oracle as q21) whenever the
+    * k-th frequency clears the sketch threshold — which the recount can
+    * itself confirm (see TopKSketchSpec's guarantee test).
+    */
+  def topKWordsSketched(docs: DataFrame, k: Int = 20, capacity: Int = 512): DataFrame = {
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+    val sketch = words
+      .agg(graft.functions.HeavyHitters.misraGries(col("word"), capacity).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.term"))
+      .collect()
+      .map(_.getString(0))
+    words
+      .filter(col("word").isin(sketch.toIndexedSeq: _*))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("word"))
+      .limit(k)
+  }
 }
