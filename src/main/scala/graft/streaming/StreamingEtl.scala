@@ -497,6 +497,30 @@ object StreamingEtl {
     * streaming form of [[graft.ops.TemporalJoins.rangeJoinCount]]'s
     * predicate. Works identically on batch frames (watermark is a no-op).
     */
+  /** Bounded-state streaming heavy hitters: the q83 Misra–Gries candidate
+    * sketch ([[graft.functions.MisraGriesAgg]]) as a continuously
+    * maintained streaming aggregation over a document stream. Emits the
+    * current `array<struct<term, est>>` candidate summary each trigger
+    * (write in complete mode).
+    *
+    * Why this is the at-scale form: an exact streaming word count keeps
+    * ONE STATE ROW PER DISTINCT WORD — unbounded on an open vocabulary —
+    * while this keeps exactly one global state row holding an
+    * O(capacity) sketch buffer (the same TypedImperativeAggregate
+    * machinery Spark's streaming HLL++ uses). The batch guarantee
+    * carries over triggers because the update sequence is one continuous
+    * MG stream: every word with frequency > N/(capacity+1) over ALL data
+    * so far is present in the emitted summary. Downstream, the q83
+    * recount pattern (exact count of just the candidates) turns a
+    * periodic snapshot into an exact top-k.
+    */
+  def streamingTopKWords(docs: DataFrame, textCol: String = "text",
+      capacity: Int = 512): DataFrame =
+    docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .agg(graft.functions.HeavyHitters.misraGries(col("word"), capacity)
+        .as("candidates"))
+
   def intervalJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
     val p = purchases.withWatermark("ts", "1 hour")
     val c = clicks.withWatermark("ts", "1 hour")

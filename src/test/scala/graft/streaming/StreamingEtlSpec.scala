@@ -502,6 +502,47 @@ class StreamingEtlSpec extends SparkSpec {
       .collect().sorted.toSeq == Seq("L1", "L2", "L3"))
   }
 
+  test("streamingTopKWords: one O(capacity) state row, sketch carries across triggers") {
+    import spark.implicits._
+    val in = tmpDir("topk-in")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    val q = StreamingEtl.streamingTopKWords(
+      StreamingEtl.jsonFileStream(spark, in.toString, schema))
+      .writeStream
+      .format("memory")
+      .queryName("topk_words")
+      .outputMode(OutputMode.Complete)
+      .start()
+    try {
+      writeFile(in, "d1.json",
+        """{"doc_id":1,"text":"a a a b"}
+          |{"doc_id":2,"text":"b c"}
+          |""".stripMargin)
+      q.processAllAvailable() // trigger 1
+      writeFile(in, "d2.json",
+        """{"doc_id":3,"text":"a c c d"}
+          |{"doc_id":4,"text":null}
+          |""".stripMargin)
+      q.processAllAvailable() // trigger 2: sketch must CARRY, not reset
+
+      // complete mode: the memory table is the latest snapshot
+      val got = spark.table("topk_words")
+        .select(explode(col("candidates")).as("e"))
+        .select(col("e.term"), col("e.est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // capacity >> distinct terms, so the sketch is the exact count map
+      // over BOTH arrivals (a:4, b:2, c:3, d:1)
+      assert(got === Map("a" -> 4L, "b" -> 2L, "c" -> 3L, "d" -> 1L))
+
+      // bounded state: ONE global row whose value is the sketch buffer —
+      // never one row per distinct word
+      val stateRows = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+      assert(stateRows.nonEmpty && stateRows.forall(_ <= 1L), stateRows.toSeq)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals match batch groupBy") {
     import spark.implicits._
     val in = tmpDir("state-in")
