@@ -80,10 +80,8 @@ case class MisraGriesAgg(
       case None =>
         // full and unseen: decrement every counter (the new item's
         // implicit counter hits 0 too), evict zeros — classic MG step
-        val dead = mutable.ArrayBuffer.empty[UTF8String]
         buf.mapValuesInPlace((_, c) => c - 1)
-        buf.foreach { case (t, c) => if (c <= 0) dead += t }
-        dead.foreach(buf.remove)
+        buf.filterInPlace((_, c) => c > 0)
     }
     buf
   }
@@ -98,10 +96,8 @@ case class MisraGriesAgg(
       val counts = buf.values.toArray
       java.util.Arrays.sort(counts)
       val d = counts(counts.length - capacity - 1)
-      val dead = mutable.ArrayBuffer.empty[UTF8String]
       buf.mapValuesInPlace((_, c) => c - d)
-      buf.foreach { case (t, c) => if (c <= 0) dead += t }
-      dead.foreach(buf.remove)
+      buf.filterInPlace((_, c) => c > 0)
     }
     buf
   }

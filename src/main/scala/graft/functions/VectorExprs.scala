@@ -343,8 +343,8 @@ object IvfScores {
   *   - rounding is `floor(v + 0.5)` (ties toward +∞), NOT `round()`,
   *     sidestepping engine-dependent tie modes;
   *   - `max|x| = 0` (zero vector) → all-zero bytes;
-  *   - NULL array, NULL element, or non-finite `max|x|` → NULL (the
-  *     [[VecDot]] null discipline).
+  *   - NULL array, NULL element, or non-finite (NaN/±Inf) element →
+  *     NULL (the [[VecDot]] null discipline).
   */
 case class QuantizeI8(child: Expression) extends UnaryExpression {
 
@@ -377,7 +377,8 @@ case class QuantizeI8(child: Expression) extends UnaryExpression {
 
 object QuantizeI8 {
 
-  /** Null on null element or non-finite max|x|; all-zero bytes on a zero
+  /** Null on null or non-finite element (NaN is checked per element —
+    * `x > maxAbs` would silently skip it); all-zero bytes on a zero
     * vector; otherwise `(byte) floor(x_i * (127 / max|x|) + 0.5)`.
     */
   def compute(v: ArrayData): Array[Byte] = {
@@ -387,12 +388,12 @@ object QuantizeI8 {
     while (i < n) {
       if (v.isNullAt(i)) return null
       val x = math.abs(v.getFloat(i).toDouble)
+      if (x.isNaN || x.isInfinite) return null
       if (x > maxAbs) maxAbs = x
       i += 1
     }
     val out = new Array[Byte](n)
     if (maxAbs == 0.0) return out
-    if (maxAbs.isNaN || maxAbs.isInfinite) return null
     val scale = 127.0 / maxAbs
     i = 0
     while (i < n) {

@@ -258,11 +258,16 @@ object QualityOps {
     * memory is released on task completion. At 100 TB this is an
     * embarrassingly parallel scan pass at near-I/O speed.
     *
+    * Keep flag: `ratio >= minRatio` AND `n_bytes > 0` — empty/null text
+    * would otherwise score the HIGHEST ratio (a few deflate header
+    * bytes over a floor of 1) and the most degenerate docs would pass
+    * the gate.
+    *
     * Gate: rows-only (like q42/q67) — DEFLATE output length is a
     * property of the compressor, not SQL-expressible in the DuckDB
     * oracle. Determinism within the engine (fixed JDK zlib + fixed
     * level + reset-per-doc) is spec-pinned across partitionings in
-    * QuantizeSpec's sibling CompressionRatioSpec.
+    * QualityOpsSpec.
     */
   def compressionRatio(
       docs: DataFrame,
@@ -299,7 +304,8 @@ object QualityOps {
           col("n_deflate").cast("double") /
             greatest(col("n_bytes"), lit(1L)).cast("double"),
           4).as("ratio"))
-      .withColumn("keep", (col("ratio") >= minRatio).cast("int"))
+      .withColumn("keep",
+        (col("ratio") >= minRatio && col("n_bytes") > 0L).cast("int"))
       .orderBy("doc_id")
   }
 }

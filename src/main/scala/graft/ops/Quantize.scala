@@ -71,6 +71,13 @@ object Quantize {
   /** DuckDB replay of [[annTopKQuantized]]: the same quantization
     * arithmetic — per-vector max|x| scale, floor(v + 0.5) to BIGINT,
     * exact integer dots/norms — in plain SQL.
+    *
+    * Scope: the arithmetic replay assumes null-free, finite embeddings
+    * (what the testdata ships). Spark-side null/NaN discipline — a null
+    * or non-finite ELEMENT nulls the whole quantized vector, so its
+    * pairs rank last — is pinned by QuantizeSpec instead: the unnest
+    * CTE here would sum over the remaining dimensions rather than null
+    * the vector, so dirty corpora are the spec's job, not the oracle's.
     */
   def oracleSql(queryMax: Long = 5L, k: Int = 5): String =
     s"""WITH ex AS (

@@ -368,24 +368,46 @@ object TextOps {
     * Contrast at 100 TB: q21's direct groupBy shuffles one partial row
     * per DISTINCT word per partition — a web-scale vocabulary (100 M+
     * terms) makes that the dominant shuffle. Here the shuffle carries at
-    * most `capacity` keys per partition, independent of vocabulary size,
-    * and the answer is still EXACT (same oracle as q21) whenever the
-    * k-th frequency clears the sketch threshold — which the recount can
-    * itself confirm (see TopKSketchSpec's guarantee test).
+    * most `capacity` keys per partition, independent of vocabulary size.
+    *
+    * The answer is EXACT unconditionally (same oracle as q21): the
+    * operator CHECKS the guarantee — a non-candidate's true count is
+    * ≤ N/(capacity+1), so if the k-th recounted candidate count exceeds
+    * that bound the recount is provably the exact top-k — and falls back
+    * to the direct full-vocabulary aggregate when the corpus is too flat
+    * for the configured capacity. The sketch is the fast path, never a
+    * silent approximation (TopKSketchSpec pins both paths).
     */
   def topKWordsSketched(docs: DataFrame, k: Int = 20, capacity: Int = 512): DataFrame = {
     val words = docs.select(explode(split(col("text"), " ")).as("word"))
-    val sketch = words
-      .agg(graft.functions.HeavyHitters.misraGries(col("word"), capacity).as("s"))
-      .select(explode(col("s")).as("e"))
-      .select(col("e.term"))
-      .collect()
-      .map(_.getString(0))
-    words
+    def direct: DataFrame = words
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("word"))
+      .limit(k)
+    // one pass: the candidate sketch AND the total word count N the
+    // guarantee threshold needs
+    val row = words
+      .agg(
+        graft.functions.HeavyHitters.misraGries(col("word"), capacity).as("s"),
+        count(lit(1)).as("n"))
+      .collect()(0)
+    val sketch = row.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    val total = row.getLong(1)
+    val recount = words
       .filter(col("word").isin(sketch.toIndexedSeq: _*))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("word"))
       .limit(k)
+    // exactness guard: a non-candidate's true count is <= N/(capacity+1),
+    // so if the k-th RECOUNTED candidate count clears that bound, every
+    // word that could rank in the top-k is a candidate and the recount IS
+    // the exact top-k. When the bound fails (capacity too small for this
+    // skew), fall back to the direct full-vocabulary aggregate: the
+    // operator is exact ALWAYS, the sketch is only the fast path.
+    val topk = recount.collect()
+    val threshold = total / (capacity + 1L)
+    if (topk.length == k && topk.last.getLong(1) > threshold) recount else direct
   }
 }

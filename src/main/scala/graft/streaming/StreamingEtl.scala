@@ -497,6 +497,20 @@ object StreamingEtl {
     * streaming form of [[graft.ops.TemporalJoins.rangeJoinCount]]'s
     * predicate. Works identically on batch frames (watermark is a no-op).
     */
+  def intervalJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour")
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(
+        col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    p.join(
+      c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") > col("ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("ts"))
+      .select(col("event_id"), col("user_id"), col("click_id"))
+  }
+
   /** Bounded-state streaming heavy hitters: the q83 Misra–Gries candidate
     * sketch ([[graft.functions.MisraGriesAgg]]) as a continuously
     * maintained streaming aggregation over a document stream. Emits the
@@ -520,20 +534,6 @@ object StreamingEtl {
       .select(explode(split(col(textCol), " ")).as("word"))
       .agg(graft.functions.HeavyHitters.misraGries(col("word"), capacity)
         .as("candidates"))
-
-  def intervalJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
-    val p = purchases.withWatermark("ts", "1 hour")
-    val c = clicks.withWatermark("ts", "1 hour")
-      .select(
-        col("user_id").as("c_user"), col("ts").as("c_ts"),
-        col("event_id").as("click_id"))
-    p.join(
-      c,
-      col("user_id") === col("c_user") &&
-        col("c_ts") > col("ts") - expr("INTERVAL 10 MINUTES") &&
-        col("c_ts") <= col("ts"))
-      .select(col("event_id"), col("user_id"), col("click_id"))
-  }
 
   /** Streaming exact dedup: keep the first row per `idCols` seen within
     * the watermark horizon. State is one entry per distinct key, expired

@@ -181,10 +181,13 @@ class QualityOpsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val out = QualityOps.compressionRatio(docs).collect()
     assert(out.length === 3)
-    // null text behaves as empty input: 0 raw bytes, tiny deflate block
+    // null text behaves as empty input: 0 raw bytes, tiny deflate block —
+    // and keep must be 0 (the degenerate doc must NOT pass the quality
+    // gate on its sky-high header-bytes-over-nothing ratio)
     val nullText = out.find(r => !r.isNullAt(0) && r.getAs[Long]("doc_id") == 2L).get
     assert(nullText.getAs[Long]("n_bytes") === 0L)
     assert(nullText.getAs[Long]("n_deflate") > 0L)
+    assert(nullText.getAs[Int]("keep") === 0)
   }
 
   test("compressionRatio plan: map-side only, no shuffle before the output sort") {

@@ -74,7 +74,10 @@ class QuantizeSpec extends SparkSpec {
         Row(null, Seq(1f, 2f)),                 // null array
         Row(Seq(1f, null, 3f), Seq(1f, 2f, 3f)), // null element
         Row(Seq(0f, 0f, 0f), Seq(0f, 0f, 0f)),  // zero vector
-        Row(Seq(1f, 2f), Seq(1f, 2f, 3f))),     // length mismatch (dot)
+        Row(Seq(1f, 2f), Seq(1f, 2f, 3f)),      // length mismatch (dot)
+        Row(Seq(Float.NaN, 1f), Seq(1f, 2f)),   // NaN element
+        Row(Seq(Float.NaN, Float.NaN), Seq(1f, 2f)), // all-NaN
+        Row(Seq(Float.PositiveInfinity, 1f), Seq(1f, 2f))), // Inf element
         2),
       schema)
     val out = df.select(
@@ -86,6 +89,10 @@ class QuantizeSpec extends SparkSpec {
     val zeroQ = out(2).getAs[Array[Byte]]("qa")
     assert(zeroQ.length == 3 && zeroQ.forall(_ == 0) && out(2).getAs[Long]("d") == 0L)
     assert(!out(3).isNullAt(0) && out(3).isNullAt(1)) // mismatch nulls the dot only
+    // non-finite elements null the quantization (never silently map to 0)
+    assert(out(4).isNullAt(0) && out(4).isNullAt(1))
+    assert(out(5).isNullAt(0) && out(5).isNullAt(1))
+    assert(out(6).isNullAt(0) && out(6).isNullAt(1))
   }
 
   test("SQL names resolve via GraftExtensions") {

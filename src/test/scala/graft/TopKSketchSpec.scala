@@ -71,6 +71,20 @@ class TopKSketchSpec extends SparkSpec {
     assert(repart === exact)
   }
 
+  test("q83 falls back to the direct aggregate when the corpus is too flat for the capacity") {
+    // 300 words, each exactly 4 times: N=1200, capacity 16 ->
+    // threshold 70 > every count, so the sketch guarantee CANNOT hold
+    // and the operator must take the exact fallback path
+    val flat = (0 until 300).map(i => (i.toLong, Seq.fill(4)(f"w$i%03d").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextOps.topKWordsSketched(flat, k = 20, capacity = 16).collect().toSeq
+    val exact = flat.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("word")).limit(20).collect().toSeq
+    assert(got === exact)
+    assert(got.map(_.getString(0)) === (0 until 20).map(i => f"w$i%03d"))
+  }
+
   test("q83 is total on empty and null-text input") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(TextOps.topKWordsSketched(empty).collect().isEmpty)
