@@ -88,4 +88,53 @@ class RandomizedSpec extends SparkSpec {
       assert(saltD == plainD, s"seed=$seed distinct")
     }
   }
+
+  test("Misra-Gries bound holds on random skewed streams (8 seeds x random capacity/partitioning)") {
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = 10 + rnd.nextInt(300)
+      // zipf-ish: term i appears ~ vocab/(i+1) times
+      val words = (0 until vocab).flatMap(i =>
+        Seq.fill(1 + vocab / (i + 1))(s"t$i"))
+      val shuffled = rnd.shuffle(words)
+      val truth = shuffled.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = shuffled.size.toLong
+      val cap = 4 + rnd.nextInt(60)
+      val parts = 1 + rnd.nextInt(16)
+      val got = shuffled.toDF("w").repartition(parts)
+        .agg(graft.functions.HeavyHitters.misraGries(col("w"), cap).as("s"))
+        .select(explode(col("s")).as("e")).select(col("e.term"), col("e.est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bound = n / (cap + 1)
+      assert(got.size <= cap, s"seed=$seed size ${got.size} > cap $cap")
+      got.foreach { case (t, est) =>
+        assert(est <= truth(t), s"seed=$seed $t overcounted")
+        assert(truth(t) - est <= bound, s"seed=$seed $t bound broken")
+      }
+      truth.foreach { case (t, c) =>
+        if (c > bound) assert(got.contains(t), s"seed=$seed heavy $t evicted (c=$c > $bound)")
+      }
+    }
+  }
+
+  test("sketched top-k equals driver-side exact top-k on random streams (6 seeds)") {
+    for (seed <- 10 to 15) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = 5 + rnd.nextInt(150)
+      val words = (0 until vocab).flatMap(i =>
+        Seq.fill(1 + rnd.nextInt(1 + vocab / (i + 1)))(s"t$i"))
+      val docs = rnd.shuffle(words).grouped(7).zipWithIndex
+        .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+        .toDF("doc_id", "text")
+      val k = 1 + rnd.nextInt(10)
+      val cap = 4 + rnd.nextInt(40) // often too small — fallback must fire
+      val got = graft.ops.TextOps.topKWordsSketched(docs, k, cap)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val exact = docs.select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("word")).limit(k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == exact, s"seed=$seed k=$k cap=$cap")
+    }
+  }
 }
