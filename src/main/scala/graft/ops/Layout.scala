@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   * Scale shape: `repartitionByRange` samples the key to build balanced
   * range bounds (one pass + one shuffle, no global sort barrier beyond
   * the range exchange), and the within-partition sort is per-task.
-  * This is the batch twin of the reference's date-named output folders
-  * (/root/reference/airflow/include/loan_spark_etl.py:151-160), which
-  * bucket output by run date for later selective reads.
+  * This is the batch twin of the reference's named output
+  * subdirectories (/root/reference/airflow/include/loan_spark_etl.py:
+  * 171-183, `cleaned_subdir`/`aggregates_subdir`), which organize
+  * output into separately-readable units for later selective reads.
   */
 object Layout {
 

@@ -200,6 +200,15 @@ object NearDup {
     *
     * Output: (doc_id, dup_of, jaccard) — each delta doc against each base
     * doc with verified Jaccard ≥ `threshold`, ordered.
+    *
+    * Cache lifetime is CALLER-OWNED: the token and band frames are
+    * persisted here because the returned lazy plan consumes each twice
+    * (delta/base splits; candidate probe + Jaccard verify), so they must
+    * outlive the call — a long-lived session that is done with the
+    * result should `spark.catalog.clearCache()` or re-create the
+    * session. (Contrast [[lshDedupClusters]], which can materialize and
+    * unpersist its edges in-call because nothing downstream re-reads
+    * them.)
     */
   def incrementalNearDupPairs(
       docs: DataFrame,

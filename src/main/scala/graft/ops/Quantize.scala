@@ -45,10 +45,16 @@ object Quantize {
   def annTopKQuantized(emb: DataFrame, queryMax: Long = 5L, k: Int = 5): DataFrame = {
     // quantized vector + its integer self-dot norm ride together: one
     // projection per side, never recomputed per pair
+    // nrm = 0 (the all-zero embedding) would make qcosine 0/0 = NaN,
+    // which Spark orders ABOVE every real similarity in the desc window
+    // while DuckDB's division yields NULL — so zero vectors are excluded
+    // from both sides before any pair forms (they carry no direction to
+    // rank by). QuantizeSpec pins the zero-vector case.
     val qz = emb.select(
       col("vec_id"),
       vecQuantizeI8(col("embedding")).as("qv"))
       .withColumn("nrm", sqrt(vecDotI8(col("qv"), col("qv")).cast("double")))
+      .filter(col("nrm") > 0)
     val q = qz.filter(col("vec_id") < queryMax)
       .select(col("vec_id").as("query_id"), col("qv").as("qq"), col("nrm").as("qn"))
     val c = qz.select(col("vec_id").as("neighbor_id"), col("qv").as("nv"), col("nrm").as("nn"))
@@ -74,8 +80,9 @@ object Quantize {
     *
     * Scope: the arithmetic replay assumes null-free, finite embeddings
     * (what the testdata ships). Spark-side null/NaN discipline — a null
-    * or non-finite ELEMENT nulls the whole quantized vector, so its
-    * pairs rank last — is pinned by QuantizeSpec instead: the unnest
+    * or non-finite ELEMENT nulls the whole quantized vector, and nulled
+    * or all-zero vectors are filtered out before pairing (nrm > 0) — is
+    * pinned by QuantizeSpec instead: the unnest
     * CTE here would sum over the remaining dimensions rather than null
     * the vector, so dirty corpora are the spec's job, not the oracle's.
     */

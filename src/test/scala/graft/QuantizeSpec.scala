@@ -128,4 +128,28 @@ class QuantizeSpec extends SparkSpec {
     // close to the float ranking
     assert(avg >= 0.6, s"avg recall $avg vs exact top-5")
   }
+
+  test("zero and non-finite vectors are excluded from q82 pairing, not ranked first") {
+    // a zero vector quantizes to all-zero bytes (nrm = 0) and a NaN
+    // element nulls the quantization; both would turn qcosine into
+    // NaN/null — NaN sorts ABOVE every real similarity in a desc window,
+    // so without the nrm > 0 gate they'd win every ranking
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = Seq(
+      Row(0L, Seq(1f, 0f, 0f)),       // query
+      Row(1L, Seq(0f, 0f, 0f)),       // zero vector: nrm = 0
+      Row(2L, Seq(Float.NaN, 1f, 0f)), // non-finite: quantizes to null
+      Row(3L, Seq(0.9f, 0.1f, 0f)),
+      Row(4L, Seq(0f, 1f, 0f)))
+    val emb = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val out = graft.ops.Quantize.annTopKQuantized(emb, queryMax = 1L, k = 5).collect()
+    val neighbors = out.map(_.getAs[Long]("neighbor_id")).toSet
+    assert(neighbors === Set(3L, 4L), s"got $neighbors")
+    // the best-ranked neighbor is the genuinely closest one, and every
+    // similarity is a real number
+    assert(out.head.getAs[Long]("neighbor_id") === 3L)
+    assert(out.forall(r => !r.getAs[Double]("qcosine").isNaN))
+  }
 }
