@@ -1693,6 +1693,37 @@ object Queries {
            |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
            |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 20""".stripMargin))
 
+  /** Cross-document exact substring dedup (Lee et al. 2021 shape): the
+    * same 3-token span repeated across documents, keep-earliest owner,
+    * per-doc removal spans out. Map-side span generation, ONE min/max
+    * span aggregate (map-side partials defeat hot spans), AQE-splittable
+    * join back; see graft.ops.TextOps.crossDocRemovalSpans.
+    */
+  private val q84 = QueryDef(
+    "q84_crossdoc_spans",
+    (s, d) => graft.ops.TextOps.crossDocRemovalSpans(t(s, d, "documents")),
+    Some(graft.ops.TextOps.crossDocRemovalSpansOracleSql()))
+
+  /** The composed end-to-end training pipeline as ONE lineage: q66
+    * keeper → q74/q77 gates → q72 mixture → q79 budget → q70 packing.
+    * documents is scanned once (every branch re-reads the keeper's
+    * digest exchange) and n_tokens is derived once; see
+    * graft.ops.TrainPipe.fullPipeline for the scan/shuffle ledger.
+    */
+  private val q85 = QueryDef(
+    "q85_full_pipeline",
+    (s, d) => graft.ops.TrainPipe.fullPipeline(t(s, d, "documents")),
+    Some(graft.ops.TrainPipe.fullPipelineOracleSql()))
+
+  /** Per-domain document caps (the common-crawl mixing discipline): at
+    * most k docs per source, best-first — q80's exact two-phase top-k
+    * machinery keyed on source, so no domain ever sorts in one task.
+    */
+  private val q86 = QueryDef(
+    "q86_domain_cap",
+    (s, d) => graft.ops.TrainPipe.stratifiedTopK(t(s, d, "documents"), by = "source"),
+    Some(graft.ops.TrainPipe.stratifiedTopKOracleSql(by = "source")))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -1718,5 +1749,5 @@ object Queries {
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
     q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83)
+    q81, q82, q83, q84, q85, q86)
 }

@@ -87,7 +87,17 @@ object QualityOps {
   def repetitionStats(
       docs: DataFrame,
       maxDupTokFrac: Double = 0.75,
-      maxTopBigramFrac: Double = 0.055): DataFrame = {
+      maxTopBigramFrac: Double = 0.055): DataFrame =
+    repetitionCore(docs, maxDupTokFrac, maxTopBigramFrac).orderBy("doc_id")
+
+  /** [[repetitionStats]] without the output sort — the composable form
+    * [[TrainPipe.fullPipeline]] chains into downstream stages (a global
+    * sort mid-pipeline would be a pure-overhead range exchange).
+    */
+  private[ops] def repetitionCore(
+      docs: DataFrame,
+      maxDupTokFrac: Double,
+      maxTopBigramFrac: Double): DataFrame = {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
     val tokStats = toks
       .select(col("doc_id"), explode(col("t")).as("tok"))
@@ -126,7 +136,6 @@ object QualityOps {
         "keep",
         (col("dup_tok_frac") <= maxDupTokFrac &&
           col("top_bigram_frac") <= maxTopBigramFrac).cast("int"))
-      .orderBy("doc_id")
   }
 
   // -------------------------------------------------------------------
@@ -156,7 +165,14 @@ object QualityOps {
   def freqQuality(
       docs: DataFrame,
       vocabSize: Int = 10,
-      minCommonFrac: Double = 0.30): DataFrame = {
+      minCommonFrac: Double = 0.30): DataFrame =
+    freqQualityCore(docs, vocabSize, minCommonFrac).orderBy("doc_id")
+
+  /** [[freqQuality]] without the output sort (see [[repetitionCore]]). */
+  private[ops] def freqQualityCore(
+      docs: DataFrame,
+      vocabSize: Int,
+      minCommonFrac: Double): DataFrame = {
     val toks = docs.select(
       col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val vocab = toks
@@ -180,7 +196,6 @@ object QualityOps {
           .otherwise(round(col("sum_freq").cast("double") / col("n_common"), 4))
           .as("mean_vocab_freq"))
       .withColumn("keep", (col("common_frac") >= minCommonFrac).cast("int"))
-      .orderBy("doc_id")
   }
 
   /** DuckDB SQL replicating [[freqQuality]]. */

@@ -350,6 +350,71 @@ object TextOps {
        |FROM grams GROUP BY 1, 2 HAVING count(*) > 1
        |ORDER BY doc_id, span""".stripMargin
 
+  /** Cross-document exact substring dedup — the Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * granularity between exact whole-doc dedup (q20/q66) and whole-doc
+    * near-dup (q25/q30/q35): the SAME `w`-token span repeated across
+    * DIFFERENT documents, with a keep-earliest policy. The span's owner
+    * is the minimum doc_id containing it; every occurrence in any later
+    * doc is emitted as a removal span (doc_id, pos, span, owner_id) —
+    * the per-doc cut list a boilerplate-stripping pass consumes.
+    *
+    * Shape, scale-first: span generation is the [[repeatedSpans]] map
+    * (split once, slide a window via codegen'd HOFs, posexplode keeps
+    * the 1-based token position). Ownership needs a GLOBAL span key —
+    * unlike q69/q74's doc_id-in-key discipline — and that is safe here
+    * because both global steps are skew-tolerant: the owner aggregate
+    * is min/max with MAP-SIDE partials (a span in a million docs
+    * contributes ≤ 1 partial row per map partition, never a hot
+    * reducer), and the join back is a shuffle equi-join, which AQE can
+    * skew-split per partition — the reason this is a groupBy + join and
+    * NOT a `min over (partition by span)` window, whose hot-span
+    * partition would be a single unsplittable task. A span appears in
+    * ≥ 2 docs iff min(doc_id) < max(doc_id), so ownership is ONE
+    * single-phase aggregate (no count-distinct expansion). Spans ride
+    * the wire as text because the span IS the output; at 100 TB swap a
+    * 64-bit span digest into the shuffle/join key and re-attach text to
+    * the reported removals only (the q20 digest-not-text discipline).
+    */
+  def crossDocRemovalSpans(docs: DataFrame, w: Int = 3): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      // sequence(a, b) DESCENDS when b < a (same guard as repeatedSpans)
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(t) - ${w - 1}), i -> concat_ws(' ', slice(t, i, $w)))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("span"))
+    val owners = grams
+      .groupBy("span")
+      .agg(min("doc_id").as("owner_id"), max("doc_id").as("max_id"))
+      .filter(col("owner_id") < col("max_id"))
+      .select(col("span"), col("owner_id"))
+    grams
+      .join(owners, Seq("span"))
+      .filter(col("doc_id") =!= col("owner_id"))
+      .select(col("doc_id"), col("pos"), col("span"), col("owner_id"))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** DuckDB oracle replicating [[crossDocRemovalSpans]]: identical
+    * split, 1-based window starts, min/max ownership, same join-back.
+    */
+  def crossDocRemovalSpansOracleSql(w: Int = 3): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    array_to_string(t[CAST(i AS BIGINT):CAST(i + ${w - 1} AS BIGINT)], ' ') AS span
+       |  FROM toks, unnest(range(1, len(t) - ${w - 2})) AS r(i)
+       |  WHERE len(t) >= $w),
+       |own AS (
+       |  SELECT span, min(doc_id) AS owner_id, max(doc_id) AS max_id
+       |  FROM grams GROUP BY 1)
+       |SELECT g.doc_id, g.pos, g.span, o.owner_id
+       |FROM grams g JOIN own o ON g.span = o.span
+       |WHERE o.owner_id < o.max_id AND g.doc_id <> o.owner_id
+       |ORDER BY doc_id, pos""".stripMargin
+
   /** Exact top-k words via a Misra–Gries candidate sketch + exact
     * recount — the at-scale form of q21's full-vocabulary aggregate.
     *
@@ -408,6 +473,14 @@ object TextOps {
     // operator is exact ALWAYS, the sketch is only the fast path.
     val topk = recount.collect()
     val threshold = total / (capacity + 1L)
-    if (topk.length == k && topk.last.getLong(1) > threshold) recount else direct
+    if (topk.length == k && topk.last.getLong(1) > threshold) {
+      // the guard already holds the verified answer (k tiny rows) — wrap
+      // THOSE as a local relation instead of returning the lazy recount
+      // plan, whose re-execution at the caller's action would re-scan
+      // the corpus and recount a second time
+      val spark = docs.sparkSession
+      import spark.implicits._
+      topk.toIndexedSeq.map(r => (r.getString(0), r.getLong(1))).toDF("word", "cnt")
+    } else direct
   }
 }

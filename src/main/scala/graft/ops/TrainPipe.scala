@@ -40,19 +40,30 @@ object TrainPipe {
     * chunk_first/chunk_last = the `contextLen`-token chunks the doc's
     * span [tok_offset, tok_offset + n_tokens) covers.
     */
-  def packSequences(docs: DataFrame, contextLen: Int = 256, shards: Int = 8): DataFrame = {
+  /** Packing core over any frame carrying (doc_id, n_tokens): shard
+    * assignment + running offset + covering chunk ids. Shared by
+    * [[packSequences]] (which derives n_tokens from text) and
+    * [[fullPipeline]] (which already carries n_tokens from the gates).
+    */
+  private def packCore(toks: DataFrame, contextLen: Int, shards: Int): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .select(
-        col("doc_id"),
-        (docHash("shard:", col("doc_id")) % shards).as("shard"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    toks
+      .withColumn("shard", docHash("shard:", col("doc_id")) % shards)
       .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("chunk_first", expr(s"tok_offset DIV $contextLen"))
       .withColumn("chunk_last", expr(s"(tok_offset + n_tokens - 1) DIV $contextLen"))
-      .orderBy("doc_id")
   }
+
+  def packSequences(docs: DataFrame, contextLen: Int = 256, shards: Int = 8): DataFrame =
+    packCore(
+      docs.select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      contextLen, shards)
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("tok_offset"), col("chunk_first"), col("chunk_last"))
+      .orderBy("doc_id")
 
   /** DuckDB hex7 parse of md5(`argSql`) — shared literal arithmetic. */
   private def duckHex7(argSql: String): String =
@@ -173,15 +184,19 @@ object TrainPipe {
   /** Identical output contract to [[decontaminate]] (same oracle);
     * the Bloom sketch + exact-verify form of the probe.
     * `verifyBroadcast` picks the verify join's physical shape:
-    * broadcast (benchmark-sized held set, the default) or shuffle
-    * (held set too large to ship as strings — only bloom-positive
-    * grams reach the shuffle).
+    * broadcast (benchmark-sized held set, the default — the held grams
+    * are collected once for BOTH the sketch and the verify side, so no
+    * cache block outlives the call) or shuffle (held set too large to
+    * ship as strings — the held frame stays persisted for the lazy
+    * verify join, a caller-owned cache lifetime like
+    * [[NearDup.incrementalNearDupPairs]]).
     */
   def decontaminateBloom(
       docs: DataFrame,
       w: Int = 3,
       heldoutMod: Int = 10,
       verifyBroadcast: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
     // persisted: three consumers (the sizing count, the sketch build,
     // and the verify join) would otherwise each re-run the held docs'
     // gram explode + distinct shuffle
@@ -199,28 +214,59 @@ object TrainPipe {
         .agg(graft.functions.SketchFunctions
           .bloomFilterAgg(xxhash64(col("gram")), nHeld).as("bf"))
         .head.getAs[Array[Byte]](0)
-    if (sketch == null)
+    if (sketch == null) {
       // empty held-out set: every corpus gram is clean, no probe at all
+      held.unpersist(false)
       corpus.groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"))
         .select(col("doc_id"), col("n_grams"), lit(0L).as("n_hit"))
         .orderBy("doc_id")
-    else {
-      // bloom-positive grams get the exact verify (kills the ~3% false
-      // positives); negatives are clean by construction, so they probe
-      // with a NULL key — left-join rows with a null key never match
-      // and skip the hash lookup — keeping the whole probe ONE pass
-      // with no branch split or re-scan of the gram exchange
+    } else {
       val mc = graft.functions.SketchFunctions
         .mightContain(sketch, xxhash64(col("gram")))
-      val verify = held.select(col("gram").as("probe"), lit(1L).as("hit"))
-      corpus
-        .withColumn("probe", when(mc, col("gram")))
-        .join(if (verifyBroadcast) broadcast(verify) else verify,
-          Seq("probe"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
-        .orderBy("doc_id")
+      if (verifyBroadcast) {
+        // bloom-positive grams get the exact verify (kills the ~3% false
+        // positives); negatives are clean by construction, so they probe
+        // with a NULL key — broadcast-join rows with a null key never
+        // match and skip the hash lookup (no shuffle, so null keys cost
+        // nothing here) — keeping the whole probe ONE pass with no
+        // branch split or re-scan of the gram exchange. The verify side
+        // is rebuilt from a driver-side collect of the held grams — the
+        // same rows a broadcast would collect anyway — so the held cache
+        // can be dropped NOW instead of leaking past the call.
+        import spark.implicits._
+        val heldGrams = held.as[String].collect().toIndexedSeq
+        held.unpersist(false)
+        val verify = broadcast(
+          heldGrams.toDF("probe").withColumn("hit", lit(1L)))
+        corpus
+          .withColumn("probe", when(mc, col("gram")))
+          .join(verify, Seq("probe"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+          .orderBy("doc_id")
+      } else {
+        // shuffle-verify path (held set too large to broadcast): a
+        // single left join would shuffle the bloom-NEGATIVE majority on
+        // a NULL key — and null keys all hash to ONE reducer, recreating
+        // at the join exactly the hot spot the Bloom sketch exists to
+        // avoid. So split by role instead: per-doc totals come from a
+        // doc_id-keyed aggregate (evenly spread by construction), and
+        // ONLY the bloom-positive sliver — non-null keys — enters the
+        // gram-keyed semi-join. Both branches re-read the corpus gram
+        // exchange (ReusedExchange, not a re-scan of the text).
+        val hits = corpus
+          .filter(mc)
+          .join(held, Seq("gram"), "left_semi")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hit"))
+        corpus.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+          .orderBy("doc_id")
+      }
     }
   }
 
@@ -243,17 +289,20 @@ object TrainPipe {
     * md5 bucket (0..9999) < its language's basis-point rate. Unlisted
     * languages default to 0 bps (dropped).
     */
-  def mixtureSample(docs: DataFrame, rates: Seq[(String, Int)] = DefaultRates): DataFrame = {
+  /** Mixture filter core over any frame carrying (doc_id, lang): the
+    * pure map-side keep test, all input columns preserved. Shared by
+    * [[mixtureSample]] and [[fullPipeline]].
+    */
+  private def mixtureFilter(df: DataFrame, rates: Seq[(String, Int)]): DataFrame = {
     val bps = rates.foldLeft(lit(0L)) { case (acc, (k, v)) =>
       when(col("lang") === k, lit(v.toLong)).otherwise(acc)
     }
-    docs
-      .select(col("doc_id"), col("lang"), col("source"),
-        (docHash("mix:", col("doc_id")) % 10000).as("bucket"), bps.as("bps"))
-      .filter(col("bucket") < col("bps"))
-      .select(col("doc_id"), col("lang"), col("source"))
-      .orderBy("doc_id")
+    df.filter((docHash("mix:", col("doc_id")) % 10000) < bps)
   }
+
+  def mixtureSample(docs: DataFrame, rates: Seq[(String, Int)] = DefaultRates): DataFrame =
+    mixtureFilter(docs.select(col("doc_id"), col("lang"), col("source")), rates)
+      .orderBy("doc_id")
 
   /** DuckDB SQL replicating [[mixtureSample]]. */
   def mixtureOracleSql(rates: Seq[(String, Int)] = DefaultRates): String = {
@@ -289,18 +338,31 @@ object TrainPipe {
     * stable across runs/partitionings/engines, and a re-run over grown
     * data keeps a subset-consistent selection (rate only shrinks).
     */
-  def budgetSample(docs: DataFrame, budgetTokens: Long = 3000L): DataFrame = {
-    val toks = docs.select(
-      col("doc_id"), col("lang"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+  /** Budget filter core over any frame carrying (doc_id, lang,
+    * n_tokens): one per-lang total aggregate (broadcast back) + the
+    * map-side integer keep test, all input columns preserved. Shared by
+    * [[budgetSample]] and [[fullPipeline]]; the totals branch and the
+    * probe branch re-read the SAME upstream exchange (ReusedExchange),
+    * not the source table.
+    */
+  private def budgetFilter(toks: DataFrame, budgetTokens: Long): DataFrame = {
     val totals = toks.groupBy("lang").agg(sum("n_tokens").as("total"))
     toks
       .join(broadcast(totals), Seq("lang"))
-      .withColumn("bucket", docHash("budget:", col("doc_id")) % 10000)
-      .filter(col("bucket") * col("total") < lit(budgetTokens) * lit(10000L))
+      .filter(
+        (docHash("budget:", col("doc_id")) % 10000) * col("total")
+          < lit(budgetTokens) * lit(10000L))
+      .drop("total")
+  }
+
+  def budgetSample(docs: DataFrame, budgetTokens: Long = 3000L): DataFrame =
+    budgetFilter(
+      docs.select(
+        col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      budgetTokens)
       .select(col("doc_id"), col("lang"), col("n_tokens"))
       .orderBy("doc_id")
-  }
 
   /** DuckDB SQL replicating [[budgetSample]]. */
   def budgetOracleSql(budgetTokens: Long = 3000L): String =
@@ -329,54 +391,62 @@ object TrainPipe {
   // and no window partition ever exceeds a bounded slice.
   // -------------------------------------------------------------------
 
-  /** (doc_id, lang, n_chars, rk): the `k` longest docs per language
+  /** (doc_id, `by`, n_chars, rk): the `k` longest docs per stratum
     * (n_chars desc, doc_id asc tie-break — any per-doc quality score
     * substitutes for n_chars unchanged), rk = 1-based rank within the
-    * language. Exact: phase-1 candidates provably contain the stratum
+    * stratum. Exact: phase-1 candidates provably contain the stratum
     * top-k because each shard contributes its own top-k.
+    *
+    * `by` picks the stratum column: "lang" is the per-language quality
+    * quota (q80); "source" is the per-domain document cap (q86) — the
+    * common-crawl mixing discipline that stops one domain from
+    * dominating the corpus. Same machinery, different key.
     */
-  def stratifiedTopK(docs: DataFrame, k: Int = 10, shards: Int = 8): DataFrame = {
+  def stratifiedTopK(
+      docs: DataFrame, k: Int = 10, shards: Int = 8,
+      by: String = "lang"): DataFrame = {
     val w1 = Window
-      .partitionBy("lang", "shard")
+      .partitionBy(by, "shard")
       .orderBy(col("n_chars").desc, col("doc_id").asc)
     val w2 = Window
-      .partitionBy("lang")
+      .partitionBy(by)
       .orderBy(col("n_chars").desc, col("doc_id").asc)
     docs
       .select(
-        col("doc_id"), col("lang"), col("n_chars"),
+        col("doc_id"), col(by), col("n_chars"),
         (docHash("topk:", col("doc_id")) % shards).as("shard"))
       .withColumn("r1", row_number().over(w1))
       .filter(col("r1") <= k)
       .withColumn("rk", row_number().over(w2))
       .filter(col("rk") <= k)
       // BIGINT on both engines (Spark row_number is int, DuckDB's BIGINT)
-      .select(col("doc_id"), col("lang"), col("n_chars"),
+      .select(col("doc_id"), col(by), col("n_chars"),
         col("rk").cast("long").as("rk"))
-      .orderBy("lang", "rk")
+      .orderBy(by, "rk")
   }
 
   /** DuckDB SQL replicating [[stratifiedTopK]] (two-phase form replayed
     * literally — the phases are exact, so this equals the one-phase
     * top-k, but replaying the same arithmetic keeps the compare honest).
     */
-  def stratifiedTopKOracleSql(k: Int = 10, shards: Int = 8): String =
+  def stratifiedTopKOracleSql(
+      k: Int = 10, shards: Int = 8, by: String = "lang"): String =
     s"""WITH t AS (
-       |  SELECT doc_id, lang, n_chars,
+       |  SELECT doc_id, $by, n_chars,
        |    ${duckHex7("'topk:' || doc_id")} % $shards AS shard
        |  FROM documents),
        |p1 AS (
        |  SELECT *, row_number() OVER (
-       |    PARTITION BY lang, shard
+       |    PARTITION BY $by, shard
        |    ORDER BY n_chars DESC, doc_id ASC) AS r1
        |  FROM t),
        |p2 AS (
-       |  SELECT doc_id, lang, n_chars, row_number() OVER (
-       |    PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rk
+       |  SELECT doc_id, $by, n_chars, row_number() OVER (
+       |    PARTITION BY $by ORDER BY n_chars DESC, doc_id ASC) AS rk
        |  FROM p1 WHERE r1 <= $k)
-       |SELECT doc_id, lang, n_chars, CAST(rk AS BIGINT) AS rk
+       |SELECT doc_id, $by, n_chars, CAST(rk AS BIGINT) AS rk
        |FROM p2 WHERE rk <= $k
-       |ORDER BY lang, rk""".stripMargin
+       |ORDER BY $by, rk""".stripMargin
 
   // -------------------------------------------------------------------
   // Curriculum sharding: order the corpus into length-graded training
@@ -425,6 +495,178 @@ object TrainPipe {
           - 1).cast("long"))
       .select(col("doc_id"), col("stage"), col("shard"), col("pos"))
       .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------------
+  // The composed end-to-end pipeline: what a real training-data run
+  // executes as ONE lineage — exact-dedup keeper (q66) → repetition +
+  // corpus-frequency quality gates (q74/q77) → language mixture (q72) →
+  // per-language token budget (q79) → sequence packing (q70). The
+  // catalog entries prove each stage in isolation; this proves they
+  // COMPOSE without redundant scans: every stage consumes the previous
+  // stage's columns instead of re-deriving them from text.
+  //
+  // Scan/shuffle ledger (plan-audited in PLANS.md):
+  //   - documents is SCANNED ONCE, into the keeper stage, and the
+  //     deduped corpus is MATERIALIZED (persist, disk-spillable) —
+  //     exactly what a production pipeline does between dedup and the
+  //     gates (the keeper output is itself a deliverable). Without the
+  //     materialization each gate branch prunes a different column set,
+  //     the pruned exchanges stop being equal, ReusedExchange no longer
+  //     applies, and the TEXT column — the dominant bytes — is
+  //     re-scanned per branch (5× at this shape; plan-verified).
+  //   - n_tokens is computed ONCE (the repetition gate's token
+  //     aggregate) and rides through mixture → budget → packing; the
+  //     standalone q70/q79 re-split text only because they start from
+  //     the raw table.
+  //   - mixture is a pure map-side filter (no exchange of its own);
+  //     budget adds one broadcast-back lang aggregate; packing adds the
+  //     one (shard)-keyed window exchange. Total exchanges of corpus-
+  //     scale data: digest, (doc_id, tok), (doc_id, bigram), doc_id
+  //     (gate join), shard — each keyed to spread, none keyed on raw
+  //     text, none repeated.
+  // -------------------------------------------------------------------
+
+  /** (doc_id, lang, source, n_tokens, shard, tok_offset, chunk_first,
+    * chunk_last): the packed training stream of the docs surviving
+    * keeper → gates → mixture → budget. Stage arithmetic is IDENTICAL
+    * to the standalone operators (shared cores and hash prefixes), so
+    * the composed DuckDB oracle is the stage CTEs chained verbatim.
+    *
+    * Cache lifetime is CALLER-OWNED (the [[NearDup.incrementalNearDupPairs]]
+    * discipline): the materialized deduped corpus backs the returned
+    * lazy plan, so it cannot be dropped in-call.
+    */
+  def fullPipeline(
+      docs: DataFrame,
+      rates: Seq[(String, Int)] = DefaultRates,
+      budgetTokens: Long = 3000L,
+      contextLen: Int = 256,
+      shards: Int = 8,
+      maxDupTokFrac: Double = 0.75,
+      maxTopBigramFrac: Double = 0.055,
+      vocabSize: Int = 10,
+      minCommonFrac: Double = 0.30): DataFrame = {
+    // stage 1 — exact-dedup keeper (q66's digest-min election), then
+    // MATERIALIZE the deduped corpus: one table scan total, and every
+    // gate branch reads the materialization (see the ledger above)
+    val kept = docs
+      .withColumn("digest", sha2(col("text"), 256))
+      .withColumn("keeper_id",
+        min("doc_id").over(Window.partitionBy("digest")))
+      .filter(col("doc_id") === col("keeper_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // stage 2 — quality gates on the deduped corpus (vocabulary is the
+    // DEDUPED corpus's, as a real pipeline computes it). The repetition
+    // gate's exact token count is reused downstream as n_tokens.
+    val rep = QualityOps
+      .repetitionCore(kept, maxDupTokFrac, maxTopBigramFrac)
+      .filter(col("keep") === 1)
+      .select(col("doc_id"), col("n_tokens"))
+    val fq = QualityOps
+      .freqQualityCore(kept, vocabSize, minCommonFrac)
+      .filter(col("keep") === 1)
+      .select(col("doc_id"))
+    val gated = kept.select(col("doc_id"), col("lang"), col("source"))
+      .join(rep, Seq("doc_id"))
+      .join(fq, Seq("doc_id"))
+    // stages 3–5 — mixture (map-side), budget (one broadcast-back lang
+    // aggregate over the SAME gate exchange), packing (one shard window)
+    packCore(
+      budgetFilter(mixtureFilter(gated, rates), budgetTokens),
+      contextLen, shards)
+      .select(
+        col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        col("shard"), col("tok_offset"), col("chunk_first"), col("chunk_last"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB SQL replicating [[fullPipeline]]: the stage oracles' CTEs
+    * chained — q66 keeper, q74/q77 gate arithmetic, q72 mixture test,
+    * q79 budget test, q70 packing window — verbatim.
+    */
+  def fullPipelineOracleSql(
+      rates: Seq[(String, Int)] = DefaultRates,
+      budgetTokens: Long = 3000L,
+      contextLen: Int = 256,
+      shards: Int = 8,
+      maxDupTokFrac: Double = 0.75,
+      maxTopBigramFrac: Double = 0.055,
+      vocabSize: Int = 10,
+      minCommonFrac: Double = 0.30): String = {
+    val cases = rates.map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+    s"""WITH k AS (
+       |  SELECT doc_id, lang, source, text FROM (
+       |    SELECT doc_id, lang, source, text,
+       |      min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper_id
+       |    FROM documents)
+       |  WHERE doc_id = keeper_id),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM k),
+       |ftoks AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+       |ts AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+       |  FROM ftoks GROUP BY 1),
+       |bi AS (
+       |  SELECT doc_id,
+       |    array_to_string(t[CAST(i AS BIGINT):CAST(i + 1 AS BIGINT)], ' ') AS bigram
+       |  FROM toks, unnest(range(1, len(t))) AS r(i)
+       |  WHERE len(t) >= 2),
+       |bc AS (SELECT doc_id, bigram, count(*) AS cnt FROM bi GROUP BY 1, 2),
+       |tp AS (
+       |  SELECT doc_id, cnt,
+       |    sum(cnt) OVER (PARTITION BY doc_id) AS n_bigrams,
+       |    row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY cnt DESC, bigram ASC) AS rn
+       |  FROM bc),
+       |repk AS (
+       |  SELECT ts.doc_id, ts.n_tokens
+       |  FROM ts LEFT JOIN (SELECT * FROM tp WHERE rn = 1) tp USING (doc_id)
+       |  WHERE round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 4)
+       |      <= $maxDupTokFrac
+       |    AND COALESCE(round(CAST(tp.cnt AS DOUBLE) / tp.n_bigrams, 4), 0.0)
+       |      <= $maxTopBigramFrac),
+       |vocab AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM ftoks GROUP BY 1
+       |  ORDER BY cnt DESC, tok ASC LIMIT $vocabSize),
+       |fqk AS (
+       |  SELECT doc_id FROM (
+       |    SELECT t.doc_id,
+       |      CAST(count(*) AS BIGINT) AS n_toks,
+       |      CAST(count(v.cnt) AS BIGINT) AS n_common
+       |    FROM ftoks t LEFT JOIN vocab v USING (tok)
+       |    GROUP BY 1)
+       |  WHERE round(CAST(n_common AS DOUBLE) / n_toks, 4) >= $minCommonFrac),
+       |gated AS (
+       |  SELECT k.doc_id, k.lang, k.source, repk.n_tokens
+       |  FROM k JOIN repk USING (doc_id) JOIN fqk USING (doc_id)),
+       |mixed AS (
+       |  SELECT * FROM gated
+       |  WHERE ${duckHex7("'mix:' || doc_id")} % 10000
+       |    < CASE lang $cases ELSE 0 END),
+       |tot AS (
+       |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total
+       |  FROM mixed GROUP BY 1),
+       |bud AS (
+       |  SELECT m.doc_id, m.lang, m.source, m.n_tokens
+       |  FROM mixed m JOIN tot USING (lang)
+       |  WHERE ${duckHex7("'budget:' || doc_id")} % 10000 * total
+       |    < $budgetTokens * 10000),
+       |packed AS (
+       |  SELECT *, ${duckHex7("'shard:' || doc_id")} % $shards AS shard
+       |  FROM bud),
+       |o AS (
+       |  SELECT *, CAST(COALESCE(sum(n_tokens) OVER (
+       |    PARTITION BY shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS tok_offset
+       |  FROM packed)
+       |SELECT doc_id, lang, source, n_tokens, shard, tok_offset,
+       |  tok_offset // $contextLen AS chunk_first,
+       |  (tok_offset + n_tokens - 1) // $contextLen AS chunk_last
+       |FROM o ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB SQL replicating [[curriculum]]. */

@@ -142,4 +142,43 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(got == expected)
   }
+
+  test("crossDocRemovalSpans: keep-earliest ownership, positions right, intra-doc-only repeats excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      // doc 0 owns "a b c" (earliest); its own repeat stays untouched
+      (0L, "a b c x a b c"),
+      // doc 1 repeats the owned span twice -> two removal positions
+      (1L, "z a b c w a b c"),
+      // doc 2: "m n o" repeats ONLY within this doc -> q69's business, not q84's
+      (2L, "m n o m n o"),
+      // doc 3 shares a span with doc 1 only; owner is doc 1
+      (3L, "q r s t"),
+      (4L, "r s t u"),
+      (5L, "xx")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.crossDocRemovalSpans(docs, w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // doc 1: both occurrences of "a b c" flagged, owner 0, 1-based positions
+    assert(out.filter(t => t._1 == 1L && t._3 == "a b c")
+      .map(t => (t._2, t._4)).sorted.toSeq === Seq((2L, 0L), (6L, 0L)))
+    // the owner's occurrences are never removal spans
+    assert(!out.exists(_._1 == 0L))
+    // intra-doc-only repeats never appear
+    assert(!out.exists(_._1 == 2L))
+    // "r s t" is shared by docs 3 and 4; doc 3 is the owner
+    assert(out.filter(_._1 == 4L).map(t => (t._2, t._3, t._4)).toSeq ===
+      Seq((1L, "r s t", 3L)))
+    assert(!out.exists(t => t._1 == 3L && t._3 == "r s t"))
+    // short docs are silent, not crashing
+    assert(!out.exists(_._1 == 5L))
+  }
+
+  test("crossDocRemovalSpans is partition-independent") {
+    val docs = Queries.t(spark, "/root/testdata/sf0.001", "documents")
+    val a = graft.ops.TextOps.crossDocRemovalSpans(docs.repartition(1)).collect().toSeq
+    val b = graft.ops.TextOps.crossDocRemovalSpans(docs.repartition(7)).collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }

@@ -157,6 +157,117 @@ class TrainPipeSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("mixture sample is subset-consistent: a re-run over a grown corpus keeps every prior selection") {
+    // membership is a pure function of (doc_id, lang), so ingesting new
+    // docs must not change any existing doc's fate — the incremental
+    // property the operator's Scaladoc claims
+    val offset = 1000000L
+    val grown = docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + offset))
+    val base = TrainPipe.mixtureSample(docs).collect().toSeq
+    val rerun = TrainPipe.mixtureSample(grown)
+      .filter(col("doc_id") < offset).collect().toSeq
+    assert(rerun === base)
+  }
+
+  test("budget sample is subset-consistent: selections over a grown corpus are a subset of the prior run's") {
+    // keep iff bucket * total < budget * 10000 — totals only GROW as the
+    // corpus grows, so the per-doc test only gets stricter: any doc kept
+    // on the superset run must have been kept on the base run (rates
+    // shrink monotonically; no doc ever flips from dropped to kept)
+    val offset = 1000000L
+    val grown = docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + offset))
+    val budget = 500L
+    val base = TrainPipe.budgetSample(docs, budgetTokens = budget)
+      .collect().map(_.getLong(0)).toSet
+    val rerunOnBase = TrainPipe.budgetSample(grown, budgetTokens = budget)
+      .filter(col("doc_id") < offset)
+      .collect().map(_.getLong(0)).toSet
+    assert(rerunOnBase.subsetOf(base),
+      s"${(rerunOnBase -- base).size} docs flipped dropped -> kept")
+    // and the shrink is real on this fixture, not vacuous
+    assert(rerunOnBase.size < base.size, "superset run did not tighten")
+    assert(rerunOnBase.nonEmpty)
+  }
+
+  test("full pipeline equals the standalone stages chained by hand") {
+    import org.apache.spark.sql.expressions.Window
+    val out = TrainPipe.fullPipeline(docs).collect()
+    assert(out.nonEmpty)
+    // chain the already-proven standalone operators stage by stage
+    val kept = docs
+      .withColumn("k", min("doc_id").over(
+        Window.partitionBy(sha2(col("text"), 256))))
+      .filter(col("doc_id") === col("k"))
+      .drop("k")
+    val repIds = graft.ops.QualityOps.repetitionStats(kept)
+      .filter(col("keep") === 1).collect().map(_.getLong(0)).toSet
+    val fqIds = graft.ops.QualityOps.freqQuality(kept)
+      .filter(col("keep") === 1).collect().map(_.getLong(0)).toSet
+    val gated = kept.filter(col("doc_id").isInCollection(repIds intersect fqIds))
+    val mixIds = TrainPipe.mixtureSample(gated).collect().map(_.getLong(0)).toSet
+    val budIds = TrainPipe.budgetSample(gated.filter(col("doc_id").isInCollection(mixIds)))
+      .collect().map(_.getLong(0)).toSet
+    val packed = TrainPipe
+      .packSequences(docs.filter(col("doc_id").isInCollection(budIds)))
+      .collect()
+    // same survivors, and identical packing columns for each of them
+    assert(out.map(_.getLong(0)).toSeq === packed.map(_.getLong(0)).toSeq)
+    val byId = packed.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    out.foreach { r =>
+      val (shard, nTok, off, cf, cl) = byId(r.getLong(0))
+      assert(r.getLong(4) === shard && r.getLong(3) === nTok &&
+        r.getLong(5) === off && r.getLong(6) === cf && r.getLong(7) === cl,
+        s"doc ${r.getLong(0)} packing mismatch")
+    }
+  }
+
+  test("full pipeline plan: text scanned once (deduped corpus materialized), no text in any join key") {
+    // fresh (non-shared) frame so cached blocks don't leak into other tests
+    val local = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = TrainPipe.fullPipeline(local)
+    df.collect()
+    val exec = df.queryExecution.executedPlan
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collectLeaves().flatMap {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          leaves(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          leaves(q.plan)
+        case l => Seq(l)
+      }
+    val ls = leaves(exec)
+    // every branch reads the materialized keeper output, so the executed
+    // tree has NO direct parquet scan — the single scan lives inside the
+    // cache build (one materialization, plan-guaranteed by Spark's cache)
+    val fileScans = ls.count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    val cacheReads = ls.count(_.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+    assert(fileScans === 0, s"direct table scans leaked past the materialization:\n$exec")
+    assert(cacheReads >= 2, s"gate branches are not reading the materialized corpus:\n$exec")
+    // no join ever keys on raw text
+    val joinKeys = exec.toString.linesIterator
+      .filter(l => l.contains("HashJoin") || l.contains("SortMergeJoin"))
+      .mkString("\n")
+    assert(!joinKeys.contains("text#"), joinKeys)
+    // suites share the session sequentially; drop this test's cache blocks
+    spark.catalog.clearCache()
+  }
+
+  test("domain cap (q86): no source exceeds the cap, best-first within each") {
+    val out = TrainPipe.stratifiedTopK(docs, k = 5, shards = 4, by = "source")
+      .collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(1)).foreach { case (src, rows) =>
+      assert(rows.length <= 5, s"$src over cap")
+      assert(rows.map(_.getLong(3)).sorted.toSeq === (1L to rows.length).toSeq)
+      // ranks follow n_chars desc
+      val byRank = rows.sortBy(_.getLong(3)).map(_.getLong(2)).toSeq
+      assert(byRank === byRank.sorted.reverse, s"$src not best-first")
+    }
+  }
+
   test("stratified top-k: two-phase result equals the naive one-phase top-k") {
     import org.apache.spark.sql.expressions.Window
     val out = TrainPipe.stratifiedTopK(docs, k = 7, shards = 4).collect()
