@@ -37,6 +37,15 @@ object Plans {
       mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
     Audit("q44_ann_ivf", "IVF: map-side centroid argmax, equi-join only on list_id",
       mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    Audit("q47_range_frame", "event-time RANGE frame on integer micros, window partitioned per user — no join, never a single global window partition",
+      mustContain = Seq("Window"),
+      mustNotContain = Seq("Join", "SinglePartition")),
+    Audit("q62_resample", "gap-fill resample: per-user hour spine via sequence+explode (no driver calendar, no global-spine cross join); spine joins the agg on (user_id, h) equi-keys",
+      mustContain = Seq("Generate"),
+      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    Audit("q63_sliding_window", "sliding windows: each event explodes to exactly its 2 covering windows (bounded Generate), then ONE partial+final hash aggregate — no join, no self-union of scans",
+      mustContain = Seq("Generate", "HashAggregate"),
+      mustNotContain = Seq("Join", "CartesianProduct")),
     Audit("q45_corpus_filter", "corpus pipeline: one digest shuffle, no joins at all",
       mustContain = Seq("sha2"), mustNotContain = Seq("Join")),
     Audit("q60_cooccurrence", "vocabulary pruned via broadcast top-50 before the self-join",
@@ -81,9 +90,18 @@ object Plans {
     Audit("q82_ann_quantized", "quantized ANN: native vec_quantize_i8/vec_dot_i8 in the projection, bounded query sliver broadcast (the q24 brute-force shape on 4×-smaller vectors); no shuffle join of the corpus",
       mustContain = Seq("vec_dot_i8"),
       mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
-    Audit("q83_topk_sketch", "sketched exact top-k: recount phase is a codegen'd IN-set filter + hash aggregate over <= capacity candidate keys — no join, the tail vocabulary never shuffles",
-      mustContain = Seq("HashAggregate"),
-      mustNotContain = Seq("Join", "CartesianProduct")))
+    Audit("q83_topk_sketch", "sketched exact top-k: the sketch + guarded recount execute IN-OPERATOR (bounded shuffle, <= capacity keys/partition); the returned frame is the verified k rows as a LOCAL relation — the caller's action must NOT re-scan the corpus",
+      mustContain = Seq("LocalTableScan"),
+      mustNotContain = Seq("Join", "CartesianProduct", "Scan parquet")),
+    Audit("q84_crossdoc_spans", "cross-doc span dedup: map-side span Generate, ownership via ONE min/max aggregate WITH map-side partials (a boilerplate span cannot hot-key a reducer), AQE-splittable equi-join back — never a window over a global span key",
+      mustContain = Seq("Generate", "partial_min"),
+      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    Audit("q85_full_pipeline", "composed pipeline: keeper output MATERIALIZED (every gate branch reads the cache, text scanned once); gate joins keyed on doc_id, budget totals broadcast, packing window (shard)-bounded",
+      mustContain = Seq("InMemoryTableScan", "Window"),
+      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    Audit("q86_domain_cap", "per-domain caps: q80's two-phase exact top-k keyed on source — phase-1 windows (source, shard)-bounded, no domain ever sorts in one task; no join anywhere",
+      mustContain = Seq("Window"),
+      mustNotContain = Seq("Join", "SinglePartition", "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
