@@ -101,7 +101,13 @@ object Plans {
       mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
     Audit("q86_domain_cap", "per-domain caps: q80's two-phase exact top-k keyed on source — phase-1 windows (source, shard)-bounded, no domain ever sorts in one task; no join anywhere",
       mustContain = Seq("Window"),
-      mustNotContain = Seq("Join", "SinglePartition", "CartesianProduct")))
+      mustNotContain = Seq("Join", "SinglePartition", "CartesianProduct")),
+    Audit("q87_domain_budget", "per-domain token budget: q79's machinery keyed on source — per-source totals broadcast back, map-side integer keep test; no window, no ordered prefix scan",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("Window", "SortMergeJoin", "CartesianProduct")),
+    Audit("q88_strip_spans", "boilerplate strip: q84 cut list → (doc_id, idx) anti-join against the token stream (doc_id in every join key), in-row array_sort reassembly — no global sort of tokens, no nested loop",
+      mustContain = Seq("Generate", "partial_min"),
+      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

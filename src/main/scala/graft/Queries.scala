@@ -1724,6 +1724,25 @@ object Queries {
     (s, d) => graft.ops.TrainPipe.stratifiedTopK(t(s, d, "documents"), by = "source"),
     Some(graft.ops.TrainPipe.stratifiedTopKOracleSql(by = "source")))
 
+  /** Per-domain TOKEN caps: q79's budget machinery keyed on source —
+    * the token-count twin of q86's document caps. budget=500 binds on
+    * this corpus (per-source totals exceed it), so the test is real.
+    */
+  private val q87 = QueryDef(
+    "q87_domain_budget",
+    (s, d) => graft.ops.TrainPipe.budgetSample(
+      t(s, d, "documents"), budgetTokens = 500L, by = "source"),
+    Some(graft.ops.TrainPipe.budgetOracleSql(budgetTokens = 500L, by = "source")))
+
+  /** Boilerplate stripping: q84's removal spans APPLIED — covered tokens
+    * cut out, surviving tokens rejoined in order, every doc emitted.
+    * The action to q84's analysis (as q66's keep list is to q20).
+    */
+  private val q88 = QueryDef(
+    "q88_strip_spans",
+    (s, d) => graft.ops.TextOps.stripRemovalSpans(t(s, d, "documents")),
+    Some(graft.ops.TextOps.stripRemovalSpansOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -1749,5 +1768,5 @@ object Queries {
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
     q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86)
+    q81, q82, q83, q84, q85, q86, q87, q88)
 }

@@ -201,6 +201,17 @@ object ScaleCurve {
         // exactly base-rows × factor.
         Cell(f, "q69_repeated_spans",
           () => graft.ops.TextOps.repeatedSpans(docs),
+          _.count()),
+        // cross-doc removal spans (q84): `translate` is a per-character
+        // bijection, so every replica has the SAME cross-doc span
+        // structure as the base while span strings across replicas are
+        // disjoint (every token carries a letter — guarded above) — no
+        // cross-replica ownership, so rows must be exactly base × factor.
+        // The interesting curve is the GLOBAL span aggregate + join-back:
+        // vocabulary of spans grows with the corpus, and the map-side
+        // partials must keep the ownership shuffle linear.
+        Cell(f, "q84_crossdoc_spans",
+          () => graft.ops.TextOps.crossDocRemovalSpans(docs),
           _.count()))
     }
 

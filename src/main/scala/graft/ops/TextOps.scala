@@ -376,7 +376,14 @@ object TextOps {
     * 64-bit span digest into the shuffle/join key and re-attach text to
     * the reported removals only (the q20 digest-not-text discipline).
     */
-  def crossDocRemovalSpans(docs: DataFrame, w: Int = 3): DataFrame = {
+  def crossDocRemovalSpans(docs: DataFrame, w: Int = 3): DataFrame =
+    removalSpansCore(docs, w).orderBy("doc_id", "pos")
+
+  /** [[crossDocRemovalSpans]] without the output sort — the composable
+    * form [[stripRemovalSpans]] consumes (a mid-pipeline global sort
+    * would be a pure-overhead range exchange).
+    */
+  private def removalSpansCore(docs: DataFrame, w: Int): DataFrame = {
     val grams = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       // sequence(a, b) DESCENDS when b < a (same guard as repeatedSpans)
@@ -393,7 +400,6 @@ object TextOps {
       .join(owners, Seq("span"))
       .filter(col("doc_id") =!= col("owner_id"))
       .select(col("doc_id"), col("pos"), col("span"), col("owner_id"))
-      .orderBy("doc_id", "pos")
   }
 
   /** DuckDB oracle replicating [[crossDocRemovalSpans]]: identical
@@ -414,6 +420,94 @@ object TextOps {
        |FROM grams g JOIN own o ON g.span = o.span
        |WHERE o.owner_id < o.max_id AND g.doc_id <> o.owner_id
        |ORDER BY doc_id, pos""".stripMargin
+
+  /** Apply [[crossDocRemovalSpans]]' cut list: emit every document with
+    * the tokens covered by any removal span CUT OUT — the boilerplate-
+    * stripped corpus a crawl pipeline actually trains on (the action to
+    * q84's analysis, as q66's keep list is to q20's digests). A removal
+    * span at position p covers token indices p..p+w-1; overlapping spans
+    * union naturally through the distinct covered-index set.
+    *
+    * Output (doc_id, n_tokens, n_removed, clean_text) for EVERY doc:
+    * n_removed = covered token count, clean_text = surviving tokens
+    * re-joined in order (docs with nothing removed pass through whole;
+    * a fully-boilerplate doc yields '').
+    *
+    * Shape: the cut list is q84's plan; covered indices explode w rows
+    * per removal (bounded by w × removals, not corpus size) and dedup on
+    * (doc_id, idx) — doc_id in the key, so the q74 discipline holds. The
+    * token stream anti-joins the covered set on (doc_id, idx) — doc_id
+    * in the join key spreads boilerplate-heavy docs' lookups — and
+    * reassembly is one (doc_id)-keyed aggregate ordering by idx inside
+    * the row (array_sort over (idx, tok) structs, codegen'd), NOT a
+    * global sort. Three doc_id-spread exchanges + q84's two; text rides
+    * the wire only as tokens of the docs being rebuilt.
+    */
+  def stripRemovalSpans(docs: DataFrame, w: Int = 3): DataFrame = {
+    val covered = removalSpansCore(docs, w)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${w - 1})")).as("idx"))
+      .distinct()
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("idx"), col("col").as("tok"))
+    val rebuilt = toks
+      .join(covered, Seq("doc_id", "idx"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          expr("transform(array_sort(collect_list(struct(idx, tok))), x -> x.tok)"),
+          " ").as("clean_text"))
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle replicating [[stripRemovalSpans]]. */
+  def stripRemovalSpansOracleSql(w: Int = 3): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    array_to_string(t[CAST(i AS BIGINT):CAST(i + ${w - 1} AS BIGINT)], ' ') AS span
+       |  FROM toks, unnest(range(1, len(t) - ${w - 2})) AS r(i)
+       |  WHERE len(t) >= $w),
+       |own AS (
+       |  SELECT span, min(doc_id) AS owner_id, max(doc_id) AS max_id
+       |  FROM grams GROUP BY 1),
+       |rem AS (
+       |  SELECT g.doc_id, g.pos
+       |  FROM grams g JOIN own o ON g.span = o.span
+       |  WHERE o.owner_id < o.max_id AND g.doc_id <> o.owner_id),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, pos + CAST(k AS BIGINT) AS idx
+       |  FROM rem, unnest(range(0, $w)) AS u(k)),
+       |tk AS (
+       |  SELECT doc_id, CAST(generate_subscripts(t, 1) AS BIGINT) AS idx,
+       |    unnest(t) AS tok
+       |  FROM toks),
+       |surv AS (
+       |  SELECT tk.doc_id, tk.idx, tk.tok
+       |  FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.idx = cov.idx
+       |  WHERE cov.idx IS NULL),
+       |reb AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY idx) AS clean_text
+       |  FROM surv GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT)
+       |    - COALESCE(reb.n_kept, 0) AS n_removed,
+       |  COALESCE(reb.clean_text, '') AS clean_text
+       |FROM documents d LEFT JOIN reb USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** Exact top-k words via a Misra–Gries candidate sketch + exact
     * recount — the at-scale form of q21's full-vocabulary aggregate.

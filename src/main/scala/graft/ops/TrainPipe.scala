@@ -338,43 +338,50 @@ object TrainPipe {
     * stable across runs/partitionings/engines, and a re-run over grown
     * data keeps a subset-consistent selection (rate only shrinks).
     */
-  /** Budget filter core over any frame carrying (doc_id, lang,
-    * n_tokens): one per-lang total aggregate (broadcast back) + the
+  /** Budget filter core over any frame carrying (doc_id, `by`,
+    * n_tokens): one per-stratum total aggregate (broadcast back) + the
     * map-side integer keep test, all input columns preserved. Shared by
     * [[budgetSample]] and [[fullPipeline]]; the totals branch and the
     * probe branch re-read the SAME upstream exchange (ReusedExchange),
     * not the source table.
     */
-  private def budgetFilter(toks: DataFrame, budgetTokens: Long): DataFrame = {
-    val totals = toks.groupBy("lang").agg(sum("n_tokens").as("total"))
+  private def budgetFilter(
+      toks: DataFrame, budgetTokens: Long, by: String = "lang"): DataFrame = {
+    val totals = toks.groupBy(by).agg(sum("n_tokens").as("total"))
     toks
-      .join(broadcast(totals), Seq("lang"))
+      .join(broadcast(totals), Seq(by))
       .filter(
         (docHash("budget:", col("doc_id")) % 10000) * col("total")
           < lit(budgetTokens) * lit(10000L))
       .drop("total")
   }
 
-  def budgetSample(docs: DataFrame, budgetTokens: Long = 3000L): DataFrame =
+  /** `by` picks the stratum: "lang" is the per-language mixing cap
+    * (q79); "source" is the per-domain TOKEN cap (q87) — the document
+    *-count twin is [[stratifiedTopK]](by = "source").
+    */
+  def budgetSample(
+      docs: DataFrame, budgetTokens: Long = 3000L,
+      by: String = "lang"): DataFrame =
     budgetFilter(
       docs.select(
-        col("doc_id"), col("lang"),
+        col("doc_id"), col(by),
         size(split(col("text"), " ")).cast("long").as("n_tokens")),
-      budgetTokens)
-      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      budgetTokens, by)
+      .select(col("doc_id"), col(by), col("n_tokens"))
       .orderBy("doc_id")
 
   /** DuckDB SQL replicating [[budgetSample]]. */
-  def budgetOracleSql(budgetTokens: Long = 3000L): String =
+  def budgetOracleSql(budgetTokens: Long = 3000L, by: String = "lang"): String =
     s"""WITH t AS (
-       |  SELECT doc_id, lang,
+       |  SELECT doc_id, $by,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
        |  FROM documents),
        |tot AS (
-       |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total
+       |  SELECT $by, CAST(sum(n_tokens) AS BIGINT) AS total
        |  FROM t GROUP BY 1)
-       |SELECT doc_id, t.lang, n_tokens
-       |FROM t JOIN tot ON t.lang = tot.lang
+       |SELECT doc_id, t.$by, n_tokens
+       |FROM t JOIN tot ON t.$by = tot.$by
        |WHERE ${duckHex7("'budget:' || doc_id")} % 10000 * total
        |  < $budgetTokens * 10000
        |ORDER BY doc_id""".stripMargin

@@ -181,4 +181,40 @@ class TextOpsSpec extends SparkSpec {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  test("stripRemovalSpans: covered tokens cut, owner and unique docs untouched, overlaps union") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c x a b c"),          // owner of "a b c": untouched
+      (1L, "z a b c w a b c"),        // both occurrences cut (tokens 2-4, 6-8)
+      (2L, "m n o m n o"),            // intra-doc repeat only: untouched
+      (3L, "q r s t"),                // owner of "q r s"/"r s t": untouched
+      (4L, "r s t u"),                // "r s t" cut (tokens 1-3) -> "u"
+      (5L, "p q r s t")               // "q r s"+"r s t" overlap: tokens 2-5 cut -> "p"
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.stripRemovalSpans(docs, w = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(0L) === ((7L, 0L, "a b c x a b c")))
+    assert(out(1L) === ((8L, 6L, "z w")))
+    assert(out(2L) === ((6L, 0L, "m n o m n o")))
+    assert(out(3L) === ((4L, 0L, "q r s t")))
+    assert(out(4L) === ((4L, 3L, "u")))
+    assert(out(5L) === ((5L, 4L, "p")))
+    assert(out.size === 6) // every doc emitted
+  }
+
+  test("stripRemovalSpans is partition-independent and total on the corpus") {
+    val docs = Queries.t(spark, "/root/testdata/sf0.001", "documents")
+    val a = graft.ops.TextOps.stripRemovalSpans(docs.repartition(1)).collect().toSeq
+    val b = graft.ops.TextOps.stripRemovalSpans(docs.repartition(7)).collect().toSeq
+    assert(a === b)
+    assert(a.length.toLong === docs.count())
+    // the cut is consistent with the span analysis: removal-span docs lose tokens
+    val flagged = graft.ops.TextOps.crossDocRemovalSpans(docs)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val losses = a.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    flagged.foreach(d => assert(losses(d) > 0L, s"doc $d flagged but lost nothing"))
+    a.foreach(r => if (!flagged(r.getLong(0)))
+      assert(r.getLong(2) === 0L, s"doc ${r.getLong(0)} unflagged but cut"))
+  }
 }
