@@ -228,6 +228,64 @@ object NearDup {
       .orderBy("doc_id", "dup_of")
   }
 
+  /** Materialize a corpus's MinHash dedup state — token sets and band
+    * keys — to parquet. This is the storage contract the incremental
+    * Scaladocs promise: at cluster scale the base corpus's signatures
+    * are built ONCE (the text is read once, here), and every nightly
+    * delta probes the stored frames without recomputing or reshuffling
+    * the base. Sizes: bands are 4 longs × 32 per doc, tokens are the
+    * distinct-token sets (fingerprint-scale, not corpus-scale).
+    *
+    * Both writes happen in-call (eager), so the token cache is dropped
+    * before returning — no caller-owned lifetime here.
+    */
+  def writeSignatureStore(docs: DataFrame, path: String): Unit = {
+    val tok = tokens(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      tok.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/tokens.parquet")
+      bands(signatures(tok))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/bands.parquet")
+    } finally tok.unpersist(false)
+  }
+
+  /** [[incrementalNearDupPairs]] against a MATERIALIZED base: the delta
+    * batch is signed fresh (crawl-sized work), its band keys broadcast,
+    * and the base side streams from the [[writeSignatureStore]] parquet —
+    * the base text is never read, its signatures never recomputed, and
+    * nothing base-scale shuffles. Same output contract and verify
+    * arithmetic as the in-memory form (parity spec-pinned bit-for-bit);
+    * `delta` must carry doc_ids disjoint from the stored corpus (the
+    * ingest contract a ledgered pipeline already guarantees).
+    *
+    * Cache lifetime is CALLER-OWNED for the delta token frame (consumed
+    * by both the signature pass and the Jaccard verify of the returned
+    * lazy plan).
+    */
+  def incrementalNearDupPairsFromStore(
+      storePath: String,
+      delta: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = delta.sparkSession
+    val baseTok = spark.read.parquet(s"$storePath/tokens.parquet")
+    val baseBk = spark.read.parquet(s"$storePath/bands.parquet")
+    val deltaTok = tokens(delta)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deltaBk = bands(signatures(deltaTok))
+      .select(col("doc_id").as("new_id"), col("band"), col("k1"), col("k2"))
+    val cand = baseBk
+      .join(broadcast(deltaBk), Seq("band", "k1", "k2"))
+      .select(col("new_id"), col("doc_id").as("base_id"))
+      .distinct()
+    // doc_ids are disjoint, so one unioned token frame serves both
+    // verify attaches — the exact arithmetic stays verifiedJaccard's
+    verifiedJaccard(cand, baseTok.unionByName(deltaTok),
+      "new_id", "base_id", threshold)
+      .select(col("new_id").as("doc_id"), col("base_id").as("dup_of"), col("jaccard"))
+      .orderBy("doc_id", "dup_of")
+  }
+
   /** Full-corpus duplicate clusters at LINEAR candidate cost — the shape a
     * 100 TB dedup actually runs. Enumerating every near-dup pair is
     * inherently quadratic in cluster size (a B-doc template cluster is

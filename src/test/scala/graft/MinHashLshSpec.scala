@@ -73,4 +73,50 @@ class MinHashLshSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
+
+
+  test("signature store: the materialized-base probe equals the in-memory incremental form bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    val docs = Queries.t(spark, sf, "documents")
+    val store = tmpDir("sigstore").toString
+    // base = what a ledgered pipeline has already ingested; delta = tonight's batch
+    graft.ops.NearDup.writeSignatureStore(docs.filter(col("doc_id") % 5 =!= 0), store)
+    val fromStore = graft.ops.NearDup
+      .incrementalNearDupPairsFromStore(store, docs.filter(col("doc_id") % 5 === 0))
+      .collect().toSeq
+    val inMemory = graft.ops.NearDup.incrementalNearDupPairs(docs)
+      .collect().toSeq
+    assert(fromStore === inMemory)
+    assert(fromStore.nonEmpty)
+  }
+
+  test("signature store probe plan: base text never read, delta band keys broadcast") {
+    import org.apache.spark.sql.functions.col
+    val docs = Queries.t(spark, sf, "documents")
+    val store = tmpDir("sigstore2").toString
+    graft.ops.NearDup.writeSignatureStore(docs.filter(col("doc_id") % 5 =!= 0), store)
+    val df = graft.ops.NearDup
+      .incrementalNearDupPairsFromStore(store, docs.filter(col("doc_id") % 5 === 0))
+    df.collect()
+    val exec = df.queryExecution.executedPlan
+    assert(exec.toString.contains("BroadcastHashJoin"), exec.toString)
+    // walk the executed tree's leaves (an InMemoryRelation PRINTS its
+    // build plan, so string-grepping would see the delta's one-time cache
+    // build as a table scan): every parquet leaf must be a store frame —
+    // the corpus table contributes no scan node to the probe itself
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collectLeaves().flatMap {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          leaves(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          leaves(q.plan)
+        case l => Seq(l)
+      }
+    val fileScans = leaves(exec)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val locations = fileScans.map(_.metadata.getOrElse("Location", ""))
+    assert(locations.nonEmpty && locations.forall(l =>
+      l.contains("tokens.parquet") || l.contains("bands.parquet")),
+      s"probe scans a non-store table: $locations")
+  }
 }
