@@ -217,4 +217,42 @@ class TextOpsSpec extends SparkSpec {
     a.foreach(r => if (!flagged(r.getLong(0)))
       assert(r.getLong(2) === 0L, s"doc ${r.getLong(0)} unflagged but cut"))
   }
+
+
+  test("crossDocRemovalSpans and stripRemovalSpans match a driver-side reference on a random corpus") {
+    import spark.implicits._
+    // small token alphabet forces dense cross-doc span collisions
+    val rnd = new scala.util.Random(11)
+    val corpus: Seq[(Long, Vector[String])] =
+      (0L until 12L).map(d => d -> Vector.fill(30 + rnd.nextInt(40))(s"w${rnd.nextInt(8)}"))
+    val docs = corpus.map { case (d, t) => (d, t.mkString(" ")) }.toDF("doc_id", "text")
+    // reference: every 3-token window, ownership by min doc_id
+    val spans = corpus.flatMap { case (d, toks) =>
+      if (toks.length < 3) Seq.empty
+      else toks.sliding(3).zipWithIndex.map { case (w, i) => (d, (i + 1).toLong, w.mkString(" ")) }
+    }
+    val bySpan = spans.groupBy(_._3).map { case (sp, occ) => sp -> occ.map(_._1) }
+    val expRemovals = spans.collect {
+      case (d, p, sp) if bySpan(sp).min < bySpan(sp).max && d != bySpan(sp).min =>
+        (d, p, sp, bySpan(sp).min)
+    }.sortBy(t => (t._1, t._2))
+    val gotRemovals = graft.ops.TextOps.crossDocRemovalSpans(docs, w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(gotRemovals === expRemovals)
+    assert(gotRemovals.nonEmpty, "alphabet too wide; property is vacuous")
+    // reference strip: indices covered by any removal, survivors rejoined
+    val covByDoc = expRemovals.groupBy(_._1).map { case (d, rs) =>
+      d -> rs.flatMap(r => r._2 to (r._2 + 2)).toSet
+    }
+    val expStrip = corpus.map { case (d, toks) =>
+      val cov = covByDoc.getOrElse(d, Set.empty[Long])
+      val kept = toks.zipWithIndex.collect { case (t, i) if !cov((i + 1).toLong) => t }
+      (d, toks.length.toLong, (toks.length - kept.length).toLong, kept.mkString(" "))
+    }.sortBy(_._1)
+    val gotStrip = graft.ops.TextOps.stripRemovalSpans(docs, w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(gotStrip === expStrip)
+    // the property is exercised in both directions on this fixture
+    assert(expStrip.exists(_._3 > 0) && expStrip.exists(_._3 == 0))
+  }
 }
