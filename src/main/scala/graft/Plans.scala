@@ -23,18 +23,39 @@ object Plans {
       mustContain = Seq("PushedFilters: [IsNotNull"), mustNotContain = Nil),
     Audit("q10_join_star", "dims broadcast: no shuffle of the fact side for the joins",
       mustContain = Seq("BroadcastHashJoin"), mustNotContain = Seq("BroadcastNestedLoopJoin")),
+    Audit("q15_window_rank", "top-3-per-key rank: window partitioned by o_custkey — one shuffle, never a single global window partition, no join",
+      mustContain = Seq("Window"), mustNotContain = Seq("Join", "SinglePartition")),
+    Audit("q16_window_running", "running sum: window partitioned per user — bounded partitions, no join",
+      mustContain = Seq("Window"), mustNotContain = Seq("Join", "SinglePartition")),
+    Audit("q17_window_lag", "lag/delta: per-user window, no join, no global partition",
+      mustContain = Seq("Window"), mustNotContain = Seq("Join", "SinglePartition")),
     Audit("q20_dedup_exact", "dedup groups on sha2 digest, never raw text bytes",
       mustContain = Seq("sha2"), mustNotContain = Nil),
+    Audit("q21_word_topk", "word top-k: explode + ONE partial+final hash aggregate, top-k via TakeOrdered — no join, no global sort of the vocabulary",
+      mustContain = Seq("Generate", "HashAggregate", "TakeOrderedAndProject"),
+      mustNotContain = Seq("Join")),
     Audit("q23_ngram_jaccard", "inverted-index equi-join; no all-pairs nested loop",
       mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
     Audit("q25_minhash_lsh", "LSH band equi-join on (band, hash) keys (hash join; broadcast at small SF, shuffle at scale)",
       mustContain = Seq("HashJoin"), mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    Audit("q26_tumbling_window", "tumbling windows in batch: date_trunc keys into ONE partial+final hash aggregate — no window operator, no join",
+      mustContain = Seq("HashAggregate"), mustNotContain = Seq("Join", "Window")),
+    Audit("q27_sessionize", "sessionization: per-user lag + running session ids — windows partitioned by user_id, never global; no join",
+      mustContain = Seq("Window"), mustNotContain = Seq("Join", "SinglePartition")),
     Audit("q29_ann_lsh", "bucketed ANN: equi-join on (table, bucket)",
       mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    Audit("q34_binary_meta", "multimodal metadata: per-partition codec pass over binary payloads — payload never joins or shuffles by content",
+      mustNotContain = Seq("Join", "CartesianProduct")),
     Audit("q38_asof_join", "as-of via union + running last(): single shuffle, zero joins",
       mustNotContain = Seq("Join")),
     Audit("q39_range_join", "range predicate as (key, time-bucket) equi-join",
       mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    Audit("q40_percentile", "exact grouped percentiles: ONE TypedImperativeAggregate buffer per group (array of ps), partial+merge object hash aggregate — no join, no per-group sort job",
+      mustContain = Seq("ObjectHashAggregate"), mustNotContain = Seq("Join")),
+    Audit("q41_stats", "corr/covar/stddev: declarative one-pass hash aggregate — no join, no second scan",
+      mustContain = Seq("HashAggregate"), mustNotContain = Seq("Join")),
+    Audit("q43_session_window", "native session windows in batch: session_window keys into an aggregate — no join, no cartesian",
+      mustNotContain = Seq("Join", "CartesianProduct")),
     Audit("q44_ann_ivf", "IVF: map-side centroid argmax, equi-join only on list_id",
       mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
     Audit("q47_range_frame", "event-time RANGE frame on integer micros, window partitioned per user — no join, never a single global window partition",
@@ -48,8 +69,26 @@ object Plans {
       mustNotContain = Seq("Join", "CartesianProduct")),
     Audit("q45_corpus_filter", "corpus pipeline: one digest shuffle, no joins at all",
       mustContain = Seq("sha2"), mustNotContain = Seq("Join")),
+    Audit("q48_window_dist", "distribution functions: per-custkey windows, never a single global partition; no join",
+      mustContain = Seq("Window"), mustNotContain = Seq("Join", "SinglePartition")),
+    Audit("q49_string_funcs", "string-function breadth: pure per-row codegen'd projection — no join, no aggregate, no window",
+      mustNotContain = Seq("Join", "HashAggregate", "Window")),
+    Audit("q53_sql_tpch_q1", "SQL front-end TPC-H Q1: the shipdate filter is PUSHED to the parquet scan, one partial+final hash aggregate",
+      mustContain = Seq("HashAggregate", "PushedFilters: [IsNotNull"),
+      mustNotContain = Seq("Join")),
+    Audit("q58_histogram", "equi-width histogram: bucket arithmetic map-side into ONE hash aggregate — no join",
+      mustContain = Seq("HashAggregate"), mustNotContain = Seq("Join")),
     Audit("q60_cooccurrence", "vocabulary pruned via broadcast top-50 before the self-join",
       mustContain = Seq("BroadcastHashJoin"), mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    Audit("q61_tfidf", "TF-IDF: tf/df via equi-joins; the ONE BroadcastNestedLoopJoin is the intended 1-ROW scalar broadcast (corpus size attached to every score row — no driver-side count job); no cartesian of real tables",
+      mustContain = Seq("IdentityBroadcastMode"),
+      mustNotContain = Seq("CartesianProduct")),
+    Audit("q64_dedup_clusters", "embedding dup clusters: LSH bucket pairs -> CC — equi-joins only at every step",
+      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    Audit("q65_share", "ratio-to-report: frameless windowed sum broadcast back to rows — one window, no join",
+      mustContain = Seq("Window"), mustNotContain = Seq("Join")),
+    Audit("q66_dedup_keep", "keeper election: groups on the sha2 digest (text never a key), one digest window — no join",
+      mustContain = Seq("sha2", "Window"), mustNotContain = Seq("Join", "SinglePartition")),
     Audit("q67_approx_percentile", "mergeable GK sketch: partial+final object hash aggregate, no per-group value buffering in one reducer",
       mustContain = Seq("ObjectHashAggregate"), mustNotContain = Seq("Expand")),
     Audit("q68_dedup_clusters_full", "full-corpus dedup: band-min edges + CC, linear candidate cost; no nested-loop/cartesian anywhere",
