@@ -255,4 +255,36 @@ class TextOpsSpec extends SparkSpec {
     // the property is exercised in both directions on this fixture
     assert(expStrip.exists(_._3 > 0) && expStrip.exists(_._3 == 0))
   }
+
+
+  test("q84/q88 are total on dirty corpora: null text, empty text, short docs, empty corpus") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType, nullable = true)))
+    val rows = Seq(
+      org.apache.spark.sql.Row(0L, null),
+      org.apache.spark.sql.Row(1L, ""),
+      org.apache.spark.sql.Row(2L, "a b"),
+      org.apache.spark.sql.Row(3L, "x y z"),
+      org.apache.spark.sql.Row(4L, "x y z w"))
+    val docs = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val spans = graft.ops.TextOps.crossDocRemovalSpans(docs, w = 3).collect()
+    // only the cross-doc repeat survives; null/empty/short docs are silent
+    assert(spans.map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq ===
+      Seq((4L, 1L, "x y z", 3L)))
+    val strip = graft.ops.TextOps.stripRemovalSpans(docs, w = 3).collect()
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) -1L else r.getLong(1)),
+        (if (r.isNullAt(2)) -1L else r.getLong(2)), r.getString(3))).toMap
+    assert(strip.size === 5) // TOTAL: every doc emitted, dirty or not
+    assert(strip(0L)._3 === "")            // null text -> empty clean_text, no crash
+    assert(strip(1L) === ((1L, 0L, "")))   // "" splits to one empty token, kept
+    assert(strip(2L) === ((2L, 0L, "a b")))
+    assert(strip(3L) === ((3L, 0L, "x y z")))
+    assert(strip(4L) === ((4L, 3L, "w")))
+    // empty corpus: both operators yield empty, no exceptions
+    val none = docs.filter(org.apache.spark.sql.functions.col("doc_id") < 0)
+    assert(graft.ops.TextOps.crossDocRemovalSpans(none).collect().isEmpty)
+    assert(graft.ops.TextOps.stripRemovalSpans(none).collect().isEmpty)
+  }
 }
