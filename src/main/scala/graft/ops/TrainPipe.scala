@@ -18,7 +18,7 @@ object TrainPipe {
     * deterministic, partition-independent per-doc hash used for shard
     * assignment and sampling (same construction as [[NearDup.seeds]]).
     */
-  private def docHash(prefix: String, idCol: Column): Column =
+  private[graft] def docHash(prefix: String, idCol: Column): Column =
     conv(substring(md5(concat(lit(prefix), idCol.cast("string")).cast("binary")), 1, 7), 16, 10)
       .cast("long")
 

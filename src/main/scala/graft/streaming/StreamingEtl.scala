@@ -535,6 +535,78 @@ object StreamingEtl {
       .agg(graft.functions.HeavyHitters.misraGries(col("word"), capacity)
         .as("candidates"))
 
+  /** STATELESS corpus-ingest gate for a document stream: the map-side
+    * subset of the batch training pipeline — token-length bounds, an
+    * in-row repetition heuristic, a Bloom decontamination prefilter, and
+    * deterministic mixture sampling — as one narrow projection + filter.
+    * Every predicate is a pure per-row function (no aggregate, no
+    * watermark, no state; spec asserts zero state operators), so the
+    * gate composes with any downstream stateful operator
+    * ([[dedupWithinWatermark]], [[streamingNearDup]],
+    * [[streamingTopKWords]]) without spending the query's stateful
+    * budget — and the SAME function applied to a batch frame is the
+    * parity oracle (spec-pinned row-for-row).
+    *
+    * Deliberate trade-offs vs the batch operators:
+    *   - repetition: q74's exact dup-token fraction is a (doc_id, tok)
+    *     AGGREGATE — stateful inside a stream — so the gate uses the
+    *     in-row `array_distinct` form: same value, computed per row
+    *     (the interpreted set-build cost noted in
+    *     [[graft.ops.TrainPipe]] is the price of statelessness, paid
+    *     only on this path). The bigram-dominance half of q74 is
+    *     omitted: dup-token fraction already kills the degenerate docs
+    *     a stream gate must stop.
+    *   - decontamination: the Bloom PREFILTER alone decides (any
+    *     bloom-positive gram ⇒ drop): ~fpp chance of over-dropping a
+    *     clean doc, ZERO chance of keeping a contaminated one — the
+    *     conservative direction for a training corpus. The exact verify
+    *     join (q76) needs the held grams as a table; run it in the
+    *     batch compaction pass if over-drops matter.
+    *   - mixture: the q72 hash test verbatim
+    *     ([[graft.ops.TrainPipe.docHash]] — same md5 bucket, so a doc
+    *     admitted here is exactly the doc q72 would admit).
+    *
+    * `heldSketch` comes from [[graft.functions.SketchFunctions
+    * .bloomFilterAgg]] over the held-out grams (what
+    * [[graft.ops.TrainPipe.decontaminateBloom]] builds); None skips the
+    * contamination predicate.
+    *
+    * Output: the admitted docs with (n_tokens, dup_tok_frac) attached.
+    */
+  def corpusGate(
+      docs: DataFrame,
+      heldSketch: Option[Array[Byte]] = None,
+      rates: Seq[(String, Int)] = graft.ops.TrainPipe.DefaultRates,
+      minTokens: Int = 3,
+      maxDupTokFrac: Double = 0.75,
+      w: Int = 3): DataFrame = {
+    val t = split(col("text"), " ")
+    val nTokens = size(t).cast("long")
+    val dupFrac = round(
+      lit(1.0) - size(array_distinct(t)).cast("double") / size(t), 4)
+    val grams = when(size(t) >= w,
+      expr(s"transform(sequence(1, size(split(text, ' ')) - ${w - 1}), " +
+        s"i -> concat_ws(' ', slice(split(text, ' '), i, $w)))"))
+      .otherwise(array().cast("array<string>"))
+    val contaminated = heldSketch match {
+      case Some(sk) => exists(grams,
+        g => graft.functions.SketchFunctions.mightContain(sk, xxhash64(g)))
+      case None => lit(false)
+    }
+    val bps = rates.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col("lang") === k, lit(v.toLong)).otherwise(acc)
+    }
+    docs
+      .withColumn("n_tokens", nTokens)
+      .withColumn("dup_tok_frac", dupFrac)
+      .filter(
+        col("text").isNotNull &&
+          col("n_tokens") >= minTokens &&
+          col("dup_tok_frac") <= maxDupTokFrac &&
+          !contaminated &&
+          (graft.ops.TrainPipe.docHash("mix:", col("doc_id")) % 10000) < bps)
+  }
+
   /** Streaming exact dedup: keep the first row per `idCols` seen within
     * the watermark horizon. State is one entry per distinct key, expired
     * once the watermark passes — bounded, unlike a global

@@ -574,4 +574,54 @@ class StreamingEtlSpec extends SparkSpec {
       .orderBy("user_id").collect().toSeq
     assert(got == expected)
   }
+
+
+  test("corpusGate: stateless stream gate equals its own batch form; zero state operators") {
+    import spark.implicits._
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType)))
+    // held-out sketch over the grams of one benchmark doc
+    val held = Seq("alpha beta gamma delta").toDF("text")
+      .select(explode(expr(
+        "transform(sequence(1, size(split(text, ' ')) - 2), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))")).as("gram"))
+    val sketch = held
+      .agg(graft.functions.SketchFunctions
+        .bloomFilterAgg(xxhash64(col("gram")), 2L).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val rows =
+      """{"doc_id":1,"text":"the quick brown fox jumps over dogs","lang":"fr","source":"s0"}
+        |{"doc_id":2,"text":"x alpha beta gamma tail","lang":"fr","source":"s0"}
+        |{"doc_id":3,"text":"spam spam spam spam spam spam spam spam spam ham","lang":"fr","source":"s0"}
+        |{"doc_id":4,"text":"too short","lang":"fr","source":"s0"}
+        |{"doc_id":5,"text":"a clean novel sentence of words","lang":"xx","source":"s0"}
+        |{"doc_id":6,"text":null,"lang":"fr","source":"s0"}
+        |{"doc_id":7,"text":"another clean novel sentence here","lang":"fr","source":"s0"}
+        |""".stripMargin
+    val in = tmpDir("gate-in")
+    writeFile(in, "docs.json", rows)
+
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      StreamingEtl.corpusGate(df, heldSketch = Some(sketch))
+
+    val q = gate(StreamingEtl.jsonFileStream(spark, in.toString, docsSchema))
+      .writeStream.format("memory").queryName("corpus_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("corpus_gate")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      // 1 & 7 pass; 2 contaminated (shares "alpha beta gamma"); 3 repetitious
+      // (dup_tok_frac 0.8 > 0.75); 4 under min length; 5 unlisted lang; 6 null text
+      assert(streamed === Seq(1L, 7L))
+      // the SAME function on the batch frame is the parity oracle
+      val batch = gate(spark.read.schema(docsSchema).json(in.toString))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(batch === streamed)
+      // stateless: the gate spends none of the query's stateful budget
+      assert(q.lastProgress.stateOperators.isEmpty,
+        q.lastProgress.stateOperators.mkString(","))
+    } finally q.stop()
+  }
 }
