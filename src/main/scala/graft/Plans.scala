@@ -146,6 +146,9 @@ object Plans {
       mustNotContain = Seq("Window", "SortMergeJoin", "CartesianProduct")),
     Audit("q88_strip_spans", "boilerplate strip: q84 cut list → (doc_id, idx) anti-join against the token stream (doc_id in every join key), in-row array_sort reassembly — no global sort of tokens, no nested loop",
       mustContain = Seq("Generate", "partial_min"),
+      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    Audit("q89_containment", "containment: SSJoin prefix-filtered inverted index (k rarest tokens per doc), candidate equi-join on tok, exact verify on token arrays — no all-pairs nested loop, no cartesian",
+      mustContain = Seq("Window"),
       mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {

@@ -1743,6 +1743,18 @@ object Queries {
     (s, d) => graft.ops.TextOps.stripRemovalSpans(t(s, d, "documents")),
     Some(graft.ops.TextOps.stripRemovalSpansOracleSql()))
 
+  /** Asymmetric containment (quotation / near-subset detection): docs
+    * ≥80% token-contained in another doc — the dedup rule symmetric
+    * Jaccard misses and MinHash bands under-recall. Exact via SSJoin
+    * prefix filtering (index only each doc's ⌊n·0.2⌋+1 globally-rarest
+    * tokens — the pigeonhole bound makes pruning lossless); the oracle
+    * is the brute-force all-pairs form the pruned plan must equal.
+    */
+  private val q89 = QueryDef(
+    "q89_containment",
+    (s, d) => graft.ops.NearDup.containmentPairs(t(s, d, "documents")),
+    Some(graft.ops.NearDup.containmentOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -1768,5 +1780,5 @@ object Queries {
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
     q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87, q88)
+    q81, q82, q83, q84, q85, q86, q87, q88, q89)
 }

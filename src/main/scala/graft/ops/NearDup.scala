@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection operators for document corpora, designed for the
@@ -227,6 +228,96 @@ object NearDup {
       .select(col("new_id").as("doc_id"), col("base_id").as("dup_of"), col("jaccard"))
       .orderBy("doc_id", "dup_of")
   }
+
+  /** Asymmetric containment pairs: docs whose distinct-token set is
+    * ≥ `threshold` CONTAINED in another doc's — the "quotation /
+    * near-subset" dedup rule (drop a doc that is mostly a fragment of a
+    * larger one). Symmetric Jaccard (q23/q25) misses exactly this case:
+    * a small doc quoted inside a big one has tiny Jaccard, and MinHash
+    * signatures are dominated by the big doc's tokens, so band recall
+    * collapses for asymmetric pairs — containment needs its own
+    * candidate structure.
+    *
+    * That structure is PREFIX FILTERING (the SSJoin/PPJoin trick,
+    * Chaudhuri et al. ICDE'06, exact by the pigeonhole bound): sort
+    * each contained-side doc's tokens by GLOBAL document frequency
+    * ascending and index only its k_A = ⌊n_A·(1−τ)⌋ + 1 rarest tokens.
+    * Any container holding ≥ τ·n_A of A's tokens misses at most
+    * n_A − ⌈τ·n_A⌉ < k_A of them, so it MUST share an indexed token —
+    * no qualifying pair can be lost, while the inverted index shrinks
+    * from n_A postings per doc to k_A, and the postings chosen are the
+    * RAREST (shortest lists), which is what keeps the candidate join
+    * linear-ish at corpus scale. Exact containment is then verified on
+    * the candidates' token arrays. A hot prefix token (a doc made
+    * entirely of stopwords) is bounded by k_A per doc and
+    * AQE-skew-splittable in the join — same discipline as the band
+    * joins.
+    *
+    * `sliceMax` bounds the contained side (the q23/q24 bounded-query
+    * shape); `None` is the full corpus × corpus form. Output:
+    * (doc_id, container_id, containment), doc_id ≠ container_id,
+    * containment = |A∩B| / |A| at the oracle-pinned 4dp rounding.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      threshold: Double = 0.8,
+      sliceMax: Option[Long] = Some(100L)): DataFrame = {
+    val tok = tokens(docs).filter(size(col("toks")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posting = tok.select(col("doc_id"), explode(col("toks")).as("tok"))
+    // global document frequency — the prefix ordering key (partial-agg'd
+    // token-keyed aggregate; hot tokens fold map-side)
+    val dfreq = posting.groupBy("tok").agg(count(lit(1)).as("df"))
+    val aSide = sliceMax.fold(tok)(m => tok.filter(col("doc_id") < m))
+    val prefix = aSide
+      .select(col("doc_id").as("doc_a"), size(col("toks")).as("na"),
+        explode(col("toks")).as("tok"))
+      .join(dfreq, Seq("tok"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_a").orderBy(col("df").asc, col("tok").asc)))
+      // prefix length k = n − m_min + 1, m_min = smallest intersection
+      // that can pass the (4dp-rounded) threshold filter, computed as
+      // ceil(n·(τ − 1e-4)): the slack covers BOTH the round(·, 4)
+      // output boundary and IEEE dust (5·(1−0.8) = 0.999…8 would have
+      // floored a naive k to 1 and LOST boundary pairs) — erring only
+      // toward a slightly longer prefix, which can never lose a pair
+      .filter(col("rk") <=
+        col("na") - ceil(col("na") * lit(threshold - 1e-4)) + 1)
+      .select(col("doc_a"), col("tok"))
+    val cand = prefix
+      .join(posting.select(col("doc_id").as("doc_b"), col("tok")), Seq("tok"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cand
+      .join(tok.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
+      .withColumn("containment",
+        round(size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(col("ta")), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("container_id"),
+        col("containment"))
+      .orderBy("doc_id", "container_id")
+  }
+
+  /** DuckDB oracle for [[containmentPairs]]: the BRUTE-FORCE form — the
+    * prefix filter is exact (cannot lose a qualifying pair), so the
+    * pruned Spark plan must equal the all-pairs answer bit-for-bit.
+    */
+  def containmentOracleSql(threshold: Double = 0.8, sliceMax: Long = 100L): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_id, b.doc_id AS container_id,
+       |    round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |      / len(a.toks), 4) AS containment
+       |  FROM tok a JOIN tok b ON a.doc_id <> b.doc_id
+       |  WHERE a.doc_id < $sliceMax)
+       |SELECT doc_id, container_id, containment FROM pairs
+       |WHERE containment >= $threshold
+       |ORDER BY doc_id, container_id""".stripMargin
 
   /** Materialize a corpus's MinHash dedup state — token sets and band
     * keys — to parquet. This is the storage contract the incremental

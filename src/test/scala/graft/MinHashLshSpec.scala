@@ -119,4 +119,52 @@ class MinHashLshSpec extends SparkSpec {
       l.contains("tokens.parquet") || l.contains("bands.parquet")),
       s"probe scans a non-store table: $locations")
   }
+
+
+  test("containment: a small doc quoted in a big one is found; prefix filter equals brute force") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      // doc 0: small fragment fully quoted inside doc 10's text
+      (0L, "alpha beta gamma delta epsilon"),
+      // doc 1: 4 of 5 tokens inside doc 10 -> containment 0.8, boundary case
+      (1L, "alpha beta gamma delta zulu"),
+      // doc 2: half contained -> below threshold
+      (2L, "alpha beta xray yankee"),
+      (10L, "intro alpha beta gamma delta epsilon outro filler words here"),
+      (11L, "unrelated tokens entirely disjoint from everything else")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.NearDup.containmentPairs(docs, threshold = 0.8, sliceMax = Some(5L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // docs 0 and 1 share 4 of their 5 tokens, so they mutually contain
+    // at exactly the 0.8 boundary alongside the quotes inside doc 10
+    assert(out.toSeq === Seq(
+      (0L, 1L, 0.8), (0L, 10L, 1.0), (1L, 0L, 0.8), (1L, 10L, 0.8)))
+
+    // sf0.001 corpus: the pruned plan equals brute-force all-pairs exactly
+    val corpus = Queries.t(spark, sf, "documents")
+    val pruned = graft.ops.NearDup.containmentPairs(corpus).collect().toSeq
+    val tok = corpus.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val brute = tok.filter(col("doc_id") < 100)
+      .select(col("doc_id").as("doc_id_a"), col("toks").as("ta"))
+      .crossJoin(tok.select(col("doc_id").as("doc_id_b"), col("toks").as("tb")))
+      .filter(col("doc_id_a") =!= col("doc_id_b"))
+      .withColumn("containment",
+        round(size(array_intersect(col("ta"), col("tb"))).cast("double") / size(col("ta")), 4))
+      .filter(col("containment") >= 0.8)
+      .select(col("doc_id_a"), col("doc_id_b"), col("containment"))
+      .orderBy("doc_id_a", "doc_id_b")
+      .collect().map(r => org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pruned.map(r => org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), r.getDouble(2))) === brute)
+    assert(pruned.nonEmpty, "fixture has no containment pairs; parity is vacuous")
+
+    // the prefix index is genuinely smaller than the full inverted index
+    val nAll = tok.filter(col("doc_id") < 100)
+      .select(explode(col("toks"))).count()
+    val nPrefix = tok.filter(col("doc_id") < 100)
+      .select(col("doc_id"), (floor(size(col("toks")) * 0.2) + 1).as("k"))
+      .agg(sum("k")).head.getLong(0)
+    assert(nPrefix < nAll / 2, s"prefix $nPrefix vs full $nAll: pruning is not real")
+  }
 }
