@@ -149,7 +149,10 @@ object Plans {
       mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
     Audit("q89_containment", "containment: SSJoin prefix-filtered inverted index (k rarest tokens per doc), candidate equi-join on tok, exact verify on token arrays — no all-pairs nested loop, no cartesian",
       mustContain = Seq("Window"),
-      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")))
+      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    Audit("q90_lm_surprisal", "LM surprisal: term-keyed count aggregates with map-side partials, model equi-joins, per-row quantization to exact longs BEFORE the doc_id-keyed sum (no float crosses a shuffle); V rides the 1-row broadcast",
+      mustContain = Seq("HashAggregate", "IdentityBroadcastMode"),
+      mustNotContain = Seq("CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

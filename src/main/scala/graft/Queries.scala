@@ -1755,6 +1755,17 @@ object Queries {
     (s, d) => graft.ops.NearDup.containmentPairs(t(s, d, "documents")),
     Some(graft.ops.NearDup.containmentOracleSql()))
 
+  /** Corpus-LM surprisal (CCNet's KenLM filter, self-contained): mean
+    * per-bigram surprisal under the corpus's own add-one bigram model.
+    * Per-row surprisal quantized to integer 1e-4 nats BEFORE the per-doc
+    * aggregate, so the shuffle carries exact longs — no float ever
+    * crosses an exchange (one step past q77's discipline).
+    */
+  private val q90 = QueryDef(
+    "q90_lm_surprisal",
+    (s, d) => graft.ops.QualityOps.lmSurprisal(t(s, d, "documents")),
+    Some(graft.ops.QualityOps.lmSurprisalOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -1780,5 +1791,5 @@ object Queries {
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
     q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87, q88, q89)
+    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
 }

@@ -259,6 +259,116 @@ object QualityOps {
        |    AND top_bigram_frac <= $maxTopBigramFrac AS INTEGER) AS keep
        |FROM j ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Corpus-LM surprisal (the KenLM/CCNet filter's self-contained form):
+  // score each document by its mean per-bigram surprisal under the
+  // corpus's own add-one-smoothed bigram model,
+  //   s(a b) = ln(c(a) + V) − ln(c(ab) + 1)   [nats],
+  // low mean = the doc reads like the corpus, high mean = outlier (OCR
+  // noise, code dumps, wrong-language fragments). CCNet does this with
+  // an external KenLM; here the corpus IS the model, so the operator is
+  // closed over its input and exactly reproducible.
+  //
+  // Determinism discipline (one step past q77): a per-doc MEAN of raw
+  // doubles would sum floats across a shuffle in arbitrary order —
+  // engines (and runs) could disagree in the last ulp. So the per-row
+  // surprisal is quantized FIRST to integer ten-thousandths of a nat,
+  //   q = floor(s · 10⁴ + 0.5)  (floor(x+0.5), not round() — the
+  // HALF_UP-vs-binary gotcha), and the aggregation is an exact SUM OF
+  // LONGS — order-free on any engine or partitioning. Floats appear
+  // only per-row (two lns and a subtraction, bit-identical inputs on
+  // both engines; libm ulp drift sits ~2⁻⁴⁰ from any quantization
+  // boundary) and in the final per-doc ratio of two exact integers.
+  //
+  // Scale shape: bigram/unigram count aggregates are term-keyed with
+  // map-side partial combine; the model joins are equi-joins on the
+  // bigram/context tokens (hot terms fold map-side in the counts and
+  // AQE-split in the joins); V rides the q61 1-row-broadcast pattern;
+  // the final aggregate is doc_id-keyed. No float ever crosses a
+  // shuffle.
+  // -------------------------------------------------------------------
+
+  /** (doc_id, n_bigrams, sum_q, mean_surprisal, keep): sum_q = exact
+    * integer sum of per-bigram surprisal in 1e-4 nats; mean_surprisal =
+    * round(sum_q / (n · 10⁴), 4); keep = mean below `maxMeanSurprisal`.
+    * Docs with < 2 tokens score 0 (no evidence ⇒ not an outlier).
+    */
+  def lmSurprisal(docs: DataFrame, maxMeanSurprisal: Double = 6.0): DataFrame = {
+    val toks = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val uni = toks
+      .select(explode(col("t")).as("a"))
+      .groupBy("a").agg(count(lit(1)).as("ca"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bi = toks
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS a, concat_ws(' ', element_at(t, i), element_at(t, i + 1)) AS ab))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.ab").as("ab"))
+    val cb = bi.groupBy("ab").agg(count(lit(1)).as("cab"))
+    val scored = bi
+      .join(cb, Seq("ab"))
+      .join(uni, Seq("a"))
+      .crossJoin(broadcast(vocab))
+      // per-row quantized surprisal: exact-integer model counts in, one
+      // long out — the only floats live inside this projection
+      .withColumn("q",
+        floor((log(col("ca").cast("double") + col("v")) -
+          log(col("cab").cast("double") + 1.0)) * 10000.0 + 0.5).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("q").as("sum_q"))
+    docs
+      .select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_q"), lit(0L)).as("sum_q"))
+      .withColumn("mean_surprisal",
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(round(col("sum_q").cast("double") / (col("n_bigrams") * 10000.0), 4)))
+      .withColumn("keep", (col("mean_surprisal") <= maxMeanSurprisal).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB SQL replicating [[lmSurprisal]]. */
+  def lmSurprisalOracleSql(maxMeanSurprisal: Double = 6.0): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE text IS NOT NULL),
+       |uni AS (
+       |  SELECT a, CAST(count(*) AS BIGINT) AS ca
+       |  FROM (SELECT unnest(t) AS a FROM toks) GROUP BY 1),
+       |vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+       |bi AS (
+       |  SELECT doc_id, t[CAST(i AS BIGINT)] AS a,
+       |    t[CAST(i AS BIGINT)] || ' ' || t[CAST(i + 1 AS BIGINT)] AS ab
+       |  FROM toks, unnest(range(1, len(t))) AS r(i)
+       |  WHERE len(t) >= 2),
+       |cb AS (SELECT ab, CAST(count(*) AS BIGINT) AS cab FROM bi GROUP BY 1),
+       |q AS (
+       |  SELECT doc_id,
+       |    CAST(floor((ln(CAST(ca AS DOUBLE) + v) - ln(CAST(cab AS DOUBLE) + 1.0))
+       |      * 10000.0 + 0.5) AS BIGINT) AS q
+       |  FROM bi JOIN cb USING (ab) JOIN uni USING (a) CROSS JOIN vocab),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(q) AS BIGINT) AS sum_q
+       |  FROM q GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(agg.sum_q, 0) AS sum_q,
+       |  CASE WHEN COALESCE(agg.n_bigrams, 0) = 0 THEN 0.0
+       |    ELSE round(CAST(agg.sum_q AS DOUBLE) / (agg.n_bigrams * 10000.0), 4)
+       |  END AS mean_surprisal,
+       |  CAST(CASE WHEN COALESCE(agg.n_bigrams, 0) = 0 THEN 0.0
+       |    ELSE round(CAST(agg.sum_q AS DOUBLE) / (agg.n_bigrams * 10000.0), 4)
+       |  END <= $maxMeanSurprisal AS INTEGER) AS keep
+       |FROM documents d LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Compression-ratio quality signal: per doc, the DEFLATE-compressed
     * size over the raw UTF-8 size. Highly templated / repetitive text
     * (boilerplate, log spam, keyword stuffing) compresses far below

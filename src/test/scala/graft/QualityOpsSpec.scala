@@ -200,4 +200,37 @@ class QualityOpsSpec extends SparkSpec {
     assert(exchanges.forall(_.contains("rangepartitioning")), plan)
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
   }
+
+
+  test("lmSurprisal: corpus-like docs score low, outliers high; exact-integer determinism") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // docs 0-3 share a formulaic pattern; doc 4 is one-off noise; doc 5 short
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat sat on the rug"),
+      (2L, "the dog sat on the mat"),
+      (3L, "the cat sat on the mat"),
+      (4L, "zq xv qp wk jj vn"),
+      (5L, "one")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.QualityOps.lmSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // every bigram of the noise doc is unique; the formulaic docs share theirs
+    val formulaic = Seq(0L, 1L, 2L, 3L).map(out(_)._3)
+    assert(formulaic.forall(_ < out(4L)._3),
+      s"corpus-like docs ${formulaic} must undercut the outlier ${out(4L)._3}")
+    // a doc below the bigram width carries no evidence: zero score, kept
+    assert(out(5L) === ((0L, 0L, 0.0)))
+    // mean is the exact integer ratio, not a float-summed average
+    out.values.foreach { case (n, sq, m) =>
+      if (n > 0) assert(m === BigDecimal(sq.toDouble / (n * 10000.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // partition independence: the quantize-then-sum discipline makes the
+    // aggregate order-free
+    val a = graft.ops.QualityOps.lmSurprisal(docs.repartition(1)).collect().toSeq
+    val b = graft.ops.QualityOps.lmSurprisal(docs.repartition(7)).collect().toSeq
+    assert(a === b)
+  }
 }
