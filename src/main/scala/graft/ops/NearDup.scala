@@ -257,6 +257,10 @@ object NearDup {
     * shape); `None` is the full corpus × corpus form. Output:
     * (doc_id, container_id, containment), doc_id ≠ container_id,
     * containment = |A∩B| / |A| at the oracle-pinned 4dp rounding.
+    *
+    * Cache lifetime is CALLER-OWNED (the [[incrementalNearDupPairs]]
+    * discipline): the token frame is persisted because the returned
+    * lazy plan reads it three times (postings, prefix, verify).
     */
   def containmentPairs(
       docs: DataFrame,

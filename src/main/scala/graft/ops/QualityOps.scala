@@ -277,8 +277,19 @@ object QualityOps {
   // HALF_UP-vs-binary gotcha), and the aggregation is an exact SUM OF
   // LONGS — order-free on any engine or partitioning. Floats appear
   // only per-row (two lns and a subtraction, bit-identical inputs on
-  // both engines; libm ulp drift sits ~2⁻⁴⁰ from any quantization
-  // boundary) and in the final per-doc ratio of two exact integers.
+  // both engines) and in the final per-doc ratio of two exact integers.
+  //
+  // Residual cross-engine risk, accepted deliberately: JVM Math.log and
+  // DuckDB's libm ln are each correct to ≤1 ulp but are NOT the same
+  // implementation, so an adversarial input whose s·10⁴ lands within
+  // ~1 ulp of a k−0.5 boundary could quantize differently per engine
+  // and fail the hash compare. This is the q61 risk class (per-row
+  // round(log) has shipped green since r6): a generic double sits
+  // ~2⁻⁴⁰ of a quantum from the nearest boundary, the failure mode is a
+  // loud per-round gate mismatch (never a silent wrong answer), and the
+  // alternative — a software-deterministic ln on both engines — is not
+  // expressible in DuckDB SQL. If the gate ever trips here, widen the
+  // quantum (1e-3 nats) before suspecting the operator.
   //
   // Scale shape: bigram/unigram count aggregates are term-keyed with
   // map-side partial combine; the model joins are equi-joins on the

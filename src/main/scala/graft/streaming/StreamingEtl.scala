@@ -580,13 +580,19 @@ object StreamingEtl {
       minTokens: Int = 3,
       maxDupTokFrac: Double = 0.75,
       w: Int = 3): DataFrame = {
-    val t = split(col("text"), " ")
+    // bind the tokenization to ONE column first: HOF lambda bodies are
+    // not loop-invariant-hoisted, so inlining split(text) inside the
+    // gram transform would re-tokenize the document once per window
+    // position — O(n²) on the per-row hot path this gate exists for
+    // (the TrainPipe.gramsOf discipline)
+    val tokenized = docs.withColumn("_t", split(col("text"), " "))
+    val t = col("_t")
     val nTokens = size(t).cast("long")
     val dupFrac = round(
       lit(1.0) - size(array_distinct(t)).cast("double") / size(t), 4)
     val grams = when(size(t) >= w,
-      expr(s"transform(sequence(1, size(split(text, ' ')) - ${w - 1}), " +
-        s"i -> concat_ws(' ', slice(split(text, ' '), i, $w)))"))
+      expr(s"transform(sequence(1, size(_t) - ${w - 1}), " +
+        s"i -> concat_ws(' ', slice(_t, i, $w)))"))
       .otherwise(array().cast("array<string>"))
     val contaminated = heldSketch match {
       case Some(sk) => exists(grams,
@@ -596,7 +602,7 @@ object StreamingEtl {
     val bps = rates.foldLeft(lit(0L)) { case (acc, (k, v)) =>
       when(col("lang") === k, lit(v.toLong)).otherwise(acc)
     }
-    docs
+    tokenized
       .withColumn("n_tokens", nTokens)
       .withColumn("dup_tok_frac", dupFrac)
       .filter(
@@ -605,6 +611,7 @@ object StreamingEtl {
           col("dup_tok_frac") <= maxDupTokFrac &&
           !contaminated &&
           (graft.ops.TrainPipe.docHash("mix:", col("doc_id")) % 10000) < bps)
+      .drop("_t")
   }
 
   /** Streaming exact dedup: keep the first row per `idCols` seen within

@@ -100,19 +100,12 @@ class MinHashLshSpec extends SparkSpec {
     df.collect()
     val exec = df.queryExecution.executedPlan
     assert(exec.toString.contains("BroadcastHashJoin"), exec.toString)
-    // walk the executed tree's leaves (an InMemoryRelation PRINTS its
-    // build plan, so string-grepping would see the delta's one-time cache
-    // build as a table scan): every parquet leaf must be a store frame —
-    // the corpus table contributes no scan node to the probe itself
-    def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
-      p.collectLeaves().flatMap {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          leaves(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          leaves(q.plan)
-        case l => Seq(l)
-      }
-    val fileScans = leaves(exec)
+    // walk the executed tree's leaves (see SparkSpec.planLeaves: an
+    // InMemoryRelation PRINTS its build plan, so string-grepping would
+    // see the delta's one-time cache build as a table scan): every
+    // parquet leaf must be a store frame — the corpus table contributes
+    // no scan node to the probe itself
+    val fileScans = planLeaves(exec)
       .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
     val locations = fileScans.map(_.metadata.getOrElse("Location", ""))
     assert(locations.nonEmpty && locations.forall(l =>

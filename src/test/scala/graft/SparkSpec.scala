@@ -22,4 +22,19 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   def writeFile(dir: java.nio.file.Path, name: String, content: String): java.nio.file.Path =
     java.nio.file.Files.writeString(dir.resolve(name), content)
+
+  /** Leaves of an EXECUTED plan, unwrapped through AQE's
+    * AdaptiveSparkPlanExec / QueryStageExec shells — the walker plan
+    * specs need because an InMemoryRelation PRINTS its cache-build plan
+    * (string-grepping for scans overcounts) while the true executed
+    * tree ends at InMemoryTableScan leaves.
+    */
+  def planLeaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p.collectLeaves().flatMap {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        planLeaves(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        planLeaves(q.plan)
+      case l => Seq(l)
+    }
 }

@@ -230,15 +230,7 @@ class TrainPipeSpec extends SparkSpec {
     val df = TrainPipe.fullPipeline(local)
     df.collect()
     val exec = df.queryExecution.executedPlan
-    def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
-      p.collectLeaves().flatMap {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          leaves(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          leaves(q.plan)
-        case l => Seq(l)
-      }
-    val ls = leaves(exec)
+    val ls = planLeaves(exec)
     // every branch reads the materialized keeper output, so the executed
     // tree has NO direct parquet scan — the single scan lives inside the
     // cache build (one materialization, plan-guaranteed by Spark's cache)
