@@ -17,6 +17,73 @@ object Plans {
       mustContain: Seq[String] = Nil, mustNotContain: Seq[String] = Nil)
 
   private val audits = Seq(
+    Audit("q02_global_agg", "global no-group aggregate: one partial+final pass, no join, no window",
+      mustContain = Seq("HashAggregate"), mustNotContain = Seq("Join", "Window")),
+    Audit("q03_mode", "mode: group-count + top-1 via TakeOrdered — no global sort, no join",
+      mustContain = Seq("HashAggregate", "TakeOrderedAndProject"), mustNotContain = Seq("Join")),
+    Audit("q04_topk", "top-k by metric: aggregate + TakeOrdered — the limit prunes the sort, no join",
+      mustContain = Seq("HashAggregate", "TakeOrderedAndProject"), mustNotContain = Seq("Join")),
+    Audit("q05_date_split", "timestamp parse/split: pure per-row projection — no join, no aggregate, no window",
+      mustNotContain = Seq("Join", "HashAggregate", "Window")),
+    Audit("q07_distinct", "distinct: partial+final hash aggregate, no join",
+      mustContain = Seq("HashAggregate"), mustNotContain = Seq("Join")),
+    Audit("q08_union", "union: physical Union of scans — no join, no dedup pass (UNION ALL semantics)",
+      mustContain = Seq("Union"), mustNotContain = Seq("Join")),
+    Audit("q09_impute_mode", "mode imputation: the mode is a 1-ROW TakeOrdered aggregate broadcast onto every row (the q61/q91 scalar-broadcast pattern — no driver-side mode job); no cartesian of real tables",
+      mustContain = Seq("TakeOrderedAndProject", "BroadcastExchange"),
+      mustNotContain = Seq("CartesianProduct")),
+    Audit("q11_join_fact", "fact-fact join: equi-keys only, no nested loop",
+      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    Audit("q12_semi_join", "semi join: physical Semi join variant, never a full join + distinct",
+      mustContain = Seq("Semi"), mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    Audit("q13_anti_join", "anti join: physical Anti join variant, never a full join + filter",
+      mustContain = Seq("Anti"), mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    Audit("q14_outer_join", "outer join: equi-keys only, no nested loop",
+      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    Audit("q18_rollup", "rollup: ONE aggregate pass over Expand-generated grouping sets — no self-union of scans",
+      mustContain = Seq("Expand"), mustNotContain = Seq("Join", "Union")),
+    Audit("q19_text_stats", "per-doc text stats: pure per-row projection — no join, no window",
+      mustNotContain = Seq("Join", "Window")),
+    Audit("q22_quality_score", "quality score: per-row codegen'd heuristics — no join, no window",
+      mustNotContain = Seq("Join", "Window")),
+    Audit("q24_ann_cosine", "exact ANN baseline: native vec_dot scoring, bounded query sliver broadcast (the only nested loop is the deliberate non-equi broadcast of <= 5 query rows)",
+      mustContain = Seq("vec_dot"), mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    Audit("q28_json_extract", "JSON extraction: per-row get_json_object projection — no join, no aggregate",
+      mustNotContain = Seq("Join", "HashAggregate")),
+    Audit("q30_simhash", "SimHash pairs: native one-pass simhash32 fingerprints, byte-band equi-join candidates — no nested loop, no cartesian",
+      mustContain = Seq("simhash32"), mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    Audit("q31_langid", "language id: literal-replace occurrence counting per row — no join, no aggregate",
+      mustNotContain = Seq("Join", "HashAggregate")),
+    Audit("q32_token_count", "token counting: per-row regex segmentation — no join, no aggregate",
+      mustNotContain = Seq("Join", "HashAggregate")),
+    Audit("q33_fingerprint", "rolling fingerprint: native one-pass rolling_fingerprint per row + fp-partitioned dup-count window — no join",
+      mustContain = Seq("rolling_fingerprint", "Window"), mustNotContain = Seq("Join")),
+    Audit("q35_embed_neardup", "embedding near-dup: native LSH bucket keys for candidates, native vec_dot verify — equi-join only",
+      mustContain = Seq("vec_dot"), mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    Audit("q36_cube", "cube: ONE aggregate pass over Expand — no self-union of scans",
+      mustContain = Seq("Expand"), mustNotContain = Seq("Join", "Union")),
+    Audit("q37_pivot", "pivot: static value list folds into one aggregate — no distinct pre-pass job, no join",
+      mustContain = Seq("HashAggregate"), mustNotContain = Seq("Join")),
+    Audit("q42_approx_distinct", "HLL++ distinct: mergeable sketch aggregate — no count-distinct Expand explosion",
+      mustNotContain = Seq("Expand", "Join")),
+    Audit("q46_grouping_sets", "grouping sets: ONE aggregate pass over Expand — no self-union of scans",
+      mustContain = Seq("Expand"), mustNotContain = Seq("Join", "Union")),
+    Audit("q50_datetime_funcs", "datetime breadth: per-row codegen'd projection — no join, no window",
+      mustNotContain = Seq("Join", "Window")),
+    Audit("q51_profile", "column profiling: one aggregation pass — no nested loop, no cartesian",
+      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    Audit("q52_unpivot", "unpivot: native Expand over the value columns — never a per-column union of scans",
+      mustContain = Seq("Expand"), mustNotContain = Seq("Union", "Join")),
+    Audit("q54_array_agg", "collection aggregates: collect_set/list ride the object hash aggregate — no join",
+      mustContain = Seq("ObjectHashAggregate"), mustNotContain = Seq("Join")),
+    Audit("q55_split_sample", "hash split: md5-bucket assignment map-side + one aggregate — no join, no sampling pass",
+      mustContain = Seq("HashAggregate"), mustNotContain = Seq("Join")),
+    Audit("q56_intersect_except", "set ops: semi/anti join forms with partial dedup — no cartesian",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Audit("q57_null_funcs", "null handling: per-row builtins — no join, no aggregate",
+      mustNotContain = Seq("Join", "HashAggregate")),
+    Audit("q59_filtered_agg", "FILTER-clause aggregates: one conditional aggregate pass — no join, no self-union",
+      mustContain = Seq("HashAggregate"), mustNotContain = Seq("Join", "Union")),
     Audit("q01_group_agg", "partial+final hash aggregate; scan prunes to 3 columns",
       mustContain = Seq("HashAggregate"), mustNotContain = Seq("SortAggregate")),
     Audit("q06_filter_project", "filter + projection PUSHED to the parquet scan",
@@ -152,7 +219,10 @@ object Plans {
       mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
     Audit("q90_lm_surprisal", "LM surprisal: term-keyed count aggregates with map-side partials, model equi-joins, per-row quantization to exact longs BEFORE the doc_id-keyed sum (no float crosses a shuffle); V rides the 1-row broadcast",
       mustContain = Seq("HashAggregate", "IdentityBroadcastMode"),
-      mustNotContain = Seq("CartesianProduct")))
+      mustNotContain = Seq("CartesianProduct")),
+    Audit("q91_corpus_card", "corpus card: TWO scans (doc-level + token-level aggregates) joined as 1-row broadcasts; count-distincts ride Expand (report query, not hot path — q42's HLL++ is the at-scale swap)",
+      mustContain = Seq("Expand", "IdentityBroadcastMode"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1766,6 +1766,15 @@ object Queries {
     (s, d) => graft.ops.QualityOps.lmSurprisal(t(s, d, "documents")),
     Some(graft.ops.QualityOps.lmSurprisalOracleSql()))
 
+  /** Corpus card: the release datasheet — volume, composition,
+    * duplication, and length facts as (metric, value) rows from two
+    * scans (doc-level + token-level aggregates).
+    */
+  private val q91 = QueryDef(
+    "q91_corpus_card",
+    (s, d) => graft.ops.QualityOps.corpusCard(t(s, d, "documents")),
+    Some(graft.ops.QualityOps.corpusCardOracleSql))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -1791,5 +1800,5 @@ object Queries {
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
     q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
+    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
 }

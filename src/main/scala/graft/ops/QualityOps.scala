@@ -380,6 +380,80 @@ object QualityOps {
        |FROM documents d LEFT JOIN agg USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Corpus card: the one-page datasheet a dataset release ships —
+  // volume, composition, duplication, and length-distribution facts in
+  // a fixed (metric, value) long format so downstream tooling (and the
+  // oracle) can diff releases row-by-row.
+  //
+  // Scale shape: TWO scans total — one doc-level aggregate (counts,
+  // distincts, duplication via sha2-digest count-distinct, length
+  // moments) and one token-level aggregate (token count + vocabulary)
+  // over the exploded stream; the count-distincts ride Spark's Expand
+  // (rows × #distinct-aggs — a report-query trade-off, not a hot-path
+  // operator; the q42 HLL++ swap applies when the card runs at 100 TB).
+  // Values are cast to double ONLY in the final projection of exact
+  // integer aggregates (counts and sums of longs — the ratio rows are
+  // integer/integer divisions, the q22 discipline).
+  // -------------------------------------------------------------------
+
+  /** (metric, value) rows, metric-ordered: doc/token/vocab counts,
+    * language/source cardinalities, exact-duplicate fraction (1 −
+    * distinct digests / docs), and n_chars mean — the release
+    * datasheet. */
+  def corpusCard(docs: DataFrame): DataFrame = {
+    val d = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(sha2(col("text"), 256)).as("n_digests"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(col("n_chars")).as("sum_chars"))
+    val t = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_vocab"))
+    d.crossJoin(t)
+      .select(explode(array(
+        struct(lit("dup_doc_frac").as("metric"),
+          round(lit(1.0) - col("n_digests").cast("double") / col("n_docs"), 4)
+            .as("value")),
+        struct(lit("mean_chars").as("metric"),
+          round(col("sum_chars").cast("double") / col("n_docs"), 4).as("value")),
+        struct(lit("n_docs").as("metric"), col("n_docs").cast("double").as("value")),
+        struct(lit("n_langs").as("metric"), col("n_langs").cast("double").as("value")),
+        struct(lit("n_sources").as("metric"), col("n_sources").cast("double").as("value")),
+        struct(lit("n_tokens").as("metric"), col("n_tokens").cast("double").as("value")),
+        struct(lit("n_vocab").as("metric"), col("n_vocab").cast("double").as("value"))))
+        .as("m"))
+      .select(col("m.metric").as("metric"), col("m.value").as("value"))
+      .orderBy("metric")
+  }
+
+  /** DuckDB SQL replicating [[corpusCard]]. */
+  def corpusCardOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_digests,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |  FROM documents),
+       |t AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(count(DISTINCT tok) AS BIGINT) AS n_vocab
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+       |card AS (
+       |  SELECT 'dup_doc_frac' AS metric,
+       |    round(1.0 - CAST(n_digests AS DOUBLE) / n_docs, 4) AS value
+       |  FROM d
+       |  UNION ALL SELECT 'mean_chars',
+       |    round(CAST(sum_chars AS DOUBLE) / n_docs, 4) FROM d
+       |  UNION ALL SELECT 'n_docs', CAST(n_docs AS DOUBLE) FROM d
+       |  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM d
+       |  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM d
+       |  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM t
+       |  UNION ALL SELECT 'n_vocab', CAST(n_vocab AS DOUBLE) FROM t)
+       |SELECT metric, value FROM card ORDER BY metric""".stripMargin
+
   /** Compression-ratio quality signal: per doc, the DEFLATE-compressed
     * size over the raw UTF-8 size. Highly templated / repetitive text
     * (boilerplate, log spam, keyword stuffing) compresses far below
