@@ -413,11 +413,17 @@ object QualityOps {
       .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_vocab"))
     d.crossJoin(t)
       .select(explode(array(
+        // n_docs = 0 guards: an empty corpus has no duplication and no
+        // mean — 0.0, not a divide-by-zero (EmptyInputSpec is the gate)
         struct(lit("dup_doc_frac").as("metric"),
-          round(lit(1.0) - col("n_digests").cast("double") / col("n_docs"), 4)
+          when(col("n_docs") === 0, lit(0.0))
+            .otherwise(round(
+              lit(1.0) - col("n_digests").cast("double") / col("n_docs"), 4))
             .as("value")),
         struct(lit("mean_chars").as("metric"),
-          round(col("sum_chars").cast("double") / col("n_docs"), 4).as("value")),
+          when(col("n_docs") === 0, lit(0.0))
+            .otherwise(round(col("sum_chars").cast("double") / col("n_docs"), 4))
+            .as("value")),
         struct(lit("n_docs").as("metric"), col("n_docs").cast("double").as("value")),
         struct(lit("n_langs").as("metric"), col("n_langs").cast("double").as("value")),
         struct(lit("n_sources").as("metric"), col("n_sources").cast("double").as("value")),
@@ -443,10 +449,13 @@ object QualityOps {
        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
        |card AS (
        |  SELECT 'dup_doc_frac' AS metric,
-       |    round(1.0 - CAST(n_digests AS DOUBLE) / n_docs, 4) AS value
+       |    CASE WHEN n_docs = 0 THEN 0.0
+       |      ELSE round(1.0 - CAST(n_digests AS DOUBLE) / n_docs, 4)
+       |    END AS value
        |  FROM d
        |  UNION ALL SELECT 'mean_chars',
-       |    round(CAST(sum_chars AS DOUBLE) / n_docs, 4) FROM d
+       |    CASE WHEN n_docs = 0 THEN 0.0
+       |      ELSE round(CAST(sum_chars AS DOUBLE) / n_docs, 4) END FROM d
        |  UNION ALL SELECT 'n_docs', CAST(n_docs AS DOUBLE) FROM d
        |  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM d
        |  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM d
