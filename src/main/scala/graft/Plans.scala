@@ -222,7 +222,19 @@ object Plans {
       mustNotContain = Seq("CartesianProduct")),
     Audit("q91_corpus_card", "corpus card: TWO scans (doc-level + token-level aggregates) joined as 1-row broadcasts; count-distincts ride Expand (report query, not hot path — q42's HLL++ is the at-scale swap)",
       mustContain = Seq("Expand", "IdentityBroadcastMode"),
-      mustNotContain = Seq("CartesianProduct", "SortMergeJoin")))
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin")),
+    Audit("q92_fuzzy_decontam", "fuzzy decontamination: held-doc prefixes and gram sets BROADCAST (benchmark-sized), corpus grams generated map-side and probed without shuffling text; candidates are the only corpus-derived shuffle",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    Audit("q93_det_shuffle", "deterministic epoch shuffle: md5 order computed map-side, position window (shard)-bounded — never a single global window partition, no join",
+      mustContain = Seq("Window"),
+      mustNotContain = Seq("Join", "SinglePartition", "CartesianProduct")),
+    Audit("q94_semdedup", "SemDeDup: map-side centroid argmax assignment (native vec_dot), within-cell pairs via equi-join on list_id only, CC equi-joins — no all-pairs nested loop, no cartesian",
+      mustContain = Seq("vec_dot"),
+      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    Audit("q95_importance_weights", "DSIR weights: token-keyed count aggregates with map-side partials, target model + totals broadcast (the 1-row IdentityBroadcastMode pattern), per-row quantization to exact longs before the doc_id-keyed sum",
+      mustContain = Seq("HashAggregate", "IdentityBroadcastMode"),
+      mustNotContain = Seq("CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

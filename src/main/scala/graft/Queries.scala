@@ -1775,6 +1775,49 @@ object Queries {
     (s, d) => graft.ops.QualityOps.corpusCard(t(s, d, "documents")),
     Some(graft.ops.QualityOps.corpusCardOracleSql))
 
+  /** Fuzzy eval-set decontamination: the example-level companion to
+    * q71/q76 — (doc, held) pairs where a corpus doc contains ≥50% of a
+    * held-out doc's distinct 3-grams (gram-set containment), so an
+    * embedded eval example is caught no matter how much other text
+    * dilutes the pooled counts. Held prefixes (the q89 pigeonhole bound)
+    * broadcast; corpus text never shuffles. Oracle = brute force (the
+    * prefix filter is lossless).
+    */
+  private val q92 = QueryDef(
+    "q92_fuzzy_decontam",
+    (s, d) => graft.ops.TrainPipe.fuzzyDecontaminate(t(s, d, "documents")),
+    Some(graft.ops.TrainPipe.fuzzyDecontaminateOracleSql()))
+
+  /** Deterministic epoch shuffle: seed-keyed md5 order + shard-bounded
+    * position windows — a reproducible global permutation per training
+    * epoch with zero stored state, stable under partitioning and
+    * incremental append.
+    */
+  private val q93 = QueryDef(
+    "q93_det_shuffle",
+    (s, d) => graft.ops.TrainPipe.deterministicShuffle(t(s, d, "documents")),
+    Some(graft.ops.TrainPipe.deterministicShuffleOracleSql()))
+
+  /** SemDeDup: semantic dedup via k-means cells + within-cell exact
+    * cosine + transitive grouping + keep-min representative. The
+    * deterministic first-nlist quantizer (q44's) makes the WHOLE
+    * operator — clustering included — oracle-replayable.
+    */
+  private val q94 = QueryDef(
+    "q94_semdedup",
+    (s, d) => graft.ops.SemDedup.semanticDedup(t(s, d, "embeddings")),
+    Some(graft.ops.SemDedup.semanticDedupOracleSql()))
+
+  /** DSIR-style importance weights: per-token target-vs-raw unigram
+    * log-likelihood ratio (add-one smoothed), quantized to exact longs
+    * before the doc aggregate (the q90 discipline), mean-per-token
+    * log_weight + keep flag.
+    */
+  private val q95 = QueryDef(
+    "q95_importance_weights",
+    (s, d) => graft.ops.QualityOps.importanceWeights(t(s, d, "documents")),
+    Some(graft.ops.QualityOps.importanceWeightsOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -1800,5 +1843,6 @@ object Queries {
     q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
     q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
+    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
+    q92, q93, q94, q95)
 }

@@ -50,7 +50,7 @@ object AnnIvf {
     * interpretation cliff as the LSH bucketing (BENCH_NOTES r11);
     * bit-identical scores, AnnIvfSpec + the q44 oracle pin it.
     */
-  private def scored(vecCol: Column, cents: Seq[(Long, Array[Float])]): Column = {
+  private[ops] def scored(vecCol: Column, cents: Seq[(Long, Array[Float])]): Column = {
     val centroids = cents.map { case (cid, v) => cid -> v.toIndexedSeq.map(_.toDouble) }
     val norms = cents.map { case (_, v) =>
       math.sqrt(v.foldLeft(0.0)((acc, f) => acc + f.toDouble * f.toDouble))

@@ -527,4 +527,123 @@ object QualityOps {
         (col("ratio") >= minRatio && col("n_bytes") > 0L).cast("int"))
       .orderBy("doc_id")
   }
+
+  // -------------------------------------------------------------------
+  // DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+  // Language Models via Importance Resampling"): score every raw-pool
+  // document by how much more likely its tokens are under the TARGET
+  // domain's unigram model than under the raw pool's own,
+  //   s(tok) = ln(c_t(tok)+1) − ln(c_r(tok)+1) + ln(N_r+V) − ln(N_t+V)
+  // (add-one smoothing over the raw vocabulary V on both models; the
+  // four ln arguments are exact integers, the combination order is
+  // pinned left-to-right so both engines fold identically). A doc's
+  // log-weight is the per-token MEAN — length-normalized, so long docs
+  // don't dominate selection — and `keep` marks docs that read more
+  // target-like than raw-like (mean ≥ 0). DSIR hashes n-grams into
+  // buckets to bound the model; with a bounded vocabulary the raw
+  // unigram table IS the bucket table, and at 100 TB the swap is
+  // hash(gram) % B as the model key — nothing downstream changes.
+  //
+  // Determinism: the q90 discipline verbatim — per-token surprisal
+  // quantized to integer 1e-4 nats via floor(s·10⁴ + 0.5) BEFORE the
+  // doc aggregate, so the shuffle sums exact longs; floats live only in
+  // the per-row ln fold and the final ratio of two exact integers.
+  // Same accepted cross-engine ulp-at-a-boundary risk as q90 (loud
+  // gate mismatch, never silent).
+  //
+  // Scale shape: two token-keyed count aggregates (map-side partials
+  // absorb hot tokens), model join is a token equi-join (the target
+  // model is target-corpus-sized — broadcast when the target is a small
+  // curated set, as here), totals ride the q61 1-row broadcast, final
+  // aggregate is doc_id-keyed. No float crosses a shuffle.
+  // -------------------------------------------------------------------
+
+  /** (doc_id, n_toks, sum_q, log_weight, keep): sum_q = exact integer
+    * sum of per-token-occurrence log-likelihood ratios in 1e-4 nats
+    * against the `targetLang` slice of the corpus; log_weight = the 4dp
+    * per-token mean floor(sum_q / n_toks + 0.5) / 10⁴; keep =
+    * log_weight ≥ 0. Docs with no tokens score 0 (no evidence).
+    */
+  def importanceWeights(docs: DataFrame, targetLang: String = "en"): DataFrame = {
+    val toks = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+    // raw-pool model: every token occurrence, the full corpus
+    val raw = toks.groupBy("tok").agg(count(lit(1)).as("cr"))
+    // target model: the curated slice; broadcast-sized by contract
+    val tgt = toks.filter(col("lang") === targetLang)
+      .groupBy("tok").agg(count(lit(1)).as("ct"))
+    val totals = raw.agg(
+      sum("cr").as("nr"), count(lit(1)).as("v")).crossJoin(
+      broadcast(tgt.agg(sum("ct").as("nt"))))
+    val scored = toks
+      .join(raw, Seq("tok"))
+      .join(broadcast(tgt), Seq("tok"), "left")
+      .na.fill(Map("ct" -> 0L))
+      .crossJoin(broadcast(totals))
+      // per-row quantized log-ratio: exact-integer counts in, one long
+      // out; ln fold order pinned left-to-right on both engines
+      .withColumn("q",
+        floor((log(col("ct").cast("double") + 1.0) -
+          log(col("cr").cast("double") + 1.0) +
+          log((col("nr") + col("v")).cast("double")) -
+          log((col("nt") + col("v")).cast("double"))) * 10000.0 + 0.5)
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("q").as("sum_q"))
+    docs
+      .select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("sum_q"), lit(0L)).as("sum_q"))
+      // 4dp mean via floor(x+0.5) on the exact-integer ratio sum_q/n —
+      // NOT round(): -1488/320000 = -0.00465 exactly, and the engines'
+      // round() tie-breaks differ at such boundaries; floor(x+0.5) is a
+      // total deterministic function of the (identical) IEEE quotient
+      .withColumn("log_weight",
+        when(col("n_toks") === 0, lit(0.0))
+          .otherwise(
+            floor(col("sum_q").cast("double") / col("n_toks") + 0.5) / 10000.0))
+      .withColumn("keep", (col("log_weight") >= 0.0).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB SQL replicating [[importanceWeights]]. */
+  def importanceWeightsOracleSql(targetLang: String = "en"): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents WHERE text IS NOT NULL),
+       |raw AS (SELECT tok, CAST(count(*) AS BIGINT) AS cr FROM toks GROUP BY 1),
+       |tgt AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS ct
+       |  FROM toks WHERE lang = '$targetLang' GROUP BY 1),
+       |totals AS (
+       |  SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM raw) AS v,
+       |    (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS nt),
+       |q AS (
+       |  SELECT doc_id,
+       |    CAST(floor((ln(CAST(COALESCE(ct, 0) AS DOUBLE) + 1.0) -
+       |      ln(CAST(cr AS DOUBLE) + 1.0) +
+       |      ln(CAST(nr + v AS DOUBLE)) -
+       |      ln(CAST(nt + v AS DOUBLE))) * 10000.0 + 0.5) AS BIGINT) AS q
+       |  FROM toks JOIN raw USING (tok) LEFT JOIN tgt USING (tok)
+       |  CROSS JOIN totals),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       |    CAST(sum(q) AS BIGINT) AS sum_q
+       |  FROM q GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(agg.n_toks, 0) AS n_toks,
+       |  COALESCE(agg.sum_q, 0) AS sum_q,
+       |  CASE WHEN COALESCE(agg.n_toks, 0) = 0 THEN 0.0
+       |    ELSE floor(CAST(agg.sum_q AS DOUBLE) / agg.n_toks + 0.5) / 10000.0
+       |  END AS log_weight,
+       |  CAST(CASE WHEN COALESCE(agg.n_toks, 0) = 0 THEN 0.0
+       |    ELSE floor(CAST(agg.sum_q AS DOUBLE) / agg.n_toks + 0.5) / 10000.0
+       |  END >= 0.0 AS INTEGER) AS keep
+       |FROM documents d LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 }

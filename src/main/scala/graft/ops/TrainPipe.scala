@@ -694,4 +694,164 @@ object TrainPipe {
        |    PARTITION BY stage, shard ORDER BY ord, doc_id) - 1 AS pos
        |FROM t ORDER BY doc_id""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Fuzzy decontamination: the example-level companion to q71/q76.
+  // Those pool every held-out gram into one set and count per-doc hits —
+  // right for "how much benchmark text leaked into this doc" but blind
+  // to WHICH eval example leaked, and a long doc can dilute a complete
+  // embedded eval example below any pooled-count threshold. Here the
+  // unit is the held-out DOCUMENT: flag (doc, held) pairs where the doc
+  // contains >= `threshold` of that held doc's distinct w-grams —
+  // gram-set containment |H ∩ D| / |H|, the He et al. / GPT-3-appendix
+  // "dirty example" notion — so a verbatim or lightly-edited eval
+  // example is caught no matter how much other text surrounds it.
+  //
+  // Scale shape (the q89 SSJoin prefix bound, applied asymmetrically):
+  // the held side is benchmark-sized by contract, so its per-doc gram
+  // prefixes BROADCAST; the corpus gram stream is generated map-side
+  // and probes the prefix index without ever shuffling text. The one
+  // corpus-wide aggregate is the gram-keyed document-frequency count
+  // (map-side partials absorb hot grams) that picks each held doc's
+  // RAREST k grams as its prefix — k = n − ⌈n·(τ−1e-4)⌉ + 1, the q89
+  // pigeonhole bound: a doc holding ≥ ⌈n·τ⌉ of H's grams misses at most
+  // n − ⌈n·τ⌉ < k of them, so it MUST hit an indexed gram whatever k
+  // grams were chosen (rarest-first is pure pruning, not correctness —
+  // the corpus side probes with its FULL gram set, so the filter is
+  // lossless unconditionally and the oracle is the brute-force form).
+  // Exact containment is then verified on the candidates only, against
+  // in-row corpus gram arrays (map-side `array_distinct∘transform`, no
+  // corpus-side collect_list shuffle). Candidates — output-sized — are
+  // the only corpus-derived rows that ever shuffle.
+  // -------------------------------------------------------------------
+
+  /** (doc_id, held_id, containment) for corpus docs containing >=
+    * `threshold` of held doc `held_id`'s distinct `w`-grams, 4dp,
+    * ordered. Held set = doc_id % heldoutMod == 0 (the q71 split).
+    */
+  def fuzzyDecontaminate(
+      docs: DataFrame,
+      w: Int = 3,
+      heldoutMod: Int = 10,
+      threshold: Double = 0.5): DataFrame = {
+    val held = gramsOf(docs.filter(col("doc_id") % heldoutMod === 0), w)
+      .select(col("doc_id").as("held_id"), col("gram"))
+    val corpDocs = docs.filter(col("doc_id") % heldoutMod =!= 0)
+    val corp = gramsOf(corpDocs, w)
+    // corpus document frequency — the rarest-first prefix ordering key;
+    // held grams absent from the corpus get df = 0 (maximally rare)
+    val dfreq = corp.groupBy("gram").agg(count(lit(1)).as("df"))
+    // held doc gram sets: benchmark-sized, a bounded collect_list
+    val heldArr = held.groupBy("held_id")
+      .agg(sort_array(collect_list(col("gram"))).as("hg"),
+        count(lit(1)).as("nh"))
+    val prefix = held
+      .join(dfreq, Seq("gram"), "left")
+      .na.fill(Map("df" -> 0L))
+      .join(heldArr.select(col("held_id"), col("nh")), Seq("held_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("held_id").orderBy(col("df").asc, col("gram").asc)))
+      // q89's boundary-safe prefix length (1e-4 slack covers the 4dp
+      // output rounding and IEEE dust — can only lengthen the prefix)
+      .filter(col("rk") <=
+        col("nh") - ceil(col("nh") * lit(threshold - 1e-4)) + 1)
+      .select(col("held_id"), col("gram"))
+    val cand = corp
+      .join(broadcast(prefix), Seq("gram"))
+      .select(col("doc_id"), col("held_id"))
+      .distinct()
+    // in-row corpus gram arrays: same set gramsOf explodes, built
+    // map-side so the verify never shuffles corpus text or gram lists
+    val corpArr = corpDocs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"), array_distinct(expr(
+        s"transform(sequence(1, size(t) - ${w - 1}), i -> concat_ws(' ', slice(t, i, $w)))"))
+        .as("cg"))
+    cand
+      .join(broadcast(heldArr), Seq("held_id"))
+      .join(corpArr, Seq("doc_id"))
+      .withColumn("containment",
+        round(size(array_intersect(col("hg"), col("cg"))).cast("double") /
+          col("nh"), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_id"), col("held_id"), col("containment"))
+      .orderBy("doc_id", "held_id")
+  }
+
+  /** DuckDB oracle for [[fuzzyDecontaminate]]: brute-force — the prefix
+    * filter is lossless, so the pruned plan must match all-pairs.
+    */
+  def fuzzyDecontaminateOracleSql(
+      w: Int = 3,
+      heldoutMod: Int = 10,
+      threshold: Double = 0.5): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT doc_id,
+       |    array_to_string(t[CAST(i AS BIGINT):CAST(i + ${w - 1} AS BIGINT)], ' ') AS gram
+       |  FROM toks, unnest(range(1, len(t) - ${w - 2})) AS r(i)
+       |  WHERE len(t) >= $w),
+       |held AS (SELECT doc_id AS held_id, gram FROM grams WHERE doc_id % $heldoutMod = 0),
+       |hn AS (SELECT held_id, count(*) AS nh FROM held GROUP BY 1),
+       |corp AS (SELECT doc_id, gram FROM grams WHERE doc_id % $heldoutMod <> 0),
+       |inter AS (
+       |  SELECT c.doc_id, h.held_id, count(*) AS ninter
+       |  FROM corp c JOIN held h USING (gram) GROUP BY 1, 2)
+       |SELECT doc_id, held_id,
+       |  round(CAST(ninter AS DOUBLE) / nh, 4) AS containment
+       |FROM inter JOIN hn USING (held_id)
+       |WHERE round(CAST(ninter AS DOUBLE) / nh, 4) >= $threshold
+       |ORDER BY doc_id, held_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Deterministic epoch shuffle: the global random permutation a
+  // training run wants per epoch, with no randomness — order is
+  // md5(seed:doc_id), so it is reproducible from the seed alone, stable
+  // under re-runs/partitioning/incremental append (a new doc splices
+  // into its hash position without moving any other doc's (shard, pos)
+  // relative order), and a new seed is a fresh decorrelated permutation
+  // with zero stored state. This is the q55/q70 md5 discipline applied
+  // to ordering: no rand(), no zipWithIndex, no driver-side shuffle.
+  //
+  // Scale shape: shard = first-7-hex of the SAME key mod `shards`, so
+  // the one window (position within shard) is (shard)-bounded — set
+  // shards ≈ executor slices at 100 TB and every window partition is a
+  // ~1/shards slice; readers stream shards independently in (ord, pos)
+  // order. No global sort anywhere but the oracle-facing output.
+  // -------------------------------------------------------------------
+
+  /** (doc_id, shard, pos): `pos` = the doc's 0-based position within its
+    * shard under the seed-keyed pseudo-random order. Different `seed` =>
+    * an independent permutation (one per training epoch).
+    */
+  def deterministicShuffle(
+      docs: DataFrame,
+      seed: String = "ep0",
+      shards: Int = 16): DataFrame = {
+    val ord = md5(concat(lit(seed + ":"), col("doc_id").cast("string")).cast("binary"))
+    docs
+      .select(col("doc_id"), ord.as("ord"))
+      .withColumn("shard",
+        conv(substring(col("ord"), 1, 7), 16, 10).cast("long") % shards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("ord").asc, col("doc_id").asc))
+        .cast("long") - 1L)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB SQL replicating [[deterministicShuffle]]. */
+  def deterministicShuffleOracleSql(
+      seed: String = "ep0",
+      shards: Int = 16): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, md5('$seed:' || CAST(doc_id AS VARCHAR)) AS ord,
+       |    ${duckHex7(s"'$seed:' || doc_id")} % $shards AS shard
+       |  FROM documents)
+       |SELECT doc_id, shard,
+       |  row_number() OVER (
+       |    PARTITION BY shard ORDER BY ord, doc_id) - 1 AS pos
+       |FROM t ORDER BY doc_id""".stripMargin
 }

@@ -233,4 +233,56 @@ class QualityOpsSpec extends SparkSpec {
     val b = graft.ops.QualityOps.lmSurprisal(docs.repartition(7)).collect().toSeq
     assert(a === b)
   }
+
+  test("importanceWeights: target-like docs outscore off-target; hand-checked arithmetic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (0L, "en", "alpha beta alpha beta"),   // pure target phrasing
+      (1L, "en", "alpha beta gamma delta"),
+      (2L, "xx", "omega psi omega psi"),     // pure off-target phrasing
+      (3L, "xx", "alpha beta omega psi"),    // mixed
+      (4L, "xx", "")                         // one empty-string token
+    ).toDF("doc_id", "lang", "text")
+    val out = graft.ops.QualityOps.importanceWeights(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+      .toMap
+    // target-heavy docs rank above mixed above off-target
+    assert(out(0L)._3 > out(3L)._3 && out(3L)._3 > out(2L)._3, out.toString)
+    assert(out(0L)._4 === 1 && out(2L)._4 === 0)
+    // hand-check: raw corpus = 17 token occurrences over vocab 7 (''
+    // counts), target = 8 occurrences in the en docs; so the constant
+    // term is ln(17+7) - ln(8+7), and e.g. 'alpha' has ct=3, cr=4
+    def q(ct: Long, cr: Long): Long = math.floor((math.log(ct + 1.0) - math.log(cr + 1.0) +
+      math.log(24.0) - math.log(15.0)) * 10000.0 + 0.5).toLong
+    val qAlpha = q(3, 4)
+    // doc 1 = alpha beta gamma delta: beta ct=3,cr=4; gamma/delta ct=1,cr=1
+    assert(out(1L)._2 === qAlpha + q(3, 4) + q(1, 1) + q(1, 1))
+    // log_weight is the floor(x+0.5) 4dp mean of exact integers
+    out.values.foreach { case (n, sq, w, _) =>
+      if (n > 0) assert(w === math.floor(sq.toDouble / n + 0.5) / 10000.0)
+    }
+  }
+
+  test("importanceWeights is partition-independent and total on null text") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "en", "alpha beta"), (1L, "xx", "omega"), (2L, "xx", null: String))
+      .toDF("doc_id", "lang", "text")
+    val a = graft.ops.QualityOps.importanceWeights(docs.repartition(1)).collect().toSeq
+    val b = graft.ops.QualityOps.importanceWeights(docs.repartition(3)).collect().toSeq
+    assert(a === b)
+    // the null-text doc surfaces with zero evidence, kept
+    val nullRow = a.find(_.getLong(0) == 2L).get
+    assert(nullRow.getLong(1) === 0L && nullRow.getLong(2) === 0L &&
+      nullRow.getDouble(3) === 0.0 && nullRow.getInt(4) === 1)
+  }
+
+  test("importanceWeights plan: target model broadcast, totals 1-row broadcast, doc_id-keyed final agg") {
+    val docs = Queries.t(spark, "/root/testdata/sf0.001", "documents")
+    val plan = graft.ops.QualityOps.importanceWeights(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

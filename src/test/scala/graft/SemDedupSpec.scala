@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SemDedup
+
+/** q94 SemDeDup contracts: planted-duplicate grouping, equality with a
+  * driver-side within-cell brute force, partition independence, the
+  * trained-quantizer path, and the no-cartesian plan shape. The DuckDB
+  * hash-compare (clustering included — deterministic quantizer) is the
+  * cross-engine gate.
+  */
+class SemDedupSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val emb = Queries.t(spark, sf, "embeddings")
+
+  test("planted duplicates group under one kept representative") {
+    import spark.implicits._
+    // 4 centroid-seed vectors (ids 0-3 < nlist) + a planted near-dup
+    // pair far from the seeds' directions + an unrelated vector
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val base = Seq(
+      (0L, v(1, 0, 0, 0)), (1L, v(0, 1, 0, 0)),
+      (2L, v(0, 0, 1, 0)), (3L, v(0, 0, 0, 1)),
+      (10L, v(0, 0.99, 0.12, 0)), (11L, v(0, 0.985, 0.13, 0)),
+      (12L, v(0.9, -0.4, 0, 0)))
+      .toDF("vec_id", "embedding")
+    // 0.999: tight enough that the e2 seed itself (cos 0.9927/0.9914 to
+    // the planted pair) stays out of the group
+    val out = SemDedup.semanticDedup(base, nlist = 4, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    // 10 and 11 share cell 1 (closest to e2) and cosine ~0.99995 >= 0.999; the
+    // group representative is the min id
+    val grouped = out.filter(r => r._1 == 10L || r._1 == 11L)
+    assert(grouped.length === 2, out.mkString(","))
+    assert(grouped.forall(_._2 == 10L))
+    assert(grouped.collect { case (id, _, k) if k == 1 => id }.toSeq === Seq(10L))
+    // 12 is nobody's near-dup at 0.999 -> singleton, omitted
+    assert(!out.exists(_._1 == 12L))
+  }
+
+  test("equals a driver-side within-cell brute force (grouping + keep flags)") {
+    val rows = emb.filter(col("embedding").isNotNull).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    // assignment: argmax over first-16 centroids of round(dot/cnorm, 6),
+    // min-id ties — the operator's documented quantizer
+    val cents = rows.filter(_._1 < 16).sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { d += a(i).toDouble * b(i); i += 1 }
+      d
+    }
+    def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    val assigned = rows.map { case (id, v) =>
+      val best = cents.map { case (cid, c) =>
+        (BigDecimal(dot(v, c) / nrm(c)).setScale(6, BigDecimal.RoundingMode.HALF_UP), cid)
+      }.minBy { case (s, cid) => (-s, cid) }
+      id -> best._2
+    }.toMap
+    // within-cell pairs at 4dp cosine >= 0.3, then transitive closure
+    val ids = rows.map(_._1)
+    val byId = rows.toMap
+    val pairs = for {
+      a <- ids; b <- ids
+      if a < b && assigned(a) == assigned(b)
+      c = BigDecimal(dot(byId(a), byId(b)) / (nrm(byId(a)) * nrm(byId(b))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= 0.3
+    } yield (a, b)
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val expect = inPairs.map(id => (id, assigned(id), find(id), if (find(id) == id) 1 else 0))
+    val got = SemDedup.semanticDedup(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "no semantic dup groups in the fixture — threshold degenerate")
+  }
+
+  test("partition-independent") {
+    val a = SemDedup.semanticDedup(emb.repartition(1)).collect().toSeq
+    val b = SemDedup.semanticDedup(emb.repartition(7)).collect().toSeq
+    assert(a === b)
+  }
+
+  test("trained quantizer path: Lloyd's-refined cells still group, keep flags stay consistent") {
+    val out = SemDedup.semanticDedup(emb, trainIters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    assert(out.nonEmpty)
+    // exactly one kept representative per group, and it is the min id
+    out.groupBy(_._2).foreach { case (cid, rows) =>
+      assert(rows.count(_._3 == 1) === 1, s"group $cid keep count")
+      assert(rows.filter(_._3 == 1).head._1 === rows.map(_._1).min)
+      assert(cid === rows.map(_._1).min)
+    }
+  }
+
+  test("plan: within-cell equi-join on list_id — no cartesian, no nested loop") {
+    val plan = SemDedup.semanticDedup(emb)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}

@@ -334,4 +334,109 @@ class TrainPipeSpec extends SparkSpec {
     // the position window must not collapse to a single partition
     assert(!plan.contains("SinglePartition"), plan)
   }
+
+  // ------------------------------------------------------------------
+  // q92 fuzzy decontamination (example-level gram-set containment)
+  // ------------------------------------------------------------------
+
+  test("fuzzy decontam: a verbatim embedded eval doc scores 1.0 however much text surrounds it") {
+    import spark.implicits._
+    val base = Seq(
+      (0L, "alpha beta gamma delta epsilon"),                // held (0 % 10 == 0)
+      // held doc embedded verbatim inside 4x unrelated text — the pooled
+      // q71 count dilutes toward 0.2, but per-example containment is 1.0
+      (1L, "pad1 pad2 pad3 pad4 pad5 pad6 pad7 pad8 " +
+        "alpha beta gamma delta epsilon " +
+        "pad9 padA padB padC padD padE padF padG"),
+      (2L, "zeta eta theta iota kappa"),                     // disjoint -> no row
+      (3L, "alpha beta gamma nu xi"))                        // partial: 1 of 3 grams
+      .toDF("doc_id", "text")
+    val out = TrainPipe.fuzzyDecontaminate(base, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((1L, 0L, 1.0), (3L, 0L, 0.3333)))
+  }
+
+  test("fuzzy decontam prefix filter is lossless: equals the brute-force all-pairs answer") {
+    // brute force: full gram-set containment with no prefix pruning
+    val w = 3
+    val rows = docs.select("doc_id", "text").collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+      .filter(_._2.length >= w)
+      .map { case (id, t) =>
+        id -> t.sliding(w).map(_.mkString(" ")).toSet
+      }
+    val held = rows.filter(_._1 % 10 == 0)
+    val corp = rows.filter(_._1 % 10 != 0)
+    val expect = (for {
+      (hid, hg) <- held
+      (did, cg) <- corp
+      c = BigDecimal((hg & cg).size.toDouble / hg.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= 0.5
+    } yield (did, hid, c)).toSet
+    val got = TrainPipe.fuzzyDecontaminate(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "fixture produced no contaminated pairs — thresholds degenerate")
+  }
+
+  test("fuzzy decontam is partition-independent") {
+    val a = TrainPipe.fuzzyDecontaminate(docs.repartition(1)).collect().toSeq
+    val b = TrainPipe.fuzzyDecontaminate(docs.repartition(7)).collect().toSeq
+    assert(a === b)
+  }
+
+  test("fuzzy decontam plan: held prefixes and gram sets broadcast; corpus text never build-side") {
+    val plan = TrainPipe.fuzzyDecontaminate(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the corpus side must never fall into a nested-loop or cartesian pair
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  // ------------------------------------------------------------------
+  // q93 deterministic epoch shuffle
+  // ------------------------------------------------------------------
+
+  test("det shuffle: a permutation — every doc once, positions dense per shard") {
+    val out = TrainPipe.deterministicShuffle(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).distinct.length === out.length)
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      val ps = rows.map(_._3).sorted.toSeq
+      assert(ps === (0L until rows.length).toSeq, s"shard $shard positions not dense")
+    }
+  }
+
+  test("det shuffle is partition-independent; a different seed is a different permutation") {
+    val a = TrainPipe.deterministicShuffle(docs.repartition(1)).collect().toSeq
+    val b = TrainPipe.deterministicShuffle(docs.repartition(7)).collect().toSeq
+    assert(a === b)
+    val ep1 = TrainPipe.deterministicShuffle(docs, seed = "ep1").collect().toSeq
+    assert(a.map(_.getLong(0)).toSet === ep1.map(_.getLong(0)).toSet)
+    assert(a !== ep1, "epoch seeds produced identical permutations")
+  }
+
+  test("det shuffle is append-stable: old docs keep their relative order when the corpus grows") {
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val small = TrainPipe.deterministicShuffle(half).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(0)))
+    val full = TrainPipe.deterministicShuffle(docs).collect()
+      .filter(_.getLong(0) % 2 == 0)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(0)))
+    // within each shard the surviving docs appear in the same order —
+    // a new doc splices in without reshuffling anyone else
+    val bySmall = small.groupBy(_._1).map { case (s, r) => s -> r.sortBy(_._2).map(_._3).toSeq }
+    val byFull = full.groupBy(_._1).map { case (s, r) => s -> r.sortBy(_._2).map(_._3).toSeq }
+    assert(bySmall.keySet === byFull.keySet)
+    bySmall.foreach { case (s, order) => assert(byFull(s) === order, s"shard $s reordered") }
+  }
+
+  test("det shuffle plan: the position window is shard-bounded, never global") {
+    val plan = TrainPipe.deterministicShuffle(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
 }
