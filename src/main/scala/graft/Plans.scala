@@ -223,7 +223,7 @@ object Plans {
     Audit("q91_corpus_card", "corpus card: TWO scans (doc-level + token-level aggregates) joined as 1-row broadcasts; count-distincts ride Expand (report query, not hot path — q42's HLL++ is the at-scale swap)",
       mustContain = Seq("Expand", "IdentityBroadcastMode"),
       mustNotContain = Seq("CartesianProduct", "SortMergeJoin")),
-    Audit("q92_fuzzy_decontam", "fuzzy decontamination: held-doc prefixes and gram sets BROADCAST (benchmark-sized), corpus grams generated map-side and probed without shuffling text; candidates are the only corpus-derived shuffle",
+    Audit("q92_fuzzy_decontam", "fuzzy decontamination: held-doc postings BROADCAST (benchmark-sized), corpus grams probe map-side, pair-keyed count agg with map-side partials — gram text shuffles once (the per-doc distinct), never into a join",
       mustContain = Seq("BroadcastHashJoin"),
       mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
     Audit("q93_det_shuffle", "deterministic epoch shuffle: md5 order computed map-side, position window (shard)-bounded — never a single global window partition, no join",

@@ -707,22 +707,18 @@ object TrainPipe {
   // "dirty example" notion — so a verbatim or lightly-edited eval
   // example is caught no matter how much other text surrounds it.
   //
-  // Scale shape (the q89 SSJoin prefix bound, applied asymmetrically):
-  // the held side is benchmark-sized by contract, so its per-doc gram
-  // prefixes BROADCAST; the corpus gram stream is generated map-side
-  // and probes the prefix index without ever shuffling text. The one
-  // corpus-wide aggregate is the gram-keyed document-frequency count
-  // (map-side partials absorb hot grams) that picks each held doc's
-  // RAREST k grams as its prefix — k = n − ⌈n·(τ−1e-4)⌉ + 1, the q89
-  // pigeonhole bound: a doc holding ≥ ⌈n·τ⌉ of H's grams misses at most
-  // n − ⌈n·τ⌉ < k of them, so it MUST hit an indexed gram whatever k
-  // grams were chosen (rarest-first is pure pruning, not correctness —
-  // the corpus side probes with its FULL gram set, so the filter is
-  // lossless unconditionally and the oracle is the brute-force form).
-  // Exact containment is then verified on the candidates only, against
-  // in-row corpus gram arrays (map-side `array_distinct∘transform`, no
-  // corpus-side collect_list shuffle). Candidates — output-sized — are
-  // the only corpus-derived rows that ever shuffle.
+  // Scale shape: the held side is benchmark-sized by contract, so its
+  // (held_id, gram) postings BROADCAST — q71's discipline kept at
+  // example granularity. The corpus gram stream (ONE (doc_id, gram)
+  // distinct — gramsOf's measured-faster shuffle form) probes the
+  // broadcast map-side; every match is one (doc_id, held_id) row into a
+  // pair-keyed count aggregate whose map-side partials absorb hot
+  // grams, and |H∩D| falls straight out — no candidate/verify split, no
+  // per-pair array intersection. Per-held sizes ride a second (tiny)
+  // broadcast. If the held set ever outgrows broadcast, the swap is
+  // q89's SSJoin prefix filter (index each held doc's k rarest grams,
+  // k = n − ⌈n·(τ−1e-4)⌉ + 1 — lossless by pigeonhole) in front of a
+  // gram-keyed shuffle join; everything downstream is unchanged.
   // -------------------------------------------------------------------
 
   /** (doc_id, held_id, containment) for corpus docs containing >=
@@ -736,51 +732,25 @@ object TrainPipe {
       threshold: Double = 0.5): DataFrame = {
     val held = gramsOf(docs.filter(col("doc_id") % heldoutMod === 0), w)
       .select(col("doc_id").as("held_id"), col("gram"))
-    val corpDocs = docs.filter(col("doc_id") % heldoutMod =!= 0)
-    val corp = gramsOf(corpDocs, w)
-    // corpus document frequency — the rarest-first prefix ordering key;
-    // held grams absent from the corpus get df = 0 (maximally rare)
-    val dfreq = corp.groupBy("gram").agg(count(lit(1)).as("df"))
-    // held doc gram sets: benchmark-sized, a bounded collect_list
-    val heldArr = held.groupBy("held_id")
-      .agg(sort_array(collect_list(col("gram"))).as("hg"),
-        count(lit(1)).as("nh"))
-    val prefix = held
-      .join(dfreq, Seq("gram"), "left")
-      .na.fill(Map("df" -> 0L))
-      .join(heldArr.select(col("held_id"), col("nh")), Seq("held_id"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("held_id").orderBy(col("df").asc, col("gram").asc)))
-      // q89's boundary-safe prefix length (1e-4 slack covers the 4dp
-      // output rounding and IEEE dust — can only lengthen the prefix)
-      .filter(col("rk") <=
-        col("nh") - ceil(col("nh") * lit(threshold - 1e-4)) + 1)
-      .select(col("held_id"), col("gram"))
-    val cand = corp
-      .join(broadcast(prefix), Seq("gram"))
-      .select(col("doc_id"), col("held_id"))
-      .distinct()
-    // in-row corpus gram arrays: same set gramsOf explodes, built
-    // map-side so the verify never shuffles corpus text or gram lists
-    val corpArr = corpDocs
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= w)
-      .select(col("doc_id"), array_distinct(expr(
-        s"transform(sequence(1, size(t) - ${w - 1}), i -> concat_ws(' ', slice(t, i, $w)))"))
-        .as("cg"))
-    cand
-      .join(broadcast(heldArr), Seq("held_id"))
-      .join(corpArr, Seq("doc_id"))
+    val hn = held.groupBy("held_id").agg(count(lit(1)).as("nh"))
+    gramsOf(docs.filter(col("doc_id") % heldoutMod =!= 0), w)
+      // map-side probe: both sides are per-doc distinct, so each
+      // (doc_id, held_id, gram) match is unique and the pair count IS
+      // the intersection size
+      .join(broadcast(held), Seq("gram"))
+      .groupBy("doc_id", "held_id")
+      .agg(count(lit(1)).as("ninter"))
+      .join(broadcast(hn), Seq("held_id"))
       .withColumn("containment",
-        round(size(array_intersect(col("hg"), col("cg"))).cast("double") /
-          col("nh"), 4))
+        round(col("ninter").cast("double") / col("nh"), 4))
       .filter(col("containment") >= threshold)
       .select(col("doc_id"), col("held_id"), col("containment"))
       .orderBy("doc_id", "held_id")
   }
 
-  /** DuckDB oracle for [[fuzzyDecontaminate]]: brute-force — the prefix
-    * filter is lossless, so the pruned plan must match all-pairs.
+  /** DuckDB oracle for [[fuzzyDecontaminate]]: the all-pairs containment
+    * definition, written directly — the Spark plan's broadcast probe is
+    * the same computation with the held side bucketed per executor.
     */
   def fuzzyDecontaminateOracleSql(
       w: Int = 3,

@@ -356,8 +356,8 @@ class TrainPipeSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 0L, 1.0), (3L, 0L, 0.3333)))
   }
 
-  test("fuzzy decontam prefix filter is lossless: equals the brute-force all-pairs answer") {
-    // brute force: full gram-set containment with no prefix pruning
+  test("fuzzy decontam equals the brute-force all-pairs answer") {
+    // brute force: full gram-set containment, no bucketing
     val w = 3
     val rows = docs.select("doc_id", "text").collect()
       .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
@@ -387,7 +387,7 @@ class TrainPipeSpec extends SparkSpec {
     assert(a === b)
   }
 
-  test("fuzzy decontam plan: held prefixes and gram sets broadcast; corpus text never build-side") {
+  test("fuzzy decontam plan: held postings broadcast; corpus text never build-side") {
     val plan = TrainPipe.fuzzyDecontaminate(docs)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
