@@ -234,6 +234,9 @@ object Plans {
       mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
     Audit("q95_importance_weights", "DSIR weights: token-keyed count aggregates with map-side partials, target model + totals broadcast (the 1-row IdentityBroadcastMode pattern), per-row quantization to exact longs before the doc_id-keyed sum",
       mustContain = Seq("HashAggregate", "IdentityBroadcastMode"),
+      mustNotContain = Seq("CartesianProduct")),
+    Audit("q96_nb_classifier", "NB classifier: (label, token)-keyed training aggregates with map-side partials, vocabulary-sized score grid BROADCAST to the token stream, doc_id-keyed sums, argmax window per doc — the label-count crossJoins are the deliberate tiny IdentityBroadcastMode pattern, no cartesian of real tables",
+      mustContain = Seq("BroadcastHashJoin", "Window"),
       mustNotContain = Seq("CartesianProduct")))
 
   def main(args: Array[String]): Unit = {

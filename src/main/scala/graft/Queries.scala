@@ -1818,6 +1818,16 @@ object Queries {
     (s, d) => graft.ops.QualityOps.importanceWeights(t(s, d, "documents")),
     Some(graft.ops.QualityOps.importanceWeightsOracleSql()))
 
+  /** Multinomial Naive Bayes classifier (the fastText-style lang/domain
+    * filter shape) trained and applied as one lineage — training IS
+    * aggregation, so the oracle replays fit + predict bit-for-bit via
+    * the exact-integer quantization discipline.
+    */
+  private val q96 = QueryDef(
+    "q96_nb_classifier",
+    (s, d) => graft.ops.Classify.nbClassify(t(s, d, "documents")),
+    Some(graft.ops.Classify.nbClassifyOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -1844,5 +1854,5 @@ object Queries {
     q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q92, q93, q94, q95)
+    q92, q93, q94, q95, q96)
 }

@@ -212,6 +212,17 @@ object ScaleCurve {
         // partials must keep the ownership shuffle linear.
         Cell(f, "q84_crossdoc_spans",
           () => graft.ops.TextOps.crossDocRemovalSpans(docs),
+          _.count()),
+        // SemDeDup (q94): cells must scale with the corpus — the
+        // SemDeDup prescription nlist ∝ n/cell-budget; a FIXED nlist
+        // grows within-cell candidate pairs quadratically, which is
+        // exactly the failure mode this cell would expose. Centroids
+        // are the first 16·f vectors (replica 0 — the quantizer is
+        // data-driven either way); cross-replica cosines sit below the
+        // 0.3 dup threshold (the q64 cell's invariant), so output
+        // tracks ~linear though cell granularity shifts with nlist.
+        Cell(f, "q94_semdedup",
+          () => graft.ops.SemDedup.semanticDedup(emb, nlist = 16 * f),
           _.count()))
     }
 
