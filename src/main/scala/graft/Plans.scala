@@ -214,7 +214,7 @@ object Plans {
     Audit("q88_strip_spans", "boilerplate strip: q84 cut list → (doc_id, idx) anti-join against the token stream (doc_id in every join key), in-row array_sort reassembly — no global sort of tokens, no nested loop",
       mustContain = Seq("Generate", "partial_min"),
       mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
-    Audit("q89_containment", "containment: SSJoin prefix-filtered inverted index (k rarest tokens per doc), candidate equi-join on tok, exact verify on token arrays — no all-pairs nested loop, no cartesian",
+    Audit("q89_containment", "containment: TWO-SIDED positional prefix filter (PPJoin — probe indexes its k rarest tokens, container postings die inside the equi-join unless the witness sits within the container's own prefix rank), exact verify on token arrays; hotPostingMax guard available for degenerate vocabularies (df-capped witnesses, loss bound documented) — no all-pairs nested loop, no cartesian",
       mustContain = Seq("Window"),
       mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
     Audit("q90_lm_surprisal", "LM surprisal: term-keyed count aggregates with map-side partials, model equi-joins, per-row quantization to exact longs BEFORE the doc_id-keyed sum (no float crosses a shuffle); V rides the 1-row broadcast",
@@ -237,7 +237,10 @@ object Plans {
       mustNotContain = Seq("CartesianProduct")),
     Audit("q96_nb_classifier", "NB classifier: (label, token)-keyed training aggregates with map-side partials, vocabulary-sized score grid BROADCAST to the token stream, doc_id-keyed sums, argmax window per doc — the label-count crossJoins are the deliberate tiny IdentityBroadcastMode pattern, no cartesian of real tables",
       mustContain = Seq("BroadcastHashJoin", "Window"),
-      mustNotContain = Seq("CartesianProduct")))
+      mustNotContain = Seq("CartesianProduct")),
+    Audit("q97_edit_distance", "edit-distance pairs: PassJoin segments/probes generated MAP-SIDE (transform/sequence over the row's own text), candidate equi-join on xxhash64(L, slot, segment) so no substring text shuffles, bounded-DP levenshtein verify on candidates only — no all-pairs nested loop, no cartesian",
+      mustContain = Seq("levenshtein", "xxhash64"),
+      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

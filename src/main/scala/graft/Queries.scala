@@ -1828,6 +1828,20 @@ object Queries {
     (s, d) => graft.ops.Classify.nbClassify(t(s, d, "documents")),
     Some(graft.ops.Classify.nbClassifyOracleSql()))
 
+  /** Bounded edit-distance near-dup pairs: all (doc_i, doc_j, ed) with
+    * Levenshtein distance ≤ 4 — the character-level member of the dedup
+    * family (typo-level copies that shift every token shingle and flip
+    * SimHash bits). Candidates via the lossless PassJoin segment filter
+    * (map-side segment/probe generation, hash-keyed equi-join so no
+    * substring text shuffles), verify via bounded-DP levenshtein.
+    * Oracle = brute force (length window + full Levenshtein), which the
+    * lossless filter must reproduce exactly.
+    */
+  private val q97 = QueryDef(
+    "q97_edit_distance",
+    (s, d) => graft.ops.EditDist.editDistPairs(t(s, d, "documents")),
+    Some(graft.ops.EditDist.editDistPairsOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -1854,5 +1868,5 @@ object Queries {
     q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q92, q93, q94, q95, q96)
+    q92, q93, q94, q95, q96, q97)
 }

@@ -239,19 +239,35 @@ object NearDup {
     * candidate structure.
     *
     * That structure is PREFIX FILTERING (the SSJoin/PPJoin trick,
-    * Chaudhuri et al. ICDE'06, exact by the pigeonhole bound): sort
-    * each contained-side doc's tokens by GLOBAL document frequency
-    * ascending and index only its k_A = ⌊n_A·(1−τ)⌋ + 1 rarest tokens.
-    * Any container holding ≥ τ·n_A of A's tokens misses at most
-    * n_A − ⌈τ·n_A⌉ < k_A of them, so it MUST share an indexed token —
-    * no qualifying pair can be lost, while the inverted index shrinks
-    * from n_A postings per doc to k_A, and the postings chosen are the
-    * RAREST (shortest lists), which is what keeps the candidate join
-    * linear-ish at corpus scale. Exact containment is then verified on
-    * the candidates' token arrays. A hot prefix token (a doc made
-    * entirely of stopwords) is bounded by k_A per doc and
-    * AQE-skew-splittable in the join — same discipline as the band
-    * joins.
+    * Chaudhuri et al. ICDE'06; positional two-sided form Xiao et al.
+    * WWW'08, exact by the pigeonhole bound): sort every doc's tokens by
+    * GLOBAL document frequency ascending. The contained side indexes
+    * only its k_A = n_A − m_min + 1 rarest tokens (m_min = smallest
+    * intersection that can pass), and — the two-sided lemma — the
+    * CONTAINER side only needs its first n_B − m_min + 1 tokens in the
+    * SAME order: if |A∩B| ≥ m_min, the globally-smallest common token
+    * has ≥ m_min − 1 common tokens ranked after it in BOTH lists, so it
+    * sits within both prefixes. No qualifying pair can be lost, while
+    * the inverted index shrinks from n postings per doc to ~n·(1−τ) on
+    * BOTH sides, and the postings chosen are the RAREST (shortest
+    * lists), which is what keeps the candidate join linear-ish at
+    * corpus scale. Exact containment is then verified on the
+    * candidates' token arrays. A hot prefix token (a doc made entirely
+    * of stopwords) is bounded by k_A per doc and AQE-skew-splittable in
+    * the join — same discipline as the band joins.
+    *
+    * `hotPostingMax` is the [[Lsh.guardHotBuckets]] counterpart for a
+    * DEGENERATE corpus (tiny vocabulary / boilerplate-flooded shard,
+    * where even the "rarest" tokens carry corpus-scale posting lists
+    * and the exact candidate set is genuinely quadratic): tokens with
+    * global df above the cap are dropped from index AND probe — ranks
+    * are computed on the full order first, so prefix boundaries never
+    * shift; the cap only removes hot witnesses. Exactness trade, stated
+    * precisely: a pair (A, B) is lost IFF every common token inside
+    * both prefixes has df > cap — any pair sharing ONE sub-cap token
+    * within both prefixes is still found, and the verify arithmetic on
+    * survivors is unchanged (exact). `None` (the q89 default) keeps the
+    * lossless contract the DuckDB oracle pins.
     *
     * `sliceMax` bounds the contained side (the q23/q24 bounded-query
     * shape); `None` is the full corpus × corpus form. Output:
@@ -265,32 +281,41 @@ object NearDup {
   def containmentPairs(
       docs: DataFrame,
       threshold: Double = 0.8,
-      sliceMax: Option[Long] = Some(100L)): DataFrame = {
+      sliceMax: Option[Long] = Some(100L),
+      hotPostingMax: Option[Long] = None): DataFrame = {
     val tok = tokens(docs).filter(size(col("toks")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val posting = tok.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val posting = tok.select(col("doc_id"), size(col("toks")).as("n"),
+      explode(col("toks")).as("tok"))
     // global document frequency — the prefix ordering key (partial-agg'd
     // token-keyed aggregate; hot tokens fold map-side)
     val dfreq = posting.groupBy("tok").agg(count(lit(1)).as("df"))
-    val aSide = sliceMax.fold(tok)(m => tok.filter(col("doc_id") < m))
-    val prefix = aSide
-      .select(col("doc_id").as("doc_a"), size(col("toks")).as("na"),
-        explode(col("toks")).as("tok"))
-      .join(dfreq, Seq("tok"))
+    // every doc's tokens ranked under ONE global (df asc, tok asc) total
+    // order — a doc_id-partitioned window (bounded per doc); both join
+    // sides derive from this frame, which the two-sided lemma requires
+    val ranked = posting.join(dfreq, Seq("tok"))
       .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_a").orderBy(col("df").asc, col("tok").asc)))
-      // prefix length k = n − m_min + 1, m_min = smallest intersection
-      // that can pass the (4dp-rounded) threshold filter, computed as
-      // ceil(n·(τ − 1e-4)): the slack covers BOTH the round(·, 4)
-      // output boundary and IEEE dust (5·(1−0.8) = 0.999…8 would have
-      // floored a naive k to 1 and LOST boundary pairs) — erring only
-      // toward a slightly longer prefix, which can never lose a pair
-      .filter(col("rk") <=
-        col("na") - ceil(col("na") * lit(threshold - 1e-4)) + 1)
-      .select(col("doc_a"), col("tok"))
-    val cand = prefix
-      .join(posting.select(col("doc_id").as("doc_b"), col("tok")), Seq("tok"))
-      .filter(col("doc_a") =!= col("doc_b"))
+        Window.partitionBy("doc_id").orderBy(col("df").asc, col("tok").asc)))
+    val guarded = hotPostingMax.fold(ranked)(m => ranked.filter(col("df") <= m))
+    // m_min(n) = smallest intersection that can pass the (4dp-rounded)
+    // threshold filter, computed as ceil(n·(τ − 1e-4)): the slack covers
+    // BOTH the round(·, 4) output boundary and IEEE dust (5·(1−0.8) =
+    // 0.999…8 would have floored a naive prefix to 1 and LOST boundary
+    // pairs) — erring only toward a slightly longer prefix, which can
+    // never lose a pair
+    def mMin(n: Column): Column = ceil(n * lit(threshold - 1e-4))
+    val aSide = sliceMax.fold(guarded)(m => guarded.filter(col("doc_id") < m))
+    val cand = aSide
+      .filter(col("rk") <= col("n") - mMin(col("n")) + 1)
+      .select(col("doc_id").as("doc_a"), col("n").as("na"), col("tok"))
+      .join(guarded.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+        col("rk").as("rb"), col("tok")), Seq("tok"))
+      // positional filter: the witness must sit inside the CONTAINER's
+      // prefix for the probe's own m_min — evaluated inside the equi-join
+      // (codegen'd extra condition), so over-long posting lists die
+      // before the distinct
+      .filter(col("doc_a") =!= col("doc_b") &&
+        col("rb") <= col("nb") - mMin(col("na")) + 1)
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     cand

@@ -92,7 +92,7 @@ class EditDistSpec extends SparkSpec {
     out.collect()
     val executed = out.queryExecution.executedPlan
     def all(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
-      p +: p.children.flatMap(all) ++ (p match {
+      (p +: p.children.flatMap(all)) ++ (p match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => all(a.executedPlan)
         case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => all(q.plan)
         case _ => Nil

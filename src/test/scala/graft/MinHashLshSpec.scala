@@ -160,4 +160,33 @@ class MinHashLshSpec extends SparkSpec {
       .agg(sum("k")).head.getLong(0)
     assert(nPrefix < nAll / 2, s"prefix $nPrefix vs full $nAll: pruning is not real")
   }
+
+  test("containment hotPostingMax guard: planted quote survives, loss bound is exactly the documented one") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // hot filler tokens appear in every doc (df = 6 > cap); the quote's
+    // distinctive tokens are rare (df = 2 <= cap)
+    val docs = Seq(
+      (0L, "alpha beta gamma delta hot1 hot2 hot3 hot4"), // quoted in 10
+      (1L, "hot1 hot2 hot3 hot4 hot5"),                   // ONLY hot tokens
+      (10L, "alpha beta gamma delta epsilon hot1 hot2 hot3 hot4 hot5 filler more"),
+      (11L, "hot1 hot2 hot3 hot4 hot5 zeta"),             // contains all of doc 1
+      (12L, "hot1 hot2 hot3 hot4 hot5 eta"),
+      (13L, "hot1 hot2 hot3 hot4 hot5 theta")
+    ).toDF("doc_id", "text")
+    val unguarded = graft.ops.NearDup
+      .containmentPairs(docs, threshold = 0.8, sliceMax = Some(5L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = graft.ops.NearDup
+      .containmentPairs(docs, threshold = 0.8, sliceMax = Some(5L),
+        hotPostingMax = Some(4L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the guard only drops pairs — never invents them
+    assert(guarded.subsetOf(unguarded))
+    // the planted quote pairs through its rare witnesses under the cap
+    assert(guarded.contains((0L, 10L)))
+    // doc 1 is fully contained in 11/12/13, but EVERY witness token is
+    // hot — exactly the documented loss case
+    assert(unguarded.contains((1L, 11L)) && !guarded.exists(_._1 == 1L))
+  }
 }
