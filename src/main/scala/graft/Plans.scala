@@ -240,7 +240,13 @@ object Plans {
       mustNotContain = Seq("CartesianProduct")),
     Audit("q97_edit_distance", "edit-distance pairs: PassJoin segments/probes generated MAP-SIDE (transform/sequence over the row's own text), candidate equi-join on xxhash64(L, slot, segment) so no substring text shuffles, bounded-DP levenshtein verify on candidates only — no all-pairs nested loop, no cartesian",
       mustContain = Seq("levenshtein", "xxhash64"),
-      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")))
+      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    Audit("q98_incremental_semdedup", "incremental SemDeDup: delta assigned map-side against base-trained centroid literals (native vec_dot argmax) and BROADCAST to the base side, which never shuffles for the probe — no cartesian, no sort-merge on the probe path",
+      mustContain = Seq("BroadcastHashJoin", "vec_dot"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin")),
+    Audit("q99_subword_tokens", "subword token count: vocabulary is one gram aggregate + bounded top-V collect shipped as a plan literal (the centroid pattern); counting is a per-row native bpe_token_count map — no join, no window in the count path",
+      mustContain = Seq("bpe_token_count"),
+      mustNotContain = Seq("Join", "Window")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1842,6 +1842,31 @@ object Queries {
     (s, d) => graft.ops.EditDist.editDistPairs(t(s, d, "documents")),
     Some(graft.ops.EditDist.editDistPairsOracleSql()))
 
+  /** Incremental SemDeDup — q78's new-batch-vs-corpus contract in
+    * embedding space: quantizer trained on the BASE split only, the ~2%
+    * delta assigned map-side against the same centroid literals and
+    * broadcast, output = cross-split within-cell exact-cosine dup pairs.
+    * The materialized twin (cell-partitioned assignment store, DPP-pruned
+    * probe) and the merge path (stored edges ∪ crossing ∪ delta-delta =
+    * bit-equal to a full q94 re-run) are spec-pinned in SemDedupSpec.
+    */
+  private val q98 = QueryDef(
+    "q98_incremental_semdedup",
+    (s, d) => graft.ops.SemDedup.incrementalSemanticDedup(t(s, d, "embeddings")),
+    Some(graft.ops.SemDedup.incrementalSemanticDedupOracleSql()))
+
+  /** Subword (BPE-shaped) token count: corpus-derived top-V character
+    * n-gram merge vocabulary + greedy longest-match segmentation via the
+    * native bpe_token_count expression. The tokenizer-denominated
+    * companion to q32's whitespace count — the unit real token budgets
+    * are spent in; the q79/q87 budget operators accept it as an
+    * alternate denominator (A/B spec-pinned: the selections differ).
+    */
+  private val q99 = QueryDef(
+    "q99_subword_tokens",
+    (s, d) => graft.ops.TextOps.subwordTokenCounts(t(s, d, "documents")),
+    Some(graft.ops.TextOps.subwordOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -1868,5 +1893,5 @@ object Queries {
     q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q92, q93, q94, q95, q96, q97)
+    q92, q93, q94, q95, q96, q97, q98, q99)
 }

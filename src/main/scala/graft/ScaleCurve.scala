@@ -80,14 +80,15 @@ object ScaleCurve {
           "(the empty token and pure punctuation are rotation-invariant; " +
           "digit rotation period is 10)")
     }
-    // stride padded UP to a multiple of 5 so every replica keeps the
-    // base's doc_id % 5 residue classes — the q78 incremental cell's
-    // delta/base split must land identically in each replica or its
-    // "output exactly linear" contract breaks for bases whose max id+1
-    // is not ≡ 0 (mod 5). (For the shipped sf corpora the raw stride is
-    // already a multiple of 5, so padding changes nothing there.)
+    // stride padded UP to a multiple of 10 so every replica keeps the
+    // base's doc_id % 5 AND % 10 residue classes — the q78 incremental
+    // cell's delta/base split and the q92 held-out split must land
+    // identically in each replica or their "output exactly linear"
+    // contracts break for bases whose max id+1 is not ≡ 0 (mod 10).
+    // (For the shipped sf corpora the raw stride is already a multiple
+    // of 10, so padding changes nothing there.)
     val rawStride = docs.agg(max("doc_id")).head().getLong(0) + 1
-    val stride = ((rawStride + 4) / 5) * 5
+    val stride = ((rawStride + 9) / 10) * 10
     def rot(s: String, r: Int): String = s.drop(r % s.length) + s.take(r % s.length)
     (0 until factor).map { r =>
       val from = Lower + Upper + Digit
@@ -108,7 +109,11 @@ object ScaleCurve {
     val dim = emb.select(size(col("embedding")).as("d")).agg(min("d")).head().getInt(0)
     require(factor <= dim,
       s"scaleEmbeddings supports factors up to the vector dim ($dim), got $factor")
-    val stride = emb.agg(max("vec_id")).head().getLong(0) + 1
+    // padded to a multiple of 50 so every replica keeps the base's
+    // vec_id % 50 residue classes — the q98 incremental cell's delta
+    // split (vec_id % 50 = 17) must land identically in each replica
+    val rawStride = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val stride = ((rawStride + 49) / 50) * 50
     val dimCol = size(col("embedding"))
     (0 until factor).map { r =>
       val shifted =
@@ -223,6 +228,46 @@ object ScaleCurve {
         // tracks ~linear though cell granularity shifts with nlist.
         Cell(f, "q94_semdedup",
           () => graft.ops.SemDedup.semanticDedup(emb, nlist = 16 * f),
+          _.count()),
+        // containment (q89): the nightly shape — a FIXED 100-doc probe
+        // slice (replica 0) against a GROWING corpus. Replica tokens are
+        // disjoint, so the probe's candidates and output stay CONSTANT
+        // across factors; what must stay linear is the global index
+        // build (df aggregate + per-doc rank window over all postings).
+        // rows flat + sec growing ≲ linearly is the pass condition here,
+        // NOT linear rows.
+        Cell(f, "q89_containment_probe",
+          () => graft.ops.NearDup.containmentPairs(docs),
+          _.count()),
+        // fuzzy decontamination (q92): held split is doc_id % 10 = 0,
+        // preserved per replica (stride ≡ 0 mod 10, guarded above); held
+        // grams are replica-disjoint, so matches are intra-replica and
+        // rows must be exactly base × factor. The held postings
+        // broadcast grows with the corpus — the documented ceiling of
+        // the broadcast form.
+        Cell(f, "q92_fuzzy_decontam",
+          () => graft.ops.TrainPipe.fuzzyDecontaminate(docs),
+          _.count()),
+        // NB classifier (q96): one row per doc — trivially linear rows;
+        // the curve watches the (label, token) training grid, whose
+        // vocabulary grows ×f under rotation, and the grid broadcast.
+        Cell(f, "q96_nb_classifier",
+          () => graft.ops.Classify.nbClassify(docs),
+          _.count()),
+        // edit distance (q97): translate is a per-character bijection,
+        // so intra-replica Levenshtein distances are EXACTLY preserved
+        // (rows = base × factor); lengths are preserved too, so the
+        // length-window join pressure also scales. Segment hashes are
+        // replica-disjoint — no cross-replica candidates.
+        Cell(f, "q97_edit_distance",
+          () => graft.ops.EditDist.editDistPairs(docs),
+          _.count()),
+        // incremental SemDeDup (q98): delta split vec_id % 50 = 17 is
+        // replica-preserved (stride ≡ 0 mod 50, guarded above); nlist
+        // scales with the corpus (the q94 prescription) so cells stay
+        // bounded and crossing pairs stay intra-replica ~linear.
+        Cell(f, "q98_incremental_semdedup",
+          () => graft.ops.SemDedup.incrementalSemanticDedup(emb, nlist = 16 * f),
           _.count()))
     }
 

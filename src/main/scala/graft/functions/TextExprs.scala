@@ -159,6 +159,113 @@ object SimHash32 {
   }
 }
 
+/** Per-length vocabulary lookup for [[BpeTokenCount]] — built once per
+  * expression instance on the driver, shipped inside the plan (the
+  * centroid-literal pattern), shared by interpreted eval and generated
+  * code. Top-level class so generated Java can name it without a `$`.
+  */
+final class BpeVocabTable(
+    val byLen: Array[java.util.HashSet[String]],
+    val maxLen: Int) extends Serializable
+
+/** Greedy longest-match subword token count against a fixed merge
+  * vocabulary — the BPE-segmentation shape (Sennrich et al. 2016)
+  * reduced to counting: every whitespace-delimited word is segmented
+  * left-to-right, each step consuming the LONGEST vocabulary entry
+  * starting at the cursor (2..maxLen codepoints) or a single codepoint,
+  * and the result is the number of pieces in the document. Deterministic
+  * by construction (no merge-order state: longest-match against a fixed
+  * set), so a DuckDB recursive CTE replays it exactly — which is what
+  * lets token-budget operators (q79/q87) be denominated in subword
+  * tokens and still hash-verify.
+  *
+  * All positions and lengths are UNICODE CODEPOINTS (matching DuckDB's
+  * len/substr and Spark's length/substr), not UTF-16 chars — surrogate
+  * pairs count once. Null text -> null; empty text -> 0; runs of spaces
+  * produce no empty-word tokens.
+  */
+case class BpeTokenCount(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_token_count"
+
+  @transient private lazy val table: BpeVocabTable =
+    BpeTokenCount.buildTable(vocab)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    BpeTokenCount.compute(input.asInstanceOf[UTF8String].toString, table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeVocab", table,
+      "graft.functions.BpeVocabTable")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BpeTokenCount.compute($c.toString(), $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeTokenCount {
+
+  def buildTable(vocab: Seq[String]): BpeVocabTable = {
+    val maxLen = vocab.foldLeft(2) { (m, g) =>
+      math.max(m, g.codePointCount(0, g.length))
+    }
+    val byLen = Array.fill(maxLen + 1)(new java.util.HashSet[String]())
+    vocab.foreach(g => byLen(g.codePointCount(0, g.length)).add(g))
+    new BpeVocabTable(byLen, maxLen)
+  }
+
+  /** Greedy longest-match piece count — called from interpreted eval and
+    * generated code.
+    */
+  def compute(s: String, t: BpeVocabTable): Long = {
+    var cnt = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      if (s.charAt(i) == ' ') i += 1
+      else {
+        var e = i
+        while (e < n && s.charAt(e) != ' ') e += 1
+        val w = s.substring(i, e)
+        // codepoint offsets so lengths match DuckDB's len/substr
+        val m = w.codePointCount(0, w.length)
+        val offs = new Array[Int](m + 1)
+        var j = 0
+        var ci = 0
+        while (j < m) {
+          offs(j) = ci
+          ci = w.offsetByCodePoints(ci, 1)
+          j += 1
+        }
+        offs(m) = w.length
+        var p = 0
+        while (p < m) {
+          var step = 1
+          var l = math.min(t.maxLen, m - p)
+          while (l >= 2 && step == 1) {
+            if (t.byLen(l).contains(w.substring(offs(p), offs(p + l)))) step = l
+            l -= 1
+          }
+          cnt += 1
+          p += step
+        }
+        i = e
+      }
+    }
+    cnt
+  }
+}
+
 /** Column-API surface for graft's native text expressions (registry-free,
   * same bridge as [[VectorFunctions]]; SQL names via
   * [[graft.GraftExtensions]]).
@@ -170,4 +277,7 @@ object TextFunctions {
 
   def simhash32(text: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(text)))
+
+  def bpeTokenCount(text: Column, vocab: Seq[String]): Column =
+    ColumnBridge.column(BpeTokenCount(ColumnBridge.expression(text), vocab))
 }

@@ -99,7 +99,10 @@ object Clusters {
     // upstream, where the duplication's cause is visible)
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .repartition(col("b"))
+      // explicit width (the r13 q97 finding): expression-only repartition
+      // is AQE-coalesced to ONE partition on a small edge set, which
+      // would serialize every round's edges-to-labels join on one task
+      .repartition(spark.sparkContext.defaultParallelism, col("b"))
       .persist()
     // initialization fused with the first propagation: label(v) starts at
     // min(v, min neighbor) — computed in the same single pass that

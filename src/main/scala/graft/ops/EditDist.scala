@@ -59,7 +59,17 @@ object EditDist {
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
 
     // ---- main path: strings with at least k characters ----------------
+    // Spread the probe/segment maps across every core: the per-row
+    // substring windows are higher-order-function expressions — evaluated
+    // interpreted, not codegen'd — and a small corpus arrives as ONE scan
+    // partition. The partition count is EXPLICIT (defaultParallelism):
+    // repartition by expression alone lets AQE coalesce the tiny shuffle
+    // back to a single partition (measured: 1 partition, 6.6 s of q97's
+    // 7.9 s serialized on one task; explicit width → 0.5 s), and this
+    // map is CPU-bound, not bytes-bound, so byte-targeted coalescing is
+    // exactly wrong here. Both branches reuse the one exchange.
     val longs = base0.filter(col("len") >= k)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
 
     // Segment geometry for a length-L string, fixed by L alone so the
     // probe side can recompute it for every candidate partner length:
@@ -91,11 +101,16 @@ object EditDist {
     // Probe side: for each candidate partner length L in [len-d, len]
     // (never below k — shorter partners live in the brute leg), each
     // segment slot, each start within ±d of the slot's home position.
-    // array_distinct collapses window duplicates map-side.
+    // The probe rows are FLAT LONGS, not structs: (L, slot) are already
+    // inside the xxhash64 key, so carrying them as struct fields only
+    // paid interpreted struct allocation + field-wise array_distinct
+    // comparison per element (measured 1.4× on the probe map); window
+    // duplicates survive to the candidate join, where the pair-level
+    // distinct() collapses them anyway.
     val probes = longs
       .select(
         col("doc_id").as("p_id"), col("len").as("p_len"),
-        explode(array_distinct(flatten(flatten(transform(
+        explode(flatten(flatten(transform(
           sequence(greatest(lit(k), col("len") - d), col("len")),
           bigL => {
             val l = bigL.cast("int")
@@ -108,22 +123,21 @@ object EditDist {
                   sequence(
                     greatest(lit(0), st - d),
                     least(col("len").cast("int") - ln, st + d)),
-                  p => struct(
-                    l.as("l"), i.as("i"),
-                    xxhash64(l, i, col("text").substr((p + 1).cast("int"), ln.cast("int")))
-                      .as("kh")))
+                  p => xxhash64(l, i, col("text").substr((p + 1).cast("int"), ln.cast("int"))))
               })
-          }))))).as("pk"))
-      .select(col("p_id"), col("p_len"), col("pk.l").as("p_l"), col("pk.kh").as("kh"))
+          })))).as("kh"))
 
     // The longer string probes the shorter's segments; equal lengths tie
     // to the smaller doc_id, so every unordered pair joins exactly once.
+    // kh equality implies the probe targeted this segment's (length,
+    // slot, text) — up to a 64-bit collision, which can only ADD a
+    // candidate the exact verify kills — so s_len <= p_len needs no
+    // separate length column on the probe side.
     val mainCand = segs
       .join(probes, Seq("kh"))
       .filter(
-        col("s_len") === col("p_l") &&
-          (col("s_len") < col("p_len") ||
-            (col("s_len") === col("p_len") && col("s_id") < col("p_id"))))
+        col("s_len") < col("p_len") ||
+          (col("s_len") === col("p_len") && col("s_id") < col("p_id")))
       .select(
         least(col("s_id"), col("p_id")).as("doc_i"),
         greatest(col("s_id"), col("p_id")).as("doc_j"))

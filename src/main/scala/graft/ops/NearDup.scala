@@ -84,12 +84,13 @@ object NearDup {
       // ONE scan partition (single parquet block), and without the old
       // aggregate's exchange the md5 x K-min work — and everything
       // downstream of the persisted bands — would run on that one task.
-      // The old form had the same single-task signature stage (its
-      // explode + map-side partials ran on the scan partition); this
-      // shuffle moves fingerprint-scale token arrays once and buys full
-      // parallelism for the heavy map. At cluster scale the scan is
-      // already thousands of partitions and AQE coalesces this exchange.
-      .repartition(col("doc_id"))
+      // The partition count is EXPLICIT: repartition by expression alone
+      // lets AQE's byte-targeted coalescing fold the fingerprint-scale
+      // shuffle back to ONE partition (measured at sf0.1 — the r13 q97
+      // finding), re-serializing the exact work this exchange exists to
+      // spread; the map is CPU-bound, so the explicit cluster-width
+      // count, not shuffle bytes, is the right sizing.
+      .repartition(tok.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         graft.functions.MinHashFunctions.minhashSig(col("toks"), seeds, P).as("sig"))
       .select(col("doc_id") +:

@@ -66,17 +66,37 @@ object SemDedup {
       return emb.select(
         col("vec_id"), col("vec_id").as("list_id"),
         col("vec_id").as("cluster_id"), lit(1).as("keep")).limit(0)
+    val assigned = assignFrame(emb, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cc = Clusters.connectedComponents(cellPairs(assigned, threshold))
+    assigned.select(col("vec_id"), col("list_id"))
+      .join(cc.select(col("v").as("vec_id"), col("cluster_id")), Seq("vec_id"))
+      .withColumn("keep", (col("vec_id") === col("cluster_id")).cast("int"))
+      .orderBy("vec_id")
+  }
+
+  /** (vec_id, embedding, nrm, list_id): map-side cell assignment against
+    * the centroid literals. Same validity contract as q44: null vectors
+    * can neither cluster nor pair (they would null-score every centroid
+    * and win the min-id tie-break); norms computed once per vector, not
+    * per pair.
+    */
+  private def assignFrame(
+      emb: DataFrame, cents: Seq[(Long, Array[Float])]): DataFrame = {
     val sc = AnnIvf.scored(col("embedding"), cents)
-    // same validity contract as q44: null vectors can neither cluster
-    // nor pair (they would null-score every centroid and win the min-id
-    // tie-break); norms computed once per vector, not per pair
-    val assigned = emb.filter(col("embedding").isNotNull)
+    emb.filter(col("embedding").isNotNull)
       .select(
         col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
         (-array_max(sc).getField("nc")).as("list_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = assigned
+  }
+
+  /** Within-cell dup edges (a, b), a < b, exact cosine ≥ `threshold` at
+    * the oracle-pinned 4dp — ONE list_id-keyed shuffle per side,
+    * AQE-skew-splittable hot cells.
+    */
+  private def cellPairs(assigned: DataFrame, threshold: Double): DataFrame =
+    assigned
       .select(col("list_id"), col("vec_id").as("a"),
         col("embedding").as("va"), col("nrm").as("na"))
       .join(assigned
@@ -87,8 +107,226 @@ object SemDedup {
       .filter(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
         >= threshold)
       .select(col("a"), col("b"))
-    val cc = Clusters.connectedComponents(pairs)
-    assigned.select(col("vec_id"), col("list_id"))
+
+  /** Crossing dup pairs between an assigned base and an assigned DELTA
+    * sharing the same quantizer: the delta side broadcasts (a nightly
+    * batch vs the corpus), so the base side never shuffles — q78's
+    * incremental contract in embedding space.
+    */
+  private def crossingPairs(
+      baseAssigned: DataFrame,
+      deltaAssigned: DataFrame,
+      threshold: Double): DataFrame =
+    baseAssigned
+      .select(col("list_id"), col("vec_id").as("base_id"),
+        col("embedding").as("vb"), col("nrm").as("nb"))
+      .join(
+        broadcast(deltaAssigned.select(col("list_id"),
+          col("vec_id").as("new_id"), col("embedding").as("vd"),
+          col("nrm").as("nd"))),
+        Seq("list_id"))
+      .withColumn("cosine",
+        round(dot(col("vd"), col("vb")) / (col("nd") * col("nb")), 4))
+      .filter(col("cosine") >= threshold)
+
+  /** Incremental SemDeDup, in-memory split form (the q78 shape): the
+    * corpus splits into BASE (vec_id % `deltaMod` ≠ `deltaRem`) and a
+    * ~2% DELTA batch; the quantizer is trained on the base ONLY (the
+    * store contract — a delta never retrains centroids), the delta
+    * assigns map-side against those same centroid literals, and the
+    * output is every cross-split dup pair: (vec_id = delta, dup_of =
+    * base, cosine) with same cell and exact cosine ≥ `threshold` at 4dp.
+    *
+    * `deltaRem` defaults to 17 so the delta never claims a vec_id below
+    * `nlist`: the base's first-nlist quantizer then EQUALS the full
+    * corpus's, which is what makes the merged result bit-equal to a
+    * full [[semanticDedup]] re-run (spec-pinned via
+    * [[mergeSemanticDedupFromStore]]).
+    *
+    * Scale shape: base assignment is a map (and in the materialized form
+    * — [[incrementalSemanticDedupFromStore]] — is READ, not recomputed);
+    * the delta broadcasts; the base never shuffles.
+    */
+  def incrementalSemanticDedup(
+      emb: DataFrame,
+      deltaMod: Int = 50,
+      deltaRem: Int = 17,
+      nlist: Int = AnnIvf.NList,
+      threshold: Double = 0.3): DataFrame = {
+    val valid = emb.filter(col("embedding").isNotNull)
+    val base = valid.filter(pmod(col("vec_id"), lit(deltaMod)) =!= deltaRem)
+    val delta = valid.filter(pmod(col("vec_id"), lit(deltaMod)) === deltaRem)
+    val cents = AnnIvf.initCentroids(base, nlist)
+    if (cents.isEmpty)
+      return emb.select(col("vec_id"), col("vec_id").as("dup_of"),
+        lit(0.0).as("cosine")).limit(0)
+    crossingPairs(assignFrame(base, cents), assignFrame(delta, cents), threshold)
+      .select(col("new_id").as("vec_id"), col("base_id").as("dup_of"),
+        col("cosine"))
+      .orderBy("vec_id", "dup_of")
+  }
+
+  /** DuckDB oracle for [[incrementalSemanticDedup]]: q94's assignment
+    * CTEs with the quantizer restricted to the BASE split, then the
+    * brute-force cross-split pairs (the cell filter is part of the
+    * operator's contract, so it appears here too).
+    */
+  def incrementalSemanticDedupOracleSql(
+      deltaMod: Int = 50,
+      deltaRem: Int = 17,
+      nlist: Int = AnnIvf.NList,
+      threshold: Double = 0.3): String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cid, x, i FROM ex
+       |  WHERE vec_id < $nlist AND vec_id % $deltaMod <> $deltaRem),
+       |cnorm AS (SELECT cid, sqrt(sum(x * x)) AS nrm FROM cents GROUP BY 1),
+       |scores AS (
+       |  SELECT e.vec_id, c.cid, round(sum(e.x * c.x) / cn.nrm, 6) AS s
+       |  FROM ex e JOIN cents c ON c.i = e.i JOIN cnorm cn ON cn.cid = c.cid
+       |  GROUP BY e.vec_id, c.cid, cn.nrm),
+       |assigned AS (
+       |  SELECT vec_id, cid AS list_id FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |    FROM scores) WHERE rn = 1),
+       |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1)
+       |SELECT d.vec_id AS vec_id, b.vec_id AS dup_of,
+       |  round(sum(ed.x * eb.x) / (nd.nrm * nb.nrm), 4) AS cosine
+       |FROM assigned d JOIN assigned b ON d.list_id = b.list_id
+       |  AND d.vec_id % $deltaMod = $deltaRem
+       |  AND b.vec_id % $deltaMod <> $deltaRem
+       |JOIN ex ed ON ed.vec_id = d.vec_id
+       |JOIN ex eb ON eb.vec_id = b.vec_id AND eb.i = ed.i
+       |JOIN norms nd ON nd.vec_id = d.vec_id
+       |JOIN norms nb ON nb.vec_id = b.vec_id
+       |GROUP BY 1, 2, nd.nrm, nb.nrm
+       |HAVING round(sum(ed.x * eb.x) / (nd.nrm * nb.nrm), 4) >= $threshold
+       |ORDER BY d.vec_id, dup_of""".stripMargin
+
+  /** Materialize a corpus's SemDeDup state: the quantizer centroids, the
+    * cell-assigned vectors (norms precomputed), and the within-cell dup
+    * edges — everything a future delta batch needs so the BASE corpus is
+    * never re-read, re-assigned, or re-paired. The assigned frame is
+    * written `partitionBy(list_id)` (cell directories): a broadcast
+    * delta probe then prunes the scan to the delta's own cells via
+    * dynamic partition pruning — the 100 TB read-path win.
+    */
+  def writeSemanticStore(
+      emb: DataFrame,
+      path: String,
+      nlist: Int = AnnIvf.NList,
+      threshold: Double = 0.3,
+      trainIters: Int = 0): Unit = {
+    val spark = emb.sparkSession
+    val cents: Seq[(Long, Array[Float])] =
+      if (trainIters > 0) AnnIvf.trainCentroids(emb, nlist, trainIters)
+      else AnnIvf.initCentroids(emb, nlist)
+    require(cents.nonEmpty,
+      "semantic store needs a non-empty quantizer (corpus had no valid vectors)")
+    import spark.implicits._
+    cents.toDF("cid", "centroid").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/centroids.parquet")
+    val assigned = assignFrame(emb, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assigned.write.partitionBy("list_id")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/assigned.parquet")
+      cellPairs(assigned, threshold).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/edges.parquet")
+    } finally assigned.unpersist(false)
+  }
+
+  /** The cell-partitioned assignment store, read with an EXPLICIT
+    * schema: `list_id` is a directory-name partition column, and
+    * inference would type it INT — silently casting the probe's join
+    * key (killing dynamic partition pruning) and mistyping the merged
+    * output. The declared schema keeps it the LONG the writer produced.
+    */
+  private def readAssigned(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, nrm DOUBLE, list_id LONG")
+      .parquet(s"$path/assigned.parquet")
+
+  /** The stored quantizer, sorted by cid — bounded collect (≤ nlist
+    * rows, the [[AnnIvf.initCentroids]] bound).
+    */
+  private def readCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Long, Array[Float])] =
+    spark.read.parquet(s"$path/centroids.parquet")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .toIndexedSeq
+      .sortBy(_._1)
+
+  /** [[incrementalSemanticDedup]] against a MATERIALIZED base: the delta
+    * assigns map-side against the STORED centroids and broadcasts; the
+    * base side streams from the [[writeSemanticStore]] cell directories
+    * (embeddings never re-read, assignments never recomputed, nothing
+    * base-scale shuffles — parity with the in-memory form spec-pinned
+    * bit-for-bit). `delta` must carry vec_ids disjoint from the stored
+    * corpus (the ingest-ledger contract, as in
+    * [[NearDup.incrementalNearDupPairsFromStore]]).
+    */
+  def incrementalSemanticDedupFromStore(
+      storePath: String,
+      delta: DataFrame,
+      threshold: Double = 0.3): DataFrame = {
+    val spark = delta.sparkSession
+    val cents = readCentroids(spark, storePath)
+    val baseAssigned = readAssigned(spark, storePath)
+    val deltaAssigned =
+      assignFrame(delta.filter(col("embedding").isNotNull), cents)
+    crossingPairs(baseAssigned, deltaAssigned, threshold)
+      .select(col("new_id").as("vec_id"), col("base_id").as("dup_of"),
+        col("cosine"))
+      .orderBy("vec_id", "dup_of")
+  }
+
+  /** Merge a delta batch into a stored SemDeDup state and return the
+    * FULL corpus's q94-shaped output (vec_id, list_id, cluster_id,
+    * keep). The edge set is stored base edges ∪ crossing pairs ∪
+    * delta-delta within-cell pairs — exactly the full re-run's edge set
+    * when the stored quantizer equals the union's (true whenever the
+    * delta holds no vec_id below nlist, i.e. any append-style split), so
+    * keep flags are bit-equal to [[semanticDedup]] on the union
+    * (spec-pinned). Only the delta is assigned fresh; the base
+    * contributes its stored assignments and edges, and the CC input is
+    * edge-scale, not corpus-scale.
+    *
+    * The delta-assigned frame is persisted in-call (read by the crossing
+    * probe, the delta-delta self-join, and the final label join).
+    */
+  def mergeSemanticDedupFromStore(
+      storePath: String,
+      delta: DataFrame,
+      threshold: Double = 0.3): DataFrame = {
+    val spark = delta.sparkSession
+    val cents = readCentroids(spark, storePath)
+    val baseAssigned = readAssigned(spark, storePath)
+    val baseEdges = spark.read.parquet(s"$storePath/edges.parquet")
+    val deltaAssigned =
+      assignFrame(delta.filter(col("embedding").isNotNull), cents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val crossing = crossingPairs(baseAssigned, deltaAssigned, threshold)
+      // CC treats edges as undirected; normalize to a < b like cellPairs
+      .select(least(col("new_id"), col("base_id")).as("a"),
+        greatest(col("new_id"), col("base_id")).as("b"))
+    val edges = baseEdges
+      .unionByName(crossing)
+      .unionByName(cellPairs(deltaAssigned, threshold))
+    val cc = Clusters.connectedComponents(edges)
+    baseAssigned.select(col("vec_id"), col("list_id"))
+      .unionByName(deltaAssigned.select(col("vec_id"), col("list_id")))
       .join(cc.select(col("v").as("vec_id"), col("cluster_id")), Seq("vec_id"))
       .withColumn("keep", (col("vec_id") === col("cluster_id")).cast("int"))
       .orderBy("vec_id")

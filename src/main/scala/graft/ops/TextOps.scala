@@ -42,14 +42,18 @@ object TextOps {
     * forms against each other). Same spread discipline as
     * [[NearDup.signatures]]: without the old aggregate's exchange a
     * single-block scan would serialize the md5-per-token work AND the
-    * persisted band frame downstream, so repartition(doc_id) first —
-    * at cluster scale the scan is already parallel and AQE coalesces it.
+    * persisted band frame downstream, so repartition(doc_id) first, at
+    * an EXPLICIT cluster-width count (see the signatures comment: AQE
+    * byte-coalescing would fold an expression-only repartition to 1).
     * Null-text docs are absent (the explode emitted no rows for them).
     */
   def simhash(docs: DataFrame): DataFrame =
     docs
       .filter(col("text").isNotNull)
-      .repartition(col("doc_id"))
+      // explicit width: expression-only repartition is AQE-coalesced back
+      // to one partition at fingerprint scale (the r13 q97 finding) —
+      // this map is CPU-bound, so cluster width, not bytes, sizes it
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         graft.functions.TextFunctions.simhash32(col("text")).as("fp"))
 
@@ -577,4 +581,84 @@ object TextOps {
       topk.toIndexedSeq.map(r => (r.getString(0), r.getLong(1))).toDF("word", "cnt")
     } else direct
   }
+
+  /** Corpus-derived subword merge vocabulary: the `vocabSize` most
+    * frequent character n-grams (2..6 codepoints) across all whitespace
+    * word instances, ties broken lexicographically — a deterministic
+    * stand-in for a trained BPE merge table (the merges a real BPE
+    * learns are exactly high-frequency character n-grams; freezing the
+    * table keeps segmentation oracle-replayable). ONE gram aggregate
+    * with map-side partials + a bounded top-V collect (the
+    * centroid-literal pattern, like [[graft.ops.AnnIvf.initCentroids]]):
+    * at 100 TB the gram key space is corpus-vocabulary-bounded and the
+    * driver only ever sees `vocabSize` rows.
+    */
+  def subwordVocab(docs: DataFrame, vocabSize: Int = 256): Seq[String] = {
+    val words = docs
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val grams = words.select(explode(flatten(transform(
+      sequence(lit(2), lit(6)),
+      l => when(length(col("w")) >= l,
+        transform(sequence(lit(1), length(col("w")) - l + 1),
+          p => col("w").substr(p, l)))
+        .otherwise(array().cast("array<string>"))))).as("g"))
+    grams.groupBy("g").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("g").asc)
+      .limit(vocabSize)
+      .select("g").collect().map(_.getString(0)).toIndexedSeq
+  }
+
+  /** q99: per-doc subword token count — greedy longest-match against the
+    * [[subwordVocab]] merge table via the native codegen'd
+    * [[graft.functions.BpeTokenCount]] expression. This is the
+    * tokenizer-denominated companion to q32's whitespace count: token
+    * budgets (q79/q87) are spent in TOKENIZER tokens in a real training
+    * pipeline, and the two denominators select materially different
+    * documents (A/B spec-pinned in TextOpsSpec). Null text -> null;
+    * empty text -> 0.
+    *
+    * Scale shape: vocabulary build is one aggregate + bounded collect;
+    * counting is a pure per-row map with the vocab shipped as a plan
+    * literal — no join, no shuffle in the count path.
+    */
+  def subwordTokenCounts(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
+    val vocab = subwordVocab(docs, vocabSize)
+    docs.select(
+      col("doc_id"),
+      graft.functions.TextFunctions.bpeTokenCount(col("text"), vocab)
+        .as("n_subword"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[subwordTokenCounts]]: the same vocabulary CTE
+    * (gram counts, count-desc/gram-asc top-V) and a recursive
+    * greedy-longest-match segmentation per DISTINCT word (step = max
+    * matching gram length, else 1), summed back over word instances.
+    */
+  def subwordOracleSql(vocabSize: Int = 256): String =
+    s"""WITH RECURSIVE words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |wl AS (SELECT w, unnest(generate_series(2, 6)) AS L FROM words),
+       |wp AS (SELECT w, L, unnest(generate_series(1, len(w) - L + 1)) AS p FROM wl),
+       |grams AS (SELECT substr(w, p, L) AS g, count(*) AS c FROM wp GROUP BY 1),
+       |vocab AS (SELECT g FROM grams ORDER BY c DESC, g ASC LIMIT $vocabSize),
+       |dw AS (SELECT DISTINCT w FROM words WHERE len(w) > 0),
+       |r AS (
+       |  SELECT w, 1 AS pos, 0 AS cnt FROM dw
+       |  UNION ALL
+       |  SELECT w, pos + step, cnt + 1 FROM (
+       |    SELECT r.w, r.pos, r.cnt,
+       |      coalesce((SELECT max(len(v.g)) FROM vocab v
+       |                WHERE substr(r.w, r.pos, len(v.g)) = v.g), 1) AS step
+       |    FROM r WHERE r.pos <= len(r.w)) s),
+       |wc AS (SELECT w, max(cnt) AS n FROM r GROUP BY 1),
+       |docn AS (
+       |  SELECT wo.doc_id AS doc_id,
+       |    CAST(sum(CASE WHEN len(wo.w) = 0 THEN 0 ELSE wc.n END) AS BIGINT)
+       |      AS n_subword
+       |  FROM words wo LEFT JOIN wc ON wc.w = wo.w GROUP BY 1)
+       |SELECT d.doc_id, docn.n_subword
+       |FROM documents d LEFT JOIN docn ON docn.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 }

@@ -362,11 +362,19 @@ object TrainPipe {
     */
   def budgetSample(
       docs: DataFrame, budgetTokens: Long = 3000L,
-      by: String = "lang"): DataFrame =
+      by: String = "lang",
+      subwordVocab: Option[Seq[String]] = None): DataFrame =
     budgetFilter(
       docs.select(
         col("doc_id"), col(by),
-        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        // the budget's denominator: whitespace tokens by default (the
+        // q32 proxy), or TOKENIZER tokens via the q99 greedy-merge count
+        // when a merge vocabulary is supplied — real budgets are spent
+        // in tokenizer tokens, and the two denominators select
+        // materially different documents (A/B spec-pinned)
+        subwordVocab.fold(size(split(col("text"), " ")).cast("long"))(v =>
+          graft.functions.TextFunctions.bpeTokenCount(col("text"), v))
+          .as("n_tokens")),
       budgetTokens, by)
       .select(col("doc_id"), col(by), col("n_tokens"))
       .orderBy("doc_id")

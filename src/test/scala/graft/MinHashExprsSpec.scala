@@ -70,9 +70,11 @@ class MinHashExprsSpec extends SparkSpec {
     assert(evals === 1, s"expected exactly 1 minhash_sig in plan, got $evals:\n$s")
     // exactly the doc_id repartition that spreads the map — no aggregate
     // exchange, no second shuffle (string match: AQE wraps the plan and
-    // hides the exchanges from collect())
+    // hides the exchanges from collect()). REPARTITION_BY_NUM, not
+    // _BY_COL: the explicit width is what stops AQE's byte-targeted
+    // coalescing from folding the spread back to one partition (r13)
     assert("Exchange ".r.findAllIn(s).length === 1, s)
-    assert(s.contains("REPARTITION_BY_COL"), s)
+    assert(s.contains("REPARTITION_BY_NUM"), s)
     assert(!s.contains("HashAggregate"), s)
   }
 }

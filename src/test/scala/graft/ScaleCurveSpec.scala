@@ -30,14 +30,14 @@ class ScaleCurveSpec extends SparkSpec {
     }
     val base01 = overlap(scaled, 0L, 1L)
     assert(base01 == 3L) // alpha beta gamma
-    // stride pads max(doc_id)+1 = 3 up to 5 (mod-5 alignment for the
-    // q78 incremental cell), so replica r starts at r*5
+    // stride pads max(doc_id)+1 = 3 up to 10 (mod-10 alignment for the
+    // q78 %5 and q92 %10 split cells), so replica r starts at r*10
     (1 to 2).foreach { r =>
-      val s = r * 5L
+      val s = r * 10L
       assert(overlap(scaled, s, s + 1) == base01, s"replica $r lost intra-similarity")
     }
     // cross-replica: the SAME doc in different replicas shares no tokens
-    val cross = scaled.filter(col("doc_id").isin(0L, 5L))
+    val cross = scaled.filter(col("doc_id").isin(0L, 10L))
       .select(split(lower(col("text")), " ").as("t"))
       .collect().map(_.getSeq[String](0).toSet)
     assert((cross(0) & cross(1)).isEmpty, s"cross-replica leak: ${cross(0) & cross(1)}")
@@ -88,8 +88,10 @@ class ScaleCurveSpec extends SparkSpec {
       d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
     }
     val base = cos(vecs(0L), vecs(1L))
+    // vec stride pads max(vec_id)+1 = 3 up to 50 (mod-50 alignment for
+    // the q98 incremental cell), so replica r starts at r*50
     (1 to 2).foreach { r =>
-      val s = r * 3L
+      val s = r * 50L
       // rotation permutes components: dot/norm sums reorder, so compare
       // to double-precision tolerance, not bit-for-bit
       assert(math.abs(cos(vecs(s), vecs(s + 1)) - base) < 1e-12,

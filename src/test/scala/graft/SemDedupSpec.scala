@@ -106,4 +106,60 @@ class SemDedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  private def split(df: org.apache.spark.sql.DataFrame) = {
+    val valid = df.filter(col("embedding").isNotNull)
+    (valid.filter(pmod(col("vec_id"), lit(50)) =!= 17),
+      valid.filter(pmod(col("vec_id"), lit(50)) === 17))
+  }
+
+  test("q98 incremental: materialized-store probe equals the in-memory split form bit-for-bit") {
+    val (base, delta) = split(emb)
+    val store = tmpDir("semstore").toString
+    SemDedup.writeSemanticStore(base, store)
+    val inMem = SemDedup.incrementalSemanticDedup(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val fromStore = SemDedup.incrementalSemanticDedupFromStore(store, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(inMem.nonEmpty, "no crossing pairs in the fixture — parity is vacuous")
+    assert(fromStore === inMem)
+  }
+
+  test("merge from store: keep flags bit-equal to a full semanticDedup re-run") {
+    val (base, delta) = split(emb)
+    val store = tmpDir("semstore2").toString
+    SemDedup.writeSemanticStore(base, store)
+    val merged = SemDedup.mergeSemanticDedupFromStore(store, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val full = SemDedup.semanticDedup(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(merged === full)
+    // the merge genuinely crosses the split: at least one dup group
+    // holds vec_ids from both sides
+    val deltaIds = delta.select("vec_id").collect().map(_.getLong(0)).toSet
+    val byGroup = merged.groupBy(_._3).values
+    assert(byGroup.exists(g =>
+      g.exists(r => deltaIds(r._1)) && g.exists(r => !deltaIds(r._1))),
+      "no dup group crosses the split — merge parity is vacuous")
+  }
+
+  test("incremental probe plan: base streams from the cell-partitioned store, delta broadcast") {
+    val (base, delta) = split(emb)
+    val store = tmpDir("semstore3").toString
+    SemDedup.writeSemanticStore(base, store)
+    val df = SemDedup.incrementalSemanticDedupFromStore(store, delta)
+    df.collect()
+    val exec = df.queryExecution.executedPlan
+    assert(exec.toString.contains("BroadcastHashJoin"), exec.toString)
+    val fileScans = planLeaves(exec)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    // the probe's base side reads the materialized assignments — the
+    // base embeddings table itself contributes no scan to the probe
+    assert(fileScans.exists(_.metadata.getOrElse("Location", "")
+      .contains("assigned.parquet")), fileScans.map(_.metadata))
+    // the store was written partitionBy(list_id): cell directories exist
+    val dirs = new java.io.File(s"$store/assigned.parquet").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("list_id=")), dirs.mkString(","))
+  }
 }

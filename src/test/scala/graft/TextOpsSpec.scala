@@ -287,4 +287,51 @@ class TextOpsSpec extends SparkSpec {
     assert(graft.ops.TextOps.crossDocRemovalSpans(none).collect().isEmpty)
     assert(graft.ops.TextOps.stripRemovalSpans(none).collect().isEmpty)
   }
+
+  test("q99 subword count: greedy longest-match by hand, null/empty totality") {
+    // vocab grows from the corpus: 'hello' appears twice, so its grams
+    // dominate; 8 grams = el,he,hel,ld,ell,ello,hell,hello (count desc,
+    // gram asc) — hand-checked against the DuckDB prototype
+    val docs = Seq(
+      (0L, "hello hello world"),
+      (1L, "held worldly"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String]),
+      (4L, "a  b") // double space: no empty-word tokens
+    ).toDF("doc_id", "text")
+    val vocab = TextOps.subwordVocab(docs, vocabSize = 8)
+    assert(vocab.toSet === Set("el", "he", "hel", "ld", "ell", "ello", "hell", "hello"), vocab)
+    val out = TextOps.subwordTokenCounts(docs, vocabSize = 8).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // doc 0: [hello][hello] + w,o,r,[ld] = 2 + 4 = 6
+    assert(out(0L) === Some(6L))
+    // doc 1: [hel]d -> [hel][d]; worldly -> w,o,r,[ld],l,y = 2 + 6 = 8
+    assert(out(1L) === Some(8L))
+    assert(out(2L) === Some(0L))
+    assert(out(3L) === None)
+    assert(out(4L) === Some(2L))
+  }
+
+  test("q99 A/B: a token budget denominated in subword tokens selects a different set") {
+    val docs = Queries.t(spark, "/root/testdata/sf0.001", "documents")
+    val vocab = TextOps.subwordVocab(docs)
+    val ws = graft.ops.TrainPipe.budgetSample(docs)
+      .collect().map(_.getLong(0)).toSet
+    val sw = graft.ops.TrainPipe.budgetSample(docs, subwordVocab = Some(vocab))
+      .collect().map(_.getLong(0)).toSet
+    assert(ws.nonEmpty && sw.nonEmpty)
+    assert(ws !== sw,
+      "whitespace and subword budgets selected identical documents — " +
+        "the proxy would be indistinguishable and the denominator option moot")
+  }
+
+  test("q99 plan: counting is a pure per-row map — no join, no window, no aggregate") {
+    val docs = Queries.t(spark, "/root/testdata/sf0.001", "documents")
+    val plan = TextOps.subwordTokenCounts(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bpe_token_count"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+  }
 }
