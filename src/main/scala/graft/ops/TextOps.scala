@@ -571,15 +571,22 @@ object TextOps {
     // operator is exact ALWAYS, the sketch is only the fast path.
     val topk = recount.collect()
     val threshold = total / (capacity + 1L)
+    val spark = docs.sparkSession
+    import spark.implicits._
     if (topk.length == k && topk.last.getLong(1) > threshold) {
       // the guard already holds the verified answer (k tiny rows) — wrap
       // THOSE as a local relation instead of returning the lazy recount
       // plan, whose re-execution at the caller's action would re-scan
       // the corpus and recount a second time
-      val spark = docs.sparkSession
-      import spark.implicits._
       topk.toIndexedSeq.map(r => (r.getString(0), r.getLong(1))).toDF("word", "cnt")
-    } else direct
+    } else
+      // guard failed (capacity too small for this skew): run the exact
+      // full-vocabulary aggregate NOW and return ITS k rows as a local
+      // relation too — the fallback costs one visible aggregate job
+      // here, never a surprise corpus re-scan at the caller's action;
+      // cost is predictable on both paths (r12 verdict stretch item)
+      direct.collect().toIndexedSeq
+        .map(r => (r.getString(0), r.getLong(1))).toDF("word", "cnt")
   }
 
   /** Corpus-derived subword merge vocabulary: the `vocabSize` most

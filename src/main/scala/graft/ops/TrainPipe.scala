@@ -723,32 +723,78 @@ object TrainPipe {
   // pair-keyed count aggregate whose map-side partials absorb hot
   // grams, and |H∩D| falls straight out — no candidate/verify split, no
   // per-pair array intersection. Per-held sizes ride a second (tiny)
-  // broadcast. If the held set ever outgrows broadcast, the swap is
-  // q89's SSJoin prefix filter (index each held doc's k rarest grams,
-  // k = n − ⌈n·(τ−1e-4)⌉ + 1 — lossless by pigeonhole) in front of a
-  // gram-keyed shuffle join; everything downstream is unchanged.
+  // broadcast. When the held set outgrows broadcast,
+  // `heldBroadcast = false` swaps in q89's SSJoin prefix filter (index
+  // each held doc's k rarest grams, k = n − ⌈n·(τ−1e-4)⌉ + 1 — lossless
+  // by pigeonhole) in front of gram-keyed SHUFFLE joins; bit-equality
+  // with the broadcast form is spec-pinned.
   // -------------------------------------------------------------------
 
   /** (doc_id, held_id, containment) for corpus docs containing >=
     * `threshold` of held doc `held_id`'s distinct `w`-grams, 4dp,
     * ordered. Held set = doc_id % heldoutMod == 0 (the q71 split).
+    *
+    * `heldBroadcast = false` is the held-set-outgrows-broadcast form:
+    *   1. candidates — each held doc indexes only its k rarest grams
+    *      under the corpus-df order (a gram absent from the corpus ranks
+    *      first at df 0; the pigeonhole bound holds for ANY fixed
+    *      k-subset of H's grams, and a shared gram is by definition
+    *      present in the corpus, so padding the prefix with absent grams
+    *      loses nothing); one gram-keyed equi-join + distinct gives the
+    *      candidate (doc, held) pairs — candidate-bounded, never
+    *      |corpus| × |held|;
+    *   2. verify — candidates pull their matching gram rows through two
+    *      more equi-joins into the SAME pair-keyed count aggregate as
+    *      the broadcast form. A non-candidate pair shares < m_min grams,
+    *      so its 4dp containment is provably < τ — the two forms are
+    *      bit-equal (spec-pinned).
+    * Everything shuffles on gram / doc_id / (held_id, gram) keys —
+    * nothing is required to fit on one executor.
     */
   def fuzzyDecontaminate(
       docs: DataFrame,
       w: Int = 3,
       heldoutMod: Int = 10,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      heldBroadcast: Boolean = true): DataFrame = {
     val held = gramsOf(docs.filter(col("doc_id") % heldoutMod === 0), w)
       .select(col("doc_id").as("held_id"), col("gram"))
     val hn = held.groupBy("held_id").agg(count(lit(1)).as("nh"))
-    gramsOf(docs.filter(col("doc_id") % heldoutMod =!= 0), w)
-      // map-side probe: both sides are per-doc distinct, so each
-      // (doc_id, held_id, gram) match is unique and the pair count IS
-      // the intersection size
-      .join(broadcast(held), Seq("gram"))
-      .groupBy("doc_id", "held_id")
-      .agg(count(lit(1)).as("ninter"))
-      .join(broadcast(hn), Seq("held_id"))
+    val corpus = gramsOf(docs.filter(col("doc_id") % heldoutMod =!= 0), w)
+    val pairCounts =
+      if (heldBroadcast)
+        // map-side probe: both sides are per-doc distinct, so each
+        // (doc_id, held_id, gram) match is unique and the pair count IS
+        // the intersection size
+        corpus
+          .join(broadcast(held), Seq("gram"))
+          .groupBy("doc_id", "held_id")
+          .agg(count(lit(1)).as("ninter"))
+      else {
+        val dfreq = corpus.groupBy("gram").agg(count(lit(1)).as("df"))
+        val prefix = held
+          .join(dfreq, Seq("gram"), "left")
+          .join(hn, Seq("held_id"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("held_id")
+              .orderBy(coalesce(col("df"), lit(0L)).asc, col("gram").asc)))
+          // k = n − m_min + 1, m_min = ceil(n·(τ − 1e-4)) — the q89
+          // slack discipline (round(·,4) boundary + IEEE dust)
+          .filter(col("rk") <=
+            col("nh") - ceil(col("nh") * lit(threshold - 1e-4)) + 1)
+          .select(col("held_id"), col("gram"))
+        val cand = corpus.join(prefix, Seq("gram"))
+          .select(col("doc_id"), col("held_id"))
+          .distinct()
+        corpus.join(cand, Seq("doc_id"))
+          .join(held, Seq("held_id", "gram"))
+          .groupBy("doc_id", "held_id")
+          .agg(count(lit(1)).as("ninter"))
+      }
+    val withSizes =
+      if (heldBroadcast) pairCounts.join(broadcast(hn), Seq("held_id"))
+      else pairCounts.join(hn, Seq("held_id"))
+    withSizes
       .withColumn("containment",
         round(col("ninter").cast("double") / col("nh"), 4))
       .filter(col("containment") >= threshold)

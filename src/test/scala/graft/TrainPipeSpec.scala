@@ -396,6 +396,32 @@ class TrainPipeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("fuzzy decontam heldBroadcast=false: prefix-filtered shuffle form is bit-equal") {
+    // the real corpus (threshold default)
+    val a = TrainPipe.fuzzyDecontaminate(docs).collect().toSeq
+    val b = TrainPipe.fuzzyDecontaminate(docs, heldBroadcast = false).collect().toSeq
+    assert(a.nonEmpty, "no contaminated pairs — parity is vacuous")
+    assert(b === a)
+    // a planted boundary case: held doc's grams split between a rare
+    // witness and grams ABSENT from the corpus (exercising the df-0
+    // prefix padding), still found by the shuffle form
+    import spark.implicits._
+    val planted = Seq(
+      (10L, "unique quiz question answer here today"), // held (10 % 10 == 0)
+      (1L, "unique quiz question answer plus trailing corpus body text"),
+      (2L, "completely different corpus document body with other words")
+    ).toDF("doc_id", "text")
+    val pa = TrainPipe.fuzzyDecontaminate(planted).collect().toSeq
+    val pb = TrainPipe.fuzzyDecontaminate(planted, heldBroadcast = false).collect().toSeq
+    assert(pa.nonEmpty && pb === pa)
+    // no required broadcast: the shuffle form never calls broadcast() —
+    // its LOGICAL plan carries no ResolvedHint (AQE may still choose a
+    // broadcast physically on tiny test data, which is fine and local)
+    val logical = TrainPipe.fuzzyDecontaminate(docs, heldBroadcast = false)
+      .queryExecution.analyzed.toString
+    assert(!logical.contains("UnresolvedHint") && !logical.contains("ResolvedHint"), logical)
+  }
+
   // ------------------------------------------------------------------
   // q93 deterministic epoch shuffle
   // ------------------------------------------------------------------
