@@ -1867,6 +1867,95 @@ object Queries {
     (s, d) => graft.ops.TextOps.subwordTokenCounts(t(s, d, "documents")),
     Some(graft.ops.TextOps.subwordOracleSql()))
 
+  /** KMV (k-minimum-values) distinct-count sketch — the deterministic,
+    * oracle-checkable counterpart to q42's HLL++: a native mergeable
+    * aggregate keeps the k smallest distinct values of a shared integer
+    * hash (O(k) state per partial, raw keys never shuffle), and the
+    * Bar-Yossef/Beyer estimator (k-1)·P div U(k) is exact-integer
+    * arithmetic both engines compute bit-identically. Exact distincts
+    * ride along so the artifact itself shows the estimation error
+    * (spec-pinned < 3·(1/√(k-2)) ≈ 9.4%). l_suppkey's distinct count
+    * sits under k at verify scale — the sketch IS the distinct set and
+    * the estimate is exact — while l_partkey exercises the estimator.
+    */
+  private val q100 = {
+    val k = 1024
+    import graft.functions.KmvSketch
+    QueryDef(
+      "q100_kmv_distinct",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            KmvSketch.kmvMinHashes(KmvSketch.hash(col("l_partkey")), k).as("mh_p"),
+            KmvSketch.kmvMinHashes(KmvSketch.hash(col("l_suppkey")), k).as("mh_s"),
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            countDistinct(col("l_suppkey")).as("exact_supps"))
+          .select(
+            col("l_returnflag"),
+            KmvSketch.kmvEstimate("mh_p", k).as("est_parts"),
+            col("exact_parts"),
+            KmvSketch.kmvEstimate("mh_s", k).as("est_supps"),
+            col("exact_supps"))
+          .orderBy("l_returnflag"),
+      Some {
+        val hp = KmvSketch.hashSql("l_partkey")
+        val hs = KmvSketch.hashSql("l_suppkey")
+        s"""WITH rp AS (
+           |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+           |  FROM (SELECT DISTINCT l_returnflag AS g, $hp AS h FROM lineitem)),
+           |rs AS (
+           |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+           |  FROM (SELECT DISTINCT l_returnflag AS g, $hs AS h FROM lineitem)),
+           |ep AS (
+           |  SELECT g, ${KmvSketch.kmvEstimateSql("list_sort(list(h))", k)} AS est_parts
+           |  FROM rp WHERE rn <= $k GROUP BY g),
+           |es AS (
+           |  SELECT g, ${KmvSketch.kmvEstimateSql("list_sort(list(h))", k)} AS est_supps
+           |  FROM rs WHERE rn <= $k GROUP BY g),
+           |ex AS (
+           |  SELECT l_returnflag AS g,
+           |    count(DISTINCT l_partkey) AS exact_parts,
+           |    count(DISTINCT l_suppkey) AS exact_supps
+           |  FROM lineitem GROUP BY 1)
+           |SELECT ex.g AS l_returnflag, ep.est_parts, ex.exact_parts,
+           |  es.est_supps, ex.exact_supps
+           |FROM ex JOIN ep ON ep.g = ex.g JOIN es ON es.g = ex.g
+           |ORDER BY 1""".stripMargin
+      })
+  }
+
+  /** Context-window chunking: fixed-size token windows with overlap —
+    * the sliding-window document splitting every context-length-bounded
+    * training/RAG pipeline runs. Pure map + explode, zero shuffle in the
+    * chunking itself; rows ≈ tokens/stride, linear by construction.
+    */
+  private val q101 = QueryDef(
+    "q101_chunk_windows",
+    (s, d) => graft.ops.TextOps.chunkWindows(t(s, d, "documents")),
+    Some(graft.ops.TextOps.chunkWindowsOracleSql()))
+
+  /** Fixed-point PageRank over the customer–supplier trade graph — the
+    * iterative graph-centrality shape (source/domain authority scoring
+    * for corpus quality weighting), exact-integer fixed-point so every
+    * damped iteration replays bit-for-bit in the oracle.
+    */
+  private val q102 = QueryDef(
+    "q102_pagerank",
+    (s, d) => graft.ops.Graph.pageRank(t(s, d, "orders"), t(s, d, "lineitem")),
+    Some(graft.ops.Graph.pageRankOracleSql()))
+
+  /** Mergeable corpus card: q91's report re-based on a bounded monoid —
+    * exact counters + KMV sketches per distinct-count — computed per
+    * disjoint batch and MERGED, so a daily card never rescans old
+    * batches. KMV merge-exactness (merge = sketch of the union) keeps
+    * the merged card bit-equal to a single pass, hence oracle-checkable.
+    */
+  private val q103 = QueryDef(
+    "q103_incremental_card",
+    (s, d) => graft.ops.QualityOps.incrementalCorpusCard(t(s, d, "documents")),
+    Some(graft.ops.QualityOps.incrementalCorpusCardOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -1893,5 +1982,5 @@ object Queries {
     q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q92, q93, q94, q95, q96, q97, q98, q99)
+    q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103)
 }

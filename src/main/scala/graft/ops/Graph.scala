@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph centrality on DataFrames — the "importance" signal
+  * family (PageRank is the canonical member) that large-corpus pipelines
+  * use for source/domain quality weighting: rank hosts by link-graph
+  * centrality, then weight or gate documents by their source's rank
+  * (the public CommonCrawl ranking methodology). The engine's graph
+  * surface so far is connected components ([[Clusters]]); this adds the
+  * fixed-point ITERATIVE shape: rank_{t+1} = f(Σ over in-edges of
+  * rank_t / out-degree).
+  *
+  * Determinism discipline (the q90/q96 exact-integer rule): ranks live
+  * in fixed-point longs (scale 1e12); each step is integer division by
+  * degree, an exact long sum, and integer damping ((85·x) div 100) —
+  * commutative, associative, partition-order-free, so Spark and the
+  * DuckDB oracle replay every iteration bit-for-bit. No doubles
+  * anywhere: float PageRank sums differ across partitionings and
+  * engines in the last ulp, which a hash-compare cannot tolerate.
+  *
+  * Shape, scale-first: one iteration = join(ranks, edges on src) +
+  * groupBy(dst).sum — the standard Pregel-on-DataFrames step. Edges are
+  * hash-partitioned on src once and persisted (reused every iteration;
+  * lifetime is CALLER-owned, the [[NearDup]] store discipline); ranks
+  * re-shuffle on the join key each step, AQE splits skewed hubs. Rank
+  * state is 2 longs per vertex — at 100 TB of edges the rank frame is
+  * GBs, never driver-side. Iterations are unrolled into ONE lineage
+  * (fixed count, no driver-side convergence loop reading results back).
+  */
+object Graph {
+
+  /** Fixed-point scale: 1e12 ≪ Long.Max/85, so damping never overflows. */
+  val Scale: Long = 1000000000000L
+
+  /** PageRank over the bipartite customer–supplier trade graph (edge =
+    * "this customer ordered from this supplier", made undirected so
+    * neither side is a sink), `iters` damped iterations (d = 0.85),
+    * top-`topK` vertices by final rank.
+    *
+    * Vertex ids are 'c<custkey>' / 's<suppkey>'; the vertex set is the
+    * set of edge endpoints (an isolated customer has no rank mass to
+    * receive or give). Initial rank = Scale div N for every vertex;
+    * base = ((Scale div N) · 15) div 100 is the teleport term.
+    */
+  def pageRank(
+      orders: DataFrame,
+      lineitem: DataFrame,
+      iters: Int = 3,
+      topK: Int = 50): DataFrame = {
+    require(iters >= 1 && topK >= 1)
+    val pairs = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(
+        concat(lit("c"), col("o_custkey")).as("cu"),
+        concat(lit("s"), col("l_suppkey")).as("su"))
+      .distinct()
+    // undirected: both directions; persisted — each iteration joins it
+    // (caller-owned lifetime, the signature-store discipline)
+    val edges = pairs.select(col("cu").as("src"), col("su").as("dst"))
+      .union(pairs.select(col("su").as("src"), col("cu").as("dst")))
+      .persist()
+    // pairs are distinct, so per-src edge count IS the degree
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n = deg.agg(count(lit(1)).as("n"))
+    val init = deg.select(col("src").as("v"), col("deg"))
+      .crossJoin(broadcast(n)) // 1-row frame: the scalar-broadcast pattern
+      .select(col("v"), col("deg"),
+        expr(s"${Scale}L div n").as("r"),
+        expr(s"((${Scale}L div n) * 15) div 100").as("base"))
+    var ranks = init
+    for (_ <- 1 to iters) {
+      val contrib = ranks.select(col("v").as("src"), expr("r div deg").as("c"))
+      val inflow = edges.join(contrib, "src")
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      ranks = init.select(col("v"), col("deg"), col("base"))
+        .join(inflow, col("v") === col("dst"), "left")
+        .select(col("v"), col("deg"), col("base"),
+          (col("base") + expr("(85 * coalesce(inflow, 0L)) div 100")).as("r"))
+    }
+    ranks.select(col("v").as("vertex"), col("r").as("rank_q"))
+      .orderBy(desc("rank_q"), asc("vertex"))
+      .limit(topK)
+  }
+
+  /** DuckDB oracle for [[pageRank]]: the same integer fixed-point
+    * iteration as chained CTEs (one per iteration, mirroring the
+    * unrolled lineage). DuckDB sums BIGINT into HUGEINT — exact, cast
+    * back at the end.
+    */
+  def pageRankOracleSql(iters: Int = 3, topK: Int = 50): String = {
+    val S = Scale
+    val itCtes = (1 to iters).map { i =>
+      val prev = if (i == 1) "r0" else s"it${i - 1}"
+      s"""it$i AS (
+         |  SELECT $prev.v, $prev.deg, $prev.base,
+         |    $prev.base + (85 * coalesce(f.inflow, 0)) // 100 AS r
+         |  FROM $prev LEFT JOIN (
+         |    SELECT e.dst AS dst, sum($prev.r // $prev.deg) AS inflow
+         |    FROM edges e JOIN $prev ON $prev.v = e.src GROUP BY 1) f
+         |  ON f.dst = $prev.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT 'c' || o_custkey AS cu, 's' || l_suppkey AS su
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT cu AS src, su AS dst FROM pairs
+       |  UNION ALL SELECT su AS src, cu AS dst FROM pairs),
+       |deg AS (SELECT src AS v, count(*) AS deg FROM edges GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (
+       |  SELECT v, deg, $S // nn.n AS r, (($S // nn.n) * 15) // 100 AS base
+       |  FROM deg, nn),
+       |$itCtes
+       |SELECT v AS vertex, CAST(r AS BIGINT) AS rank_q
+       |FROM it$iters ORDER BY rank_q DESC, vertex ASC LIMIT $topK""".stripMargin
+  }
+}

@@ -646,4 +646,151 @@ object QualityOps {
        |  END >= 0.0 AS INTEGER) AS keep
        |FROM documents d LEFT JOIN agg USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Mergeable corpus card (q103) — the incremental twin of q91. q91's
+  // count-distinct Expand re-scans the WHOLE corpus per report; at 100 TB
+  // a daily card cannot. This card's state is a bounded MONOID: exact
+  // long counters + KMV sketches ([[graft.functions.KmvMinHashesAgg]])
+  // for every distinct-count, so per-batch summaries (KBs each) merge
+  // associatively into the corpus card without rescanning old batches —
+  // merge(sketch(A), sketch(B)) = sketch(A ∪ B) EXACTLY, which is what
+  // keeps the merged card bit-equal to a full recompute and therefore
+  // oracle-checkable.
+  // -------------------------------------------------------------------
+
+  /** One-row bounded summary of a document batch: exact n_docs /
+    * sum_chars / n_tokens, KMV min-hash sketches for the distinct
+    * domains (text digests, vocabulary, langs, sources). Strings enter
+    * the sketch through the shared poly-fold hash so the DuckDB oracle
+    * replays them. State size: 3 longs + 4·k longs, independent of
+    * batch size; raw text never shuffles (the sketches' partials are
+    * the only thing on the wire).
+    */
+  def cardSketch(docs: DataFrame, k: Int = 1024): DataFrame = {
+    import graft.functions.KmvSketch._
+    val d = docs.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("n_chars")), lit(0L)).cast("long").as("sum_chars"),
+      kmvMinHashes(hash(polyHash(col("text"))), k).as("mh_digest"),
+      kmvMinHashes(hash(polyHash(col("lang"))), k).as("mh_lang"),
+      kmvMinHashes(hash(polyHash(col("source"))), k).as("mh_source"))
+    val t = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        kmvMinHashes(hash(polyHash(col("tok"))), k).as("mh_vocab"))
+    d.crossJoin(t) // two 1-row frames: the q91 scalar pattern
+  }
+
+  /** Fold any number of [[cardSketch]] rows into one: exact counters
+    * sum; sketches merge by re-sketching the union of their retained
+    * hashes (KMV's merge IS "k smallest of the union", so feeding the
+    * exploded arrays back through the aggregate is the monoid op).
+    */
+  def mergeCardSketches(cards: DataFrame, k: Int = 1024): DataFrame = {
+    import graft.functions.KmvSketch._
+    val scalars = cards.agg(
+      coalesce(sum(col("n_docs")), lit(0L)).cast("long").as("n_docs"),
+      coalesce(sum(col("sum_chars")), lit(0L)).cast("long").as("sum_chars"),
+      coalesce(sum(col("n_tokens")), lit(0L)).cast("long").as("n_tokens"))
+    def remerge(c: String) = cards
+      .select(explode(col(c)).as("h"))
+      .agg(kmvMinHashes(col("h"), k).as(c))
+    scalars
+      .crossJoin(remerge("mh_digest"))
+      .crossJoin(remerge("mh_vocab"))
+      .crossJoin(remerge("mh_lang"))
+      .crossJoin(remerge("mh_source"))
+  }
+
+  /** Finalize a (merged) card into q91-shaped metric rows. Distinct
+    * counts are KMV estimates (exact whenever the domain is under k —
+    * every domain but the digest/vocab ones at corpus scale).
+    */
+  def finalizeCard(card: DataFrame, k: Int = 1024): DataFrame = {
+    import graft.functions.KmvSketch.kmvEstimate
+    card
+      .select(col("n_docs"), col("sum_chars"), col("n_tokens"),
+        kmvEstimate("mh_digest", k).as("est_digests"),
+        kmvEstimate("mh_vocab", k).as("est_vocab"),
+        kmvEstimate("mh_lang", k).as("est_langs"),
+        kmvEstimate("mh_source", k).as("est_sources"))
+      .select(explode(array(
+        struct(lit("dup_doc_frac_est").as("metric"),
+          when(col("n_docs") === 0, lit(0.0))
+            .otherwise(round(
+              lit(1.0) - col("est_digests").cast("double") / col("n_docs"), 4))
+            .as("value")),
+        struct(lit("mean_chars").as("metric"),
+          when(col("n_docs") === 0, lit(0.0))
+            .otherwise(round(col("sum_chars").cast("double") / col("n_docs"), 4))
+            .as("value")),
+        struct(lit("est_digests").as("metric"), col("est_digests").cast("double").as("value")),
+        struct(lit("est_langs").as("metric"), col("est_langs").cast("double").as("value")),
+        struct(lit("est_sources").as("metric"), col("est_sources").cast("double").as("value")),
+        struct(lit("est_vocab").as("metric"), col("est_vocab").cast("double").as("value")),
+        struct(lit("n_docs").as("metric"), col("n_docs").cast("double").as("value")),
+        struct(lit("n_tokens").as("metric"), col("n_tokens").cast("double").as("value"))))
+        .as("m"))
+      .select(col("m.metric").as("metric"), col("m.value").as("value"))
+      .orderBy("metric")
+  }
+
+  /** q103: the incremental-card contract end to end — the corpus split
+    * into `batches` disjoint slices (doc_id mod batches, the q78/q98
+    * split convention), one bounded [[cardSketch]] per slice, merged and
+    * finalized. CardSketchSpec pins merged ≡ single-pass; the oracle
+    * replays the whole arithmetic over the union (equal by that law).
+    */
+  def incrementalCorpusCard(docs: DataFrame, batches: Int = 3, k: Int = 1024): DataFrame = {
+    require(batches >= 1)
+    val cards = (0 until batches)
+      .map(b => cardSketch(docs.filter(pmod(col("doc_id"), lit(batches)) === b), k))
+      .reduce(_.union(_))
+    finalizeCard(mergeCardSketches(cards, k), k)
+  }
+
+  /** DuckDB oracle for [[incrementalCorpusCard]]: KMV merge-exactness
+    * means the merged card equals the single-pass card over the whole
+    * corpus, so the oracle computes THAT (per-domain k-smallest distinct
+    * hashes + the shared integer estimator), not the batch replay.
+    */
+  def incrementalCorpusCardOracleSql(k: Int = 1024): String = {
+    import graft.functions.KmvSketch.{hashSql, kmvEstimateSql, polyHashSql}
+    def domain(name: String, from: String) =
+      s"""$name AS (
+         |  SELECT ${kmvEstimateSql("list_sort(list(h))", k)} AS est FROM (
+         |    SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |    FROM (SELECT DISTINCT ${hashSql(s"(${polyHashSql(from)})")} AS h
+         |          FROM ${if (name == "kv") "toks" else "documents"})
+         |    WHERE h IS NOT NULL) s
+         |  WHERE rn <= $k)""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |sc AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars
+       |  FROM documents),
+       |tc AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM toks),
+       |${domain("kd", "text")},
+       |${domain("kv", "tok")},
+       |${domain("kl", "lang")},
+       |${domain("ks", "source")},
+       |card AS (
+       |  SELECT 'dup_doc_frac_est' AS metric,
+       |    CASE WHEN sc.n_docs = 0 THEN 0.0
+       |      ELSE round(1.0 - CAST(kd.est AS DOUBLE) / sc.n_docs, 4) END AS value
+       |  FROM sc, kd
+       |  UNION ALL SELECT 'mean_chars',
+       |    CASE WHEN n_docs = 0 THEN 0.0
+       |      ELSE round(CAST(sum_chars AS DOUBLE) / n_docs, 4) END FROM sc
+       |  UNION ALL SELECT 'est_digests', CAST(est AS DOUBLE) FROM kd
+       |  UNION ALL SELECT 'est_langs', CAST(est AS DOUBLE) FROM kl
+       |  UNION ALL SELECT 'est_sources', CAST(est AS DOUBLE) FROM ks
+       |  UNION ALL SELECT 'est_vocab', CAST(est AS DOUBLE) FROM kv
+       |  UNION ALL SELECT 'n_docs', CAST(n_docs AS DOUBLE) FROM sc
+       |  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM tc)
+       |SELECT metric, value FROM card ORDER BY metric""".stripMargin
+  }
 }

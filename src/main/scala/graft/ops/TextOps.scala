@@ -668,4 +668,73 @@ object TextOps {
        |SELECT d.doc_id, docn.n_subword
        |FROM documents d LEFT JOIN docn ON docn.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Context-window chunking (q101) — long-document splitting for
+  // training/RAG: fixed-size token windows with overlap, the standard
+  // sliding-window preparation for context-length-bounded models.
+  // -------------------------------------------------------------------
+
+  /** Split each document into `chunkTokens`-token windows advancing by
+    * `chunkTokens - overlap` (so consecutive chunks share `overlap`
+    * tokens); the final window keeps whatever remains (shorter, never
+    * empty). Chunk count: 1 if n ≤ chunkTokens, else
+    * 1 + ceil((n - chunkTokens) / stride) — integer arithmetic only, so
+    * the oracle replays it bit-for-bit.
+    *
+    * Shape, scale-first: tokenize once per row, explode a
+    * `sequence(0, n_chunks-1)` of window indices, slice the token array
+    * per index — a pure codegen'd map + explode, NO shuffle anywhere in
+    * the chunking itself (the trailing orderBy is the determinism sort
+    * every catalog query carries; a production writer would drop it and
+    * partition the output by doc_id ranges). Output rows ≈ input tokens
+    * / stride — linear in corpus size by construction, and chunking
+    * never moves a document's text across the network: every chunk is
+    * born in its parent row's partition.
+    */
+  def chunkWindows(docs: DataFrame, chunkTokens: Int = 32, overlap: Int = 8): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got chunkTokens=$chunkTokens overlap=$overlap")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_chunks",
+        when(size(col("toks")) <= chunkTokens, lit(1))
+          .otherwise(expr(
+            s"1 + (size(toks) - $chunkTokens + ${stride - 1}) div $stride").cast("int")))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("toks"), col("chunk_id") * stride + 1, lit(chunkTokens)).as("ctoks"))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        size(col("ctoks")).cast("long").as("chunk_tokens"),
+        array_join(col("ctoks"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** DuckDB oracle for [[chunkWindows]]: same integer chunk-count
+    * formula, 1-based inclusive list slices.
+    */
+  def chunkWindowsOracleSql(chunkTokens: Int = 32, overlap: Int = 8): String = {
+    val st = chunkTokens - overlap
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |nc AS (
+       |  SELECT doc_id, toks,
+       |    CASE WHEN len(toks) <= $chunkTokens THEN 1
+       |         ELSE 1 + (len(toks) - $chunkTokens + ${st - 1}) // $st END AS n_chunks
+       |  FROM tk),
+       |ch AS (
+       |  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id FROM nc)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(len(toks[chunk_id * $st + 1 : chunk_id * $st + $chunkTokens]) AS BIGINT)
+       |    AS chunk_tokens,
+       |  array_to_string(toks[chunk_id * $st + 1 : chunk_id * $st + $chunkTokens], ' ')
+       |    AS chunk_text
+       |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+  }
 }

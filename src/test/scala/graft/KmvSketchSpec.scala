@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.KmvSketch
+
+/** Contract for the KMV distinct-count sketch
+  * ([[graft.functions.KmvMinHashesAgg]], q100): the sketch is the exact
+  * k smallest distinct hashes regardless of partitioning or row order
+  * (the mergeable-summary determinism the oracle compare relies on),
+  * under-k groups report the exact distinct count, nulls count nothing,
+  * and the estimator lands inside the theoretical error band.
+  */
+class KmvSketchSpec extends SparkSpec {
+
+  private lazy val implicits = spark.implicits
+  import implicits._
+
+  private def sketch(xs: Seq[Long], k: Int, parts: Int): Seq[Long] =
+    xs.toDF("x")
+      .repartition(parts)
+      .agg(KmvSketch.kmvMinHashes(KmvSketch.hash(col("x")), k).as("mh"))
+      .head().getSeq[Long](0)
+
+  test("sketch = exact k smallest distinct hashes, any partitioning or order") {
+    val xs = (0L until 5000L) ++ (0L until 5000L) // every value twice
+    val k = 64
+    val expected = xs.distinct
+      .map(x => ((x * KmvSketch.A1 + KmvSketch.B1) % KmvSketch.P * KmvSketch.A2 +
+        KmvSketch.B2) % KmvSketch.P)
+      .distinct.sorted.take(k)
+    for (parts <- Seq(1, 7, 32)) {
+      assert(sketch(new scala.util.Random(parts).shuffle(xs), k, parts) === expected)
+    }
+  }
+
+  test("fewer than k distinct values: the sketch IS the distinct hash set, estimate exact") {
+    val xs = Seq.fill(50)(Seq(3L, 14L, 159L, 2653L)).flatten
+    val k = 64
+    val mh = sketch(xs, k, parts = 5)
+    assert(mh.length === 4)
+    assert(mh === mh.sorted)
+    val est = xs.toDF("x")
+      .agg(KmvSketch.kmvMinHashes(KmvSketch.hash(col("x")), k).as("mh"))
+      .select(KmvSketch.kmvEstimate("mh", k).as("est"))
+      .head().getLong(0)
+    assert(est === 4L)
+  }
+
+  test("nulls count nothing, like count(col)") {
+    val df = Seq[Option[Long]](Some(1L), None, Some(2L), None, Some(1L)).toDF("x")
+    val mh = df
+      .agg(KmvSketch.kmvMinHashes(KmvSketch.hash(col("x")), 8).as("mh"))
+      .head().getSeq[Long](0)
+    assert(mh.length === 2)
+  }
+
+  test("estimator accuracy: within 3 standard errors of exact on 40k distinct keys") {
+    val n = 40000
+    val k = 1024
+    val est = (0L until n.toLong).toDF("x")
+      .repartition(16)
+      .agg(KmvSketch.kmvMinHashes(KmvSketch.hash(col("x")), k).as("mh"))
+      .select(KmvSketch.kmvEstimate("mh", k).as("est"))
+      .head().getLong(0)
+    val tol = 3.0 / math.sqrt(k - 2.0) // Beyer et al. relative std error
+    assert(math.abs(est - n).toDouble / n < tol,
+      s"estimate $est vs exact $n outside ${tol * 100}%")
+  }
+
+  test("merge truncation: a sketch over a widely-spread corpus never exceeds k") {
+    val xs = (0L until 10000L).map(x => x * 977L % 999983L)
+    val mh = sketch(xs, k = 32, parts = 13)
+    assert(mh.length === 32)
+    assert(mh === mh.sorted)
+  }
+}

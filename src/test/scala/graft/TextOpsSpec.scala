@@ -334,4 +334,42 @@ class TextOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
     assert(!plan.contains("HashAggregate"), plan)
   }
+
+  test("q101 chunking: hand-checked windows, overlap + coverage properties, short/empty docs") {
+    // 10 tokens, chunkTokens=4, overlap=1 (stride 3):
+    // n_chunks = 1 + ceil((10-4)/3) = 3 -> [t0..t3][t3..t6][t6..t9]
+    val toks = (0 until 10).map(i => s"t$i")
+    val docs = Seq(
+      (0L, toks.mkString(" ")),
+      (1L, "a b c"), // n <= chunkTokens: one chunk, whole doc
+      (2L, "")       // empty text: one chunk, one empty token
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkWindows(docs, chunkTokens = 4, overlap = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out((0L, 0L)) === ((4L, "t0 t1 t2 t3")))
+    assert(out((0L, 1L)) === ((4L, "t3 t4 t5 t6")))
+    assert(out((0L, 2L)) === ((4L, "t6 t7 t8 t9")))
+    assert(out((1L, 0L)) === ((3L, "a b c")))
+    assert(out((2L, 0L)) === ((1L, "")))
+    assert(out.size === 5)
+    // properties on the real corpus: consecutive chunks share exactly
+    // `overlap` tokens, and dropping each chunk's leading overlap past
+    // chunk 0 reassembles the original token stream
+    val corpus = Queries.t(spark, "/root/testdata/sf0.001", "documents")
+    val chunks = TextOps.chunkWindows(corpus, chunkTokens = 32, overlap = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      .groupBy(_._1)
+      .view.mapValues(_.sortBy(_._2).map(_._3.split(" ", -1).toSeq).toSeq).toMap
+    val original = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.nonEmpty)
+    chunks.foreach { case (docId, cs) =>
+      cs.sliding(2).foreach {
+        case Seq(a, b) => assert(a.takeRight(8) === b.take(8), s"doc $docId overlap")
+        case _ =>
+      }
+      val reassembled = (cs.head ++ cs.tail.flatMap(_.drop(8))).mkString(" ")
+      assert(reassembled === original(docId), s"doc $docId coverage")
+    }
+  }
 }
