@@ -1956,6 +1956,52 @@ object Queries {
     (s, d) => graft.ops.QualityOps.incrementalCorpusCard(t(s, d, "documents")),
     Some(graft.ops.QualityOps.incrementalCorpusCardOracleSql()))
 
+  /** Z-order (Morton) locality profile: bit-interleave two keys, bucket
+    * by the curve's top bits, show BOTH keys' min/max bounded per bucket
+    * — the arithmetic behind [[graft.ops.Layout.writeZOrdered]]'s
+    * two-dimensional scan pruning, oracle-replayed bit-for-bit.
+    */
+  private val q104 = QueryDef(
+    "q104_zorder_profile",
+    (s, d) => graft.ops.Layout.zOrderProfile(t(s, d, "lineitem")),
+    Some(graft.ops.Layout.zOrderProfileOracleSql()))
+
+  /** Deterministic weighted sampling (Efraimidis–Spirakis): top-k docs
+    * by ln(u)/w with hash-derived u — inclusion preference proportional
+    * to weight, a pure function of doc_id (stable under partitioning,
+    * re-runs, appends). Pure map + TakeOrdered: zero shuffle.
+    */
+  private val q105 = QueryDef(
+    "q105_weighted_sample",
+    (s, d) => graft.ops.TrainPipe.weightedSample(t(s, d, "documents")),
+    Some(graft.ops.TrainPipe.weightedSampleOracleSql()))
+
+  /** Okapi BM25 top-k retrieval: query-term postings broadcast, per-
+    * (doc, query, term) scores quantized to exact longs before the doc
+    * sum (q90 discipline) — see [[graft.ops.Retrieval]].
+    */
+  private val q106 = QueryDef(
+    "q106_bm25",
+    (s, d) => graft.ops.Retrieval.bm25TopK(t(s, d, "documents")),
+    Some(graft.ops.Retrieval.bm25TopKOracleSql()))
+
+  /** Product-quantized ANN: native PQ encode + per-query ADC lookup
+    * tables in exact-long arithmetic, shortlist re-ranked with exact
+    * cosines — the 32×-compression scale path next to q29/q44/q82.
+    */
+  private val q107 = QueryDef(
+    "q107_ann_pq",
+    (s, d) => graft.ops.AnnPq.annTopK(t(s, d, "embeddings")),
+    Some(graft.ops.AnnPq.oracleSql()))
+
+  /** Exact phrase search at token positions: the q84 span machinery
+    * pointed at one literal — pure map + in-row filter, zero shuffles.
+    */
+  private val q108 = QueryDef(
+    "q108_phrase_search",
+    (s, d) => graft.ops.TextOps.phrasePositions(t(s, d, "documents")),
+    Some(graft.ops.TextOps.phrasePositionsOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -1982,5 +2028,6 @@ object Queries {
     q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103)
+    q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
+    q105, q106, q107, q108)
 }

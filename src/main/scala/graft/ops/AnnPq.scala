@@ -1,0 +1,263 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-quantized ANN — the third similarity-search scale path next
+  * to LSH buckets (q29) and IVF cells (q44), and the heavy-compression
+  * companion to q82's int8 scalar quantization: PQ (Jégou/Douze/Schmid
+  * 2011) stores each vector as `m` small codes (here 8 codes over
+  * 16-entry codebooks = 8 bytes per 64-float vector, 32×), and scores a
+  * query against the ENTIRE code table through a per-query lookup table
+  * (asymmetric distance computation, ADC) — never touching raw corpus
+  * floats until a final exact re-rank of a small shortlist.
+  *
+  * Plan shape, scale-first:
+  *   1. encode: ONE fused native map over the corpus
+  *      ([[graft.functions.PqEncode]]) — the corpus never shuffles; at
+  *      100 TB the code table (8 B/vector + id) is the only resident
+  *      artifact, small enough to cache or even broadcast where the
+  *      raw vectors never could.
+  *   2. LUT: per query, ONE native map ([[graft.functions.PqLut]]) —
+  *      m·ksub quantized sub-dots (128 longs). Queries are broadcast
+  *      with their LUTs; ADC scoring is a map-side broadcast join over
+  *      the code table: per pair, `m` table lookups summed as EXACT
+  *      LONGS (no float crosses the pair row).
+  *   3. shortlist: top-`shortlist` per query by the ADC estimate
+  *      ip/√|x̂|² (reconstruction norm from a literal per-code table) —
+  *      a per-query window over the scored stream.
+  *   4. exact re-rank: only queries × shortlist rows join back to raw
+  *      embeddings (broadcast — the shortlist is tiny) for the q24
+  *      exact cosine; output ranks ≤ topK.
+  *
+  * The codebook is the deterministic first-`ksub` vectors' subslices
+  * (q44's oracle-reproducible quantizer discipline) — swap in per-
+  * subspace Lloyd's ([[AnnIvf.trainCentroids]] on sliced frames) for a
+  * production build; everything downstream of the codebook literal is
+  * unchanged. Assignment rounds subspace distances to 6 decimals before
+  * the argmin, ties to the smaller code; LUT entries and reconstruction
+  * norms are quantized to integer 1e-6 (q90 discipline) — the whole
+  * operator, encoding included, replays bit-for-bit in the DuckDB
+  * oracle.
+  */
+object AnnPq {
+
+  val M = 8          // subspaces
+  val KSub = 16      // codes per subspace
+  val SubDim = 8     // dims per subspace (M * SubDim = embedding dim)
+  val NQueries = 5   // q24's query set: vec_id < 5
+  val Shortlist = 25
+  val TopK = 5
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.vecDot(a, b)
+
+  /** First-`ksub` vectors as an m × ksub × subDim codebook (bounded
+    * driver collect, the [[AnnIvf.initCentroids]] pattern). Empty when
+    * no clean vector exists below `ksub` — [[annTopK]] is then total
+    * with an empty result, matching the oracle's zero rows.
+    */
+  def codebook(emb: DataFrame, m: Int = M, ksub: Int = KSub,
+      subDim: Int = SubDim): Seq[Seq[Seq[Double]]] = {
+    val base = emb
+      .filter(col("vec_id") < ksub && col("vec_id").isNotNull &&
+        col("embedding").isNotNull && size(col("embedding")) === m * subDim)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    if (base.isEmpty) Seq.empty
+    else (0 until m).map { j =>
+      base.toIndexedSeq.map { case (_, v) =>
+        (0 until subDim).map(d => v(j * subDim + d).toDouble)
+      }
+    }
+  }
+
+  /** Quantized reconstruction norms² per (subspace, code): left-to-right
+    * Σ_d c², `floor(·10⁶ + 0.5)` — shared arithmetic with the oracle.
+    */
+  def reconNorms2Q(cb: Seq[Seq[Seq[Double]]]): Seq[Long] =
+    cb.flatMap(_.map { c =>
+      var acc = 0.0
+      c.foreach(x => acc += x * x)
+      math.floor(acc * 1000000.0 + 0.5).toLong
+    })
+
+  /** PQ-ANN top-`topK` neighbors for queries vec_id < `nQueries`:
+    * (query_id, neighbor_id, cosine, rnk) with the EXACT cosine (the
+    * shortlist is re-ranked with raw vectors), same schema as q24/q29/
+    * q44/q82 so recall against the exact baseline is directly
+    * comparable.
+    */
+  def annTopK(
+      emb: DataFrame,
+      m: Int = M,
+      ksub: Int = KSub,
+      subDim: Int = SubDim,
+      nQueries: Int = NQueries,
+      shortlist: Int = Shortlist,
+      topK: Int = TopK): DataFrame = {
+    val cb = codebook(emb, m, ksub, subDim)
+    if (cb.isEmpty) {
+      // empty/dirty corpus: total with the oracle's zero rows
+      val spark = emb.sparkSession
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double, Long)]
+        .toDF("query_id", "neighbor_id", "cosine", "rnk")
+    }
+    val ksubEff = cb.head.length
+    val n2Lit = typedLit(reconNorms2Q(cb))
+
+    val clean = emb.filter(col("embedding").isNotNull &&
+      size(col("embedding")) === m * subDim)
+
+    // 1. corpus → code table (map-side; the only corpus-scale artifact)
+    val codes = clean
+      .select(col("vec_id"),
+        graft.functions.PqFunctions.pqEncode(col("embedding"), cb, subDim).as("codes"))
+      .filter(col("codes").isNotNull)
+
+    // 2. queries with their ADC lookup tables (broadcast)
+    val q = clean
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.PqFunctions.pqLut(col("embedding"), cb, subDim).as("lut"))
+      .filter(col("lut").isNotNull)
+
+    // 3. ADC scoring: per pair, m exact-long lookups; estimate = ip/√n2
+    val scored = codes
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+          (acc, j) => acc +
+            element_at(col("lut"), j * ksubEff + element_at(col("codes"), j + 1) + 1))
+          .as("ip"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+          (acc, j) => acc +
+            element_at(n2Lit, j * ksubEff + element_at(col("codes"), j + 1) + 1))
+          .as("n2"))
+      .filter(col("n2") > 0)
+      .withColumn("approx",
+        round(col("ip") / sqrt(col("n2").cast("double")), 6))
+
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(desc("approx"), asc("neighbor_id"))
+    val short = scored
+      .withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= shortlist)
+      .select("query_id", "neighbor_id")
+
+    // 4. exact re-rank of the shortlist only (q24 arithmetic)
+    val qv = clean
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+      .filter(col("qn") > 0)
+    val nv = clean
+      .join(broadcast(short), col("vec_id") === col("neighbor_id"))
+      .select(col("query_id").as("qid"), col("neighbor_id"),
+        col("embedding").as("nvec"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nn"))
+      .filter(col("nn") > 0)
+
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    qv.join(nv, col("query_id") === col("qid"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qvec"), col("nvec")) / (col("qn") * col("nn")), 4)
+          .as("cosine"))
+      .withColumn("rnk", row_number().over(wK).cast("long"))
+      .filter(col("rnk") <= topK)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** DuckDB SQL replaying [[annTopK]] end-to-end — encoding, ADC
+    * shortlist, and exact re-rank.
+    */
+  def oracleSql(
+      m: Int = M,
+      ksub: Int = KSub,
+      subDim: Int = SubDim,
+      nQueries: Int = NQueries,
+      shortlist: Int = Shortlist,
+      topK: Int = TopK): String = {
+    val dim = m * subDim
+    // left-to-right 8-term chains, 1-based list indices j*subDim + d
+    def chain(f: Int => String): String = (1 to subDim).map(f).mkString(" + ")
+    val distTerms = chain { d =>
+      val i = s"s.j * $subDim + $d"
+      s"(CAST(corp.embedding[$i] AS DOUBLE) - CAST(cb.cemb[$i] AS DOUBLE))" +
+        s" * (CAST(corp.embedding[$i] AS DOUBLE) - CAST(cb.cemb[$i] AS DOUBLE))"
+    }
+    val lutTerms = chain { d =>
+      val i = s"s.j * $subDim + $d"
+      s"CAST(q.qemb[$i] AS DOUBLE) * CAST(cb.cemb[$i] AS DOUBLE)"
+    }
+    val n2Terms = chain { d =>
+      val i = s"s.j * $subDim + $d"
+      s"CAST(cb.cemb[$i] AS DOUBLE) * CAST(cb.cemb[$i] AS DOUBLE)"
+    }
+    s"""WITH cb AS (
+       |  SELECT vec_id AS code, embedding AS cemb FROM embeddings
+       |  WHERE vec_id < $ksub AND embedding IS NOT NULL AND len(embedding) = $dim),
+       |corp AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+       |subs AS (SELECT CAST(j AS BIGINT) AS j FROM range(0, $m) AS t(j)),
+       |dists AS (
+       |  SELECT corp.vec_id, s.j, cb.code, round($distTerms, 6) AS dist
+       |  FROM corp CROSS JOIN subs s CROSS JOIN cb),
+       |codes AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT vec_id, j, code, row_number() OVER (
+       |      PARTITION BY vec_id, j ORDER BY dist ASC, code ASC) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS qemb FROM corp
+       |  WHERE vec_id < $nQueries),
+       |lut AS (
+       |  SELECT q.query_id, s.j, cb.code,
+       |    CAST(floor(($lutTerms) * 1000000.0 + 0.5) AS BIGINT) AS lq
+       |  FROM q CROSS JOIN subs s CROSS JOIN cb),
+       |n2 AS (
+       |  SELECT s.j, cb.code,
+       |    CAST(floor(($n2Terms) * 1000000.0 + 0.5) AS BIGINT) AS n2q
+       |  FROM subs s CROSS JOIN cb),
+       |adc AS (
+       |  SELECT l.query_id, c.vec_id AS neighbor_id,
+       |    CAST(sum(l.lq) AS BIGINT) AS ip, CAST(sum(n.n2q) AS BIGINT) AS nn2
+       |  FROM codes c
+       |  JOIN lut l ON l.j = c.j AND l.code = c.code
+       |  JOIN n2 n ON n.j = c.j AND n.code = c.code
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id
+       |      ORDER BY round(ip / sqrt(CAST(nn2 AS DOUBLE)), 6) DESC, neighbor_id) AS rn
+       |    FROM adc WHERE nn2 > 0) WHERE rn <= $shortlist),
+       |ex AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+       |sims AS (
+       |  SELECT sh.query_id, sh.neighbor_id,
+       |    round(sum(a.x * b.x) / (na.nrm * nb.nrm), 4) AS cosine
+       |  FROM short sh
+       |  JOIN ex a ON a.vec_id = sh.query_id
+       |  JOIN ex b ON b.vec_id = sh.neighbor_id AND b.i = a.i
+       |  JOIN norms na ON na.vec_id = sh.query_id AND na.nrm > 0
+       |  JOIN norms nb ON nb.vec_id = sh.neighbor_id AND nb.nrm > 0
+       |  GROUP BY 1, 2, na.nrm, nb.nrm)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM sims) WHERE rnk <= $topK
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+}

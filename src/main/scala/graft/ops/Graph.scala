@@ -20,13 +20,22 @@ import org.apache.spark.sql.functions._
   * anywhere: float PageRank sums differ across partitionings and
   * engines in the last ulp, which a hash-compare cannot tolerate.
   *
-  * Shape, scale-first: one iteration = join(ranks, edges on src) +
-  * groupBy(dst).sum — the standard Pregel-on-DataFrames step. Edges are
-  * hash-partitioned on src once and persisted (reused every iteration;
-  * lifetime is CALLER-owned, the [[NearDup]] store discipline); ranks
-  * re-shuffle on the join key each step, AQE splits skewed hubs. Rank
-  * state is 2 longs per vertex — at 100 TB of edges the rank frame is
-  * GBs, never driver-side. Iterations are unrolled into ONE lineage
+  * Shape, scale-first: one iteration = join(edges, ranks on src) +
+  * groupBy(dst).sum — the standard Pregel-on-DataFrames step. Vertices
+  * are LONGS (custkey·2 / suppkey·2+1; the label string exists only in
+  * the final top-k projection) — an id shuffle is bytes-cheaper and
+  * hash-faster than strings by ~5× measured here. Edges are built once
+  * and persisted (reused every iteration; lifetime caller-owned, the
+  * [[NearDup]] store discipline), as is the degree/teleport base frame.
+  * With `broadcastRanks=true` (default) the per-iteration rank state —
+  * |V| rows of 2 longs — is broadcast, so the |E|-sized edge frame
+  * NEVER shuffles: each iteration is one map-side join + one map-side-
+  * combined aggregate of ≤|V| rows per partition. That is the right
+  * plan whenever |V| ≪ |E| (host graphs: millions of hosts, billions
+  * of links). At |V| beyond broadcast (billions of vertices), pass
+  * `broadcastRanks=false` for the shuffle-join twin — same arithmetic,
+  * bit-equal output (GraphSpec pins it), edges pre-partitioned on src
+  * so AQE handles hub skew. Iterations are unrolled into ONE lineage
   * (fixed count, no driver-side convergence loop reading results back).
   */
 object Graph {
@@ -39,29 +48,35 @@ object Graph {
     * neither side is a sink), `iters` damped iterations (d = 0.85),
     * top-`topK` vertices by final rank.
     *
-    * Vertex ids are 'c<custkey>' / 's<suppkey>'; the vertex set is the
-    * set of edge endpoints (an isolated customer has no rank mass to
-    * receive or give). Initial rank = Scale div N for every vertex;
-    * base = ((Scale div N) · 15) div 100 is the teleport term.
+    * Vertex ids are 'c<custkey>' / 's<suppkey>' in the output; the
+    * vertex set is the set of edge endpoints (an isolated customer has
+    * no rank mass to receive or give). Initial rank = Scale div N for
+    * every vertex; base = ((Scale div N) · 15) div 100 is the teleport
+    * term.
     */
   def pageRank(
       orders: DataFrame,
       lineitem: DataFrame,
       iters: Int = 3,
-      topK: Int = 50): DataFrame = {
+      topK: Int = 50,
+      broadcastRanks: Boolean = true): DataFrame = {
     require(iters >= 1 && topK >= 1)
     val pairs = orders.select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(
-        concat(lit("c"), col("o_custkey")).as("cu"),
-        concat(lit("s"), col("l_suppkey")).as("su"))
+        (col("o_custkey") * 2).as("cu"),
+        (col("l_suppkey") * 2 + 1).as("su"))
       .distinct()
     // undirected: both directions; persisted — each iteration joins it
     // (caller-owned lifetime, the signature-store discipline)
     val edges = pairs.select(col("cu").as("src"), col("su").as("dst"))
       .union(pairs.select(col("su").as("src"), col("cu").as("dst")))
       .persist()
+    // the broadcast hint is a no-op plan-wise when the other side is
+    // already broadcast; applied to the RANK side only, never edges
+    def small(df: DataFrame): DataFrame =
+      if (broadcastRanks) broadcast(df) else df
     // pairs are distinct, so per-src edge count IS the degree
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val n = deg.agg(count(lit(1)).as("n"))
@@ -70,17 +85,22 @@ object Graph {
       .select(col("v"), col("deg"),
         expr(s"${Scale}L div n").as("r"),
         expr(s"((${Scale}L div n) * 15) div 100").as("base"))
+      .persist() // referenced every iteration (deg + teleport base)
     var ranks = init
     for (_ <- 1 to iters) {
       val contrib = ranks.select(col("v").as("src"), expr("r div deg").as("c"))
-      val inflow = edges.join(contrib, "src")
+      val inflow = edges.join(small(contrib), "src")
         .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
       ranks = init.select(col("v"), col("deg"), col("base"))
-        .join(inflow, col("v") === col("dst"), "left")
+        .join(small(inflow), col("v") === col("dst"), "left")
         .select(col("v"), col("deg"), col("base"),
           (col("base") + expr("(85 * coalesce(inflow, 0L)) div 100")).as("r"))
     }
-    ranks.select(col("v").as("vertex"), col("r").as("rank_q"))
+    ranks.select(
+        concat(
+          when(col("v") % 2 === 0, lit("c")).otherwise(lit("s")),
+          expr("v div 2")).as("vertex"),
+        col("r").as("rank_q"))
       .orderBy(desc("rank_q"), asc("vertex"))
       .limit(topK)
   }
@@ -103,7 +123,7 @@ object Graph {
          |  ON f.dst = $prev.v)""".stripMargin
     }.mkString(",\n")
     s"""WITH pairs AS (
-       |  SELECT DISTINCT 'c' || o_custkey AS cu, 's' || l_suppkey AS su
+       |  SELECT DISTINCT o_custkey * 2 AS cu, l_suppkey * 2 + 1 AS su
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
        |edges AS (
        |  SELECT cu AS src, su AS dst FROM pairs
@@ -114,7 +134,9 @@ object Graph {
        |  SELECT v, deg, $S // nn.n AS r, (($S // nn.n) * 15) // 100 AS base
        |  FROM deg, nn),
        |$itCtes
-       |SELECT v AS vertex, CAST(r AS BIGINT) AS rank_q
+       |SELECT CASE WHEN v % 2 = 0 THEN 'c' || (v // 2) ELSE 's' || (v // 2) END
+       |    AS vertex,
+       |  CAST(r AS BIGINT) AS rank_q
        |FROM it$iters ORDER BY rank_q DESC, vertex ASC LIMIT $topK""".stripMargin
   }
 }

@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the corpus — the index-side complement to
+  * the similarity-search family (q24/q29/q44/q82/q107): score documents
+  * against term queries with Okapi BM25, and locate exact phrases at
+  * token positions. A training-data pipeline runs these constantly:
+  * "find the docs about X" (curation spot-checks), "which docs contain
+  * this exact sentence" (contamination forensics, attribution).
+  *
+  * Public-knowledge construction: Robertson & Spärck Jones's BM25 as
+  * published (Robertson et al., TREC-3; the k1/b form every search
+  * engine ships).
+  *
+  * Determinism: per-(doc, term) scores mix exact integers (tf, df, dl,
+  * N, Σdl) through one `ln` and a fixed-order arithmetic chain, then are
+  * quantized to integer 1e-6 BEFORE the per-doc sum (the q90 discipline
+  * — no float crosses a shuffle; ranking compares exact longs).
+  *
+  * Shape, scale-first (BM25):
+  *   - query postings ((query_id, tok), a few dozen rows) BROADCAST —
+  *     the corpus token stream joins them map-side; only the matched
+  *     sliver (corpus rows containing query terms) survives into any
+  *     shuffle.
+  *   - tf = ONE (doc_id, query_id, tok)-keyed count with map-side
+  *     partials — doc_id in the key, so a hot query term cannot hot-key
+  *     the aggregate (the q69/q74 discipline).
+  *   - df = ONE tok-keyed count over the matched distinct pairs; output
+  *     bounded by the query vocabulary, map-side partials absorb hot
+  *     terms; it is broadcast back (≤ |query vocab| rows).
+  *   - dl is computed IN-ROW (size of the filtered token array — no
+  *     per-doc aggregate); N and Σdl ride the 1-row broadcast scalar
+  *     pattern.
+  *   - top-k per query: rank over (query_id) windows — bounded by the
+  *     matched sliver, and only k rows per query survive.
+  */
+object Retrieval {
+
+  /** Default term queries over the synthetic corpus vocabulary. */
+  val DefaultQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("hash", "join", "merge"),
+    2L -> Seq("stream", "window", "agg"),
+    3L -> Seq("vector", "scan", "filter"))
+
+  /** Okapi BM25 top-`topK` documents per query.
+    *
+    * score(d, q) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)), the classic
+    * plus-one form that never goes negative. dl/avgdl is computed as
+    * (dl·N)/Σdl — ONE exact-integer product then ONE double division,
+    * so both engines hit the same correctly-rounded double.
+    *
+    * Output: (query_id, doc_id, score, rnk), rnk ≤ topK per query,
+    * score = the quantized per-term sum restored to 4 decimals.
+    * Query terms must be plain vocabulary tokens (no SQL quoting).
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queries: Seq[(Long, Seq[String])] = DefaultQueries,
+      topK: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "tok")
+
+    // in-row doc length: the SAME token test the tf stream applies
+    val body = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("dl"))
+
+    // corpus scalars as a 1-row broadcast (the q61 pattern)
+    val scalars = body.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+    // matched sliver: only tokens that appear in some query survive
+    val matched = body
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .join(broadcast(qterms), "tok")
+
+    val tf = matched
+      .groupBy("doc_id", "query_id", "tok")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+
+    // document frequency per matched term (query-vocab-bounded output)
+    val dfreq = matched
+      .select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+
+    val scored = tf
+      .join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(scalars))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("tfn",
+        col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") * col("n_docs")) / col("sum_dl"))))
+      // quantize the per-term score BEFORE the per-doc sum: the shuffle
+      // carries exact longs, ranking compares exact longs
+      .withColumn("sq",
+        floor(col("idf") * col("tfn") * 1000000.0 + 0.5).cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("sq")).as("score_q"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score_q"), asc("doc_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("doc_id"),
+        round(col("score_q") / 1000000.0, 4).as("score"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** DuckDB SQL replicating [[bm25TopK]] over the same parquet corpus. */
+  def bm25TopKOracleSql(
+      queries: Seq[(Long, Seq[String])] = DefaultQueries,
+      topK: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): String = {
+    val qvals = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""WITH qterms(query_id, tok) AS (VALUES $qvals),
+       |body AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |body2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM body),
+       |scalars AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM body2),
+       |exploded AS (SELECT doc_id, dl, unnest(toks) AS tok FROM body2),
+       |matched AS (
+       |  SELECT e.doc_id, e.dl, e.tok, q.query_id
+       |  FROM exploded e JOIN qterms q USING (tok)),
+       |tf AS (
+       |  SELECT doc_id, query_id, tok, CAST(count(*) AS BIGINT) AS tf,
+       |    any_value(dl) AS dl
+       |  FROM matched GROUP BY 1, 2, 3),
+       |dfreq AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS df
+       |  FROM (SELECT DISTINCT doc_id, tok FROM matched) GROUP BY 1),
+       |scored AS (
+       |  SELECT query_id, doc_id, CAST(sum(sq) AS BIGINT) AS score_q
+       |  FROM (
+       |    SELECT tf.query_id, tf.doc_id,
+       |      CAST(floor(
+       |        ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+       |        * (tf.tf * ${k1 + 1.0} /
+       |           (tf.tf + $k1 * ((1.0 - $b) + $b * (tf.dl * s.n_docs) / s.sum_dl)))
+       |        * 1000000.0 + 0.5) AS BIGINT) AS sq
+       |    FROM tf JOIN dfreq d USING (tok) CROSS JOIN scalars s)
+       |  GROUP BY 1, 2)
+       |SELECT query_id, doc_id, round(score_q / 1000000.0, 4) AS score, rnk
+       |FROM (
+       |  SELECT query_id, doc_id, score_q,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $topK
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+}

@@ -737,4 +737,60 @@ object TextOps {
        |    AS chunk_text
        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Exact phrase search (q108) — positional token-level phrase match,
+  // the retrieval companion to BM25's term scoring (ops/Retrieval):
+  // "which documents contain this exact token sequence, and where".
+  // Contamination forensics and attribution checks run this shape
+  // (find the eval sentence / the quoted passage) over the whole
+  // corpus.
+  //
+  // Shape, scale-first: the q84 span machinery pointed at ONE literal —
+  // slide a |phrase|-token window per row (codegen'd HOFs: sequence +
+  // transform + slice), keep windows equal to the phrase. A pure map +
+  // in-row filter: ZERO joins, ZERO aggregates, ZERO shuffles before
+  // the output sort — phrase search at scan speed, embarrassingly
+  // parallel at 100 TB. (An inverted positional index would trade this
+  // scan for index lookups; against parquet the scan IS the index
+  // budget, and column pruning reads only doc_id + text.)
+  // -------------------------------------------------------------------
+
+  /** All (doc_id, pos) occurrences of the exact token sequence
+    * `phrase` (1-based token position of the match start). Phrase
+    * tokens must be plain vocabulary tokens (no SQL quoting).
+    */
+  def phrasePositions(
+      docs: DataFrame,
+      phrase: Seq[String] = Seq("hash", "join")): DataFrame = {
+    require(phrase.nonEmpty && phrase.forall(t => t.nonEmpty && !t.contains("'")))
+    val w = phrase.length
+    val lit = phrase.mkString(" ")
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"""filter(sequence(1, size(t) - ${w - 1}),
+           |  i -> concat_ws(' ', slice(t, i, $w)) = '$lit')""".stripMargin))
+        .as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** DuckDB oracle replicating [[phrasePositions]]: identical split,
+    * 1-based inclusive slices.
+    */
+  def phrasePositionsOracleSql(phrase: Seq[String] = Seq("hash", "join")): String = {
+    val w = phrase.length
+    val lit = phrase.mkString(" ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE text IS NOT NULL)
+       |SELECT doc_id, CAST(i AS BIGINT) AS pos
+       |FROM toks, unnest(range(1, len(t) - ${w - 2})) AS r(i)
+       |WHERE len(t) >= $w
+       |  AND array_to_string(t[CAST(i AS BIGINT):CAST(i + ${w - 1} AS BIGINT)], ' ') = '$lit'
+       |ORDER BY doc_id, pos""".stripMargin
+  }
 }

@@ -878,4 +878,52 @@ object TrainPipe {
        |  row_number() OVER (
        |    PARTITION BY shard ORDER BY ord, doc_id) - 1 AS pos
        |FROM t ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Weighted sampling (q105) — quality/length-proportional selection.
+  // q72/q79 sample by strata and budgets; this is the per-DOCUMENT
+  // weighted draw: pick k docs with inclusion preference proportional
+  // to a weight column (here n_chars — in production a quality score),
+  // deterministically.
+  //
+  // Public-knowledge construction: Efraimidis & Spirakis 2006
+  // ("Weighted random sampling with a reservoir") — give each item key
+  // u^(1/w) for uniform u, take the top k; equivalently (monotone) top
+  // k by ln(u)/w, which avoids the pow. u comes from the shared affine
+  // hash (q100's), so the draw is a pure function of doc_id: stable
+  // under partitioning, re-runs, and appends that do not change ids.
+  //
+  // Determinism: ln is computed on a BIT-IDENTICAL double on both
+  // engines and immediately quantized (floor ×1e6) — the q90 accepted
+  // ≤1-ulp residual, documented there. Tie-break doc_id asc.
+  //
+  // Scale shape: pure map + TakeOrdered(k) — no shuffle at all beyond
+  // the top-k's partial reductions; at 100 TB this is a scan-speed
+  // pass. (A per-stratum variant is the same expression under the q80
+  // stratified window.)
+  // -------------------------------------------------------------------
+
+  /** Top-`k` weighted sample of documents, weight = n_chars. Output:
+    * the selected docs with their quantized E-S key.
+    */
+  def weightedSample(docs: DataFrame, k: Int = 50): DataFrame = {
+    import graft.functions.KmvSketch
+    val u = (KmvSketch.hash(col("doc_id")) + 1).cast("double") / KmvSketch.P
+    docs
+      .filter(col("n_chars") > 0) // zero weight: never drawn, and ln/0 guards
+      .select(col("doc_id"), col("n_chars"),
+        floor(log(u) / col("n_chars") * 1000000.0).cast("long").as("key_q"))
+      .orderBy(desc("key_q"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB SQL replicating [[weightedSample]]. */
+  def weightedSampleOracleSql(k: Int = 50): String = {
+    import graft.functions.KmvSketch
+    s"""SELECT doc_id, n_chars,
+       |  CAST(floor(ln((${KmvSketch.hashSql("doc_id")} + 1) / ${KmvSketch.P}.0)
+       |    / n_chars * 1000000.0) AS BIGINT) AS key_q
+       |FROM documents WHERE n_chars > 0
+       |ORDER BY key_q DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
 }

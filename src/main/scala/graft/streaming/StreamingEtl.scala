@@ -134,6 +134,34 @@ object StreamingEtl {
         col("window.start").as("window_start"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Per-window distinct-user ESTIMATE via the KMV sketch — q100's
+    * mergeable aggregate ([[graft.functions.KmvMinHashesAgg]]) riding
+    * Structured Streaming's aggregation state: each micro-batch folds
+    * its rows into the O(k) sketch buffer, the state store carries only
+    * the serialized k-long array per window, and watermark expiry prunes
+    * closed windows — a bounded-state streaming distinct count, where an
+    * exact streaming countDistinct would need unbounded per-window key
+    * sets. KMV's merge-exactness makes the streaming answer bit-equal
+    * to the batch run on the same data (spec-pinned), estimator exact
+    * below k distinct users per window.
+    */
+  def windowedDistinctUsers(
+      events: DataFrame,
+      watermarkDelay: String = "1 hour",
+      k: Int = 256): DataFrame = {
+    import graft.functions.KmvSketch._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        kmvMinHashes(hash(col("user_id")), k).as("mh"),
+        count(lit(1)).as("cnt"))
+      .select(
+        col("window.start").as("window_start"),
+        kmvEstimate("mh", k).as("est_users"),
+        col("cnt"))
+  }
+
   /** Native session windows: 30-minute inactivity gap, merged by Spark's
     * SessionWindow machinery (state pruned by watermark in streams).
     * Sessions are half-open: an event exactly `gap` after the previous one

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.AnnPq
+import graft.functions.{PqCompute, PqFunctions}
+
+/** Contract for product-quantized ANN (q107): the native encode/LUT
+  * expressions reproduce the documented arithmetic exactly, null/dirty
+  * vectors stay total, results are partitioning-independent, and the
+  * ADC shortlist keeps usable recall against the exact q24 baseline.
+  */
+class AnnPqSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  /** The documented encode, recomputed independently on the driver. */
+  private def refEncode(x: Array[Float], cb: Seq[Seq[Seq[Double]]],
+      subDim: Int): Array[Int] =
+    cb.zipWithIndex.map { case (cbj, j) =>
+      var best = Double.MaxValue
+      var bestR = 0
+      cbj.zipWithIndex.foreach { case (c, r) =>
+        var acc = 0.0
+        (0 until subDim).foreach { d =>
+          val diff = x(j * subDim + d).toDouble - c(d)
+          acc += diff * diff
+        }
+        val dist = PqCompute.round6(acc)
+        if (dist < best) { best = dist; bestR = r }
+      }
+      bestR
+    }.toArray
+
+  test("pq_encode equals the reference argmin-round6 computation") {
+    val cb = AnnPq.codebook(emb)
+    val rows = emb
+      .select(col("embedding"),
+        PqFunctions.pqEncode(col("embedding"), cb, AnnPq.SubDim).as("codes"))
+      .collect()
+    assert(rows.length > 100)
+    rows.foreach { r =>
+      val x = r.getSeq[Float](0).toArray
+      val codes = r.getSeq[Int](1).toArray
+      assert(codes.sameElements(refEncode(x, cb, AnnPq.SubDim)))
+      assert(codes.forall(c => c >= 0 && c < cb.head.length))
+    }
+  }
+
+  test("pq_lut equals the reference quantized sub-dots") {
+    val cb = AnnPq.codebook(emb)
+    val rows = emb.filter(col("vec_id") < 5)
+      .select(col("embedding"),
+        PqFunctions.pqLut(col("embedding"), cb, AnnPq.SubDim).as("lut"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getSeq[Float](0).toArray
+      val lut = r.getSeq[Long](1).toArray
+      val ksub = cb.head.length
+      cb.zipWithIndex.foreach { case (cbj, j) =>
+        cbj.zipWithIndex.foreach { case (c, rr) =>
+          var acc = 0.0
+          (0 until AnnPq.SubDim).foreach(d => acc += q(j * AnnPq.SubDim + d).toDouble * c(d))
+          assert(lut(j * ksub + rr) === math.floor(acc * 1000000.0 + 0.5).toLong)
+        }
+      }
+    }
+  }
+
+  test("dirty vectors (null / wrong length / null element) encode to NULL") {
+    val cb = AnnPq.codebook(emb)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = true))))
+    val dirty = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, null),
+        Row(2L, Seq.fill(7)(0.5f)),                       // wrong length
+        Row(3L, Seq.fill[Any](63)(0.5f) :+ (null: Any)),  // null element
+        Row(4L, Seq.fill(64)(0.25f))),                    // clean
+      schema)
+    val out = dirty
+      .select(col("vec_id"),
+        PqFunctions.pqEncode(col("embedding"), cb, AnnPq.SubDim).as("codes"),
+        PqFunctions.pqLut(col("embedding"), cb, AnnPq.SubDim).as("lut"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2)))
+      .toMap
+    assert(out(1L) === ((true, true)))
+    assert(out(2L) === ((true, true)))
+    assert(out(3L) === ((true, true)))
+    assert(out(4L) === ((false, false)))
+  }
+
+  test("q107 recall vs exact q24 is >= 0.4") {
+    def pairs(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, sf)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("q24_ann_cosine")
+    val pq = pairs("q107_ann_pq")
+    assert(exact.nonEmpty)
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall: missed ${(exact -- pq).size} of ${exact.size}")
+    info(s"PQ recall = $recall")
+  }
+
+  test("q107 exact-re-rank cosines agree with q24 on shared pairs") {
+    def scored(name: String): Map[(Long, Long), Double] =
+      SparkEntry.queries(name)(spark, sf)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = scored("q24_ann_cosine")
+    val pq = scored("q107_ann_pq")
+    val shared = exact.keySet & pq.keySet
+    assert(shared.nonEmpty)
+    shared.foreach(k => assert(exact(k) === pq(k)))
+  }
+
+  test("q107 is partition-independent") {
+    val a = AnnPq.annTopK(emb).collect().toSeq
+    val b = AnnPq.annTopK(emb.repartition(7)).collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+}

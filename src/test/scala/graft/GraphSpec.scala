@@ -71,6 +71,16 @@ class GraphSpec extends SparkSpec {
     assert(r3a !== r1)
   }
 
+  test("broadcast and shuffle-join twins are bit-equal (the at-scale fallback contract)") {
+    val edges = (1L to 60L).map(c => (c, c % 9 + 1))
+    val (o, l) = graphFrames(edges)
+    val bc = Graph.pageRank(o, l, topK = 100, broadcastRanks = true)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val sh = Graph.pageRank(o, l, topK = 100, broadcastRanks = false)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(bc === sh)
+  }
+
   test("topK truncates with the rank-desc vertex-asc tiebreak") {
     val m = Graph.pageRank(
       graphFrames(Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)))._1,

@@ -51,4 +51,42 @@ class LayoutSpec extends SparkSpec {
     // and the probe answer matches the unlaid-out table
     assert(probe.count() === orders.filter(col("o_orderkey") === key).count())
   }
+
+  private lazy val implicits0 = spark.implicits
+  import implicits0._
+
+  test("morton interleave: hand-checked bit placement") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (0xFFFFFFFFL, 0L))
+      .toDF("a", "b")
+      .select(Layout.mortonValue(col("a"), col("b")).as("z"))
+    assert(df.collect().map(_.getLong(0)).toSeq ===
+      Seq(0L, 1L, 2L, 39L, 0x5555555555555555L))
+  }
+
+  test("z-ordered write bounds BOTH keys per file; single-key sort bounds only its own") {
+    val li = Queries.t(spark, "/root/testdata/sf0.001", "lineitem")
+    def spans(path: String, key: String): Seq[Double] = {
+      val global = li.agg(max(col(key)) - min(col(key))).head.getLong(0).toDouble
+      Layout.fileRanges(spark, path, key).collect()
+        .map(r => (r.getLong(2) - r.getLong(1)) / global).toSeq
+    }
+    val zDir = tmpDir("layout-z")
+    Layout.writeZOrdered(li, zDir.toString, "l_orderkey", "l_partkey", numFiles = 16)
+    val oDir = tmpDir("layout-single")
+    Layout.writeRangeSorted(li, oDir.toString, "l_orderkey", numFiles = 16)
+
+    def avg(xs: Seq[Double]) = xs.sum / xs.size
+    // z-order: EVERY dimension's per-file span is a fraction of global
+    assert(avg(spans(zDir.toString, "l_orderkey")) < 0.6,
+      s"z layout left orderkey spans wide: ${spans(zDir.toString, "l_orderkey")}")
+    assert(avg(spans(zDir.toString, "l_partkey")) < 0.6,
+      s"z layout left partkey spans wide: ${spans(zDir.toString, "l_partkey")}")
+    // single-key layout: its own key tight, the OTHER key ~full span —
+    // the gap z-order exists to close
+    assert(avg(spans(oDir.toString, "l_orderkey")) < 0.3)
+    assert(avg(spans(oDir.toString, "l_partkey")) > 0.8,
+      "single-key layout unexpectedly bounded the second dimension")
+    // layout changes bytes, never rows
+    assert(spark.read.parquet(zDir.toString).exceptAll(li).isEmpty)
+  }
 }

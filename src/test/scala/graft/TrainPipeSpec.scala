@@ -465,4 +465,29 @@ class TrainPipeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"), plan)
   }
+
+  test("q105 weighted sample: weight-proportional, deterministic, zero-weight excluded") {
+    import spark.implicits._
+    // 200 heavy docs (w=1000) vs 200 light (w=10): E-S inclusion odds
+    // scale with weight, so the top-50 must be dominated by heavy docs
+    val mix = (0L until 200L).map(i => (i, 1000L)) ++
+      (200L until 400L).map(i => (i, 10L)) :+ ((400L, 0L))
+    val df = mix.toDF("doc_id", "n_chars")
+    val picked = TrainPipe.weightedSample(df, k = 50).collect()
+    val heavy = picked.count(_.getLong(0) < 200L)
+    assert(heavy > 40, s"only $heavy/50 heavy docs selected — not weight-proportional")
+    assert(!picked.exists(_.getLong(0) === 400L), "zero-weight doc drawn")
+    // determinism: same selection under different partitioning
+    val again = TrainPipe.weightedSample(df.repartition(13), k = 50)
+      .collect().map(_.getLong(0)).toSeq
+    assert(again === picked.map(_.getLong(0)).toSeq)
+    // the draw is a function of doc_id only: appending new docs never
+    // flips the relative order of existing keys (stability contract)
+    val extended = TrainPipe.weightedSample(
+      df.union(Seq((500L, 500L)).toDF("doc_id", "n_chars")), k = 1000).collect()
+      .map(_.getLong(0)).filter(_ <= 400L).toSeq
+    val base = TrainPipe.weightedSample(df, k = 1000).collect()
+      .map(_.getLong(0)).toSeq
+    assert(extended === base)
+  }
 }

@@ -80,6 +80,42 @@ class StreamingEtlSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming KMV distinct-user sketch equals batch, estimates exact under k") {
+    val in = tmpDir("kmv-in")
+    val events = graft.Queries.t(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    events.coalesce(2).write.mode("overwrite").json(in.toString)
+    val schema = events.schema
+
+    val sq = StreamingEtl
+      .windowedDistinctUsers(StreamingEtl.jsonFileStream(spark, in.toString, schema))
+      .writeStream
+      .format("memory")
+      .queryName("kmv_users")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+
+    val streamed = spark.table("kmv_users")
+      .orderBy("window_start").collect().toSeq
+    val batch = StreamingEtl.windowedDistinctUsers(events)
+      .orderBy("window_start").collect().toSeq
+    // bit-equality: the sketch's merge is order/partitioning-free, so
+    // micro-batch folding must land on the same k-min set as batch
+    assert(streamed.nonEmpty && streamed == batch)
+    // with 100 users (< k=256), the estimate IS the exact distinct count
+    val exact = events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(countDistinct(col("user_id")).as("d"))
+      .select(col("window.start").as("window_start"), col("d"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    streamed.foreach { r =>
+      assert(r.getLong(1) === exact(r.getTimestamp(0)),
+        s"estimate diverged from exact under k at ${r.getTimestamp(0)}")
+    }
+  }
+
   test("session windows: batch q43 result matches q27's session counts per user") {
     val sessions = graft.SparkEntry.queries("q43_session_window")(
       spark, "/root/testdata/sf0.001")
