@@ -2002,6 +2002,16 @@ object Queries {
     (s, d) => graft.ops.TextOps.phrasePositions(t(s, d, "documents")),
     Some(graft.ops.TextOps.phrasePositionsOracleSql()))
 
+  /** IVF-PQ composed ANN: coarse cells bound WHICH vectors are scored
+    * (equi-join on list_id — the probed nprobe/nlist fraction only),
+    * PQ/ADC bounds what scoring costs (m exact-long lookups); exact
+    * re-rank of the shortlist — the billion-vector index shape.
+    */
+  private val q109 = QueryDef(
+    "q109_ann_ivfpq",
+    (s, d) => graft.ops.AnnPq.ivfPqTopK(t(s, d, "embeddings")),
+    Some(graft.ops.AnnPq.ivfPqOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -2029,5 +2039,5 @@ object Queries {
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107, q108)
+    q105, q106, q107, q108, q109)
 }

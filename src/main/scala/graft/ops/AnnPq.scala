@@ -173,6 +173,233 @@ object AnnPq {
       .orderBy("query_id", "rnk")
   }
 
+  /** IVF-PQ (q109): the composed FAISS-style scale path — [[AnnIvf]]'s
+    * coarse cells bound WHICH vectors are scored, [[annTopK]]'s PQ/ADC
+    * bounds WHAT scoring a candidate costs. This is the shape a
+    * billion-vector index actually runs: at 100 TB of embeddings the
+    * corpus-resident artifact is (vec_id, list_id, m codes) — ~9 B +
+    * id per vector — candidates are the probed nprobe/nlist fraction
+    * reached by an EQUI-join on list_id (vs q107's whole-corpus
+    * broadcast-nested-loop), ADC scores them with m integer lookups,
+    * and only the per-query shortlist ever touches raw floats.
+    *
+    * Plan shape, scale-first:
+    *   1. assign + encode: ONE map over the corpus (IvfScores argmax +
+    *      PqEncode fused native passes) — the corpus never shuffles.
+    *   2. probes: queries keep their nprobe best cells and carry their
+    *      ADC LUT — a tiny frame, BROADCAST.
+    *   3. candidates: broadcast-hash equi-join on list_id; ADC = m
+    *      exact-long lookups in-row; per-query shortlist window over
+    *      the probed sliver only.
+    *   4. exact re-rank: the broadcast shortlist joins back to raw
+    *      embeddings (q24 arithmetic) — output ranks ≤ topK.
+    *
+    * Quantizers are the deterministic first-k forms (q44/q107
+    * discipline) so encoding, probing, ADC, and re-rank all replay
+    * bit-for-bit in DuckDB; production swaps Lloyd-trained centroids
+    * ([[AnnIvf.trainCentroids]]) and residual-encoded codebooks with
+    * every stage downstream unchanged.
+    */
+  def ivfPqTopK(
+      emb: DataFrame,
+      m: Int = M,
+      ksub: Int = KSub,
+      subDim: Int = SubDim,
+      nlist: Int = AnnIvf.NList,
+      nprobe: Int = AnnIvf.NProbe,
+      nQueries: Int = NQueries,
+      shortlist: Int = Shortlist,
+      topK: Int = TopK): DataFrame = {
+    val clean = emb.filter(col("embedding").isNotNull &&
+      size(col("embedding")) === m * subDim)
+    val cb = codebook(emb, m, ksub, subDim)
+    // centroids drawn from the SAME length-filtered frame the oracle's
+    // ex CTE sees, so a dirty sub-nlist vector can't skew the quantizer
+    // on one engine only
+    val cents = AnnIvf.initCentroids(clean, nlist)
+    if (cb.isEmpty || cents.isEmpty) {
+      val spark = emb.sparkSession
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double, Long)]
+        .toDF("query_id", "neighbor_id", "cosine", "rnk")
+    }
+    val ksubEff = cb.head.length
+    val n2Lit = typedLit(reconNorms2Q(cb))
+    val sc = AnnIvf.scored(col("embedding"), cents)
+
+    // 1. corpus → (id, cell, codes): one fused map, no shuffle
+    val assigned = clean
+      .select(col("vec_id"),
+        (-array_max(sc).getField("nc")).as("list_id"),
+        graft.functions.PqFunctions.pqEncode(col("embedding"), cb, subDim).as("codes"))
+      .filter(col("codes").isNotNull)
+
+    // 2. queries: nprobe best cells + ADC LUT (tiny, broadcast)
+    val probes = clean
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.PqFunctions.pqLut(col("embedding"), cb, subDim).as("lut"),
+        explode(transform(
+          slice(reverse(array_sort(sc)), 1, nprobe),
+          x => -x.getField("nc"))).as("list_id"))
+      .filter(col("lut").isNotNull)
+
+    // 3. probed candidates only: equi-join on the cell id
+    val scored = assigned
+      .join(broadcast(probes), "list_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+          (acc, j) => acc +
+            element_at(col("lut"), j * ksubEff + element_at(col("codes"), j + 1) + 1))
+          .as("ip"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+          (acc, j) => acc +
+            element_at(n2Lit, j * ksubEff + element_at(col("codes"), j + 1) + 1))
+          .as("n2"))
+      .filter(col("n2") > 0)
+      .withColumn("approx",
+        round(col("ip") / sqrt(col("n2").cast("double")), 6))
+
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(desc("approx"), asc("neighbor_id"))
+    val short = scored
+      .withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= shortlist)
+      .select("query_id", "neighbor_id")
+
+    // 4. exact re-rank of the shortlist only (q24 arithmetic)
+    val qv = clean
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+      .filter(col("qn") > 0)
+    val nv = clean
+      .join(broadcast(short), col("vec_id") === col("neighbor_id"))
+      .select(col("query_id").as("qid"), col("neighbor_id"),
+        col("embedding").as("nvec"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nn"))
+      .filter(col("nn") > 0)
+
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    qv.join(nv, col("query_id") === col("qid"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qvec"), col("nvec")) / (col("qn") * col("nn")), 4)
+          .as("cosine"))
+      .withColumn("rnk", row_number().over(wK).cast("long"))
+      .filter(col("rnk") <= topK)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** DuckDB SQL replaying [[ivfPqTopK]] — coarse assignment/probes
+    * (q44's CTEs), PQ encoding + ADC (q107's CTEs), cell-bounded
+    * candidates, exact re-rank.
+    */
+  def ivfPqOracleSql(
+      m: Int = M,
+      ksub: Int = KSub,
+      subDim: Int = SubDim,
+      nlist: Int = AnnIvf.NList,
+      nprobe: Int = AnnIvf.NProbe,
+      nQueries: Int = NQueries,
+      shortlist: Int = Shortlist,
+      topK: Int = TopK): String = {
+    val dim = m * subDim
+    def chain(f: Int => String): String = (1 to subDim).map(f).mkString(" + ")
+    val distTerms = chain { d =>
+      val i = s"s.j * $subDim + $d"
+      s"(CAST(corp.embedding[$i] AS DOUBLE) - CAST(cbk.cemb[$i] AS DOUBLE))" +
+        s" * (CAST(corp.embedding[$i] AS DOUBLE) - CAST(cbk.cemb[$i] AS DOUBLE))"
+    }
+    val lutTerms = chain { d =>
+      val i = s"s.j * $subDim + $d"
+      s"CAST(q.qemb[$i] AS DOUBLE) * CAST(cbk.cemb[$i] AS DOUBLE)"
+    }
+    val n2Terms = chain { d =>
+      val i = s"s.j * $subDim + $d"
+      s"CAST(cbk.cemb[$i] AS DOUBLE) * CAST(cbk.cemb[$i] AS DOUBLE)"
+    }
+    s"""WITH ex AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+       |cents AS (SELECT vec_id AS cid, x, i FROM ex WHERE vec_id < $nlist),
+       |cnorm AS (SELECT cid, sqrt(sum(x * x)) AS nrm FROM cents GROUP BY 1),
+       |cscores AS (
+       |  SELECT e.vec_id, c.cid, round(sum(e.x * c.x) / cn.nrm, 6) AS s
+       |  FROM ex e JOIN cents c ON c.i = e.i JOIN cnorm cn ON cn.cid = c.cid
+       |  GROUP BY e.vec_id, c.cid, cn.nrm),
+       |cranked AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |  FROM cscores),
+       |cell AS (SELECT vec_id, cid AS list_id FROM cranked WHERE rn = 1),
+       |probecell AS (
+       |  SELECT vec_id AS query_id, cid AS list_id
+       |  FROM cranked WHERE vec_id < $nQueries AND rn <= $nprobe),
+       |cbk AS (
+       |  SELECT vec_id AS code, embedding AS cemb FROM embeddings
+       |  WHERE vec_id < $ksub AND embedding IS NOT NULL AND len(embedding) = $dim),
+       |corp AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+       |subs AS (SELECT CAST(j AS BIGINT) AS j FROM range(0, $m) AS t(j)),
+       |dists AS (
+       |  SELECT corp.vec_id, s.j, cbk.code, round($distTerms, 6) AS dist
+       |  FROM corp CROSS JOIN subs s CROSS JOIN cbk),
+       |codes AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT vec_id, j, code, row_number() OVER (
+       |      PARTITION BY vec_id, j ORDER BY dist ASC, code ASC) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS qemb FROM corp
+       |  WHERE vec_id < $nQueries),
+       |lut AS (
+       |  SELECT q.query_id, s.j, cbk.code,
+       |    CAST(floor(($lutTerms) * 1000000.0 + 0.5) AS BIGINT) AS lq
+       |  FROM q CROSS JOIN subs s CROSS JOIN cbk),
+       |n2 AS (
+       |  SELECT s.j, cbk.code,
+       |    CAST(floor(($n2Terms) * 1000000.0 + 0.5) AS BIGINT) AS n2q
+       |  FROM subs s CROSS JOIN cbk),
+       |cand AS (
+       |  SELECT p.query_id, ce.vec_id AS neighbor_id
+       |  FROM probecell p JOIN cell ce ON ce.list_id = p.list_id
+       |  WHERE ce.vec_id <> p.query_id),
+       |adc AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |    CAST(sum(l.lq) AS BIGINT) AS ip, CAST(sum(n.n2q) AS BIGINT) AS nn2
+       |  FROM cand cd
+       |  JOIN codes c ON c.vec_id = cd.neighbor_id
+       |  JOIN lut l ON l.query_id = cd.query_id AND l.j = c.j AND l.code = c.code
+       |  JOIN n2 n ON n.j = c.j AND n.code = c.code
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id
+       |      ORDER BY round(ip / sqrt(CAST(nn2 AS DOUBLE)), 6) DESC, neighbor_id) AS rn
+       |    FROM adc WHERE nn2 > 0) WHERE rn <= $shortlist),
+       |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+       |sims AS (
+       |  SELECT sh.query_id, sh.neighbor_id,
+       |    round(sum(a.x * b.x) / (na.nrm * nb.nrm), 4) AS cosine
+       |  FROM short sh
+       |  JOIN ex a ON a.vec_id = sh.query_id
+       |  JOIN ex b ON b.vec_id = sh.neighbor_id AND b.i = a.i
+       |  JOIN norms na ON na.vec_id = sh.query_id AND na.nrm > 0
+       |  JOIN norms nb ON nb.vec_id = sh.neighbor_id AND nb.nrm > 0
+       |  GROUP BY 1, 2, na.nrm, nb.nrm)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM sims) WHERE rnk <= $topK
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** DuckDB SQL replaying [[annTopK]] end-to-end — encoding, ADC
     * shortlist, and exact re-rank.
     */

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -106,6 +106,127 @@ object Retrieval {
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") * col("n_docs")) / col("sum_dl"))))
       // quantize the per-term score BEFORE the per-doc sum: the shuffle
       // carries exact longs, ranking compares exact longs
+      .withColumn("sq",
+        floor(col("idf") * col("tfn") * 1000000.0 + 0.5).cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("sq")).as("score_q"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score_q"), asc("doc_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("doc_id"),
+        round(col("score_q") / 1000000.0, 4).as("score"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  // -------------------------------------------------------------------
+  // Materialized inverted index — the q78/q98 incremental contract for
+  // retrieval. [[bm25TopK]] re-tokenizes the whole corpus per query
+  // batch; at 100 TB the index is built ONCE, appended per nightly
+  // batch, and a query reads only its own terms' postings:
+  //
+  //   - postings live under `postings/`, hash-bucketed on the term
+  //     (`bucket = crc32(tok) % nBuckets` as a partition column) — a
+  //     query's scan is pruned to ≤ |query vocab| buckets of the
+  //     (already tiny, text-free) index, never the corpus. Buckets,
+  //     not one-directory-per-term: a crawl vocabulary is 10⁶–10⁹
+  //     terms, and bounded directory fanout is the lakehouse-safe
+  //     layout. dl rides denormalized on each posting row (classic
+  //     index layout), so scoring never joins a doc-length table.
+  //   - corpus scalars (N, Σdl) are per-batch monoid partials under
+  //     `stats/` (one row per write — the q103 discipline), summed at
+  //     query time; df comes from a count over the PRUNED postings.
+  //   - append = write the delta batch's postings/stats into the same
+  //     layout; RetrievalSpec pins base+delta store scoring bit-equal
+  //     to [[bm25TopK]] on the union corpus. (Doc ids must be fresh
+  //     per append — the signature-store contract.)
+  // -------------------------------------------------------------------
+
+  /** Postings rows for one corpus batch: (bucket, tok, doc_id, tf, dl). */
+  private def postingsOf(docs: DataFrame, nBuckets: Int): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .withColumn("bucket", pmod(crc32(col("tok")), lit(nBuckets)).cast("int"))
+
+  /** One-row (n_docs, sum_dl) partial for one corpus batch. */
+  private def statsOf(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .select(size(expr("filter(split(text, ' '), x -> x <> '')"))
+        .cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+
+  /** Build the index from the base corpus (overwrite). */
+  def writePostingsStore(docs: DataFrame, dir: String, nBuckets: Int = 64): Unit = {
+    postingsOf(docs, nBuckets)
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    statsOf(docs).write.mode(SaveMode.Overwrite).parquet(s"$dir/stats")
+  }
+
+  /** Append one delta batch (fresh doc_ids — the store contract). */
+  def appendPostingsStore(delta: DataFrame, dir: String, nBuckets: Int = 64): Unit = {
+    postingsOf(delta, nBuckets)
+      .write.mode(SaveMode.Append).partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    statsOf(delta).write.mode(SaveMode.Append).parquet(s"$dir/stats")
+  }
+
+  /** [[bm25TopK]] served from the store: same arithmetic, but the scan
+    * is the bucket-pruned postings slice instead of the corpus. Output
+    * bit-equal to [[bm25TopK]] over the same logical corpus
+    * (spec-pinned).
+    */
+  def bm25TopKFromStore(
+      spark: SparkSession,
+      dir: String,
+      queries: Seq[(Long, Seq[String])] = DefaultQueries,
+      topK: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      nBuckets: Int = 64): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty))
+    import spark.implicits._
+    val terms = queries.flatMap(_._2).distinct
+    val termBuckets = terms.map { t =>
+      val c = new java.util.zip.CRC32()
+      c.update(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (c.getValue % nBuckets).toInt
+    }.distinct
+    val qterms = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "tok")
+
+    // partition-pruned: only the query terms' buckets are listed/read
+    val matched = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(termBuckets.map(Int.box): _*))
+      .join(broadcast(qterms), "tok")
+
+    val scalars = spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+
+    // df over the pruned slice = global df of each query term (postings
+    // hold every doc containing the term); output query-vocab-bounded
+    val dfreq = matched
+      .select("tok", "doc_id").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+
+    val scored = matched
+      .join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(scalars))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("tfn",
+        col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") * col("n_docs")) / col("sum_dl"))))
       .withColumn("sq",
         floor(col("idf") * col("tfn") * 1000000.0 + 0.5).cast("long"))
       .groupBy("query_id", "doc_id")

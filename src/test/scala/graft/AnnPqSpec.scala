@@ -128,4 +128,47 @@ class AnnPqSpec extends SparkSpec {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  test("q109 ivf-pq: cells genuinely bound the candidate set") {
+    // widening the probe to every cell must recover the pure-PQ ranking:
+    // nprobe = nlist makes the cell equi-join a no-op filter, so any
+    // difference between q109@full-probe and q107 would mean the cell
+    // stage changes scores (it must only SELECT candidates)
+    val full = AnnPq.ivfPqTopK(emb, nprobe = graft.ops.AnnIvf.NList).collect().toSeq
+    val pq = AnnPq.annTopK(emb).collect().toSeq
+    assert(full === pq)
+    assert(full.nonEmpty)
+  }
+
+  test("q109 recall vs exact q24 is >= 0.3") {
+    def pairs(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, sf)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("q24_ann_cosine")
+    val ivfpq = pairs("q109_ann_ivfpq")
+    assert(exact.nonEmpty)
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall: missed ${(exact -- ivfpq).size} of ${exact.size}")
+    info(s"IVF-PQ recall = $recall")
+  }
+
+  test("q109 exact-re-rank cosines agree with q24 on shared pairs") {
+    def scored(name: String): Map[(Long, Long), Double] =
+      SparkEntry.queries(name)(spark, sf)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = scored("q24_ann_cosine")
+    val ivfpq = scored("q109_ann_ivfpq")
+    val shared = exact.keySet & ivfpq.keySet
+    assert(shared.nonEmpty)
+    shared.foreach(k => assert(exact(k) === ivfpq(k)))
+  }
+
+  test("q109 is partition-independent") {
+    val a = AnnPq.ivfPqTopK(emb).collect().toSeq
+    val b = AnnPq.ivfPqTopK(emb.repartition(7)).collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }

@@ -12,6 +12,52 @@ class RetrievalSpec extends SparkSpec {
 
   import graft.ops.Retrieval
 
+  private def corpus = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("postings store: scoring from the store is bit-equal to the direct scan") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25store").toString
+    Retrieval.writePostingsStore(corpus, dir)
+    val direct = Retrieval.bm25TopK(corpus).collect().toSeq
+    val stored = Retrieval.bm25TopKFromStore(spark, dir).collect().toSeq
+    assert(stored === direct)
+    assert(stored.nonEmpty)
+  }
+
+  test("postings store: base + appended delta is bit-equal to the union corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25store").toString
+    // split on doc_id parity: every append carries fresh doc ids
+    val base = corpus.filter(col("doc_id") % 2 === 0)
+    val delta = corpus.filter(col("doc_id") % 2 === 1)
+    Retrieval.writePostingsStore(base, dir)
+    Retrieval.appendPostingsStore(delta, dir)
+    val direct = Retrieval.bm25TopK(corpus).collect().toSeq
+    val stored = Retrieval.bm25TopKFromStore(spark, dir).collect().toSeq
+    assert(stored === direct)
+    assert(stored.nonEmpty)
+  }
+
+  test("postings store: the query scan is partition-pruned to the terms' buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25store").toString
+    Retrieval.writePostingsStore(corpus, dir, nBuckets = 16)
+    val out = Retrieval.bm25TopKFromStore(spark, dir,
+      queries = Seq(1L -> Seq("hash")), nBuckets = 16)
+    out.collect() // materialize the AQE final plan
+    // the scan's selected partitions must be a strict subset of what
+    // exists on disk: only the one term's bucket directory is read
+    val allBuckets = new java.io.File(s"$dir/postings").listFiles()
+      .count(_.getName.startsWith("bucket="))
+    assert(allBuckets > 1)
+    val scans = planLeaves(out.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.getOrElse("Location", "").contains("postings") => s
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      assert(s.selectedPartitions.partitionCount < allBuckets,
+        s"scan read ${s.selectedPartitions.partitionCount} of $allBuckets buckets")
+    }
+  }
+
   private def docsDf(rows: Seq[(Long, String)]) = {
     import spark.implicits._
     rows.toDF("doc_id", "text")
