@@ -2012,6 +2012,40 @@ object Queries {
     (s, d) => graft.ops.AnnPq.ivfPqTopK(t(s, d, "embeddings")),
     Some(graft.ops.AnnPq.ivfPqOracleSql()))
 
+  /** Ordered funnel: strict-timestamp-order first-occurrence chain,
+    * each stage a map-side type filter + user-keyed min + co-partitioned
+    * join — skew-proof per-stage (a hot user is ONE row per boundary).
+    */
+  private val q110 = QueryDef(
+    "q110_funnel",
+    (s, d) => graft.ops.Behavior.funnelSteps(t(s, d, "events")),
+    Some(graft.ops.Behavior.funnelStepsOracleSql()))
+
+  /** Weekly cohort retention: first-event week × activity-week offset,
+    * distinct users per cell (two-stage partial distinct, no Expand).
+    */
+  private val q111 = QueryDef(
+    "q111_cohort_retention",
+    (s, d) => graft.ops.Behavior.cohortRetention(t(s, d, "events")),
+    Some(graft.ops.Behavior.cohortRetentionOracleSql()))
+
+  /** Per-language exact top-k words at bounded shuffle: ONE grouped
+    * Misra–Gries pass (|langs| × capacity candidates), broadcast
+    * recount, per-lang exactness guard with exact fallback.
+    */
+  private val q112 = QueryDef(
+    "q112_topk_per_group",
+    (s, d) => graft.ops.TextOps.topKWordsPerGroup(t(s, d, "documents")),
+    Some(graft.ops.TextOps.topKWordsPerGroupOracleSql()))
+
+  /** Per-source Efraimidis–Spirakis weighted quota: k docs per stratum,
+    * inclusion preference proportional to n_chars, deterministic.
+    */
+  private val q113 = QueryDef(
+    "q113_stratified_weighted",
+    (s, d) => graft.ops.TrainPipe.stratifiedWeightedSample(t(s, d, "documents")),
+    Some(graft.ops.TrainPipe.stratifiedWeightedSampleOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -2039,5 +2073,5 @@ object Queries {
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107, q108, q109)
+    q105, q106, q107, q108, q109, q110, q111, q112, q113)
 }

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over the event stream — the product-analytics
+  * companions to sessionization (q27) and windowed aggregation (q26):
+  * ordered funnel conversion and cohort retention, the two queries
+  * every events warehouse serves daily.
+  *
+  * Reference scope: the reference pipeline aggregates loan events by
+  * segment (`loan_spark_etl.py` aggregate stage); these are the same
+  * grouped-count shape extended to ORDER-aware semantics.
+  *
+  * Shape, scale-first (funnel):
+  *   - strict-order first-occurrence semantics: a user reaches step i
+  *     when their earliest step-i event STRICTLY AFTER their step-(i−1)
+  *     reach time exists (the ClickHouse windowFunnel / Amplitude
+  *     "ordered funnel" contract, minus the time-window cap — add a
+  *     `ts < reach + Δ` conjunct for that).
+  *   - each stage is ONE map-side filter to that step's event type
+  *     (only (user_id, ts) pairs of ONE type ever shuffle) + ONE
+  *     user_id-keyed min-aggregate whose map-side partials absorb hot
+  *     users, then a user_id equi-join against the previous stage's
+  *     per-user single row — co-partitioned after the first shuffle,
+  *     skew-proof (a million-event user contributes ONE row per stage
+  *     boundary). A single-shuffle alternative (collect per-type ts
+  *     arrays per user, chain in-row) trades k scans for per-user
+  *     state proportional to activity — the join-chain is the shape
+  *     that survives a hot-user crawl at 100 TB.
+  *   - output is k rows (step, step_name, users): driver-safe by
+  *     construction.
+  *
+  * Shape, scale-first (retention):
+  *   - cohort = the user's first-event week: ONE user_id-keyed min
+  *     (map-side partials), joined back user_id-keyed (co-partitioned).
+  *   - cell counts: count(DISTINCT user_id) per (cohort_week, offset)
+  *     — Spark plans the single-distinct form as two-stage partial
+  *     aggregation (no Expand); output bounded by weeks².
+  */
+object Behavior {
+
+  val DefaultFunnel: Seq[String] = Seq("view", "click", "purchase")
+
+  /** Ordered-funnel user counts: row i = users whose events contain
+    * steps(0..i) in strict timestamp order (first-occurrence chain).
+    * Output: (step, step_name, users), step = 1..k.
+    */
+  def funnelSteps(
+      events: DataFrame,
+      steps: Seq[String] = DefaultFunnel): DataFrame = {
+    require(steps.nonEmpty)
+    val typed = steps.map(s =>
+      events.filter(col("event_type") === s && col("ts").isNotNull &&
+        col("user_id").isNotNull))
+    // reach(i): per-user earliest step-i event strictly after reach(i-1)
+    val reaches = typed.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (ev, i)) =>
+        val base = prev match {
+          case None => ev.select(col("user_id"), col("ts"))
+          case Some(p) =>
+            ev.join(p.select(col("user_id"), col("reach").as("prev_reach")), "user_id")
+              .filter(col("ts") > col("prev_reach"))
+              .select(col("user_id"), col("ts"))
+        }
+        Some(base.groupBy(col("user_id")).agg(min(col("ts")).as("reach")))
+    }.flatten
+    val counts = reaches.zip(steps).zipWithIndex.map { case ((r, name), i) =>
+      r.agg(count(lit(1)).as("users"))
+        .select(lit((i + 1).toLong).as("step"), lit(name).as("step_name"),
+          col("users"))
+    }
+    counts.reduce(_ unionByName _).orderBy("step")
+  }
+
+  /** DuckDB SQL replicating [[funnelSteps]]. */
+  def funnelStepsOracleSql(steps: Seq[String] = DefaultFunnel): String = {
+    require(steps.nonEmpty && steps.forall(!_.contains("'")))
+    val ctes = steps.zipWithIndex.map { case (s, i) =>
+      if (i == 0)
+        s"""r1 AS (
+           |  SELECT user_id, min(ts) AS reach FROM events
+           |  WHERE event_type = '$s' AND ts IS NOT NULL AND user_id IS NOT NULL
+           |  GROUP BY 1)""".stripMargin
+      else
+        s"""r${i + 1} AS (
+           |  SELECT e.user_id, min(e.ts) AS reach FROM events e
+           |  JOIN r$i p ON p.user_id = e.user_id
+           |  WHERE e.event_type = '$s' AND e.ts IS NOT NULL AND e.ts > p.reach
+           |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val rows = steps.zipWithIndex.map { case (s, i) =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS step, '$s' AS step_name, " +
+        s"CAST(count(*) AS BIGINT) AS users FROM r${i + 1}"
+    }.mkString("\nUNION ALL\n")
+    s"WITH $ctes\n$rows\nORDER BY step"
+  }
+
+  /** Weekly cohort retention: users grouped by first-event week, one
+    * row per (cohort_week, week_offset) with the distinct users active
+    * that week. Output: (cohort_week: date, week_offset, users).
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val ev = events.filter(col("ts").isNotNull && col("user_id").isNotNull)
+    val first = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    ev.select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("act_week"))
+      .join(first, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("act_week"), col("cohort_week")) / 7).cast("long")
+          .as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** DuckDB SQL replicating [[cohortRetention]]. */
+  def cohortRetentionOracleSql(): String =
+    s"""WITH ev AS (
+       |  SELECT user_id, ts FROM events
+       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+       |first AS (
+       |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+       |  FROM ev GROUP BY 1)
+       |SELECT f.cohort_week,
+       |  CAST(date_diff('day', f.cohort_week,
+       |    CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT) AS week_offset,
+       |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS users
+       |FROM ev e JOIN first f USING (user_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+}

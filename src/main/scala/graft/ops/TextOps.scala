@@ -739,6 +739,101 @@ object TextOps {
   }
 
   // -------------------------------------------------------------------
+  // Per-group heavy hitters (q112) — q83's bounded-shuffle exact top-k
+  // words, stratified: top-k PER LANGUAGE. The sketch aggregate is
+  // mergeable per group (one O(capacity) partial per (task, lang)), so
+  // the grouped form costs ONE aggregate whose output is bounded by
+  // |langs| × capacity — never a full per-lang vocabulary shuffle. The
+  // recount joins the corpus against the BROADCAST (lang, candidate)
+  // pairs and re-counts exactly; a per-lang guarantee check (kth count
+  // > n_lang/(capacity+1)) proves exactness, and any lang that fails
+  // the bound falls back to its exact full-vocabulary aggregate — the
+  // operator is exact ALWAYS, the sketch is only the fast path.
+  // -------------------------------------------------------------------
+
+  /** Exact top-`k` words per language at bounded shuffle. Output:
+    * (lang, word, cnt, rnk), rnk ≤ k per lang.
+    */
+  def topKWordsPerGroup(docs: DataFrame, k: Int = 10, capacity: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .filter(col("lang").isNotNull && col("text").isNotNull)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+
+    // ONE grouped sketch pass: |langs| rows of ≤ capacity candidates + n
+    val sketchRows = words
+      .groupBy(col("lang"))
+      .agg(
+        graft.functions.HeavyHitters.misraGries(col("word"), capacity).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+    val candidates = sketchRows.toIndexedSeq.flatMap { r =>
+      val lang = r.getString(0)
+      r.getSeq[org.apache.spark.sql.Row](1).map(s => (lang, s.getString(0)))
+    }
+    val totals = sketchRows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    if (candidates.isEmpty)
+      return Seq.empty[(String, String, Long, Long)]
+        .toDF("lang", "word", "cnt", "rnk")
+
+    val w = Window.partitionBy(col("lang")).orderBy(desc("cnt"), asc("word"))
+    val recount = words
+      .join(broadcast(candidates.toDF("lang", "word")), Seq("lang", "word"))
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .collect()
+
+    // per-lang exactness guard (q83's, per stratum): the recount is
+    // proven exact iff it produced k rows whose k-th count clears the
+    // MG bound (a non-candidate's true count is ≤ n_lang/(capacity+1)).
+    // A lang with FEWER than k recounted rows is NOT automatically
+    // exact (MG decrements can evict mid-weight words), so it falls
+    // back too.
+    val byLang = recount.groupBy(_.getString(0))
+    val failed = totals.keys.filter { lang =>
+      val rows = byLang.getOrElse(lang, Array.empty)
+      val bound = totals(lang) / (capacity + 1L)
+      !(rows.length == k && rows.map(_.getLong(2)).min > bound)
+    }.toSeq.sorted
+    val exactRows: Seq[(String, String, Long, Long)] =
+      if (failed.isEmpty) Seq.empty
+      else words
+        .filter(col("lang").isin(failed.map(x => x: Any): _*))
+        .groupBy(col("lang"), col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= k)
+        .collect().toIndexedSeq
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+    val keep = recount.toIndexedSeq
+      .filter(r => !failed.contains(r.getString(0)))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    (keep ++ exactRows)
+      .toDF("lang", "word", "cnt", "rnk")
+      .orderBy("lang", "rnk")
+  }
+
+  /** DuckDB oracle for [[topKWordsPerGroup]]: the exact per-lang top-k. */
+  def topKWordsPerGroupOracleSql(k: Int = 10): String =
+    s"""WITH w AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS word
+       |  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+       |c AS (
+       |  SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM w GROUP BY 1, 2)
+       |SELECT lang, word, cnt, rnk FROM (
+       |  SELECT lang, word, cnt,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY lang ORDER BY cnt DESC, word) AS BIGINT) AS rnk
+       |  FROM c) WHERE rnk <= $k
+       |ORDER BY lang, rnk""".stripMargin
+
+  // -------------------------------------------------------------------
   // Exact phrase search (q108) — positional token-level phrase match,
   // the retrieval companion to BM25's term scoring (ops/Retrieval):
   // "which documents contain this exact token sequence, and where".

@@ -926,4 +926,47 @@ object TrainPipe {
        |FROM documents WHERE n_chars > 0
        |ORDER BY key_q DESC, doc_id ASC LIMIT $k""".stripMargin
   }
+
+  /** Stratified weighted sample (q113): [[weightedSample]]'s
+    * Efraimidis–Spirakis draw per SOURCE — k docs per stratum with
+    * inclusion preference proportional to weight, the per-domain
+    * quota form of q105 (q86 caps by recency rank; this caps by a
+    * weighted random draw, the fairer pick when a domain must shrink).
+    *
+    * Scale shape: the E-S key is the same pure per-row projection; the
+    * per-stratum top-k is the q80 window discipline — partitioned by
+    * source, and at 100 TB a (source, hash-shard) two-phase split
+    * bounds any single stratum's sort exactly as q80 documents.
+    * Deterministic: key is a pure function of doc_id.
+    */
+  def stratifiedWeightedSample(docs: DataFrame, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.KmvSketch
+    val u = (KmvSketch.hash(col("doc_id")) + 1).cast("double") / KmvSketch.P
+    val w = Window.partitionBy(col("source"))
+      .orderBy(desc("key_q"), asc("doc_id"))
+    docs
+      .filter(col("n_chars") > 0 && col("source").isNotNull)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        floor(log(u) / col("n_chars") * 1000000.0).cast("long").as("key_q"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("source", "rnk")
+  }
+
+  /** DuckDB SQL replicating [[stratifiedWeightedSample]]. */
+  def stratifiedWeightedSampleOracleSql(k: Int = 20): String = {
+    import graft.functions.KmvSketch
+    s"""SELECT source, doc_id, n_chars, key_q, rnk FROM (
+       |  SELECT source, doc_id, n_chars, key_q,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY source ORDER BY key_q DESC, doc_id ASC) AS BIGINT) AS rnk
+       |  FROM (
+       |    SELECT source, doc_id, n_chars,
+       |      CAST(floor(ln((${KmvSketch.hashSql("doc_id")} + 1) / ${KmvSketch.P}.0)
+       |        / n_chars * 1000000.0) AS BIGINT) AS key_q
+       |    FROM documents WHERE n_chars > 0 AND source IS NOT NULL))
+       |WHERE rnk <= $k
+       |ORDER BY source, rnk""".stripMargin
+  }
 }

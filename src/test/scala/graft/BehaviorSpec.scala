@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Behavior
+
+/** Contract for the behavioral-analytics operators: ordered funnel
+  * (q110) strict-order first-occurrence semantics and weekly cohort
+  * retention (q111).
+  */
+class BehaviorSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def eventsDf(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.map { case (u, t, w) => (u, t, ts(w)) }
+      .toDF("user_id", "event_type", "ts")
+  }
+
+  test("funnel: in-order, out-of-order, and partial journeys counted correctly") {
+    val ev = eventsDf(Seq(
+      // u1: full journey in order
+      (1L, "view", "2026-01-01 10:00:00"),
+      (1L, "click", "2026-01-01 10:05:00"),
+      (1L, "purchase", "2026-01-01 10:10:00"),
+      // u2: purchase BEFORE click — reaches step 2 only
+      (2L, "view", "2026-01-01 10:00:00"),
+      (2L, "purchase", "2026-01-01 10:01:00"),
+      (2L, "click", "2026-01-01 10:02:00"),
+      // u3: view only
+      (3L, "view", "2026-01-01 09:00:00"),
+      // u4: click+purchase but never viewed — reaches nothing
+      (4L, "click", "2026-01-01 10:00:00"),
+      (4L, "purchase", "2026-01-01 10:01:00"),
+      // u5: click at the SAME instant as view — strict order excludes it
+      (5L, "view", "2026-01-01 10:00:00"),
+      (5L, "click", "2026-01-01 10:00:00")))
+    val out = Behavior.funnelSteps(ev)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(1L -> 4L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("funnel: later in-order occurrence still counts after an early out-of-order one") {
+    // u1 clicks before viewing, but clicks AGAIN after: the chain uses
+    // the earliest click after the view, so the user converts
+    val ev = eventsDf(Seq(
+      (1L, "click", "2026-01-01 09:00:00"),
+      (1L, "view", "2026-01-01 10:00:00"),
+      (1L, "click", "2026-01-01 11:00:00"),
+      (1L, "purchase", "2026-01-01 12:00:00")))
+    val out = Behavior.funnelSteps(ev)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("funnel: monotone non-increasing step counts on the real stream") {
+    val ev = Queries.t(spark, "/root/testdata/sf0.001", "events")
+    val users = Behavior.funnelSteps(ev)
+      .orderBy("step").collect().map(_.getLong(2)).toSeq
+    assert(users.size === 3)
+    assert(users === users.sorted.reverse, s"not monotone: $users")
+    assert(users.head > 0)
+  }
+
+  test("funnel: partition-independent") {
+    val ev = Queries.t(spark, "/root/testdata/sf0.001", "events")
+    val a = Behavior.funnelSteps(ev).collect().toSeq
+    val b = Behavior.funnelSteps(ev.repartition(7)).collect().toSeq
+    assert(a === b)
+  }
+
+  test("retention: cohorts anchored at the first-event week, offsets exact") {
+    val ev = eventsDf(Seq(
+      // u1: first event Wed 2026-01-07 (week of Mon 2026-01-05),
+      // active again two weeks later
+      (1L, "view", "2026-01-07 10:00:00"),
+      (1L, "view", "2026-01-19 10:00:00"),
+      // u2: same cohort week, active only that week (two events)
+      (2L, "view", "2026-01-05 08:00:00"),
+      (2L, "click", "2026-01-11 23:00:00"),
+      // u3: later cohort
+      (3L, "view", "2026-01-19 10:00:00")))
+    val out = Behavior.cohortRetention(ev)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out === Map(
+      ("2026-01-05", 0L) -> 2L,
+      ("2026-01-05", 2L) -> 1L,
+      ("2026-01-19", 0L) -> 1L))
+  }
+
+  test("retention: week-0 cell of each cohort equals its cohort size on the real stream") {
+    val ev = Queries.t(spark, "/root/testdata/sf0.001", "events")
+    val cells = Behavior.cohortRetention(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    val cohortSizes = ev.filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(cohortSizes.nonEmpty)
+    cohortSizes.foreach { case (w, n) =>
+      assert(cells((w, 0L)) === n, s"cohort $w")
+    }
+  }
+}

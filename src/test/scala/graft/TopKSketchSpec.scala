@@ -104,4 +104,36 @@ class TopKSketchSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan)
     assert(plan.contains("partial_misra_gries") || plan.contains("partial"), plan)
   }
+
+  test("q112 per-group: equals the exact per-lang top-k on the real corpus") {
+    val docs = Queries.t(spark, "/root/testdata/sf0.001", "documents")
+    val got = TextOps.topKWordsPerGroup(docs, k = 10, capacity = 512)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(desc("cnt"), asc("word"))
+    val exact = docs.filter(col("lang").isNotNull && col("text").isNotNull)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10).orderBy("lang", "rnk")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === exact)
+    assert(got.nonEmpty)
+  }
+
+  test("q112 per-group: tiny capacity still exact via the per-lang fallback") {
+    // capacity 4 on a skewed vocab: the guard must fail and the exact
+    // fallback must carry the answer for every lang
+    val docs = Queries.t(spark, "/root/testdata/sf0.001", "documents")
+    val a = TextOps.topKWordsPerGroup(docs, k = 10, capacity = 4).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val b = TextOps.topKWordsPerGroup(docs, k = 10, capacity = 512).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(a === b)
+  }
+
+  test("q112 is total on empty input") {
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    assert(TextOps.topKWordsPerGroup(empty).collect().isEmpty)
+  }
 }

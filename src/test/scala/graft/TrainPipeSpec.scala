@@ -490,4 +490,22 @@ class TrainPipeSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq
     assert(extended === base)
   }
+
+  test("q113 stratified weighted: k per source, same draw as q105 within each stratum") {
+    val docs = Queries.t(spark, "/root/testdata/sf0.001", "documents")
+    val out = TrainPipe.stratifiedWeightedSample(docs, k = 5).collect()
+    val bySrc = out.groupBy(_.getString(0))
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_.getLong(4)).sorted.toSeq === (1L to rows.length).toSeq)
+      // within a stratum the ranking is by the E-S key desc
+      val keys = rows.sortBy(_.getLong(4)).map(_.getLong(3)).toSeq
+      assert(keys === keys.sorted.reverse)
+    }
+    // deterministic under partitioning
+    val again = TrainPipe.stratifiedWeightedSample(docs.repartition(11), k = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(again === out.map(_.toSeq).toSeq)
+  }
 }
