@@ -2046,6 +2046,30 @@ object Queries {
     (s, d) => graft.ops.TrainPipe.stratifiedWeightedSample(t(s, d, "documents")),
     Some(graft.ops.TrainPipe.stratifiedWeightedSampleOracleSql()))
 
+  /** Per-document TF-IDF keywords: doc-keyed tf, vocab-bounded df,
+    * integer-quantized idf joined back, per-doc top-k window.
+    */
+  private val q114 = QueryDef(
+    "q114_tfidf_keywords",
+    (s, d) => graft.ops.TextOps.tfidfKeywords(t(s, d, "documents")),
+    Some(graft.ops.TextOps.tfidfKeywordsOracleSql()))
+
+  /** Sliding-window counts: native window(ts, 1h, 30m) generator —
+    * map-side window assignment, one keyed aggregate.
+    */
+  private val q115 = QueryDef(
+    "q115_sliding_window",
+    (s, d) => graft.ops.Behavior.slidingWindowCounts(t(s, d, "events")),
+    Some(graft.ops.Behavior.slidingWindowCountsOracleSql()))
+
+  /** Snapshot change capture: one full-outer key join, in-row null-safe
+    * value comparison — added/removed/changed keys only.
+    */
+  private val q116 = QueryDef(
+    "q116_snapshot_diff",
+    (s, d) => graft.ops.ChangeCapture.customerDiff(t(s, d, "customer")),
+    Some(graft.ops.ChangeCapture.customerDiffOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -2073,5 +2097,6 @@ object Queries {
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107, q108, q109, q110, q111, q112, q113)
+    q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
+    q116)
 }

@@ -268,6 +268,30 @@ object ScaleCurve {
         // bounded and crossing pairs stay intra-replica ~linear.
         Cell(f, "q98_incremental_semdedup",
           () => graft.ops.SemDedup.incrementalSemanticDedup(emb, nlist = 16 * f),
+          _.count()),
+        // BM25 (q106): fixed query set against a growing corpus — the
+        // query terms exist only in replica 0 (rotation changes every
+        // token), so the matched sliver and the output are CONSTANT;
+        // what must stay linear is the tokenize+explode scan feeding
+        // the broadcast postings join. rows flat + sec ≲ linear is the
+        // pass condition (the q89 probe-cell contract).
+        Cell(f, "q106_bm25_probe",
+          () => graft.ops.Retrieval.bm25TopK(docs),
+          _.count()),
+        // PQ ANN (q107): codebook = replica-0 first-16 vectors; encode
+        // is a per-row map (linear), ADC scores 5 queries × n candidate
+        // rows (linear), shortlist+re-rank constant. Output constant
+        // (top-5 per query); sec must track the linear ADC stream.
+        Cell(f, "q107_pq_adc",
+          () => graft.ops.AnnPq.annTopK(emb),
+          _.count()),
+        // IVF-PQ (q109): nlist scales with the corpus (the q94
+        // prescription), so per-cell population stays bounded and the
+        // probed candidate stream stays ~constant per query — the
+        // whole point of the cells vs q107's corpus-wide ADC. Output
+        // constant; sec should grow ≲ linearly (the encode map).
+        Cell(f, "q109_ivfpq_probe",
+          () => graft.ops.AnnPq.ivfPqTopK(emb, nlist = 16 * f),
           _.count()))
     }
 

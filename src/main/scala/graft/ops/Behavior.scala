@@ -114,6 +114,49 @@ object Behavior {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Sliding (hopping) window counts (q115): 1-hour windows every 30
+    * minutes — each event lands in length/slide = 2 windows, the
+    * overlap that tumbling q26 cannot see (a spike straddling an hour
+    * boundary shows full-height in some sliding window). Uses Spark's
+    * native `window(ts, length, slide)` generator — per-row map-side
+    * window assignment (no join, no self-union), then ONE keyed
+    * aggregate; identical semantics stream under a watermark
+    * (StreamingEtl's q26 shape with a slide). Output bounded by
+    * timespan × types.
+    */
+  def slidingWindowCounts(
+      events: DataFrame,
+      length: String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
+    events
+      .filter(col("ts").isNotNull)
+      .groupBy(window(col("ts"), length, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** DuckDB oracle for [[slidingWindowCounts]] (1h/30m defaults): each
+    * event expands to its two candidate window starts on the 30-minute
+    * grid, filtered to containment — the unnest twin of Spark's native
+    * window generator.
+    */
+  def slidingWindowCountsOracleSql(): String =
+    s"""WITH ev AS (
+       |  SELECT ts, event_type, value FROM events WHERE ts IS NOT NULL),
+       |cand AS (
+       |  SELECT e.ts, e.event_type, e.value,
+       |    time_bucket(INTERVAL '30 minutes', e.ts) - INTERVAL (g.k * 30) MINUTE
+       |      AS window_start
+       |  FROM ev e CROSS JOIN (SELECT unnest([0, 1]) AS k) g
+       |  WHERE e.ts >= time_bucket(INTERVAL '30 minutes', e.ts) - INTERVAL (g.k * 30) MINUTE
+       |    AND e.ts < time_bucket(INTERVAL '30 minutes', e.ts) - INTERVAL (g.k * 30) MINUTE
+       |      + INTERVAL '1 hour')
+       |SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
+       |  CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS sum_value
+       |FROM cand GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** DuckDB SQL replicating [[cohortRetention]]. */
   def cohortRetentionOracleSql(): String =
     s"""WITH ev AS (

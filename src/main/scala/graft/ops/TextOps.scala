@@ -834,6 +834,81 @@ object TextOps {
        |ORDER BY lang, rnk""".stripMargin
 
   // -------------------------------------------------------------------
+  // TF-IDF keyword extraction (q114) — top-k terms per document by
+  // tf·idf: the per-document summary a curation UI shows, the feature
+  // vector a lightweight classifier starts from, and the complement to
+  // BM25's per-query scoring (idf over the SAME corpus statistics).
+  //
+  // Shape, scale-first:
+  //   - tf: ONE (doc_id, tok)-keyed count — doc_id in the key, hot
+  //     terms cannot hot-key a reducer (the q74 discipline).
+  //   - df: ONE tok-keyed count over distinct (doc, tok) — output is
+  //     vocabulary-sized, map-side partials absorb hot terms.
+  //   - idf joins back on tok. Hot terms DO fan out here (every doc
+  //     containing "the" carries its row) — but the join is an
+  //     AQE-skew-splittable equi-join of two slim frames (no text),
+  //     and idf is quantized to an integer BEFORE the join so the
+  //     per-row score tf·idf_q is an EXACT long product (q90: no
+  //     float crosses a shuffle, both engines agree to the last bit).
+  //   - per-doc top-k: (doc_id)-windowed rank — bounded by the doc's
+  //     own vocabulary.
+  // -------------------------------------------------------------------
+
+  /** Top-`k` terms per document by tf·idf. idf = ln(1 + N/df) over
+    * exact integers, quantized ×10⁶ to a long; score_q = tf · idf_q
+    * (exact). Output: (doc_id, tok, score_q, rnk).
+    */
+  def tfidfKeywords(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(
+        expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val n = docs.filter(col("text").isNotNull)
+      .agg(count(lit(1)).as("n_docs"))
+    val dfreq = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("tok"),
+        floor(log(lit(1.0) + col("n_docs").cast("double") / col("df"))
+          * 1000000.0).cast("long").as("idf_q"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("score_q"), asc("tok"))
+    tf.join(dfreq, "tok")
+      .select(col("doc_id"), col("tok"),
+        (col("tf") * col("idf_q")).as("score_q"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** DuckDB oracle for [[tfidfKeywords]]. */
+  def tfidfKeywordsOracleSql(k: Int = 5): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |  FROM documents WHERE text IS NOT NULL),
+       |tf AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks GROUP BY 1, 2),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+       |  WHERE text IS NOT NULL),
+       |dfreq AS (
+       |  SELECT tok,
+       |    CAST(floor(ln(1.0 + (SELECT n_docs FROM n) / CAST(count(*) AS DOUBLE))
+       |      * 1000000.0) AS BIGINT) AS idf_q
+       |  FROM tf GROUP BY tok)
+       |SELECT doc_id, tok, score_q, rnk FROM (
+       |  SELECT t.doc_id, t.tok, t.tf * d.idf_q AS score_q,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY t.doc_id
+       |      ORDER BY t.tf * d.idf_q DESC, t.tok) AS BIGINT) AS rnk
+       |  FROM tf t JOIN dfreq d USING (tok))
+       |WHERE rnk <= $k
+       |ORDER BY doc_id, rnk""".stripMargin
+
+  // -------------------------------------------------------------------
   // Exact phrase search (q108) — positional token-level phrase match,
   // the retrieval companion to BM25's term scoring (ops/Retrieval):
   // "which documents contain this exact token sequence, and where".

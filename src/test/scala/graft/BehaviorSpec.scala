@@ -107,4 +107,28 @@ class BehaviorSpec extends SparkSpec {
       assert(cells((w, 0L)) === n, s"cohort $w")
     }
   }
+
+  test("sliding windows: a straddling event lands in both overlapping windows") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "click", ts("2026-01-01 10:45:00"), 1.0),
+      (2L, "click", ts("2026-01-01 10:10:00"), 2.0))
+      .toDF("user_id", "event_type", "ts", "value")
+    val out = Behavior.slidingWindowCounts(ev).collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(2)).toMap
+    // event 1 (10:45) is inside [10:00,11:00) and [10:30,11:30);
+    // event 2 (10:10) is inside [09:30,10:30) and [10:00,11:00)
+    assert(out === Map(
+      "2026-01-01 09:30:00.0" -> 1L,
+      "2026-01-01 10:00:00.0" -> 2L,
+      "2026-01-01 10:30:00.0" -> 1L))
+  }
+
+  test("sliding windows: every event counted exactly length/slide times") {
+    val ev = Queries.t(spark, "/root/testdata/sf0.001", "events")
+    val n = ev.filter(col("ts").isNotNull).count()
+    val total = Behavior.slidingWindowCounts(ev)
+      .agg(sum("cnt")).collect()(0).getLong(0)
+    assert(total === 2 * n)
+  }
 }

@@ -372,4 +372,26 @@ class TextOpsSpec extends SparkSpec {
       assert(reassembled === original(docId), s"doc $docId coverage")
     }
   }
+
+  test("q114 tf-idf: a corpus-rare term outranks ubiquitous terms within a doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common common rare rare"),
+      (2L, "common filler words here"),
+      (3L, "common another doc text"),
+      (4L, "common more filler text")).toDF("doc_id", "text")
+    val out = TextOps.tfidfKeywords(docs, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 'common' appears in every doc (idf = ln(2) ~ 0.69, score 3x = 2.08M);
+    // 'rare' in one doc only (idf = ln(5) ~ 1.61, score 2x = 3.22M) — rare wins
+    assert(out(1L) === "rare")
+  }
+
+  test("q114 tf-idf: partition-independent on the real corpus") {
+    val docs = Queries.t(spark, "/root/testdata/sf0.001", "documents")
+    val a = TextOps.tfidfKeywords(docs).collect().map(_.toSeq).toSeq
+    val b = TextOps.tfidfKeywords(docs.repartition(9)).collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }
