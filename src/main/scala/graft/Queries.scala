@@ -2070,6 +2070,30 @@ object Queries {
     (s, d) => graft.ops.ChangeCapture.customerDiff(t(s, d, "customer")),
     Some(graft.ops.ChangeCapture.customerDiffOracleSql()))
 
+  /** Time-windowed funnel: the q110 chain with a conversion deadline
+    * anchored at the step-1 reach (full windowFunnel contract).
+    */
+  private val q117 = QueryDef(
+    "q117_funnel_windowed",
+    (s, d) => graft.ops.Behavior.funnelStepsWindowed(t(s, d, "events")),
+    Some(graft.ops.Behavior.funnelStepsWindowedOracleSql()))
+
+  /** Event-transition (Markov/Sankey) counts: one user-keyed lag
+    * window + one keyed count.
+    */
+  private val q118 = QueryDef(
+    "q118_transitions",
+    (s, d) => graft.ops.Behavior.transitionCounts(t(s, d, "events")),
+    Some(graft.ops.Behavior.transitionCountsOracleSql()))
+
+  /** RFM segmentation: per-user recency/frequency/monetary + quartile
+    * scores, deterministic (anchored at the stream's max ts).
+    */
+  private val q119 = QueryDef(
+    "q119_rfm",
+    (s, d) => graft.ops.Behavior.rfmSegments(t(s, d, "events")),
+    Some(graft.ops.Behavior.rfmSegmentsOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -2098,5 +2122,5 @@ object Queries {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
-    q116)
+    q116, q117, q118, q119)
 }

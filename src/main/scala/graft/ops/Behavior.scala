@@ -114,6 +114,158 @@ object Behavior {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Time-windowed funnel (q117): [[funnelSteps]] with the full
+    * ClickHouse-windowFunnel contract — the whole chain must complete
+    * within `window` of the step-1 reach time. Same per-stage shape
+    * (map-side type filter + user-keyed min + co-partitioned join);
+    * the step-1 reach rides each stage row so the deadline is an
+    * in-row conjunct, no extra join.
+    */
+  def funnelStepsWindowed(
+      events: DataFrame,
+      steps: Seq[String] = DefaultFunnel,
+      window: String = "INTERVAL 30 MINUTES"): DataFrame = {
+    require(steps.nonEmpty)
+    val typed = steps.map(s =>
+      events.filter(col("event_type") === s && col("ts").isNotNull &&
+        col("user_id").isNotNull))
+    // reach frame carries (user_id, reach, t1): t1 = the step-1 reach,
+    // the anchor of the conversion deadline
+    val reaches = typed.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (ev, i)) =>
+        Some(prev match {
+          case None =>
+            ev.groupBy(col("user_id")).agg(min(col("ts")).as("reach"))
+              .select(col("user_id"), col("reach"), col("reach").as("t1"))
+          case Some(p) =>
+            ev.join(p.select(col("user_id"), col("reach").as("prev_reach"),
+                col("t1")), "user_id")
+              .filter(col("ts") > col("prev_reach") &&
+                col("ts") < col("t1") + expr(window))
+              .groupBy(col("user_id"), col("t1"))
+              .agg(min(col("ts")).as("reach"))
+              .select(col("user_id"), col("reach"), col("t1"))
+        })
+    }.flatten
+    val counts = reaches.zip(steps).zipWithIndex.map { case ((r, name), i) =>
+      r.agg(count(lit(1)).as("users"))
+        .select(lit((i + 1).toLong).as("step"), lit(name).as("step_name"),
+          col("users"))
+    }
+    counts.reduce(_ unionByName _).orderBy("step")
+  }
+
+  /** DuckDB SQL replicating [[funnelStepsWindowed]]. */
+  def funnelStepsWindowedOracleSql(
+      steps: Seq[String] = DefaultFunnel,
+      windowSql: String = "INTERVAL 30 MINUTE"): String = {
+    require(steps.nonEmpty && steps.forall(!_.contains("'")))
+    val ctes = steps.zipWithIndex.map { case (s, i) =>
+      if (i == 0)
+        s"""r1 AS (
+           |  SELECT user_id, min(ts) AS reach, min(ts) AS t1 FROM events
+           |  WHERE event_type = '$s' AND ts IS NOT NULL AND user_id IS NOT NULL
+           |  GROUP BY 1)""".stripMargin
+      else
+        s"""r${i + 1} AS (
+           |  SELECT e.user_id, min(e.ts) AS reach, p.t1 FROM events e
+           |  JOIN r$i p ON p.user_id = e.user_id
+           |  WHERE e.event_type = '$s' AND e.ts IS NOT NULL
+           |    AND e.ts > p.reach AND e.ts < p.t1 + $windowSql
+           |  GROUP BY 1, 3)""".stripMargin
+    }.mkString(",\n")
+    val rows = steps.zipWithIndex.map { case (s, i) =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS step, '$s' AS step_name, " +
+        s"CAST(count(*) AS BIGINT) AS users FROM r${i + 1}"
+    }.mkString("\nUNION ALL\n")
+    s"WITH $ctes\n$rows\nORDER BY step"
+  }
+
+  /** Event-transition counts (q118): (event_type → next event_type)
+    * frequencies per user path — the Markov/Sankey view of behavior.
+    * ONE (user)-keyed lag window (bounded by per-user activity; at
+    * 100 TB a (user, day-shard) split bounds any single task exactly
+    * as q80 documents) + ONE keyed count. Deterministic: ties in ts
+    * break on event_id, both engines.
+    */
+  def transitionCounts(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type", "next_type")
+  }
+
+  /** DuckDB SQL replicating [[transitionCounts]]. */
+  def transitionCountsOracleSql(): String =
+    s"""WITH seq AS (
+       |  SELECT event_type,
+       |    lead(event_type) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+       |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS cnt
+       |FROM seq WHERE next_type IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** RFM segmentation (q119): per-user Recency (days since last
+    * purchase, against the stream's max ts — deterministic, no
+    * wall-clock), Frequency (purchase count), Monetary (summed value,
+    * 2dp); each dimension scored 1–4 by ntile over all users. ONE
+    * user-keyed aggregate + three global ntile windows over the
+    * |users|-sized frame (users ≪ events; at warehouse scale the
+    * ntile over users is a boundary-broadcast two-pass — here the
+    * single-partition window is the honest local form, like q03's
+    * top-1). Output: one row per purchasing user.
+    */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val purchases = events.filter(col("event_type") === "purchase" &&
+      col("ts").isNotNull && col("user_id").isNotNull)
+    val maxTs = purchases.agg(max(col("ts")).as("max_ts"))
+    val per = purchases
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("value")), 2).as("monetary"))
+      .crossJoin(broadcast(maxTs))
+      .select(col("user_id"),
+        datediff(col("max_ts").cast("date"), col("last_ts").cast("date"))
+          .cast("long").as("recency_days"),
+        col("frequency"), col("monetary"))
+    def tile(order: Seq[org.apache.spark.sql.Column]) =
+      ntile(4).over(Window.orderBy(order: _*)).cast("long")
+    per
+      .withColumn("r_score", tile(Seq(asc("recency_days"), asc("user_id"))))
+      .withColumn("f_score", tile(Seq(desc("frequency"), asc("user_id"))))
+      .withColumn("m_score", tile(Seq(desc("monetary"), asc("user_id"))))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB SQL replicating [[rfmSegments]]. */
+  def rfmSegmentsOracleSql(): String =
+    s"""WITH p AS (
+       |  SELECT user_id, ts, value FROM events
+       |  WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL),
+       |mx AS (SELECT max(ts) AS max_ts FROM p),
+       |per AS (
+       |  SELECT user_id,
+       |    CAST(date_diff('day', CAST(max(ts) AS DATE),
+       |      CAST((SELECT max_ts FROM mx) AS DATE)) AS BIGINT) AS recency_days,
+       |    CAST(count(*) AS BIGINT) AS frequency,
+       |    round(sum(value), 2) AS monetary
+       |  FROM p GROUP BY 1)
+       |SELECT user_id, recency_days, frequency, monetary,
+       |  CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS BIGINT) AS r_score,
+       |  CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS BIGINT) AS f_score,
+       |  CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS BIGINT) AS m_score
+       |FROM per ORDER BY user_id""".stripMargin
+
   /** Sliding (hopping) window counts (q115): 1-hour windows every 30
     * minutes — each event lands in length/slide = 2 windows, the
     * overlap that tumbling q26 cannot see (a spike straddling an hour

@@ -131,4 +131,66 @@ class BehaviorSpec extends SparkSpec {
       .agg(sum("cnt")).collect()(0).getLong(0)
     assert(total === 2 * n)
   }
+
+  test("windowed funnel: conversion outside the window is dropped, inside kept") {
+    val ev = eventsDf(Seq(
+      // u1 converts fully inside 30 minutes
+      (1L, "view", "2026-01-01 10:00:00"),
+      (1L, "click", "2026-01-01 10:10:00"),
+      (1L, "purchase", "2026-01-01 10:20:00"),
+      // u2 clicks inside but purchases past the 30-minute deadline
+      (2L, "view", "2026-01-01 10:00:00"),
+      (2L, "click", "2026-01-01 10:10:00"),
+      (2L, "purchase", "2026-01-01 10:45:00"),
+      // u3 clicks past the deadline entirely
+      (3L, "view", "2026-01-01 10:00:00"),
+      (3L, "click", "2026-01-01 11:00:00")))
+    val out = Behavior.funnelStepsWindowed(ev)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("windowed funnel: infinite window equals the plain funnel on the real stream") {
+    val ev = Queries.t(spark, "/root/testdata/sf0.001", "events")
+    val plain = Behavior.funnelSteps(ev).collect().map(_.toSeq).toSeq
+    val wide = Behavior.funnelStepsWindowed(ev, window = "INTERVAL 3650 DAYS")
+      .collect().map(_.toSeq).toSeq
+    assert(wide === plain)
+  }
+
+  test("transitions: hand-checked chain; totals = events - users") {
+    val ev = eventsDf(Seq(
+      (1L, "view", "2026-01-01 10:00:00"),
+      (1L, "click", "2026-01-01 10:05:00"),
+      (1L, "view", "2026-01-01 10:10:00"),
+      (2L, "view", "2026-01-01 09:00:00"),
+      (2L, "click", "2026-01-01 09:05:00")))
+      .withColumn("event_id", col("user_id") * 100 + monotonically_increasing_id())
+    val out = Behavior.transitionCounts(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("view", "click") -> 2L, ("click", "view") -> 1L))
+  }
+
+  test("transitions: total transitions = events - distinct users on the real stream") {
+    val ev = Queries.t(spark, "/root/testdata/sf0.001", "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+    val total = Behavior.transitionCounts(ev).agg(sum("cnt")).collect()(0).getLong(0)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(total === expected)
+  }
+
+  test("rfm: quartile scores cover 1..4 and align with the raw dimensions") {
+    val ev = Queries.t(spark, "/root/testdata/sf0.001", "events")
+    val rows = Behavior.rfmSegments(ev).collect()
+    assert(rows.length > 10)
+    // every score in 1..4
+    Seq(4, 5, 6).foreach { i =>
+      assert(rows.forall(r => r.getLong(i) >= 1 && r.getLong(i) <= 4))
+    }
+    // the user with the most purchases scores f=1; most recent scores r=1
+    val best = rows.minBy(r => (-r.getLong(2), r.getLong(0)))
+    assert(best.getLong(5) === 1L)
+    val freshest = rows.minBy(r => (r.getLong(1), r.getLong(0)))
+    assert(freshest.getLong(4) === 1L)
+  }
 }
