@@ -134,6 +134,25 @@ object StreamingEtl {
         col("window.start").as("window_start"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Sliding (hopping) 1-hour/30-minute window counts — q115's batch
+    * semantics under a watermark: the native window generator assigns
+    * each event its length/slide windows map-side, state is one count
+    * row per (window, type), watermark expiry prunes closed windows.
+    * Stream = batch row-for-row (spec-pinned).
+    */
+  def slidingWindowCounts(
+      events: DataFrame,
+      watermarkDelay: String = "1 hour",
+      length: String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), length, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
   /** Per-window distinct-user ESTIMATE via the KMV sketch — q100's
     * mergeable aggregate ([[graft.functions.KmvMinHashesAgg]]) riding
     * Structured Streaming's aggregation state: each micro-batch folds

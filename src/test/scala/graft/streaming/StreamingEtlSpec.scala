@@ -80,6 +80,30 @@ class StreamingEtlSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming sliding-window counts equal batch row-for-row") {
+    val in = tmpDir("slide-in")
+    val events = graft.Queries.t(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    events.coalesce(2).write.mode("overwrite").json(in.toString)
+    val schema = events.schema
+
+    val sq = StreamingEtl
+      .slidingWindowCounts(StreamingEtl.jsonFileStream(spark, in.toString, schema))
+      .writeStream
+      .format("memory")
+      .queryName("slide_counts")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+
+    val streamed = spark.table("slide_counts")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = graft.ops.Behavior.slidingWindowCounts(events)
+      .collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming KMV distinct-user sketch equals batch, estimates exact under k") {
     val in = tmpDir("kmv-in")
     val events = graft.Queries.t(spark, "/root/testdata/sf0.001", "events")
