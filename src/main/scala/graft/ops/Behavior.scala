@@ -266,6 +266,63 @@ object Behavior {
        |  CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS BIGINT) AS m_score
        |FROM per ORDER BY user_id""".stripMargin
 
+  /** Hourly rate-anomaly detection (q120): per (event_type, hour)
+    * counts compared against the type's trailing 24-hour window —
+    * "this hour ran at more than `factor`× the trailing mean" — the
+    * alerting query an ops pipeline runs on every stream.
+    *
+    * Shape, scale-first: ONE keyed aggregate collapses the stream to
+    * (type, hour) cells (map-side partials; output bounded by
+    * timespan × types), then ONE type-partitioned RANGE window over
+    * the integer hour number — frames are [h−24, h−1], so gaps in
+    * the hour sequence are handled by VALUE range, not row offsets.
+    * The anomaly test is EXACT integer arithmetic (cnt · trail_hours >
+    * factor · trail_sum) — no float ever computed, both engines agree
+    * trivially.
+    */
+  def rateAnomalies(
+      events: DataFrame,
+      trailingHours: Int = 24,
+      factor: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .filter(col("ts").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(ts) div 3600").as("hour_num"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_num"))
+      .rangeBetween(-trailingHours.toLong, -1L)
+    hourly
+      .withColumn("trail_sum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("trail_hours", count(col("cnt")).over(w).cast("long"))
+      .filter(col("trail_hours") > 0 &&
+        col("cnt") * col("trail_hours") > lit(factor.toLong) * col("trail_sum"))
+      .select(col("event_type"), col("hour_num"), col("cnt"),
+        col("trail_sum"), col("trail_hours"))
+      .orderBy("event_type", "hour_num")
+  }
+
+  /** DuckDB SQL replicating [[rateAnomalies]]. */
+  def rateAnomaliesOracleSql(trailingHours: Int = 24, factor: Int = 2): String =
+    s"""WITH hourly AS (
+       |  SELECT event_type,
+       |    -- explicit floor: epoch() is DOUBLE and DuckDB's // is NOT
+       |    -- floor division on doubles (CAST then half-rounds)
+       |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_num,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+       |trail AS (
+       |  SELECT event_type, hour_num, cnt,
+       |    CAST(coalesce(sum(cnt) OVER w, 0) AS BIGINT) AS trail_sum,
+       |    CAST(count(cnt) OVER w AS BIGINT) AS trail_hours
+       |  FROM hourly
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_num
+       |    RANGE BETWEEN $trailingHours PRECEDING AND 1 PRECEDING))
+       |SELECT event_type, hour_num, cnt, trail_sum, trail_hours
+       |FROM trail
+       |WHERE trail_hours > 0 AND cnt * trail_hours > $factor * trail_sum
+       |ORDER BY event_type, hour_num""".stripMargin
+
   /** Sliding (hopping) window counts (q115): 1-hour windows every 30
     * minutes — each event lands in length/slide = 2 windows, the
     * overlap that tumbling q26 cannot see (a spike straddling an hour

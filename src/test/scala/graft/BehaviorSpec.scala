@@ -193,4 +193,41 @@ class BehaviorSpec extends SparkSpec {
     val freshest = rows.minBy(r => (r.getLong(1), r.getLong(0)))
     assert(freshest.getLong(4) === 1L)
   }
+
+  test("rate anomaly: a planted 3x burst is flagged, steady hours are not") {
+    import spark.implicits._
+    // steady: 10 events/hour for hours 0..23; burst: 30 events in hour 24
+    val steady = (0 until 24).flatMap(h => (0 until 10).map(i =>
+      (h.toLong * 100 + i, "click", new Timestamp(h * 3600L * 1000 + i * 1000))))
+    val burst = (0 until 30).map(i =>
+      (2400L + i, "click", new Timestamp(24 * 3600L * 1000 + i * 1000)))
+    val ev = (steady ++ burst).toDF("event_id", "event_type", "ts")
+    val out = Behavior.rateAnomalies(ev).collect()
+    assert(out.length === 1)
+    assert(out(0).getString(0) === "click")
+    assert(out(0).getLong(1) === 24L)
+    assert(out(0).getLong(2) === 30L)
+    assert(out(0).getLong(3) === 240L) // trailing sum over 24 steady hours
+  }
+
+  test("rate anomaly: trailing window is VALUE range - a gap does not drag old hours in") {
+    import spark.implicits._
+    // 10/hour at hours 0..5, silence until hour 40, then 15 at hour 40:
+    // the trailing [16,39] window is EMPTY - hour 40 must NOT be flagged
+    // against the ancient hours (trail_hours = 0 filters it)
+    val early = (0 until 6).flatMap(h => (0 until 10).map(i =>
+      (h.toLong * 100 + i, "click", new Timestamp(h * 3600L * 1000 + i * 1000))))
+    val late = (0 until 15).map(i =>
+      (9000L + i, "click", new Timestamp(40 * 3600L * 1000 + i * 1000)))
+    val ev = (early ++ late).toDF("event_id", "event_type", "ts")
+    val out = Behavior.rateAnomalies(ev).collect()
+    assert(!out.exists(_.getLong(1) === 40L), out.mkString(","))
+  }
+
+  test("rate anomaly: partition-independent on the real stream") {
+    val ev = Queries.t(spark, "/root/testdata/sf0.001", "events")
+    val a = Behavior.rateAnomalies(ev).collect().map(_.toSeq).toSeq
+    val b = Behavior.rateAnomalies(ev.repartition(7)).collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
 }
