@@ -2102,6 +2102,14 @@ object Queries {
     (s, d) => graft.ops.Behavior.rateAnomalies(t(s, d, "events")),
     Some(graft.ops.Behavior.rateAnomaliesOracleSql()))
 
+  /** Top-k co-occurring token pairs: in-row pair generation (capped
+    * sorted-distinct tokens), one pair-keyed count, TakeOrdered.
+    */
+  private val q121 = QueryDef(
+    "q121_cooccurrence",
+    (s, d) => graft.ops.TextOps.cooccurrenceTopK(t(s, d, "documents")),
+    Some(graft.ops.TextOps.cooccurrenceTopKOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -2130,5 +2138,5 @@ object Queries {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
-    q116, q117, q118, q119, q120)
+    q116, q117, q118, q119, q120, q121)
 }

@@ -909,6 +909,64 @@ object TextOps {
        |ORDER BY doc_id, rnk""".stripMargin
 
   // -------------------------------------------------------------------
+  // Token co-occurrence (q121) — top-k token PAIRS by document
+  // co-occurrence count: the pairwise frequent-itemset / PMI-numerator
+  // query behind "what terms travel together" (topic discovery,
+  // collocation mining, basket analysis when pointed at transactions).
+  //
+  // Shape, scale-first: pair generation is IN-ROW (sorted distinct
+  // tokens capped at `maxTokens`, nested-sequence HOFs — ≤ L(L−1)/2
+  // pairs per doc, born in the doc's partition), then ONE pair-keyed
+  // count with map-side partials and a TakeOrdered top-k. The cap is
+  // the hot-doc guard: an unbounded doc would mint |doc|² pairs — the
+  // classic itemset blowup — so the contract is "pairs among each
+  // doc's first maxTokens distinct tokens (lexicographic)", stated
+  // rather than silent.
+  // -------------------------------------------------------------------
+
+  /** Top-`k` co-occurring token pairs (a < b lexicographically, both
+    * among the doc's first `maxTokens` sorted distinct tokens). Output:
+    * (tok_a, tok_b, cnt, rnk).
+    */
+  def cooccurrenceTopK(docs: DataFrame, k: Int = 20, maxTokens: Int = 64): DataFrame = {
+    val pairs = docs
+      .filter(col("text").isNotNull)
+      .select(slice(array_sort(array_distinct(
+        expr("filter(split(text, ' '), x -> x <> '')"))), 1, maxTokens).as("t"))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(t) - 1),
+          |  i -> transform(sequence(i + 1, size(t)),
+          |    j -> struct(t[i - 1] AS a, t[j - 1] AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+    pairs
+      .groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("tok_a"), asc("tok_b"))
+      .limit(k)
+      .withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(desc("cnt"), asc("tok_a"), asc("tok_b"))).cast("long"))
+  }
+
+  /** DuckDB oracle for [[cooccurrenceTopK]]. */
+  def cooccurrenceTopKOracleSql(k: Int = 20, maxTokens: Int = 64): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_sort(list_distinct(
+       |      list_filter(string_split(text, ' '), x -> x <> '')))[:$maxTokens] AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |ex AS (SELECT doc_id, unnest(t) AS x FROM toks),
+       |pairs AS (
+       |  SELECT a.x AS tok_a, b.x AS tok_b
+       |  FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND a.x < b.x),
+       |counted AS (
+       |  SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM pairs GROUP BY 1, 2)
+       |SELECT tok_a, tok_b, cnt,
+       |  CAST(row_number() OVER (ORDER BY cnt DESC, tok_a, tok_b) AS BIGINT) AS rnk
+       |FROM counted
+       |ORDER BY cnt DESC, tok_a, tok_b LIMIT $k""".stripMargin
+
+  // -------------------------------------------------------------------
   // Exact phrase search (q108) — positional token-level phrase match,
   // the retrieval companion to BM25's term scoring (ops/Retrieval):
   // "which documents contain this exact token sequence, and where".

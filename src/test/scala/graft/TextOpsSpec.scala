@@ -394,4 +394,33 @@ class TextOpsSpec extends SparkSpec {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  test("q121 co-occurrence: hand-checked pair counts, distinct within doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b a b c"),       // distinct sorted: a b c -> (a,b) (a,c) (b,c)
+      (2L, "a b"),           // (a,b)
+      (3L, "c a")).toDF("doc_id", "text")  // (a,c)
+    val out = TextOps.cooccurrenceTopK(docs, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("a", "b") -> 2L, ("a", "c") -> 2L, ("b", "c") -> 1L))
+  }
+
+  test("q121 co-occurrence: maxTokens cap bounds pair generation") {
+    import spark.implicits._
+    val wide = Seq((1L, (0 until 100).map(i => f"t$i%03d").mkString(" ")))
+      .toDF("doc_id", "text")
+    // cap 5 -> exactly C(5,2) = 10 pairs from the first 5 sorted tokens
+    val out = TextOps.cooccurrenceTopK(wide, k = 100, maxTokens = 5).collect()
+    assert(out.length === 10)
+    assert(out.forall(r => r.getString(0) < "t005" && r.getString(1) < "t005"))
+  }
+
+  test("q121 co-occurrence: partition-independent on the real corpus") {
+    val docs = Queries.t(spark, "/root/testdata/sf0.001", "documents")
+    val a = TextOps.cooccurrenceTopK(docs).collect().map(_.toSeq).toSeq
+    val b = TextOps.cooccurrenceTopK(docs.repartition(9)).collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }
