@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -223,16 +223,39 @@ object AnnPq {
       return Seq.empty[(Long, Long, Double, Long)]
         .toDF("query_id", "neighbor_id", "cosine", "rnk")
     }
-    val ksubEff = cb.head.length
-    val n2Lit = typedLit(reconNorms2Q(cb))
-    val sc = AnnIvf.scored(col("embedding"), cents)
+    searchIvfPq(codeTableOf(clean, cb, cents, subDim), clean, cb, cents,
+      m, subDim, nprobe, nQueries, shortlist, topK)
+  }
 
-    // 1. corpus → (id, cell, codes): one fused map, no shuffle
-    val assigned = clean
+  /** (vec_id, list_id, codes) for a raw corpus frame: ONE fused map
+    * (IvfScores argmax + PqEncode), no shuffle — the index's only
+    * corpus-scale artifact.
+    */
+  private def codeTableOf(clean: DataFrame, cb: Seq[Seq[Seq[Double]]],
+      cents: Seq[(Long, Array[Float])], subDim: Int): DataFrame = {
+    val sc = AnnIvf.scored(col("embedding"), cents)
+    clean
       .select(col("vec_id"),
         (-array_max(sc).getField("nc")).as("list_id"),
         graft.functions.PqFunctions.pqEncode(col("embedding"), cb, subDim).as("codes"))
       .filter(col("codes").isNotNull)
+  }
+
+  /** Stages 2–4 of the IVF-PQ search against an existing code table —
+    * shared by the in-memory form ([[ivfPqTopK]]) and the persisted
+    * index ([[ivfPqTopKFromIndex]]). `clean` supplies query vectors and
+    * the raw floats for the exact shortlist re-rank.
+    */
+  private def searchIvfPq(
+      codeTable: DataFrame,
+      clean: DataFrame,
+      cb: Seq[Seq[Seq[Double]]],
+      cents: Seq[(Long, Array[Float])],
+      m: Int, subDim: Int, nprobe: Int, nQueries: Int,
+      shortlist: Int, topK: Int): DataFrame = {
+    val ksubEff = cb.head.length
+    val n2Lit = typedLit(reconNorms2Q(cb))
+    val sc = AnnIvf.scored(col("embedding"), cents)
 
     // 2. queries: nprobe best cells + ADC LUT (tiny, broadcast)
     val probes = clean
@@ -245,7 +268,7 @@ object AnnPq {
       .filter(col("lut").isNotNull)
 
     // 3. probed candidates only: equi-join on the cell id
-    val scored = assigned
+    val scored = codeTable
       .join(broadcast(probes), "list_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -290,6 +313,102 @@ object AnnPq {
       .withColumn("rnk", row_number().over(wK).cast("long"))
       .filter(col("rnk") <= topK)
       .orderBy("query_id", "rnk")
+  }
+
+  // -------------------------------------------------------------------
+  // Persisted IVF-PQ index — the signature-store / semantic-store /
+  // postings-store contract for VECTORS: the code table (9 B + id per
+  // vector) is materialized ONCE, cell-partitioned on disk; nightly
+  // delta batches encode map-side against the STORED quantizers and
+  // append to their cells; queries read the (partition-prunable) code
+  // table and never re-encode the corpus. Raw vectors stay wherever
+  // they live (the embeddings table) and are touched only by the
+  // broadcast-shortlist re-rank — the store itself is 32× smaller.
+  // -------------------------------------------------------------------
+
+  /** Build the index from the base corpus: quantizers (centroids +
+    * codebook, tiny) and the cell-partitioned code table.
+    */
+  def writePqIndex(
+      emb: DataFrame,
+      dir: String,
+      m: Int = M,
+      ksub: Int = KSub,
+      subDim: Int = SubDim,
+      nlist: Int = AnnIvf.NList): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val clean = emb.filter(col("embedding").isNotNull &&
+      size(col("embedding")) === m * subDim)
+    val cb = codebook(emb, m, ksub, subDim)
+    val cents = AnnIvf.initCentroids(clean, nlist)
+    require(cb.nonEmpty && cents.nonEmpty,
+      "pq index needs a non-empty quantizer (corpus had no valid vectors)")
+    cents.toDF("cid", "centroid")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids.parquet")
+    cb.zipWithIndex.flatMap { case (cbj, j) =>
+      cbj.zipWithIndex.map { case (c, r) => (j, r, c) }
+    }.toDF("j", "r", "c")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/codebook.parquet")
+    codeTableOf(clean, cb, cents, subDim)
+      .write.partitionBy("list_id")
+      .mode(SaveMode.Overwrite).parquet(s"$dir/codes.parquet")
+  }
+
+  /** Stored quantizers: (codebook, centroids) — bounded collects. */
+  private def readQuantizers(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Seq[Seq[Seq[Double]]], Seq[(Long, Array[Float])]) = {
+    val cb = spark.read.parquet(s"$dir/codebook.parquet")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toIndexedSeq)
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .toIndexedSeq.sortBy(_._1)
+    (cb, cents)
+  }
+
+  /** Append a delta batch (fresh vec_ids — the store contract): encode
+    * map-side against the STORED quantizers, append to the cells.
+    */
+  def appendPqIndex(delta: DataFrame, dir: String,
+      m: Int = M, subDim: Int = SubDim): Unit = {
+    val (cb, cents) = readQuantizers(delta.sparkSession, dir)
+    val clean = delta.filter(col("embedding").isNotNull &&
+      size(col("embedding")) === m * subDim)
+    codeTableOf(clean, cb, cents, subDim)
+      .write.partitionBy("list_id")
+      .mode(SaveMode.Append).parquet(s"$dir/codes.parquet")
+  }
+
+  /** [[ivfPqTopK]] served from the store: the code table streams from
+    * disk (never re-encoded), quantizers re-read, queries + re-rank
+    * floats from `emb`. Bit-equal to the in-memory form over the same
+    * logical corpus when the quantizers match (spec-pinned). The code
+    * table is read with an EXPLICIT schema: `list_id` is a directory
+    * partition column, and inference would type it INT — silently
+    * casting the probe's join key (the [[SemDedup]] store discipline).
+    */
+  def ivfPqTopKFromIndex(
+      emb: DataFrame,
+      dir: String,
+      m: Int = M,
+      subDim: Int = SubDim,
+      nprobe: Int = AnnIvf.NProbe,
+      nQueries: Int = NQueries,
+      shortlist: Int = Shortlist,
+      topK: Int = TopK): DataFrame = {
+    val spark = emb.sparkSession
+    val (cb, cents) = readQuantizers(spark, dir)
+    val codeTable = spark.read
+      .schema("vec_id LONG, codes ARRAY<INT>, list_id LONG")
+      .parquet(s"$dir/codes.parquet")
+    val clean = emb.filter(col("embedding").isNotNull &&
+      size(col("embedding")) === m * subDim)
+    searchIvfPq(codeTable, clean, cb, cents,
+      m, subDim, nprobe, nQueries, shortlist, topK)
   }
 
   /** DuckDB SQL replaying [[ivfPqTopK]] — coarse assignment/probes

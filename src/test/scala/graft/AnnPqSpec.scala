@@ -171,4 +171,40 @@ class AnnPqSpec extends SparkSpec {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  test("pq index store: querying the store is bit-equal to the in-memory search") {
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    AnnPq.writePqIndex(emb, dir)
+    val stored = AnnPq.ivfPqTopKFromIndex(emb, dir).collect().toSeq
+    val mem = AnnPq.ivfPqTopK(emb).collect().toSeq
+    assert(stored === mem)
+    assert(stored.nonEmpty)
+  }
+
+  test("pq index store: base + appended delta equals the union with base quantizers") {
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    // base keeps every vec_id < 16 so the first-k quantizers of base and
+    // union coincide (any append split — the q98 store contract)
+    val base = emb.filter(col("vec_id") % 50 =!= 17 || col("vec_id") < 16)
+    val delta = emb.filter(col("vec_id") % 50 === 17 && col("vec_id") >= 16)
+    AnnPq.writePqIndex(base, dir)
+    AnnPq.appendPqIndex(delta, dir)
+    val stored = AnnPq.ivfPqTopKFromIndex(emb, dir).collect().toSeq
+    val full = AnnPq.ivfPqTopK(emb).collect().toSeq
+    assert(stored === full)
+    assert(stored.nonEmpty)
+  }
+
+  test("pq index store: the search never re-encodes the corpus (no embedding scan feeds the code table)") {
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    AnnPq.writePqIndex(emb, dir)
+    val df = AnnPq.ivfPqTopKFromIndex(emb, dir)
+    df.collect()
+    // every pq_encode in the executed plan would mean the corpus was
+    // re-encoded at query time; the stored code table must be the only
+    // code source
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("pq_encode"), plan.linesIterator.take(30).mkString("\n"))
+    assert(plan.contains("pq_lut"), "queries still build their LUTs map-side")
+  }
 }
