@@ -153,6 +153,63 @@ object StreamingEtl {
         col("window.start").as("window_start"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Per-user funnel-stage state for [[streamingFunnel]]: the stage
+    * reached so far and its reach time — O(1) per user, the state a
+    * funnel actually needs (never the event history).
+    */
+  case class FunnelState(stage: Int, reachMs: Long)
+
+  /** One user's stage transition emitted by [[streamingFunnel]]. */
+  case class FunnelAdvance(user_id: Long, step: Long, reach_ms: Long)
+
+  /** Stateful streaming funnel — q110's strict-order first-occurrence
+    * semantics as arbitrary per-key state: each user carries ONLY
+    * (stage, reach time), and a step-(i+1) event strictly after the
+    * stage-i reach advances the state and emits the transition. A
+    * forward scan in event-time order reaches exactly q110's min-chain
+    * stages (the first step-i event after reach_{i−1} IS the minimum —
+    * spec-pinned stream = batch).
+    *
+    * Contract: per-user event-time order across micro-batches (each
+    * batch's group is sorted internally; late cross-batch arrivals
+    * would need the watermark+buffer discipline of the embedding
+    * near-dup stream above). State is O(1) per user — the streaming
+    * funnel never buffers events.
+    */
+  def streamingFunnel(
+      events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelAdvance] = {
+    require(steps.nonEmpty)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isin(steps.map(x => x: Any): _*))
+      .select(col("user_id").as[Long].as("user_id"),
+        col("event_type").as[String].as("event_type"),
+        col("ts").cast("timestamp").as[java.sql.Timestamp].as("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer[FunnelAdvance]()
+          // event-time order within the batch; ties keep a stable order
+          rows.toSeq.sortBy(_._3.getTime).foreach { case (_, tpe, ts) =>
+            val ms = ts.getTime
+            if (st.stage < steps.length && stepIdx(tpe) == st.stage &&
+              (st.stage == 0 || ms > st.reachMs)) {
+              st = FunnelState(st.stage + 1, ms)
+              out += FunnelAdvance(user, st.stage.toLong, ms)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Per-window distinct-user ESTIMATE via the KMV sketch — q100's
     * mergeable aggregate ([[graft.functions.KmvMinHashesAgg]]) riding
     * Structured Streaming's aggregation state: each micro-batch folds

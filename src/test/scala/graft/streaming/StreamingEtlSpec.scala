@@ -104,6 +104,33 @@ class StreamingEtlSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("stateful streaming funnel reaches exactly the batch funnel's stage counts") {
+    val in = tmpDir("funnel-in")
+    val events = graft.Queries.t(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    events.coalesce(1).write.mode("overwrite").json(in.toString)
+    val schema = events.schema
+
+    val sq = StreamingEtl
+      .streamingFunnel(StreamingEtl.jsonFileStream(spark, in.toString, schema))
+      .writeStream
+      .format("memory")
+      .queryName("funnel_stream")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+
+    // users reaching step i in the stream = the batch funnel's count
+    val streamed = spark.table("funnel_stream")
+      .groupBy("step").count().orderBy("step")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.ops.Behavior.funnelSteps(events)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming KMV distinct-user sketch equals batch, estimates exact under k") {
     val in = tmpDir("kmv-in")
     val events = graft.Queries.t(spark, "/root/testdata/sf0.001", "events")
