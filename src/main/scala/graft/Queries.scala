@@ -2102,6 +2102,76 @@ object Queries {
     (s, d) => graft.ops.Behavior.rateAnomalies(t(s, d, "events")),
     Some(graft.ops.Behavior.rateAnomaliesOracleSql()))
 
+  /** Audience overlap (q122): distinct-user intersection between every
+    * pair of event types via KMV sketch SET OPERATIONS — the audience/
+    * segment-overlap query every events warehouse serves ("how many
+    * purchase users also error?"), answered from O(k) state per type
+    * instead of a users×types distinct explosion.
+    *
+    * KMV's closure property does the work: the k smallest hashes of
+    * A ∪ B are recoverable EXACTLY from the two k-min lists (merge,
+    * dedup, keep k — in-row array ops on 2k longs), so est_union rides
+    * the same estimator and est_inter = est_a + est_b − est_union is
+    * inclusion-exclusion. Exact whenever the sets sit under k (the
+    * sketch IS the set); mergeable, so the per-type sketches are the
+    * same artifacts a q103-style nightly job maintains.
+    *
+    * Shape: ONE grouped sketch aggregate (|types| rows of O(k) state,
+    * map-side partials), then a deliberate nested-loop pair join of
+    * the TINY |types|-row frame (the q24 broadcast pattern — never a
+    * corpus-scale cartesian), estimates in-row.
+    */
+  private val q122 = {
+    val k = 256
+    import graft.functions.KmvSketch
+    QueryDef(
+      "q122_audience_overlap",
+      (s, d) => {
+        val sk = t(s, d, "events")
+          .filter(col("user_id").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(KmvSketch.kmvMinHashes(KmvSketch.hash(col("user_id")), k).as("mh"))
+        val a = sk.select(col("event_type").as("type_a"), col("mh").as("mh_a"))
+        val b = sk.select(col("event_type").as("type_b"), col("mh").as("mh_b"))
+        a.join(b, col("type_a") < col("type_b"))
+          .select(col("type_a"), col("type_b"), col("mh_a"), col("mh_b"),
+            slice(array_sort(array_distinct(concat(col("mh_a"), col("mh_b")))),
+              1, k).as("mh_u"))
+          .select(col("type_a"), col("type_b"),
+            KmvSketch.kmvEstimate("mh_a", k).as("est_a"),
+            KmvSketch.kmvEstimate("mh_b", k).as("est_b"),
+            KmvSketch.kmvEstimate("mh_u", k).as("est_union"))
+          .withColumn("est_inter",
+            col("est_a") + col("est_b") - col("est_union"))
+          .orderBy("type_a", "type_b")
+      },
+      Some {
+        val h = KmvSketch.hashSql("user_id")
+        s"""WITH hashes AS (
+           |  SELECT DISTINCT event_type, $h AS h FROM events
+           |  WHERE user_id IS NOT NULL),
+           |ranked AS (
+           |  SELECT event_type, h,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+           |  FROM hashes),
+           |sk AS (
+           |  SELECT event_type, list_sort(list(h)) AS mh
+           |  FROM ranked WHERE rn <= $k GROUP BY 1),
+           |pairs AS (
+           |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+           |    a.mh AS mh_a, b.mh AS mh_b,
+           |    list_sort(list_distinct(a.mh || b.mh))[:$k] AS mh_u
+           |  FROM sk a JOIN sk b ON a.event_type < b.event_type)
+           |SELECT type_a, type_b,
+           |  ${KmvSketch.kmvEstimateSql("mh_a", k)} AS est_a,
+           |  ${KmvSketch.kmvEstimateSql("mh_b", k)} AS est_b,
+           |  ${KmvSketch.kmvEstimateSql("mh_u", k)} AS est_union,
+           |  ${KmvSketch.kmvEstimateSql("mh_a", k)} + ${KmvSketch.kmvEstimateSql("mh_b", k)}
+           |    - ${KmvSketch.kmvEstimateSql("mh_u", k)} AS est_inter
+           |FROM pairs ORDER BY type_a, type_b""".stripMargin
+      })
+  }
+
   /** Top-k co-occurring token pairs: in-row pair generation (capped
     * sorted-distinct tokens), one pair-keyed count, TakeOrdered.
     */
@@ -2138,5 +2208,5 @@ object Queries {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
-    q116, q117, q118, q119, q120, q121)
+    q116, q117, q118, q119, q120, q121, q122)
 }

@@ -74,4 +74,43 @@ class KmvSketchSpec extends SparkSpec {
     assert(mh.length === 32)
     assert(mh === mh.sorted)
   }
+
+  test("q122 audience overlap: estimates exact under k, inclusion-exclusion holds") {
+    val out = SparkEntry.queries("q122_audience_overlap")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length === 10) // C(5,2) event-type pairs
+    import org.apache.spark.sql.functions._
+    val ev = Queries.t(spark, "/root/testdata/sf0.001", "events")
+      .filter(col("user_id").isNotNull)
+    val exactByType = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      // under k=256 every sketch is the exact distinct set
+      assert(r.getLong(2) === exactByType(ta), s"est_a $ta")
+      assert(r.getLong(3) === exactByType(tb), s"est_b $tb")
+      val exactUnion = ev.filter(col("event_type").isin(ta, tb))
+        .select("user_id").distinct().count()
+      assert(r.getLong(4) === exactUnion, s"union $ta/$tb")
+      assert(r.getLong(5) === r.getLong(2) + r.getLong(3) - exactUnion)
+    }
+  }
+
+  test("kmv set-op closure: k-min of a union is recoverable from the two k-min lists") {
+    // adversarial: sets bigger than k, heavy overlap — the in-row merge
+    // must equal the sketch of the concatenated input
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.KmvSketch
+    val k = 16
+    val a = (0L until 500L).toDF("x")
+    val b = (250L until 900L).toDF("x")
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      df.agg(KmvSketch.kmvMinHashes(KmvSketch.hash(col("x")), k).as("mh"))
+        .collect()(0).getSeq[Long](0)
+    val merged = (sk(a) ++ sk(b)).distinct.sorted.take(k)
+    val direct = sk(a.union(b))
+    assert(merged === direct)
+  }
 }
