@@ -922,6 +922,13 @@ object TextOps {
   // classic itemset blowup — so the contract is "pairs among each
   // doc's first maxTokens distinct tokens (lexicographic)", stated
   // rather than silent.
+  //
+  // Complement to q60's prune-then-self-join: q60 bounds the blowup by
+  // GLOBAL vocabulary (top-50 df tokens — right when docs are long and
+  // only head-vocab pairs matter), this bounds it PER DOC with no join
+  // at all (right when docs are short — transactions, titles, baskets —
+  // and the tail vocabulary matters). Same analysis, the two plan
+  // shapes a warehouse actually chooses between.
   // -------------------------------------------------------------------
 
   /** Top-`k` co-occurring token pairs (a < b lexicographically, both
