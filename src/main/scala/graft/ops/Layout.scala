@@ -39,6 +39,39 @@ object Layout {
       .sortWithinPartitions(keyCol)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Compact a parquet directory's small files into ~`targetBytes`
+    * outputs, restoring the range-sorted layout on `keyCol` — the
+    * maintenance pass every lakehouse runs after streaming/append
+    * workloads fragment a table (a 100 TB table of 1 MB files spends
+    * its scan time on file-open overhead and loses footer-stat
+    * selectivity; OPTIMIZE/compaction is the standard fix).
+    *
+    * File count = ceil(on-disk bytes / targetBytes) — sized from the
+    * COMPRESSED footprint the files actually occupy (listing metadata
+    * only, no data read), so output files land near `targetBytes`
+    * regardless of how compressible the data is. One range shuffle +
+    * per-task sort, same cost as [[writeRangeSorted]]. Writes to
+    * `outPath` then returns the file count — compact-then-swap is the
+    * caller's atomic-publish step ([[graft.ingest.FileIngest]]'s
+    * rename discipline), never an in-place rewrite.
+    */
+  def compactRangeSorted(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      keyCol: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetBytes > 0)
+    val hpath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(hpath).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val numFiles = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
+    writeRangeSorted(spark.read.parquet(inPath), outPath, keyCol, numFiles)
+    numFiles
+  }
+
   /** Per-file (lo, hi, rows) of `keyCol` for a parquet dir — the layout
     * the footer statistics expose to scan-time pruning, surfaced as a
     * DataFrame so specs (and operators) can assert disjointness.

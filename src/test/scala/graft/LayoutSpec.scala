@@ -89,4 +89,34 @@ class LayoutSpec extends SparkSpec {
     // layout changes bytes, never rows
     assert(spark.read.parquet(zDir.toString).exceptAll(li).isEmpty)
   }
+
+  test("compaction: many small files collapse to the target count, data and ranges intact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val in = tmpDir("compact-in").toString
+    val out = tmpDir("compact-out").toString
+    // fragment: 64 tiny files
+    val df = (0L until 20000L).map(i => (i, s"payload-$i")).toDF("k", "v")
+    df.repartition(64).write.mode("overwrite").parquet(in)
+    val smallFiles = new java.io.File(in).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(smallFiles === 64)
+
+    val n = Layout.compactRangeSorted(spark, in, out, "k", targetBytes = 256L * 1024)
+    val bigFiles = new java.io.File(out).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(bigFiles === n)
+    assert(bigFiles < smallFiles, s"$bigFiles !< $smallFiles")
+
+    // data identical
+    val a = spark.read.parquet(in).orderBy("k").collect().map(_.toSeq).toSeq
+    val b = spark.read.parquet(out).orderBy("k").collect().map(_.toSeq).toSeq
+    assert(a === b)
+
+    // range layout restored: per-file key ranges are disjoint
+    val ranges = Layout.fileRanges(spark, out, "k")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, s"overlap: $hi1 >= $lo2")
+      case _ =>
+    }
+  }
 }
