@@ -2180,6 +2180,15 @@ object Queries {
     (s, d) => graft.ops.TextOps.cooccurrenceTopK(t(s, d, "documents")),
     Some(graft.ops.TextOps.cooccurrenceTopKOracleSql()))
 
+  /** Temperature mixture sampling: per-lang budgets proportional to
+    * sqrt(total) (low-resource upsampling), integer-exact after one
+    * quantized sqrt, spent by q79's hash-bucket keep test.
+    */
+  private val q123 = QueryDef(
+    "q123_temperature_mix",
+    (s, d) => graft.ops.TrainPipe.temperatureMixSample(t(s, d, "documents")),
+    Some(graft.ops.TrainPipe.temperatureMixOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -2208,5 +2217,5 @@ object Queries {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
-    q116, q117, q118, q119, q120, q121, q122)
+    q116, q117, q118, q119, q120, q121, q122, q123)
 }

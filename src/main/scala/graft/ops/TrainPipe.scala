@@ -395,6 +395,74 @@ object TrainPipe {
        |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // Temperature mixture sampling (q123) — the published LLM data-mixing
+  // recipe: per-language budgets proportional to total_l^α (α = 0.5
+  // here), so low-resource languages are UPSAMPLED relative to their
+  // raw share (multilingual-BERT / XLM-R exponent-smoothed sampling; a
+  // flat per-lang budget over- or under-caps depending on the tail).
+  // The α-weights feed q79's integer keep test unchanged.
+  //
+  // Determinism discipline: ONE sqrt per language, immediately
+  // quantized (floor ×10³) to a long — the per-lang weight. Everything
+  // downstream is exact 64-bit integers: the denominator is an integer
+  // SUM (order-free, unlike a float sum whose accumulation order
+  // differs across engines), budgets are integer `div`, and the keep
+  // test is q79's bucket·total < budget·10⁴. Overflow bound:
+  // totalBudget · w_q < 2⁶³ → totalBudget · √total_l < 9.2e15 — holds
+  // to ~1e13 tokens/lang at billion-token budgets.
+  // -------------------------------------------------------------------
+
+  /** Per-language temperature-weighted budget sampling: language l gets
+    * budget_l = totalBudget · √total_l / Σ_m √total_m (integer-exact
+    * after the quantized sqrt), then q79's deterministic hash-bucket
+    * keep test spends it. Output: (doc_id, lang, n_tokens, budget).
+    */
+  def temperatureMixSample(
+      docs: DataFrame,
+      totalBudget: Long = 10000L,
+      by: String = "lang"): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"), col(by),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val weights = toks.groupBy(by)
+      .agg(sum("n_tokens").as("total"))
+      .withColumn("w_q",
+        floor(sqrt(col("total").cast("double")) * 1000.0).cast("long"))
+    val denom = weights.agg(sum(col("w_q")).as("w_sum"))
+    val budgets = weights.crossJoin(broadcast(denom))
+      .select(col(by), col("total"),
+        expr(s"(${totalBudget}L * w_q) div w_sum").as("budget"))
+    toks
+      .join(broadcast(budgets), Seq(by))
+      .filter(
+        (docHash("budget:", col("doc_id")) % 10000) * col("total")
+          < col("budget") * lit(10000L))
+      .select(col("doc_id"), col(by), col("n_tokens"), col("budget"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB SQL replicating [[temperatureMixSample]]. */
+  def temperatureMixOracleSql(
+      totalBudget: Long = 10000L, by: String = "lang"): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $by,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |w AS (
+       |  SELECT $by, CAST(sum(n_tokens) AS BIGINT) AS total,
+       |    CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE)) * 1000.0) AS BIGINT) AS w_q
+       |  FROM t GROUP BY 1),
+       |d AS (SELECT CAST(sum(w_q) AS BIGINT) AS w_sum FROM w),
+       |b AS (
+       |  SELECT $by, total, ($totalBudget * w_q) // w_sum AS budget
+       |  FROM w CROSS JOIN d)
+       |SELECT doc_id, t.$by, n_tokens, budget
+       |FROM t JOIN b ON t.$by = b.$by
+       |WHERE ${duckHex7("'budget:' || doc_id")} % 10000 * total
+       |  < budget * 10000
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // Stratified top-k (per-language quality quotas): keep the k "best"
   // documents of every stratum. The naive window — rank over the whole
   // stratum — sorts each stratum in ONE task, which at 100 TB is a

@@ -508,4 +508,32 @@ class TrainPipeSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(again === out.map(_.toSeq).toSeq)
   }
+
+  test("q123 temperature mix: integer budget arithmetic hand-checked; low-resource upsampled") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // big lang: 90 docs x 10 tokens = 900; small: 10 docs x 10 = 100
+    val docs = ((0 until 90).map(i => (i.toLong, "big", Seq.fill(10)("w").mkString(" "))) ++
+      (0 until 10).map(i => (100L + i, "small", Seq.fill(10)("w").mkString(" "))))
+      .toDF("doc_id", "lang", "text")
+    val out = TrainPipe.temperatureMixSample(docs, totalBudget = 500L)
+    val budgets = out.select("lang", "budget").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // w_q: floor(sqrt(900)*1000)=30000, floor(sqrt(100)*1000)=10000; sum=40000
+    // budget_big = 500*30000 div 40000 = 375; budget_small = 500*10000 div 40000 = 125
+    assert(budgets === Map("big" -> 375L, "small" -> 125L))
+    // temperature keep RATE: small gets 125/100 (>1: keep all) vs big 375/900
+    // - the low-resource stratum is upsampled relative to its raw share
+    assert(budgets("small").toDouble / 100 > budgets("big").toDouble / 900)
+    // keep-all budget (>= total) means every small doc survives
+    assert(out.filter(col("lang") === "small").count() === 10)
+  }
+
+  test("q123 temperature mix: deterministic under partitioning") {
+    val docs = Queries.t(spark, "/root/testdata/sf0.001", "documents")
+    val a = TrainPipe.temperatureMixSample(docs).collect().map(_.toSeq).toSeq
+    val b = TrainPipe.temperatureMixSample(docs.repartition(9)).collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }
