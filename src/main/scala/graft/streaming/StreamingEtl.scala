@@ -210,6 +210,79 @@ object StreamingEtl {
       }
   }
 
+  /** Per-type trailing-window state for [[streamingRateAnomalies]]:
+    * (hour, count) cells for the current hour plus up to `trailingHours`
+    * closed hours — O(trailingHours) per type, never the events.
+    */
+  case class RateState(counts: Seq[(Long, Long)])
+
+  /** An anomalous CLOSED hour emitted by [[streamingRateAnomalies]] —
+    * the same row q120's batch form produces for that hour.
+    */
+  case class RateAlert(event_type: String, hour_num: Long, cnt: Long,
+      trail_sum: Long, trail_hours: Long)
+
+  /** Streaming rate-anomaly alerts — q120's trailing-window test as
+    * per-key state: each event type carries only its (hour, count)
+    * cells for the trailing window; an hour is EVALUATED when it
+    * closes (a strictly later hour arrives for that type), against
+    * exactly the [h−24, h−1] value-range window and the exact-integer
+    * threshold the batch form uses. Spec pins stream = batch restricted
+    * to closed hours.
+    *
+    * Contract: per-type in-order arrival by hour (the [[streamingFunnel]]
+    * contract); the still-open final hour is never evaluated — an
+    * alerting pipeline cannot judge an hour it is still inside.
+    */
+  def streamingRateAnomalies(
+      events: DataFrame,
+      trailingHours: Int = 24,
+      factor: Int = 2): Dataset[RateAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("ts").isNotNull)
+      .select(col("event_type").as[String],
+        expr("unix_timestamp(ts) div 3600").as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RateState, RateAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe, rows, state) =>
+          val counts = scala.collection.mutable.ArrayBuffer[(Long, Long)](
+            state.getOption.map(_.counts).getOrElse(Seq.empty): _*)
+          val out = scala.collection.mutable.ArrayBuffer[RateAlert]()
+          def evaluate(closed: Long): Unit = {
+            val idx = counts.indexWhere(_._1 == closed)
+            if (idx >= 0) {
+              val cnt = counts(idx)._2
+              val trail = counts.view.slice(0, idx)
+                .filter(c => c._1 >= closed - trailingHours && c._1 <= closed - 1)
+              val tSum = trail.map(_._2).sum
+              val tHours = trail.size.toLong
+              if (tHours > 0 && cnt * tHours > factor.toLong * tSum)
+                out += RateAlert(tpe, closed, cnt, tSum, tHours)
+            }
+          }
+          rows.map(_._2).toSeq.sorted.foreach { h =>
+            counts.lastOption match {
+              case Some((cur, c)) if cur == h =>
+                counts(counts.length - 1) = (cur, c + 1)
+              case Some((cur, _)) if h > cur =>
+                evaluate(cur)
+                counts += ((h, 1L))
+                // trim: only hours >= h - trailingHours can ever be in a
+                // future window
+                while (counts.nonEmpty && counts.head._1 < h - trailingHours)
+                  counts.remove(0)
+              case Some(_) => // late hour after close: in-order contract
+              case None => counts += ((h, 1L))
+            }
+          }
+          state.update(RateState(counts.toSeq))
+          out.iterator
+      }
+  }
+
   /** Per-window distinct-user ESTIMATE via the KMV sketch — q100's
     * mergeable aggregate ([[graft.functions.KmvMinHashesAgg]]) riding
     * Structured Streaming's aggregation state: each micro-batch folds

@@ -131,6 +131,43 @@ class StreamingEtlSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming rate anomalies equal batch q120 on closed hours") {
+    val in = tmpDir("rate-in")
+    val events = graft.Queries.t(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    events.coalesce(1).write.mode("overwrite").json(in.toString)
+    val schema = events.schema
+
+    val sq = StreamingEtl
+      .streamingRateAnomalies(StreamingEtl.jsonFileStream(spark, in.toString, schema))
+      .writeStream
+      .format("memory")
+      .queryName("rate_stream")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+
+    val streamed = spark.table("rate_stream")
+      .orderBy("event_type", "hour_num")
+      .collect().map(_.toSeq).toSeq
+
+    // batch anomalies, restricted to hours the stream has CLOSED
+    // (strictly before each type's final hour)
+    import org.apache.spark.sql.functions._
+    val batchAll = graft.ops.Behavior.rateAnomalies(events)
+    val lastHour = events.filter(col("ts").isNotNull)
+      .groupBy("event_type")
+      .agg(max(expr("unix_timestamp(ts) div 3600")).as("last_h"))
+    val batch = batchAll.join(lastHour, "event_type")
+      .filter(col("hour_num") < col("last_h"))
+      .select("event_type", "hour_num", "cnt", "trail_sum", "trail_hours")
+      .orderBy("event_type", "hour_num")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming KMV distinct-user sketch equals batch, estimates exact under k") {
     val in = tmpDir("kmv-in")
     val events = graft.Queries.t(spark, "/root/testdata/sf0.001", "events")
