@@ -2180,6 +2180,54 @@ object Queries {
     (s, d) => graft.ops.TextOps.cooccurrenceTopK(t(s, d, "documents")),
     Some(graft.ops.TextOps.cooccurrenceTopKOracleSql()))
 
+  /** Winsorized aggregates (q124): per-group outlier clipping — values
+    * outside the group's [p05, p95] are clipped to the fence before
+    * aggregation, the standard robust-statistics cleaning step a
+    * pipeline runs before any mean-based metric (one fat-finger price
+    * must not move the group average).
+    *
+    * Shape: q40's ONE grouped percentile pass (both fences in one
+    * buffer), fences broadcast back onto the rows (tiny |groups|-row
+    * frame), clipping in-row, ONE final aggregate. Determinism: fences
+    * are quantized to 4 decimals BEFORE clipping — exactly the surface
+    * q40's hash-match proves both engines agree on (raw interpolated
+    * quantiles can differ in the last ulp; clipped sums would inherit
+    * it) — and the clipped sum is a rounded 2dp money sum.
+    */
+  private val q124 = QueryDef(
+    "q124_winsorize",
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+      val fences = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, array(0.05D, 0.95D))").as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("lo"),
+          round(element_at(col("ps"), 2), 4).as("hi"))
+      li.join(broadcast(fences), "l_returnflag")
+        .select(col("l_returnflag"),
+          col("l_extendedprice").as("x"), col("lo"), col("hi"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          count(when(col("x") < col("lo"), 1)).as("n_lo"),
+          count(when(col("x") > col("hi"), 1)).as("n_hi"),
+          round(sum(least(greatest(col("x"), col("lo")), col("hi"))), 2)
+            .as("wins_sum"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH fences AS (
+           |  SELECT l_returnflag,
+           |    round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+           |    round(quantile_cont(l_extendedprice, 0.95), 4) AS hi
+           |  FROM lineitem GROUP BY 1)
+           |SELECT li.l_returnflag,
+           |  CAST(count(*) AS BIGINT) AS cnt,
+           |  CAST(count(*) FILTER (WHERE l_extendedprice < lo) AS BIGINT) AS n_lo,
+           |  CAST(count(*) FILTER (WHERE l_extendedprice > hi) AS BIGINT) AS n_hi,
+           |  round(sum(least(greatest(l_extendedprice, lo), hi)), 2) AS wins_sum
+           |FROM lineitem li JOIN fences f ON li.l_returnflag = f.l_returnflag
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** Temperature mixture sampling: per-lang budgets proportional to
     * sqrt(total) (low-resource upsampling), integer-exact after one
     * quantized sqrt, spent by q79's hash-bucket keep test.
@@ -2217,5 +2265,5 @@ object Queries {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
-    q116, q117, q118, q119, q120, q121, q122, q123)
+    q116, q117, q118, q119, q120, q121, q122, q123, q124)
 }

@@ -210,6 +210,44 @@ object StreamingEtl {
       }
   }
 
+  /** Last event per user for [[streamingTransitions]] — O(1) state. */
+  case class LastEvent(tsMs: Long, eventId: Long, eventType: String)
+
+  /** One observed (event → next event) step in a user's path. */
+  case class Transition(user_id: Long, event_type: String, next_type: String)
+
+  /** Streaming event transitions — q118's Markov/Sankey pairs as
+    * per-key state: each user carries ONLY their latest event; every
+    * arrival emits the (previous → current) step. State is O(1) per
+    * user where a lead-window would need the history. Deterministic
+    * (ts, event_id) order within each batch; per-user in-order arrival
+    * across batches (the [[streamingFunnel]] contract). The sink counts
+    * pairs — spec pins stream counts = batch q118 exactly.
+    */
+  def streamingTransitions(events: DataFrame): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id").as[Long], col("event_type").as[String],
+        col("ts").cast("timestamp").as[java.sql.Timestamp],
+        col("event_id").as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          var last = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[Transition]()
+          rows.toSeq.sortBy(r => (r._3.getTime, r._4)).foreach {
+            case (_, tpe, ts, id) =>
+              last.foreach(p => out += Transition(user, p.eventType, tpe))
+              last = Some(LastEvent(ts.getTime, id, tpe))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Per-type trailing-window state for [[streamingRateAnomalies]]:
     * (hour, count) cells for the current hour plus up to `trailingHours`
     * closed hours — O(trailingHours) per type, never the events.

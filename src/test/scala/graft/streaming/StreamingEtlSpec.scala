@@ -168,6 +168,33 @@ class StreamingEtlSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming transitions: pair counts equal batch q118 exactly") {
+    val in = tmpDir("trans-in")
+    val events = graft.Queries.t(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    events.coalesce(1).write.mode("overwrite").json(in.toString)
+    val schema = events.schema
+
+    val sq = StreamingEtl
+      .streamingTransitions(StreamingEtl.jsonFileStream(spark, in.toString, schema))
+      .writeStream
+      .format("memory")
+      .queryName("trans_stream")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+
+    val streamed = spark.table("trans_stream")
+      .groupBy("event_type", "next_type").count()
+      .orderBy("event_type", "next_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.ops.Behavior.transitionCounts(events)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming KMV distinct-user sketch equals batch, estimates exact under k") {
     val in = tmpDir("kmv-in")
     val events = graft.Queries.t(spark, "/root/testdata/sf0.001", "events")
