@@ -1883,20 +1883,20 @@ object Queries {
     import graft.functions.KmvSketch
     QueryDef(
       "q100_kmv_distinct",
+      // sketch-only (the r13 verdict's split): the production path is
+      // O(k) state per group with NO countDistinct Expand — the
+      // estimate-vs-exact accuracy contract moved to KmvSketchSpec,
+      // where a demo belongs
       (s, d) =>
         t(s, d, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(
             KmvSketch.kmvMinHashes(KmvSketch.hash(col("l_partkey")), k).as("mh_p"),
-            KmvSketch.kmvMinHashes(KmvSketch.hash(col("l_suppkey")), k).as("mh_s"),
-            countDistinct(col("l_partkey")).as("exact_parts"),
-            countDistinct(col("l_suppkey")).as("exact_supps"))
+            KmvSketch.kmvMinHashes(KmvSketch.hash(col("l_suppkey")), k).as("mh_s"))
           .select(
             col("l_returnflag"),
             KmvSketch.kmvEstimate("mh_p", k).as("est_parts"),
-            col("exact_parts"),
-            KmvSketch.kmvEstimate("mh_s", k).as("est_supps"),
-            col("exact_supps"))
+            KmvSketch.kmvEstimate("mh_s", k).as("est_supps"))
           .orderBy("l_returnflag"),
       Some {
         val hp = KmvSketch.hashSql("l_partkey")
@@ -1912,15 +1912,9 @@ object Queries {
            |  FROM rp WHERE rn <= $k GROUP BY g),
            |es AS (
            |  SELECT g, ${KmvSketch.kmvEstimateSql("list_sort(list(h))", k)} AS est_supps
-           |  FROM rs WHERE rn <= $k GROUP BY g),
-           |ex AS (
-           |  SELECT l_returnflag AS g,
-           |    count(DISTINCT l_partkey) AS exact_parts,
-           |    count(DISTINCT l_suppkey) AS exact_supps
-           |  FROM lineitem GROUP BY 1)
-           |SELECT ex.g AS l_returnflag, ep.est_parts, ex.exact_parts,
-           |  es.est_supps, ex.exact_supps
-           |FROM ex JOIN ep ON ep.g = ex.g JOIN es ON es.g = ex.g
+           |  FROM rs WHERE rn <= $k GROUP BY g)
+           |SELECT ep.g AS l_returnflag, ep.est_parts, es.est_supps
+           |FROM ep JOIN es ON es.g = ep.g
            |ORDER BY 1""".stripMargin
       })
   }
@@ -2141,8 +2135,10 @@ object Queries {
             KmvSketch.kmvEstimate("mh_a", k).as("est_a"),
             KmvSketch.kmvEstimate("mh_b", k).as("est_b"),
             KmvSketch.kmvEstimate("mh_u", k).as("est_union"))
+          // clamp: estimator noise on small/disjoint audiences can push
+          // inclusion-exclusion below zero — nonsensical for consumers
           .withColumn("est_inter",
-            col("est_a") + col("est_b") - col("est_union"))
+            greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
           .orderBy("type_a", "type_b")
       },
       Some {
@@ -2166,8 +2162,8 @@ object Queries {
            |  ${KmvSketch.kmvEstimateSql("mh_a", k)} AS est_a,
            |  ${KmvSketch.kmvEstimateSql("mh_b", k)} AS est_b,
            |  ${KmvSketch.kmvEstimateSql("mh_u", k)} AS est_union,
-           |  ${KmvSketch.kmvEstimateSql("mh_a", k)} + ${KmvSketch.kmvEstimateSql("mh_b", k)}
-           |    - ${KmvSketch.kmvEstimateSql("mh_u", k)} AS est_inter
+           |  greatest(${KmvSketch.kmvEstimateSql("mh_a", k)} + ${KmvSketch.kmvEstimateSql("mh_b", k)}
+           |    - ${KmvSketch.kmvEstimateSql("mh_u", k)}, 0) AS est_inter
            |FROM pairs ORDER BY type_a, type_b""".stripMargin
       })
   }
@@ -2237,6 +2233,23 @@ object Queries {
     (s, d) => graft.ops.TrainPipe.temperatureMixSample(t(s, d, "documents")),
     Some(graft.ops.TrainPipe.temperatureMixOracleSql()))
 
+  /** Change-capture APPLY (MERGE shape): delta computed and applied —
+    * two keyed full-outer joins + coalesce-by-marker projection.
+    */
+  private val q125 = QueryDef(
+    "q125_apply_delta",
+    (s, d) => graft.ops.ChangeCapture.customerApplyDelta(t(s, d, "customer")),
+    Some(graft.ops.ChangeCapture.customerApplyDeltaOracleSql()))
+
+  /** Image perceptual-hash (dHash) near-dup: decode-or-fallback hash map
+    * where the bytes sit, 16-bit band candidates, exact Hamming verify.
+    */
+  private val q126 = QueryDef(
+    "q126_image_neardup",
+    (s, d) => graft.ops.Multimodal.imageNearDupPairs(
+      graft.ops.Multimodal.mediaWithReencodes(s, d)),
+    Some(graft.ops.Multimodal.imageNearDupOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -2265,5 +2278,5 @@ object Queries {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
-    q116, q117, q118, q119, q120, q121, q122, q123, q124)
+    q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126)
 }

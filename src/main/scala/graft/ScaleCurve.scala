@@ -128,6 +128,26 @@ object ScaleCurve {
     }.reduce(_.union(_))
   }
 
+  /** N× events: user-offset replicas — timestamps, types, and values
+    * unchanged, so every replica reproduces the base's per-user journeys
+    * EXACTLY (funnel reach counts, windowed-funnel conversions, cohort
+    * cells are base × factor by construction); user and event ids across
+    * replicas are disjoint, so no cross-replica journeys exist. NULL
+    * user_id rows replicate too (null + offset = null) — the operators
+    * filter them identically in every replica.
+    */
+  def scaleEvents(events: DataFrame, factor: Int): DataFrame = {
+    val userStride = events.agg(max("user_id")).head().getLong(0) + 1
+    val eventStride = events.agg(max("event_id")).head().getLong(0) + 1
+    (0 until factor).map { r =>
+      events.select(
+        (col("event_id") + lit(r * eventStride)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(r * userStride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_.union(_))
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse("/tmp/graft-scale")
@@ -154,7 +174,7 @@ object ScaleCurve {
     // otherwise leave the factor dir half-synthesized forever)
     factors.foreach { f =>
       val dir = s"$work/x$f"
-      val complete = Seq("documents", "embeddings")
+      val complete = Seq("documents", "embeddings", "events")
         .forall(t => new java.io.File(s"$dir/$t.parquet/_SUCCESS").exists())
       if (!complete) {
         scaleDocuments(Queries.t(spark, base, "documents"), f)
@@ -163,6 +183,9 @@ object ScaleCurve {
         scaleEmbeddings(Queries.t(spark, base, "embeddings"), f)
           .repartition(math.max(4, f * 4))
           .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        scaleEvents(Queries.t(spark, base, "events"), f)
+          .repartition(math.max(4, f * 4))
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
       }
     }
 
@@ -292,6 +315,30 @@ object ScaleCurve {
         // constant; sec should grow ≲ linearly (the encode map).
         Cell(f, "q109_ivfpq_probe",
           () => graft.ops.AnnPq.ivfPqTopK(emb, nlist = 16 * f),
+          _.count()),
+        // ordered funnel (q110): user-offset replicas reproduce the
+        // base's journeys exactly, so the per-step user counts — the
+        // linearity witness, summed here since the row count is fixed
+        // at k steps — must be exactly base × factor. The curve watches
+        // the per-stage user-keyed min/join chain absorb a growing user
+        // population.
+        Cell(f, "q110_funnel",
+          () => graft.ops.Behavior.funnelSteps(
+            Queries.t(spark, dir, "events")),
+          _.agg(sum("users")).head().getLong(0)),
+        // windowed funnel (q117): same contract with the conversion
+        // deadline riding each stage row — output users exactly linear.
+        Cell(f, "q117_funnel_windowed",
+          () => graft.ops.Behavior.funnelStepsWindowed(
+            Queries.t(spark, dir, "events")),
+          _.agg(sum("users")).head().getLong(0)),
+        // co-occurrence top-k (q121): fixed k output rows against a
+        // growing corpus (the q89/q106 probe-cell contract — rows flat,
+        // sec ≲ linear); the curve watches the in-row pair Generate and
+        // the pair-keyed count absorb a vocabulary growing ×f under
+        // rotation.
+        Cell(f, "q121_cooccurrence",
+          () => graft.ops.TextOps.cooccurrenceTopK(docs),
           _.count()))
     }
 

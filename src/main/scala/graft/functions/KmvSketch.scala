@@ -156,15 +156,23 @@ object KmvSketch {
   val A2: Long = 298765431L
   val B2: Long = 123456791L
 
-  /** The shared hash: x (nonnegative long, < ~9e9) → [0, P). */
+  /** The shared hash: x (any nonnegative long) → [0, P). The input is
+    * pre-reduced mod P before the affine rounds, so every intermediate
+    * product is < P·A ≈ 4e17 — no Long overflow for ANY nonnegative
+    * input (the un-reduced form silently wrapped on Spark above ~2.4e10
+    * while DuckDB raised a BIGINT overflow error: the two engines
+    * failed differently past the old ~9e9 advisory limit). Identical
+    * values for inputs already < P (x % P = x), so every existing data
+    * path — polyHash outputs, test-scale ids — is bit-unchanged.
+    */
   def hash(x: Column): Column = {
     import org.apache.spark.sql.functions.lit
-    ((x * lit(A1) + lit(B1)) % lit(P) * lit(A2) + lit(B2)) % lit(P)
+    (((x % lit(P)) * lit(A1) + lit(B1)) % lit(P) * lit(A2) + lit(B2)) % lit(P)
   }
 
   /** The same hash as DuckDB SQL over an expression string. */
   def hashSql(x: String): String =
-    s"((($x) * $A1 + $B1) % $P * $A2 + $B2) % $P"
+    s"(((($x) % $P) * $A1 + $B1) % $P * $A2 + $B2) % $P"
 
   /** Aggregate: the k smallest distinct values of `hashed` (ascending
     * `array<long>`, length = min(k, distinct hashes seen)).
@@ -205,6 +213,14 @@ object KmvSketch {
     * null out; empty string → 0 on both sides. Feed the result through
     * [[hash]] before sketching: the poly fold is uniform enough for
     * equality but the affine rounds break its low-entropy structure.
+    *
+    * Input contract: BMP text only. Spark's `split(s, "")` yields UTF-16
+    * code units, so a non-BMP (astral-plane) character becomes TWO lone
+    * surrogates (two fold steps) where DuckDB's `string_split(s, '')`
+    * yields ONE codepoint — the hashes diverge. Every current caller
+    * feeds ASCII-domain columns (langs, sources, whitespace tokens of
+    * the synthetic corpus); folding over codepoints via a native
+    * expression is the upgrade path if astral text ever needs sketching.
     */
   def polyHash(s: Column): Column = {
     import org.apache.spark.sql.functions.{aggregate, ascii, filter, length, lit, split}

@@ -216,34 +216,53 @@ object Behavior {
   /** RFM segmentation (q119): per-user Recency (days since last
     * purchase, against the stream's max ts — deterministic, no
     * wall-clock), Frequency (purchase count), Monetary (summed value,
-    * 2dp); each dimension scored 1–4 by ntile over all users. ONE
-    * user-keyed aggregate + three global ntile windows over the
-    * |users|-sized frame (users ≪ events; at warehouse scale the
-    * ntile over users is a boundary-broadcast two-pass — here the
-    * single-partition window is the honest local form, like q03's
-    * top-1). Output: one row per purchasing user.
+    * 2dp); each dimension scored 1–4 by EXACT quartile rank. ONE
+    * user-keyed aggregate, then each dimension scored by
+    * [[Ranks.withNtile]] — the two-pass distributed ntile (range
+    * partition + per-partition row_number + broadcast offsets), never
+    * a single global window partition: at 100 TB "users ≪ events" is
+    * still 10⁸–10⁹ rows, and an unpartitioned `ntile` would sort them
+    * all on ONE task, three times. Bit-identical to the window form
+    * (BehaviorSpec pins it; the user_id tie-break makes every order
+    * total). The max-ts anchor is collected off the persisted per-user
+    * frame (max of per-user maxes — one tiny job, no global-agg
+    * exchange in the final plan). Output: one row per purchasing user.
     */
   def rfmSegments(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val purchases = events.filter(col("event_type") === "purchase" &&
       col("ts").isNotNull && col("user_id").isNotNull)
-    val maxTs = purchases.agg(max(col("ts")).as("max_ts"))
-    val per = purchases
+    rfmScores(purchases
       .groupBy(col("user_id"))
       .agg(max(col("ts")).as("last_ts"),
         count(lit(1)).as("frequency"),
-        round(sum(col("value")), 2).as("monetary"))
-      .crossJoin(broadcast(maxTs))
-      .select(col("user_id"),
-        datediff(col("max_ts").cast("date"), col("last_ts").cast("date"))
-          .cast("long").as("recency_days"),
-        col("frequency"), col("monetary"))
-    def tile(order: Seq[org.apache.spark.sql.Column]) =
-      ntile(4).over(Window.orderBy(order: _*)).cast("long")
-    per
-      .withColumn("r_score", tile(Seq(asc("recency_days"), asc("user_id"))))
-      .withColumn("f_score", tile(Seq(desc("frequency"), asc("user_id"))))
-      .withColumn("m_score", tile(Seq(desc("monetary"), asc("user_id"))))
+        round(sum(col("value")), 2).as("monetary")))
+  }
+
+  /** The RFM scoring pass over a per-user (user_id, last_ts, frequency,
+    * monetary) snapshot — shared by the batch q119 and the streaming
+    * twin's per-trigger snapshot re-score, so stream = batch holds
+    * structurally. See [[rfmSegments]] for the plan-shape contract.
+    */
+  def rfmScores(perUser: DataFrame): DataFrame = {
+    val per = perUser
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxTs = per.agg(max(col("last_ts"))).collect()
+      .headOption.flatMap(r => Option(r.getTimestamp(0)))
+    val maxTsLit = maxTs.map(lit(_)).getOrElse(lit(null).cast("timestamp"))
+    val base = per.select(col("user_id"),
+      datediff(maxTsLit.cast("date"), col("last_ts").cast("date"))
+        .cast("long").as("recency_days"),
+      col("frequency"), col("monetary"))
+    def tile(metric: String, order: Seq[org.apache.spark.sql.Column],
+        out: String) =
+      Ranks.withNtile(base.select(col("user_id"), col(metric)), 4,
+        order :+ asc("user_id"), out).select(col("user_id"), col(out))
+    base
+      .join(tile("recency_days", Seq(asc("recency_days")), "r_score"), "user_id")
+      .join(tile("frequency", Seq(desc("frequency")), "f_score"), "user_id")
+      .join(tile("monetary", Seq(desc("monetary")), "m_score"), "user_id")
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"))
       .orderBy("user_id")
   }
 
@@ -287,8 +306,11 @@ object Behavior {
     import org.apache.spark.sql.expressions.Window
     val hourly = events
       .filter(col("ts").isNotNull)
+      // floor division, NOT `div` (truncation toward zero): a pre-1970
+      // timestamp must land in the same bucket both engines compute
+      // (DuckDB's oracle floors; -10s is hour -1, not hour 0)
       .groupBy(col("event_type"),
-        expr("unix_timestamp(ts) div 3600").as("hour_num"))
+        floor(unix_timestamp(col("ts")) / 3600).as("hour_num"))
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("hour_num"))
       .rangeBetween(-trailingHours.toLong, -1L)

@@ -53,6 +53,124 @@ object ChangeCapture {
       .orderBy(keyCols.map(col): _*)
   }
 
+  /** The APPLY-able delta between `oldDf` and `newDf`: key columns +
+    * change_type + the NEW value columns (null for removed keys) — the
+    * payload a MERGE needs, where [[snapshotDiff]] is the audit view.
+    * Same single full-outer join shape.
+    */
+  def snapshotDelta(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keyCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty)
+    val o = oldDf.select((keyCols ++ valueCols).map(col): _*)
+      .withColumnsRenamed(valueCols.map(c => c -> s"__old_$c").toMap)
+      .withColumn("__in_old", lit(true))
+    val n = newDf.select((keyCols ++ valueCols).map(col): _*)
+      .withColumnsRenamed(valueCols.map(c => c -> s"__new_$c").toMap)
+      .withColumn("__in_new", lit(true))
+    val anyDiff = valueCols
+      .map(c => !(col(s"__old_$c") <=> col(s"__new_$c")))
+      .reduce(_ || _)
+    o.join(n, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(anyDiff, lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select(keyCols.map(col) ++ (col("change_type") +:
+        valueCols.map(c => col(s"__new_$c").as(c))): _*)
+  }
+
+  /** MERGE INTO — apply a [[snapshotDelta]] to a snapshot, producing the
+    * next snapshot: removed keys drop, added/changed keys take the
+    * delta's values, untouched keys pass through unchanged.
+    *
+    * Shape, scale-first: ONE keyed full-outer equi-join (snapshot and
+    * delta each shuffle once, co-partitioned; the delta side is
+    * typically a tiny fraction and broadcasts) + an in-row coalesce
+    * projection — the exact plan a warehouse MERGE compiles to when
+    * every key is unique per side. Round-trip law (spec-pinned):
+    * applyDelta(prev, snapshotDelta(prev, cur)) == cur exactly,
+    * including null-to-value and value-to-null column transitions (the
+    * delta marker is its own column, so a null delta VALUE still
+    * overwrites).
+    */
+  def applyDelta(
+      prev: DataFrame,
+      delta: DataFrame,
+      keyCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty)
+    val d = delta.select((keyCols ++ ("change_type" +: valueCols)).map(col): _*)
+      .withColumnsRenamed(
+        valueCols.map(c => c -> s"__d_$c").toMap + ("change_type" -> "__d_change"))
+    prev.select((keyCols ++ valueCols).map(col): _*)
+      .join(d, keyCols, "full_outer")
+      .filter(col("__d_change").isNull || col("__d_change") =!= "removed")
+      .select(keyCols.map(col) ++ valueCols.map(c =>
+        when(col("__d_change").isNotNull, col(s"__d_$c"))
+          .otherwise(col(c)).as(c)): _*)
+  }
+
+  /** q125: the MERGE round trip over the q116 customer fixtures —
+    * [[applyDelta]](old, [[snapshotDelta]](old, new)) materialized as
+    * the next snapshot (which the round-trip law makes exactly equal to
+    * the new snapshot; the oracle REPLAYS the join/apply mechanics, not
+    * the law). Ordered output for the hash gate.
+    */
+  def customerApplyDelta(customer: DataFrame): DataFrame = {
+    val oldSnap = customer.filter(col("c_custkey") % 97 =!= 0)
+    val newSnap = customer.filter(col("c_custkey") % 89 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 31 === 0, col("c_acctbal") + 1)
+          .otherwise(col("c_acctbal")))
+    val vals = Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val delta = snapshotDelta(oldSnap, newSnap, Seq("c_custkey"), vals)
+    applyDelta(oldSnap, delta, Seq("c_custkey"), vals)
+      .orderBy("c_custkey")
+  }
+
+  /** DuckDB oracle for [[customerApplyDelta]] — the same two full-outer
+    * joins and the same coalesce-by-marker projection, in SQL.
+    */
+  def customerApplyDeltaOracleSql(): String =
+    s"""WITH oldsnap AS (
+       |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+       |  FROM customer WHERE c_custkey % 97 <> 0),
+       |newsnap AS (
+       |  SELECT c_custkey, c_name, c_nationkey,
+       |    CASE WHEN c_custkey % 31 = 0 THEN c_acctbal + 1 ELSE c_acctbal END
+       |      AS c_acctbal,
+       |    c_mktsegment
+       |  FROM customer WHERE c_custkey % 89 <> 0),
+       |delta AS (
+       |  SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+       |    CASE
+       |      WHEN o.c_custkey IS NULL THEN 'added'
+       |      WHEN n.c_custkey IS NULL THEN 'removed'
+       |      WHEN o.c_name IS DISTINCT FROM n.c_name
+       |        OR o.c_nationkey IS DISTINCT FROM n.c_nationkey
+       |        OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+       |        OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment THEN 'changed'
+       |    END AS change_type,
+       |    n.c_name, n.c_nationkey, n.c_acctbal, n.c_mktsegment
+       |  FROM oldsnap o FULL OUTER JOIN newsnap n ON o.c_custkey = n.c_custkey),
+       |d AS (SELECT * FROM delta WHERE change_type IS NOT NULL)
+       |SELECT COALESCE(p.c_custkey, d.c_custkey) AS c_custkey,
+       |  CASE WHEN d.change_type IS NOT NULL THEN d.c_name ELSE p.c_name END
+       |    AS c_name,
+       |  CASE WHEN d.change_type IS NOT NULL THEN d.c_nationkey ELSE p.c_nationkey END
+       |    AS c_nationkey,
+       |  CASE WHEN d.change_type IS NOT NULL THEN d.c_acctbal ELSE p.c_acctbal END
+       |    AS c_acctbal,
+       |  CASE WHEN d.change_type IS NOT NULL THEN d.c_mktsegment ELSE p.c_mktsegment END
+       |    AS c_mktsegment
+       |FROM oldsnap p FULL OUTER JOIN d ON p.c_custkey = d.c_custkey
+       |WHERE d.change_type IS NULL OR d.change_type <> 'removed'
+       |ORDER BY c_custkey""".stripMargin
+
   /** q116: [[snapshotDiff]] over two deterministic variants of the
     * customer snapshot — old drops custkey % 97 = 0 (→ added), new
     * drops custkey % 89 = 0 (→ removed) and bumps acctbal on

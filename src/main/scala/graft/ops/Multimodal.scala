@@ -204,6 +204,227 @@ object Multimodal {
            |         f -> f % $stride = 0),
            |  f -> substring($contentCol, f * $frameBytes + 1, $frameBytes))""".stripMargin))
 
+  // -------------------------------------------------------------------
+  // Perceptual image near-dup: dHash (difference hash) — the LAION-style
+  // image dedup primitive. 64-bit hash = 8×8 horizontal-gradient bits of
+  // a 9×8 grayscale downscale; near-dups differ in a few bits, so
+  // candidates come from the simhash band discipline (4 × 16-bit bands,
+  // pigeonhole-complete for hamming <= 3) and exact Hamming verifies.
+  // -------------------------------------------------------------------
+
+  /** 64-bit dHash of a payload. Decodable images take the REAL path:
+    * ImageIO decode → 9×8 bilinear grayscale (integer ITU-R 601 luma) →
+    * gradient bits. Anything else falls back to a deterministic
+    * byte-sampled 9×8 grid over the raw payload — same gradient-bit
+    * construction, so the operator is TOTAL and the synthetic-payload
+    * catalog query (q126) stays oracle-replayable (the q34 discipline).
+    * Empty/null payloads hash to 0.
+    */
+  def dHash64(content: Array[Byte]): Long = {
+    val grid =
+      if (content == null || content.isEmpty) new Array[Int](72)
+      else imageGray9x8(content).getOrElse(byteGrid9x8(content))
+    gradientBits(grid)
+  }
+
+  /** Row-major 9×8 integer-luma grid of a decodable image; None otherwise. */
+  private[ops] def imageGray9x8(b: Array[Byte]): Option[Array[Int]] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) None
+      else {
+        val scaled = new java.awt.image.BufferedImage(
+          9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = scaled.createGraphics()
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, 9, 8, null)
+        g.dispose()
+        val grid = new Array[Int](72)
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 9) {
+            val rgb = scaled.getRGB(c, r)
+            // integer ITU-R 601 luma — deterministic, no float rounding
+            grid(r * 9 + c) = (((rgb >> 16) & 0xff) * 299 +
+              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            c += 1
+          }
+          r += 1
+        }
+        Some(grid)
+      }
+    } catch { case _: Exception => None }
+
+  /** Deterministic 9×8 grid sampled from raw payload bytes: cell i reads
+    * the unsigned byte at offset (i·len) div 72 — evenly spaced, exact
+    * integer arithmetic (long multiply: i·len overflows Int on large
+    * payloads). The q126 oracle replays this via codepoints, exact for
+    * the ASCII corpus.
+    */
+  private[ops] def byteGrid9x8(b: Array[Byte]): Array[Int] = {
+    val grid = new Array[Int](72)
+    var i = 0
+    while (i < 72) {
+      grid(i) = b((i.toLong * b.length / 72).toInt) & 0xff
+      i += 1
+    }
+    grid
+  }
+
+  /** Gradient bits of a row-major 9×8 grid: bit r·8+c set iff
+    * grid(r,c+1) > grid(r,c) — strictly-greater, both engines agree on
+    * integer comparison trivially.
+    */
+  private[ops] def gradientBits(grid: Array[Int]): Long = {
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (grid(r * 9 + c + 1) > grid(r * 9 + c)) bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** (id, dhash) for a media table — the decode/hash map runs where the
+    * bytes sit (`mapPartitions`, the q34 codec discipline), spread at
+    * cluster width first (the r13 AQE-coalesce lesson: this map is
+    * CPU-bound, an unspread scan would serialize it on one task).
+    */
+  def dHashes(items: Dataset[MediaItem]): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items
+      .repartition(spark.sparkContext.defaultParallelism, col("id"))
+      .mapPartitions(_.map(it => (it.id, dHash64(it.content))))
+      .toDF("id", "dhash")
+  }
+
+  /** Perceptual near-duplicate image pairs: dHash per payload, 16-bit
+    * band equi-join for candidates (two 64-bit hashes within hamming
+    * `maxHamming` <= 3 must share >= 1 of the 4 bands — pigeonhole, so
+    * banding loses nothing), exact Hamming verify on the candidate
+    * hashes only — no payload bytes cross the wire after the hash pass.
+    * Output (id_a, id_b, hamming). `sliceMax`/`hotBandMax` follow
+    * [[graft.ops.Lsh]]'s slice/guard contract (q30's shapes).
+    */
+  def imageNearDupPairs(
+      items: Dataset[MediaItem],
+      maxHamming: Int = 3,
+      sliceMax: Option[Long] = Some(100L),
+      hotBandMax: Option[Long] = None): DataFrame = {
+    require(maxHamming <= 3, "4 x 16-bit bands are pigeonhole-complete only to hamming 3")
+    val hashed = dHashes(items)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = hashed.select(
+      col("id"), col("dhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("dhash"), 16 * b).bitwiseAND(lit(0xffffL)).as("bv"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("dhash"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val keys = Seq("band", "bv")
+    val guarded = Lsh.guardHotBuckets(banded, keys, hotBandMax)
+    val lhs = guarded.select(col("id").as("id_a"),
+      col("dhash").as("dhash_a"), col("band"), col("bv"))
+    Lsh.candidateJoin(guarded, lhs, keys, "id_a", sliceMax)
+      .filter(col("id_a") < col("id"))
+      .select(col("id_a"), col("id").as("id_b"),
+        col("dhash_a"), col("dhash").as("dhash_b"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(dhash_a ^ dhash_b) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q126's media fixture: [[mediaFromDocuments]] payloads PLUS a
+    * deterministic "re-encoded copy" of every doc_id ≡ 0 (mod 7) — the
+    * first character rewritten to 'x', id offset by 10⁶ — the LAION
+    * shape where the same image circulates under slightly different
+    * encodes. The copies land within hamming ≤ 1 of their originals
+    * (one grid cell moves), while distinct docs sit ≥ 13 bits apart in
+    * this corpus — so the query's output is exactly the planted
+    * re-encode pairs, non-vacuously (the q116 derived-snapshot
+    * discipline: variants derived from the input, never synthesized
+    * from thin air).
+    */
+  def mediaWithReencodes(spark: SparkSession, dir: String): Dataset[MediaItem] = {
+    import spark.implicits._
+    // doc_id null-filtered too: MediaItem.id is a primitive Long, and a
+    // dirty corpus must not kill the encoder (NullInputSpec's contract)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull && col("doc_id").isNotNull)
+    val base = docs.select(
+      col("doc_id").as("id"),
+      concat(lit("img_"), col("source")).as("modality"),
+      encode(col("text"), "UTF-8").as("content"))
+    val reenc = docs.filter(col("doc_id") % 7 === 0).select(
+      (col("doc_id") + lit(1000000L)).as("id"),
+      concat(lit("img_"), col("source")).as("modality"),
+      encode(concat(lit("x"), expr("substring(text, 2)")), "UTF-8").as("content"))
+    base.unionByName(reenc).as[MediaItem]
+  }
+
+  /** DuckDB oracle for [[imageNearDupPairs]] over [[mediaWithReencodes]]
+    * payloads (UTF-8 text bytes — never decodable as images, so every
+    * row takes the byte-grid fallback, which this SQL replays via
+    * codepoints; exact because the corpus is ASCII, where byte(i) =
+    * unicode(char(i)). Same variant derivation, same banding, same
+    * slice, same Hamming verify.
+    */
+  def imageNearDupOracleSql(maxHamming: Int = 3, sliceMax: Long = 100L): String = {
+    // grid cell i (0..71): codepoint at 1-based position (i*len)//72 + 1
+    val bandRows = (0 until 4)
+      .map(b => s"SELECT id, dhash, $b AS band, (dhash >> ${16 * b}) & 65535 AS bv FROM hashed")
+      .mkString("\n  UNION ALL\n  ")
+    // bit weights as Scala-computed literals (the TextOps fpExpr
+    // pattern): DuckDB raises on `1::BIGINT << 63`, while 1L << 63
+    // prints as the valid BIGINT literal -9223372036854775808
+    val dhashExpr = (0 until 64)
+      .map { k =>
+        val hi = (k / 8) * 9 + (k % 8) + 2
+        val lo = hi - 1
+        s"CASE WHEN g[$hi] > g[$lo] THEN ${1L << k} ELSE 0 END"
+      }
+      .mkString("\n      + ")
+    s"""WITH media AS (
+       |  SELECT doc_id AS id, text FROM documents
+       |  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS id, 'x' || substr(text, 2) AS text
+       |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL AND doc_id % 7 = 0),
+       |grids AS (
+       |  SELECT id,
+       |    CASE WHEN len(text) = 0 THEN list_transform(range(0, 72), i -> CAST(0 AS BIGINT))
+       |      ELSE list_transform(range(0, 72),
+       |        i -> greatest(CAST(unicode(substr(text, CAST(i * len(text) // 72 AS BIGINT) + 1, 1)) AS BIGINT), 0))
+       |    END AS g
+       |  FROM media),
+       |hashed AS (
+       |  SELECT id,
+       |    CAST($dhashExpr AS BIGINT) AS dhash
+       |  FROM grids),
+       |banded AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, c.id AS id_b,
+       |    a.dhash AS dhash_a, c.dhash AS dhash_b
+       |  FROM banded a JOIN banded c ON a.band = c.band AND a.bv = c.bv
+       |  WHERE a.id < $sliceMax AND a.id < c.id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(dhash_a, dhash_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(dhash_a, dhash_b)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Synthesize a media table from the driver's documents parquet: the
     * UTF-8 text bytes stand in for an opaque payload. Used by specs and
     * the q34 oracle query so the binary plumbing runs against real

@@ -745,8 +745,13 @@ object QualityOps {
     */
   def incrementalCorpusCard(docs: DataFrame, batches: Int = 3, k: Int = 1024): DataFrame = {
     require(batches >= 1)
+    // coalesce: a NULL doc_id matches no pmod residue and would silently
+    // vanish from every slice, diverging the merged card from the
+    // single-pass oracle on dirty corpora — route null-id docs to slice 0
     val cards = (0 until batches)
-      .map(b => cardSketch(docs.filter(pmod(col("doc_id"), lit(batches)) === b), k))
+      .map(b => cardSketch(
+        docs.filter(
+          coalesce(pmod(col("doc_id"), lit(batches)), lit(0)) === b), k))
       .reduce(_.union(_))
     finalizeCard(mergeCardSketches(cards, k), k)
   }

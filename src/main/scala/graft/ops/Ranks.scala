@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe EXACT global ranking — the distributed replacement for
+  * `row_number()/ntile(n) OVER (ORDER BY ...)` with no partition key,
+  * which moves every row to ONE task and sorts there (the plan shape
+  * q75/q80 ban per-stratum and q119 previously shipped globally).
+  *
+  * Reference scope: the reference's report stage ranks aggregates for
+  * its top-N summary (`loan_spark_etl.py` aggregate ordering); this is
+  * that ordering made exact at any scale.
+  *
+  * Two-pass construction (the classic distributed order-statistics
+  * shape — TeraSort's partitioner + per-partition prefix offsets):
+  *
+  *   1. `repartitionByRange(P, order…)` range-partitions on the FULL
+  *      sort key (explicit P: expression-only repartition is AQE-
+  *      coalesced to one partition at small byte sizes — the r13 q97
+  *      finding). Partition i holds a contiguous key range; within it a
+  *      `row_number` over `spark_partition_id()` sorts ONLY that
+  *      partition's rows — every task sorts N/P rows, never N.
+  *   2. Per-partition row counts are collected (P longs — bounded by
+  *      cluster width, the q79 broadcast-back discipline), prefix-summed
+  *      into offsets on the driver, and broadcast-joined back:
+  *      global rank = partition offset + local row_number. EXACT — not
+  *      an approximation — because range partitioning makes partition i
+  *      precede partition j on the sort key whenever i < j.
+  *
+  * The ranged frame is locally checkpointed between the counts action
+  * and the ranked plan so both see the SAME range boundaries
+  * (RangePartitioner samples its bounds; two independent computations
+  * could disagree) — and so the ranked output is a fresh leaf relation
+  * callers can freely self-join against their own lineage.
+  *
+  * Ties: callers must make the sort key total (append a unique
+  * tie-break column, as SQL ntile determinism demands anyway) — range
+  * partitioning splits equal keys deterministically, but cross-engine
+  * rank parity on ties is only defined for total orders.
+  */
+object Ranks {
+
+  /** `df` plus an exact 1-based global rank over `order` in column
+    * `out` (long). Row order of the OUTPUT is unspecified (join-shuffled)
+    * — callers sort or join as needed.
+    */
+  def withGlobalRowNumber(
+      df: DataFrame, order: Seq[Column], out: String): DataFrame =
+    rank(df, order) { (ranked, _) => ranked.withColumnRenamed(RankCol, out) }
+
+  /** `df` plus an exact SQL `ntile(n)` tile over `order` in column
+    * `out` (long, 1..n): first `N mod n` tiles hold `ceil(N/n)` rows,
+    * the rest `floor(N/n)` — bit-identical to the single-partition
+    * window form (RanksSpec pins it) and to DuckDB's ntile.
+    */
+  def withNtile(
+      df: DataFrame, n: Int, order: Seq[Column], out: String): DataFrame = {
+    require(n >= 1)
+    rank(df, order) { (ranked, total) =>
+      val base = total / n
+      val rem = total % n
+      val cut = rem * (base + 1)
+      // integer-exact tile assignment from (rank, N): rank <= cut sits in
+      // the (base+1)-sized tiles, the rest in base-sized ones (greatest
+      // guards the never-taken else branch when N < n makes base 0)
+      ranked
+        .withColumn(out,
+          when(col(RankCol) <= cut,
+            expr(s"($RankCol + ${base}L) div ${base + 1}L"))
+            .otherwise(expr(
+              s"${rem}L + ($RankCol - ${cut}L + ${math.max(base, 1) - 1}L) " +
+                s"div ${math.max(base, 1)}L")))
+        .drop(RankCol)
+    }
+  }
+
+  private val RankCol = "__graft_rank"
+  private val PidCol = "__graft_pid"
+
+  private def rank(df: DataFrame, order: Seq[Column])(
+      finish: (DataFrame, Long) => DataFrame): DataFrame = {
+    require(order.nonEmpty)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = spark.sparkContext.defaultParallelism
+    // localCheckpoint, not persist: (a) the sampled range bounds are
+    // PINNED — the counts action and the ranked plan can never resample
+    // different boundaries; (b) the ranked frame becomes a fresh leaf
+    // relation, so callers can join rank outputs back onto their own
+    // lineage (a shared non-leaf subtree carrying the nondeterministic
+    // pid column fails DeduplicateRelations — observed INTERNAL_ERROR
+    // when ranking a memory-sink snapshot). Internal-row checkpoint, no
+    // Row round-trip (the r6 CC lesson).
+    val ranged = df.repartitionByRange(p, order: _*)
+      .withColumn(PidCol, spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy(col(PidCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) =>
+      val row = (pid, acc); acc += n; row
+    }.toSeq
+    val offDf = broadcast(offsets.toDF(PidCol, "__graft_off"))
+    val w = Window.partitionBy(col(PidCol)).orderBy(order: _*)
+    val ranked = ranged
+      .withColumn("__graft_local", row_number().over(w).cast("long"))
+      .join(offDf, PidCol)
+      .withColumn(RankCol, col("__graft_off") + col("__graft_local"))
+      .drop(PidCol, "__graft_off", "__graft_local")
+    finish(ranked, acc)
+  }
+}

@@ -180,10 +180,71 @@ object Retrieval {
     statsOf(delta).write.mode(SaveMode.Append).parquet(s"$dir/stats")
   }
 
+  /** Tombstone deleted docs in the store — O(|deleted|), no postings
+    * file touched (the lakehouse delete shape): ids land in
+    * `dir/tombstones`, and a NEGATIVE stats partial keeps the store's
+    * (N, Σdl) scalars exact, so BM25's idf/avgdl reflect the live
+    * corpus immediately. `deleted` must be the doc rows themselves
+    * (doc_id + text): dl is recomputed with the indexing tokenizer, so
+    * the stats delta cancels exactly what indexing added. Serving
+    * anti-joins the tombstones ([[bm25TopKFromStore]]); df is counted
+    * AFTER that filter, so a deleted doc stops contributing to term
+    * rarity the moment the tombstone lands.
+    */
+  def deleteFromPostingsStore(deleted: DataFrame, dir: String): Unit = {
+    deleted.filter(col("text").isNotNull).select(col("doc_id"))
+      .write.mode(SaveMode.Append).parquet(s"$dir/tombstones")
+    statsOf(deleted)
+      .select((-col("n_docs")).as("n_docs"), (-col("sum_dl")).as("sum_dl"))
+      .write.mode(SaveMode.Append).parquet(s"$dir/stats")
+  }
+
+  private def tombstonesOf(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Fold the tombstones into the files: rewrite the postings minus
+    * tombstoned docs (bucket partitioning preserved — the pruning
+    * layout survives), collapse the stats partials to ONE row, drop the
+    * tombstone log. Compact-then-swap via rename (the
+    * [[graft.ops.Layout.compactRangeSorted]] / FileIngest publish
+    * discipline — never an in-place rewrite), after which the store is
+    * logically identical to an index rebuilt from the surviving corpus
+    * (RetrievalSpec pins postings/stats/scoring equality bit-for-bit).
+    */
+  def compactPostingsStore(spark: SparkSession, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swap(name: String): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      val next = new org.apache.hadoop.fs.Path(s"$dir/${name}_compact")
+      fs.delete(live, true)
+      require(fs.rename(next, live), s"compact swap failed for $name")
+    }
+    val tomb = tombstonesOf(spark, dir)
+    val postings = spark.read.parquet(s"$dir/postings")
+    tomb.fold(postings)(t =>
+        postings.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
+      // canonical column order: the key join moved doc_id first, and the
+      // compacted schema must equal a from-scratch build's
+      .select("tok", "doc_id", "tf", "dl", "bucket")
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"$dir/postings_compact")
+    spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/stats_compact")
+    swap("postings")
+    swap("stats")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
+  }
+
   /** [[bm25TopK]] served from the store: same arithmetic, but the scan
-    * is the bucket-pruned postings slice instead of the corpus. Output
-    * bit-equal to [[bm25TopK]] over the same logical corpus
-    * (spec-pinned).
+    * is the bucket-pruned postings slice instead of the corpus; live
+    * docs only (tombstones anti-joined — broadcast, the deleted set is
+    * the small side by contract). Output bit-equal to [[bm25TopK]] over
+    * the same logical corpus (spec-pinned).
     */
   def bm25TopKFromStore(
       spark: SparkSession,
@@ -205,10 +266,13 @@ object Retrieval {
       .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
       .toDF("query_id", "tok")
 
-    // partition-pruned: only the query terms' buckets are listed/read
-    val matched = spark.read.parquet(s"$dir/postings")
+    // partition-pruned: only the query terms' buckets are listed/read;
+    // tombstoned docs filtered BEFORE df so term rarity is live-corpus
+    val pruned = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(termBuckets.map(Int.box): _*))
       .join(broadcast(qterms), "tok")
+    val matched = tombstonesOf(spark, dir).fold(pruned)(t =>
+      pruned.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
 
     val scalars = spark.read.parquet(s"$dir/stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))

@@ -281,7 +281,9 @@ object StreamingEtl {
     events
       .filter(col("ts").isNotNull)
       .select(col("event_type").as[String],
-        expr("unix_timestamp(ts) div 3600").as[Long])
+        // floor division like the batch form (q120): `div` truncates
+        // toward zero and would bucket pre-1970 timestamps differently
+        expr("floor(unix_timestamp(ts) / 3600)").as[Long])
       .groupByKey(_._1)
       .flatMapGroupsWithState[RateState, RateAlert](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -318,6 +320,52 @@ object StreamingEtl {
           }
           state.update(RateState(counts.toSeq))
           out.iterator
+      }
+  }
+
+  /** Per-user RFM running state for [[streamingRfm]] — O(1) per user:
+    * latest purchase, purchase count, raw value sum (rounded only at
+    * emission, like the batch aggregate rounds only its final sum).
+    */
+  case class RfmState(lastTsMs: Long, frequency: Long, sumValue: Double)
+
+  /** One user's current RFM snapshot row — the q119 per-user aggregate. */
+  case class RfmUser(user_id: Long, last_ts: java.sql.Timestamp,
+      frequency: Long, monetary: Double)
+
+  /** Streaming RFM — q119's per-user (last_ts, frequency, monetary)
+    * aggregate as arbitrary per-key state: each purchasing user carries
+    * ONE small state object, every micro-batch emits the user's updated
+    * snapshot row (Update mode). SCORING stays a snapshot pass: quartile
+    * fences are global order statistics, so the streaming side maintains
+    * the per-user frame and [[graft.ops.Behavior.rfmScores]] — the SAME
+    * two-pass distributed ntile the batch q119 runs — re-scores the
+    * sink's latest snapshot per trigger (the periodic-fence-broadcast
+    * shape). Spec pins stream snapshot + rfmScores = batch q119 exactly,
+    * and O(1)-per-user state via StateOperatorProgress.
+    */
+  def streamingRfm(events: DataFrame): Dataset[RfmUser] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("event_type") === "purchase" && col("ts").isNotNull &&
+        col("user_id").isNotNull)
+      .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp],
+        coalesce(col("value"), lit(0.0)).as[Double])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RfmState, RfmUser](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          var st = state.getOption.getOrElse(RfmState(Long.MinValue, 0L, 0.0))
+          rows.foreach { case (_, ts, v) =>
+            st = RfmState(math.max(st.lastTsMs, ts.getTime),
+              st.frequency + 1, st.sumValue + v)
+          }
+          state.update(st)
+          Iterator.single(RfmUser(user, new java.sql.Timestamp(st.lastTsMs),
+            st.frequency,
+            BigDecimal(st.sumValue).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble))
       }
   }
 

@@ -194,6 +194,55 @@ class BehaviorSpec extends SparkSpec {
     assert(freshest.getLong(4) === 1L)
   }
 
+  test("rfm: two-pass distributed ntile equals the global-window form bit-for-bit") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Queries.t(spark, "/root/testdata/sf0.001", "events")
+    val got = Behavior.rfmSegments(ev).collect().map(_.toSeq).toSeq
+    // the replaced single-partition formulation, inline as the reference
+    val purchases = ev.filter(col("event_type") === "purchase" &&
+      col("ts").isNotNull && col("user_id").isNotNull)
+    val maxTs = purchases.agg(max(col("ts")).as("max_ts"))
+    val per = purchases.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("frequency"),
+        round(sum(col("value")), 2).as("monetary"))
+      .crossJoin(broadcast(maxTs))
+      .select(col("user_id"),
+        datediff(col("max_ts").cast("date"), col("last_ts").cast("date"))
+          .cast("long").as("recency_days"),
+        col("frequency"), col("monetary"))
+    def tile(order: Seq[org.apache.spark.sql.Column]) =
+      ntile(4).over(Window.orderBy(order: _*)).cast("long")
+    val want = per
+      .withColumn("r_score", tile(Seq(asc("recency_days"), asc("user_id"))))
+      .withColumn("f_score", tile(Seq(desc("frequency"), asc("user_id"))))
+      .withColumn("m_score", tile(Seq(desc("monetary"), asc("user_id"))))
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
+  test("rfm: plan has no single global window partition") {
+    val ev = Queries.t(spark, "/root/testdata/sf0.001", "events")
+    val plan = Behavior.rfmSegments(ev).queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("rate anomaly: pre-epoch timestamps floor into the previous hour") {
+    import spark.implicits._
+    // -10s is hour -1 under floor division (the oracle's semantics);
+    // truncation toward zero would put it in hour 0 with the +10s event
+    val ev = Seq(
+      (1L, "click", new Timestamp(-10000L)),
+      (2L, "click", new Timestamp(10000L)))
+      .toDF("event_id", "event_type", "ts")
+    val hours = ev.groupBy(floor(unix_timestamp(col("ts")) / 3600).as("h"))
+      .count().collect().map(_.getLong(0)).sorted
+    assert(hours === Array(-1L, 0L))
+    // and the operator's own bucketing agrees: hour 0 sees ONE trailing
+    // hour (hour -1) of count 1, so its cnt*1 > 2*1 test fails quietly
+    val out = Behavior.rateAnomalies(ev).collect()
+    assert(out.isEmpty, out.mkString(","))
+  }
+
   test("rate anomaly: a planted 3x burst is flagged, steady hours are not") {
     import spark.implicits._
     // steady: 10 events/hour for hours 0..23; burst: 30 events in hour 24

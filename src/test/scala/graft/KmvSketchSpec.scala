@@ -97,6 +97,54 @@ class KmvSketchSpec extends SparkSpec {
     }
   }
 
+  test("q100 estimate-vs-exact demo: grouped sketch estimates track countDistinct on lineitem") {
+    // the comparison q100 used to carry in-catalog (r13 split moved it
+    // here): per-group KMV estimates vs the exact Expand-based distinct
+    // counts, within 3 standard errors (se ~ exact/sqrt(k-2)); exact
+    // whenever the group's distinct count sits under k
+    val k = 1024
+    val li = Queries.t(spark, "/root/testdata/sf0.001", "lineitem")
+    val rows = li.groupBy(col("l_returnflag"))
+      .agg(
+        KmvSketch.kmvMinHashes(KmvSketch.hash(col("l_partkey")), k).as("mh"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .select(col("l_returnflag"),
+        KmvSketch.kmvEstimate("mh", k).as("est"), col("exact"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      if (exact < k) assert(est === exact, s"under-k group must be exact: $r")
+      else assert(math.abs(est - exact) <= 3 * exact / math.sqrt(k - 2.0),
+        s"estimate outside 3 standard errors: $r")
+    }
+  }
+
+  test("hash: pre-reduction keeps any nonnegative long in-domain (no silent overflow)") {
+    // inputs far beyond the old ~9e9 advisory limit: the pre-reduce mod P
+    // makes Spark's result equal the direct BigInt arithmetic (the
+    // un-reduced form wrapped Long and diverged from DuckDB's error)
+    val xs = Seq(0L, 1L, KmvSketch.P - 1, KmvSketch.P, 24000000000L,
+      Long.MaxValue / 2, Long.MaxValue)
+    val got = xs.toDF("x").select(KmvSketch.hash(col("x")).as("h"))
+      .collect().map(_.getLong(0))
+    val want = xs.map { x =>
+      val p = BigInt(KmvSketch.P)
+      (((BigInt(x) % p) * KmvSketch.A1 + KmvSketch.B1) % p * KmvSketch.A2 +
+        KmvSketch.B2) % p
+    }.map(_.toLong)
+    assert(got.toSeq === want)
+    // and inputs under P are bit-unchanged vs the pre-r14 formulation
+    val small = Seq(42L, 999999999L)
+    val legacy = small.map(x =>
+      ((x * KmvSketch.A1 + KmvSketch.B1) % KmvSketch.P * KmvSketch.A2 +
+        KmvSketch.B2) % KmvSketch.P)
+    val now = small.toDF("x").select(KmvSketch.hash(col("x")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(now.toSeq === legacy)
+  }
+
   test("kmv set-op closure: k-min of a union is recoverable from the two k-min lists") {
     // adversarial: sets bigger than k, heavy overlap — the in-row merge
     // must equal the sketch of the concatenated input

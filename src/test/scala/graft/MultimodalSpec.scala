@@ -124,6 +124,96 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).content.isEmpty)
   }
 
+  /** A deterministic "photo": smooth 2-D gradient plus a diagonal edge —
+    * enough luma structure that dHash bits are meaningful (a flat image
+    * hashes to 0 everywhere and everything "matches").
+    */
+  private def photoBytes(shift: Int = 0, rotate: Boolean = false): Array[Byte] = {
+    val (w, h) = (64, 48)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) {
+      val (sx, sy) = if (rotate) (y * w / h, (w - 1 - x) * h / w) else (x, y)
+      val base = (sx * 2 + sy * 3 + (if ((sx + sy) % 17 < 8) 40 else 0)) % 200
+      val v = math.min(250, base + shift)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash: planted brightness-shifted near-dup found; rotation and noise rejected") {
+    val noise = {
+      // deterministic LCG noise — nothing like the photo's gradients
+      var s = 12345L
+      val img = new java.awt.image.BufferedImage(
+        64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 48) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        img.setRGB(x, y, ((s >>> 40) & 0xffffff).toInt)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val items = Seq(
+      MediaItem(1L, "img", photoBytes()),
+      MediaItem(2L, "img", photoBytes(shift = 3)), // near-dup of 1
+      MediaItem(3L, "img", photoBytes(rotate = true)), // same pixels, rotated
+      MediaItem(4L, "img", noise)).toDS()
+    val pairs = Multimodal.imageNearDupPairs(items)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"planted near-dup missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"rotation matched: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"noise matched: $pairs")
+  }
+
+  test("dHash: brightness shift preserves the hash exactly (gradients unchanged)") {
+    val a = Multimodal.dHash64(photoBytes())
+    val b = Multimodal.dHash64(photoBytes(shift = 3))
+    assert(java.lang.Long.bitCount(a ^ b) <= 3, s"hamming ${java.lang.Long.bitCount(a ^ b)}")
+    assert(a != 0L, "hash degenerated to 0 — the fixture lost its luma structure")
+  }
+
+  test("dHash byte fallback matches an independent reference implementation") {
+    val payload = "the quick brown fox jumps over the lazy dog, twice over".getBytes("UTF-8")
+    def refGrid(i: Int): Int = payload((i.toLong * payload.length / 72).toInt) & 0xff
+    var want = 0L
+    for (r <- 0 until 8; c <- 0 until 8)
+      if (refGrid(r * 9 + c + 1) > refGrid(r * 9 + c)) want |= 1L << (r * 8 + c)
+    assert(Multimodal.dHash64(payload) === want)
+    assert(Multimodal.dHash64(Array.empty[Byte]) === 0L)
+    assert(Multimodal.dHash64(null) === 0L)
+  }
+
+  test("banding is lossless to hamming 3: pairs equal brute-force with planted dups") {
+    // real corpus payloads as distractors (ids shifted out of the probe
+    // slice) + planted byte-payload dups inside it: the sf0.001 corpus
+    // alone yields no byte-grid pairs within hamming 3, which would make
+    // the equality vacuous
+    val real = Multimodal.mediaFromDocuments(spark, sf)
+      .collect().map(it => MediaItem(it.id + 1000L, it.modality, it.content))
+    val base = "a quick brown fox jumps over the lazy dog and then naps".getBytes("UTF-8")
+    val tweaked = base.clone(); tweaked(10) = 'z'.toByte
+    val planted = Seq(
+      MediaItem(0L, "img", base),
+      MediaItem(1L, "img", base.clone()), // exact dup: hamming 0
+      MediaItem(2L, "img", tweaked))      // one byte off: a few bits at most
+    val items = (planted ++ real).toDS()
+    val got = Multimodal.imageNearDupPairs(items)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hashes = Multimodal.dHashes(items).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val want = (for {
+      (ia, ha) <- hashes if ia < 100L
+      (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got === want)
+    assert(want.contains((0L, 1L, 0L)), s"planted exact dup missed: $want")
+  }
+
   test("sampleFrames keeps every stride-th fixed-size chunk") {
     val df = Seq((1L, ("x" * 5000).getBytes("UTF-8"))).toDF("id", "content")
     val frames = Multimodal.sampleFrames(df, frameBytes = 1024, stride = 2)

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Ranks
+
+/** Contract for the two-pass distributed ranking primitive: bit-equality
+  * with the single-partition window forms (`row_number()/ntile(n) OVER
+  * (ORDER BY ...)`) on every N mod n residue, partition-independence,
+  * and the no-global-window plan shape.
+  */
+class RanksSpec extends SparkSpec {
+
+  private def frame(n: Int, parts: Int = 5): DataFrame = {
+    import spark.implicits._
+    // keys deliberately non-contiguous and unsorted; (v, id) is total
+    (0 until n).map(i => ((i * 37) % n, i.toLong)).toDF("v", "id")
+      .repartition(parts)
+  }
+
+  private def windowNtile(df: DataFrame, n: Int): Map[Long, Long] =
+    df.withColumn("t",
+        ntile(n).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("t")).toMap
+
+  test("ntile equals the global-window ntile on every N mod n residue") {
+    for (n <- Seq(4, 3); size <- Seq(1, 2, 3, 7, 8, 40, 41, 42, 43)) {
+      val df = frame(size)
+      val got = Ranks.withNtile(df, n, Seq(asc("v"), asc("id")), "t")
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("t")).toMap
+      assert(got === windowNtile(df, n), s"n=$n size=$size")
+    }
+  }
+
+  test("ntile handles N < n (each row its own tile, like SQL ntile)") {
+    val df = frame(3)
+    val got = Ranks.withNtile(df, 4, Seq(asc("v"), asc("id")), "t")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("t")).toMap
+    assert(got === windowNtile(df, 4))
+    assert(got.values.toSeq.sorted === Seq(1L, 2L, 3L))
+  }
+
+  test("global row number equals the global-window row_number") {
+    val df = frame(100, parts = 9)
+    val got = Ranks.withGlobalRowNumber(df, Seq(desc("v"), asc("id")), "rk")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rk")).toMap
+    val want = df.withColumn("rk",
+        row_number().over(Window.orderBy(desc("v"), asc("id"))).cast("long"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rk")).toMap
+    assert(got === want)
+    assert(got.values.toSeq.sorted === (1L to 100L))
+  }
+
+  test("partition-independent: any input layout yields identical ranks") {
+    val base = frame(83)
+    val a = Ranks.withNtile(base, 4, Seq(asc("v"), asc("id")), "t")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("t"))).sorted.toSeq
+    val b = Ranks.withNtile(base.repartition(1), 4, Seq(asc("v"), asc("id")), "t")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("t"))).sorted.toSeq
+    val c = Ranks.withNtile(base.repartition(17, col("id")), 4,
+        Seq(asc("v"), asc("id")), "t")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("t"))).sorted.toSeq
+    assert(a === b)
+    assert(a === c)
+  }
+
+  test("plan shape: no unpartitioned window — every Window carries the pid key") {
+    val out = Ranks.withNtile(frame(100), 4, Seq(asc("v"), asc("id")), "t")
+    val plan = out.queryExecution.executedPlan.toString
+    // the only window is partitioned by the range-partition id; an
+    // unpartitioned window plans as `Exchange SinglePartition` + Window
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+}

@@ -36,6 +36,38 @@ class RetrievalSpec extends SparkSpec {
     assert(stored.nonEmpty)
   }
 
+  test("postings store: delete serves the live corpus; compact equals a rebuilt index") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25store").toString
+    val rebuiltDir = java.nio.file.Files.createTempDirectory("bm25rebuilt").toString
+    val base = corpus.filter(col("doc_id") % 2 === 0)
+    val delta = corpus.filter(col("doc_id") % 2 === 1)
+    val deleted = corpus.filter(col("doc_id") % 3 === 0)
+    val survivors = corpus.filter(col("doc_id") % 3 =!= 0)
+
+    // append + delete: scoring must equal a direct scan of the survivors
+    Retrieval.writePostingsStore(base, dir)
+    Retrieval.appendPostingsStore(delta, dir)
+    Retrieval.deleteFromPostingsStore(deleted, dir)
+    val direct = Retrieval.bm25TopK(survivors).collect().toSeq
+    assert(Retrieval.bm25TopKFromStore(spark, dir).collect().toSeq === direct)
+    assert(direct.nonEmpty)
+
+    // compact: tombstones folded in — postings and stats bit-equal to an
+    // index rebuilt from the survivors, scoring unchanged, log gone
+    Retrieval.compactPostingsStore(spark, dir)
+    Retrieval.writePostingsStore(survivors, rebuiltDir)
+    def postings(d: String) = spark.read.parquet(s"$d/postings")
+      .collect().map(_.toSeq).toSet
+    def stats(d: String) = spark.read.parquet(s"$d/stats")
+      .agg(sum("n_docs"), sum("sum_dl")).collect().map(_.toSeq).toSeq
+    assert(postings(dir) === postings(rebuiltDir))
+    assert(stats(dir) === stats(rebuiltDir))
+    assert(spark.read.parquet(s"$dir/stats").count() === 1L,
+      "compaction must collapse the stats partials to one row")
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(Retrieval.bm25TopKFromStore(spark, dir).collect().toSeq === direct)
+  }
+
   test("postings store: the query scan is partition-pruned to the terms' buckets") {
     val dir = java.nio.file.Files.createTempDirectory("bm25store").toString
     Retrieval.writePostingsStore(corpus, dir, nBuckets = 16)

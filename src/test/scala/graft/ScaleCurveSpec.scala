@@ -99,4 +99,29 @@ class ScaleCurveSpec extends SparkSpec {
       assert(math.abs(vecs(s).map(x => x * x).sum - vecs(0L).map(x => x * x).sum) < 1e-9)
     }
   }
+
+  test("scaleEvents: users disjoint across replicas, funnel counts exactly linear") {
+    val events = Queries.t(spark, "/root/testdata/sf0.001", "events")
+    val scaled = ScaleCurve.scaleEvents(events, 2).cache()
+    assert(scaled.count() === 2 * events.count())
+    // event ids unique; non-null users disjoint across replicas
+    assert(scaled.select("event_id").distinct().count() === scaled.count())
+    val baseUsers = events.filter(col("user_id").isNotNull)
+      .select("user_id").distinct().count()
+    assert(scaled.filter(col("user_id").isNotNull)
+      .select("user_id").distinct().count() === 2 * baseUsers)
+    // journeys replicate exactly: every funnel step count doubles
+    val base = graft.ops.Behavior.funnelSteps(events)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val doubled = graft.ops.Behavior.funnelSteps(scaled)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(doubled === base.view.mapValues(_ * 2).toMap)
+    // and the windowed form too (the q117 cell's contract)
+    val baseW = graft.ops.Behavior.funnelStepsWindowed(events)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val doubledW = graft.ops.Behavior.funnelStepsWindowed(scaled)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(doubledW === baseW.view.mapValues(_ * 2).toMap)
+    scaled.unpersist()
+  }
 }

@@ -727,6 +727,51 @@ class StreamingEtlSpec extends SparkSpec {
   }
 
 
+  test("streaming RFM: stateful per-user snapshot + shared scoring pass equals batch q119") {
+    import spark.implicits._
+    val in = tmpDir("rfm-in")
+    val events = graft.Queries.t(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "event_type", "ts", "value")
+    // two files -> two micro-batches with maxFilesPerTrigger(1): the
+    // per-user state must carry correctly ACROSS batches
+    writeFile(in, "a.json",
+      events.filter(col("event_id") % 2 === 0).toJSON.collect().mkString("\n"))
+    writeFile(in, "b.json",
+      events.filter(col("event_id") % 2 =!= 0).toJSON.collect().mkString("\n"))
+    val schema = events.schema
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in.toString)
+    val sq = StreamingEtl.streamingRfm(stream)
+      .writeStream.format("memory").queryName("rfm_users")
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+
+    // latest snapshot per user: frequency is strictly increasing across
+    // a user's updates, so max_by(struct) picks the last emission
+    val snapshot = spark.table("rfm_users")
+      .groupBy("user_id")
+      .agg(max(struct(col("frequency"), col("last_ts"), col("monetary")))
+        .as("s"))
+      .select(col("user_id"), col("s.last_ts"), col("s.frequency"),
+        col("s.monetary"))
+    val got = graft.ops.Behavior.rfmScores(snapshot)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.ops.Behavior.rfmSegments(
+        graft.Queries.t(spark, "/root/testdata/sf0.001", "events"))
+      .collect().map(_.toSeq).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+
+    // state shape: exactly one state row per purchasing user, never
+    // per event
+    val users = snapshot.count()
+    val stateRows = sq.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+    assert(stateRows.nonEmpty && stateRows.max === users, stateRows.toSeq)
+  }
+
   test("corpusGate: stateless stream gate equals its own batch form; zero state operators") {
     import spark.implicits._
     val docsSchema = StructType(Seq(
