@@ -2250,6 +2250,61 @@ object Queries {
       graft.ops.Multimodal.mediaWithReencodes(s, d)),
     Some(graft.ops.Multimodal.imageNearDupOracleSql()))
 
+  /** Rolling distinct actives (DAU/WAU) from daily KMV sketches merged
+    * over a trailing window — O(k) state per day, KMV-closure exact.
+    */
+  private val q127 = QueryDef(
+    "q127_rolling_actives",
+    (s, d) => graft.ops.Behavior.rollingActiveUsers(t(s, d, "events")),
+    Some(graft.ops.Behavior.rollingActiveUsersOracleSql()))
+
+  /** Marketing attribution: last-touch + first-touch channel credit via
+    * one user-partitioned RANGE window with order-free struct min/max.
+    */
+  private val q128 = QueryDef(
+    "q128_attribution",
+    (s, d) => graft.ops.Behavior.attribution(t(s, d, "events")),
+    Some(graft.ops.Behavior.attributionOracleSql()))
+
+  /** Personalized PageRank: q102's exact-integer fixed point with the
+    * teleport mass on a seed set — trusted-source authority weighting.
+    */
+  private val q129 = QueryDef(
+    "q129_personalized_pagerank",
+    (s, d) => graft.ops.Graph.personalizedPageRank(
+      t(s, d, "orders"), t(s, d, "lineitem")),
+    Some(graft.ops.Graph.personalizedPageRankOracleSql()))
+
+  /** Exact global percentile rank per order (q130): the [[graft.ops.Ranks]]
+    * two-pass primitive serving a whole-table query — every row gets its
+    * exact rank and percentile over ALL orders with no single-partition
+    * window anywhere (the q119 discipline at full-table output size).
+    * percentile = (rank−1)/(N−1): two exact longs into one correctly-
+    * rounded double division — bit-identical across engines, no rounding
+    * needed.
+    */
+  private val q130 = QueryDef(
+    "q130_global_percentile",
+    (s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val ranked = graft.ops.Ranks.withGlobalRowNumber(
+        o, Seq(asc("o_totalprice"), asc("o_orderkey")), "rk")
+      val n = math.max(ranked.count(), 2L)
+      ranked
+        .select(col("o_orderkey"), col("o_totalprice"), col("rk"),
+          ((col("rk") - 1L) / lit((n - 1L).toDouble)).as("pctl"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH ranked AS (
+           |  SELECT o_orderkey, o_totalprice,
+           |    CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+           |      AS BIGINT) AS rk,
+           |    count(*) OVER () AS n
+           |  FROM orders)
+           |SELECT o_orderkey, o_totalprice, rk,
+           |  (rk - 1) / CAST(greatest(n - 1, 1) AS DOUBLE) AS pctl
+           |FROM ranked ORDER BY o_orderkey""".stripMargin))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -2278,5 +2333,6 @@ object Queries {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
-    q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126)
+    q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
+    q127, q128, q129, q130)
 }

@@ -388,6 +388,157 @@ object Behavior {
        |  CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS sum_value
        |FROM cand GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Marketing attribution (q128): each purchase credited to the user's
+    * latest (last-touch) and earliest (first-touch) non-purchase event
+    * inside a lookback window, 'direct' when none exists; revenue and
+    * purchase counts reported per (model, channel).
+    *
+    * Shape, scale-first: ONE user-partitioned RANGE window over epoch
+    * micros, frame [ts − lookback, ts) — bounded by per-user activity
+    * (the q118 window discipline; a (user, day-shard) split bounds any
+    * single task at 100 TB exactly as q80 documents). The in-frame
+    * touch pick is `max/min` OVER A STRUCT (ts, event_id, type) — an
+    * order-free aggregate, so two touches inside the same microsecond
+    * still resolve deterministically by event_id, where a positional
+    * `last_value` would depend on intra-frame row order. Then ONE tiny
+    * keyed aggregate (output ≤ 2 × |event types| rows).
+    */
+  def attribution(
+      events: DataFrame,
+      lookbackHours: Int = 168): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .withColumn("us", unix_micros(col("ts")))
+    val touch = when(col("event_type") =!= "purchase",
+      struct(col("us"), col("event_id"), col("event_type")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-lookbackHours.toLong * 3600L * 1000000L, -1L)
+    val per = ev
+      .withColumn("lt", max(touch).over(w))
+      .withColumn("ft", min(touch).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        coalesce(col("lt.event_type"), lit("direct")).as("last_ch"),
+        coalesce(col("ft.event_type"), lit("direct")).as("first_ch"),
+        col("value"))
+    // both models from ONE scan: explode (model, channel) pairs in-row
+    // (a per-model union would recompute the window twice)
+    per
+      .select(explode(array(
+        struct(lit("last_touch").as("model"), col("last_ch").as("channel")),
+        struct(lit("first_touch").as("model"), col("first_ch").as("channel"))))
+        .as("m"), col("value"))
+      .groupBy(col("m.model").as("model"), col("m.channel").as("channel"))
+      .agg(count(lit(1)).as("purchases"),
+        round(coalesce(sum(col("value")), lit(0.0)), 2).as("revenue"))
+      .orderBy("model", "channel")
+  }
+
+  /** DuckDB SQL replicating [[attribution]]. */
+  def attributionOracleSql(lookbackHours: Int = 168): String = {
+    val lb = lookbackHours.toLong * 3600L * 1000000L
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type, value,
+       |    epoch_us(ts) AS us
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+       |marked AS (
+       |  SELECT event_type, value,
+       |    (max(CASE WHEN event_type <> 'purchase'
+       |          THEN struct_pack(us := us, event_id := event_id, typ := event_type) END)
+       |      OVER w).typ AS lt,
+       |    (min(CASE WHEN event_type <> 'purchase'
+       |          THEN struct_pack(us := us, event_id := event_id, typ := event_type) END)
+       |      OVER w).typ AS ft
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY us
+       |    RANGE BETWEEN $lb PRECEDING AND 1 PRECEDING)),
+       |per AS (
+       |  SELECT coalesce(lt, 'direct') AS last_ch,
+       |    coalesce(ft, 'direct') AS first_ch, value
+       |  FROM marked WHERE event_type = 'purchase')
+       |SELECT 'last_touch' AS model, last_ch AS channel,
+       |  CAST(count(*) AS BIGINT) AS purchases,
+       |  round(coalesce(sum(value), 0), 2) AS revenue
+       |FROM per GROUP BY 2
+       |UNION ALL
+       |SELECT 'first_touch', first_ch,
+       |  CAST(count(*) AS BIGINT), round(coalesce(sum(value), 0), 2)
+       |FROM per GROUP BY 2
+       |ORDER BY model, channel""".stripMargin
+  }
+
+  /** Rolling distinct active users (q127): daily KMV sketches merged
+    * over a trailing `windowDays` window — DAU/WAU/MAU from O(k) state
+    * per day instead of a window × users distinct explosion, and the
+    * artifact a nightly job would persist (merge N more days without
+    * rescanning events; the q103 monoid discipline).
+    *
+    * Shape, scale-first: ONE day-keyed sketch aggregate collapses the
+    * stream to |days| rows of O(k) state (map-side partials — at
+    * 100 TB the raw user ids never shuffle, each map task emits ≤ k
+    * longs per day), then a deliberate range self-join of the TINY
+    * |days|-row frame (the q122 pattern — never a corpus-scale join)
+    * and an in-row k-min merge of ≤ windowDays arrays (KMV closure:
+    * the union's k smallest hashes are recoverable from the per-day
+    * k-min lists, so the rolling estimate is EXACTLY the sketch of the
+    * union — bit-reproducible, oracle-checkable).
+    */
+  def rollingActiveUsers(
+      events: DataFrame,
+      windowDays: Int = 7,
+      k: Int = 1024): DataFrame = {
+    import graft.functions.KmvSketch
+    require(windowDays >= 1)
+    val daily = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(floor(unix_timestamp(col("ts")) / 86400).as("day_num"))
+      .agg(KmvSketch.kmvMinHashes(
+        KmvSketch.hash(col("user_id")), k).as("mh"))
+    val cur = daily.select(col("day_num"), col("mh"))
+    val win = daily.select(col("day_num").as("d2"), col("mh").as("mh2"))
+    cur
+      .join(win, col("d2") >= col("day_num") - (windowDays - 1).toLong &&
+        col("d2") <= col("day_num"))
+      .groupBy(col("day_num"))
+      .agg(collect_list(col("mh2")).as("mhs"),
+        count(lit(1)).as("days_present"))
+      .select(col("day_num"),
+        slice(array_sort(array_distinct(flatten(col("mhs")))), 1, k).as("mh_w"),
+        col("days_present"))
+      .select(col("day_num"),
+        KmvSketch.kmvEstimate("mh_w", k).as("active_est"),
+        col("days_present").cast("long").as("days_present"))
+      .orderBy("day_num")
+  }
+
+  /** DuckDB SQL replicating [[rollingActiveUsers]]. */
+  def rollingActiveUsersOracleSql(windowDays: Int = 7, k: Int = 1024): String = {
+    import graft.functions.KmvSketch
+    val h = KmvSketch.hashSql("user_id")
+    s"""WITH hashed AS (
+       |  SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_num,
+       |    $h AS h
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+       |ranked AS (
+       |  SELECT day_num, h,
+       |    row_number() OVER (PARTITION BY day_num ORDER BY h) AS rn
+       |  FROM hashed),
+       |daily AS (
+       |  SELECT day_num, list_sort(list(h)) AS mh
+       |  FROM ranked WHERE rn <= $k GROUP BY 1),
+       |merged AS (
+       |  SELECT a.day_num,
+       |    list_sort(list_distinct(flatten(list(b.mh))))[:$k] AS mh_w,
+       |    CAST(count(*) AS BIGINT) AS days_present
+       |  FROM daily a JOIN daily b
+       |    ON b.day_num BETWEEN a.day_num - ${windowDays - 1} AND a.day_num
+       |  GROUP BY 1)
+       |SELECT day_num, ${KmvSketch.kmvEstimateSql("mh_w", k)} AS active_est,
+       |  days_present
+       |FROM merged ORDER BY day_num""".stripMargin
+  }
+
   /** DuckDB SQL replicating [[cohortRetention]]. */
   def cohortRetentionOracleSql(): String =
     s"""WITH ev AS (

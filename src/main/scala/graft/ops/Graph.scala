@@ -105,6 +105,110 @@ object Graph {
       .limit(topK)
   }
 
+  /** Personalized PageRank (q129): the q102 iteration with the teleport
+    * mass concentrated on a SEED set instead of uniform — the
+    * trusted-seed domain-authority recipe (rank flows outward from
+    * vetted sources; a far page scores low even with many links — the
+    * TrustRank/Personalized-PageRank construction every corpus-quality
+    * pipeline uses to weight crawl sources against a curated whitelist).
+    *
+    * Seeds: supplier vertices with suppkey ≡ 0 (mod `seedMod`) — a
+    * deterministic stand-in for the curated list. init = the
+    * personalization vector itself (Scale div |seeds| on seeds, 0
+    * elsewhere); base = 15% of it. Same exact-integer fixed-point,
+    * same broadcast-ranks/shuffle-twin shape, same unrolled lineage —
+    * every iteration replays bit-for-bit in the oracle.
+    */
+  def personalizedPageRank(
+      orders: DataFrame,
+      lineitem: DataFrame,
+      seedMod: Int = 10,
+      iters: Int = 3,
+      topK: Int = 50,
+      broadcastRanks: Boolean = true): DataFrame = {
+    require(iters >= 1 && topK >= 1 && seedMod >= 1)
+    val pairs = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(
+        (col("o_custkey") * 2).as("cu"),
+        (col("l_suppkey") * 2 + 1).as("su"))
+      .distinct()
+    val edges = pairs.select(col("cu").as("src"), col("su").as("dst"))
+      .union(pairs.select(col("su").as("src"), col("cu").as("dst")))
+      .persist()
+    def small(df: DataFrame): DataFrame =
+      if (broadcastRanks) broadcast(df) else df
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // integer div: Column `/` on longs is DOUBLE division
+    val isSeed = col("v") % 2 === 1 && expr(s"(v div 2) % $seedMod") === 0
+    val seeds = deg.select(col("src").as("v"))
+      .filter(isSeed).agg(count(lit(1)).as("ns"))
+    val init = deg.select(col("src").as("v"), col("deg"))
+      .crossJoin(broadcast(seeds)) // 1-row frame: the scalar-broadcast pattern
+      .select(col("v"), col("deg"),
+        when(isSeed, expr(s"${Scale}L div ns")).otherwise(lit(0L)).as("r"),
+        when(isSeed, expr(s"((${Scale}L div ns) * 15) div 100"))
+          .otherwise(lit(0L)).as("base"))
+      .persist()
+    var ranks = init
+    for (_ <- 1 to iters) {
+      val contrib = ranks.select(col("v").as("src"), expr("r div deg").as("c"))
+      val inflow = edges.join(small(contrib), "src")
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      ranks = init.select(col("v"), col("deg"), col("base"))
+        .join(small(inflow), col("v") === col("dst"), "left")
+        .select(col("v"), col("deg"), col("base"),
+          (col("base") + expr("(85 * coalesce(inflow, 0L)) div 100")).as("r"))
+    }
+    ranks
+      .filter(col("r") > 0) // unreachable-from-seeds vertices carry no rank
+      .select(
+        concat(
+          when(col("v") % 2 === 0, lit("c")).otherwise(lit("s")),
+          expr("v div 2")).as("vertex"),
+        col("r").as("rank_q"))
+      .orderBy(desc("rank_q"), asc("vertex"))
+      .limit(topK)
+  }
+
+  /** DuckDB oracle for [[personalizedPageRank]]. */
+  def personalizedPageRankOracleSql(
+      seedMod: Int = 10, iters: Int = 3, topK: Int = 50): String = {
+    val S = Scale
+    val itCtes = (1 to iters).map { i =>
+      val prev = if (i == 1) "r0" else s"it${i - 1}"
+      s"""it$i AS (
+         |  SELECT $prev.v, $prev.deg, $prev.base,
+         |    $prev.base + (85 * coalesce(f.inflow, 0)) // 100 AS r
+         |  FROM $prev LEFT JOIN (
+         |    SELECT e.dst AS dst, sum($prev.r // $prev.deg) AS inflow
+         |    FROM edges e JOIN $prev ON $prev.v = e.src GROUP BY 1) f
+         |  ON f.dst = $prev.v)""".stripMargin
+    }.mkString(",\n")
+    val seed = s"(v % 2 = 1 AND (v // 2) % $seedMod = 0)"
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS cu, l_suppkey * 2 + 1 AS su
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT cu AS src, su AS dst FROM pairs
+       |  UNION ALL SELECT su AS src, cu AS dst FROM pairs),
+       |deg AS (SELECT src AS v, count(*) AS deg FROM edges GROUP BY 1),
+       |ns AS (SELECT count(*) AS ns FROM deg WHERE $seed),
+       |r0 AS (
+       |  SELECT v, deg,
+       |    CASE WHEN $seed THEN $S // ns.ns ELSE 0 END AS r,
+       |    CASE WHEN $seed THEN (($S // ns.ns) * 15) // 100 ELSE 0 END AS base
+       |  FROM deg, ns),
+       |$itCtes
+       |SELECT CASE WHEN v % 2 = 0 THEN 'c' || (v // 2) ELSE 's' || (v // 2) END
+       |    AS vertex,
+       |  CAST(r AS BIGINT) AS rank_q
+       |FROM it$iters
+       |WHERE r > 0
+       |ORDER BY rank_q DESC, vertex ASC LIMIT $topK""".stripMargin
+  }
+
   /** DuckDB oracle for [[pageRank]]: the same integer fixed-point
     * iteration as chained CTEs (one per iteration, mirroring the
     * unrolled lineage). DuckDB sums BIGINT into HUGEINT — exact, cast

@@ -369,6 +369,123 @@ object StreamingEtl {
       }
   }
 
+  /** A user's latest touch — O(1) state for [[streamingLastTouch]]. */
+  case class LastTouch(tsUs: Long, eventId: Long, tpe: String)
+
+  /** One attributed purchase emitted by [[streamingLastTouch]]. */
+  case class AttributedPurchase(user_id: Long, channel: String, value: Double)
+
+  /** Streaming last-touch attribution — q128's last-touch model as
+    * per-key state: each user carries ONLY their latest non-purchase
+    * touch; a purchase arrival credits it when it sits inside the
+    * lookback (strictly before the purchase — same-microsecond touches
+    * are excluded, the batch RANGE frame's −1 bound), else 'direct'.
+    * State is O(1) per user where the batch form's window holds the
+    * activity frame. In-order per-user arrival across micro-batches
+    * (the [[streamingFunnel]] contract); within a batch rows sort by
+    * (ts, event_id), so the surviving touch is exactly the batch
+    * max-struct pick. Spec pins stream aggregates = batch q128
+    * last_touch rows.
+    */
+  def streamingLastTouch(
+      events: DataFrame,
+      lookbackHours: Int = 168): Dataset[AttributedPurchase] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val lookbackUs = lookbackHours.toLong * 3600L * 1000000L
+    events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id").as[Long], col("event_type").as[String],
+        expr("unix_micros(ts)").as[Long], col("event_id").as[Long],
+        coalesce(col("value"), lit(0.0)).as[Double])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastTouch, AttributedPurchase](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          var touch = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[AttributedPurchase]()
+          rows.toSeq.sortBy(r => (r._3, r._4)).foreach {
+            case (_, tpe, us, eid, value) =>
+              if (tpe == "purchase") {
+                val ch = touch match {
+                  case Some(t) if t.tsUs < us && t.tsUs >= us - lookbackUs =>
+                    t.tpe
+                  case _ => "direct"
+                }
+                out += AttributedPurchase(user, ch, value)
+              } else {
+                touch = Some(LastTouch(us, eid, tpe))
+              }
+          }
+          touch.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** One keyed CDC change — the q125 `snapshotDelta` row over the
+    * customer shape (new values; None for removed keys).
+    */
+  case class CdcChange(key: Long, change_type: String,
+      name: Option[String], nationkey: Option[Long],
+      acctbal: Option[Double], mktsegment: Option[String])
+
+  /** One key's materialized snapshot row (the per-key state). */
+  case class CdcRow(key: Long, name: Option[String], nationkey: Option[Long],
+      acctbal: Option[Double], mktsegment: Option[String])
+
+  /** One emitted update: the key's current row, or a deletion marker. */
+  case class CdcUpdate(key: Long, present: Boolean,
+      name: Option[String], nationkey: Option[Long],
+      acctbal: Option[Double], mktsegment: Option[String])
+
+  /** Streaming CDC materializer — q125's MERGE as arbitrary per-key
+    * state with the PREVIOUS snapshot as INITIAL STATE: each change
+    * overwrites (added/changed) or clears (removed) its key's state and
+    * emits the key's current row / deletion marker; untouched keys keep
+    * their seeded state silently. After any prefix of the change
+    * stream, (prev − emitted keys) ∪ emitted-present rows ==
+    * `ChangeCapture.applyDelta(prev, changes so far)` exactly
+    * (spec-pinned across multi-batch splits). State is O(|snapshot|)
+    * rows of one fixed-width row each — inherent to a materializer,
+    * never the change history. Contract: at most one change per key
+    * per micro-batch (the snapshotDelta shape); cross-key order is
+    * irrelevant, so any partitioning of the change stream works.
+    */
+  def streamingApplyDelta(
+      changes: Dataset[CdcChange],
+      prev: Dataset[CdcRow]): Dataset[CdcUpdate] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    val initial = prev.groupByKey(_.key).mapValues(identity[CdcRow] _)
+    changes
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CdcRow, CdcUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout, initial) {
+        (key, rows, state) =>
+          // initial-state seeding invokes every seeded key ONCE with an
+          // empty data iterator — seed silently, emit only on change
+          if (rows.isEmpty) Iterator.empty
+          else {
+            var cur = state.getOption
+            rows.foreach { c =>
+              if (c.change_type == "removed") cur = None
+              else cur = Some(CdcRow(key, c.name, c.nationkey, c.acctbal,
+                c.mktsegment))
+            }
+            cur match {
+              case Some(r) => state.update(r)
+              case None => if (state.exists) state.remove()
+            }
+            Iterator.single(cur match {
+              case Some(r) =>
+                CdcUpdate(key, present = true, r.name, r.nationkey, r.acctbal,
+                  r.mktsegment)
+              case None => CdcUpdate(key, present = false, None, None, None, None)
+            })
+          }
+      }
+  }
+
   /** Per-window distinct-user ESTIMATE via the KMV sketch — q100's
     * mergeable aggregate ([[graft.functions.KmvMinHashesAgg]]) riding
     * Structured Streaming's aggregation state: each micro-batch folds

@@ -226,6 +226,76 @@ class BehaviorSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("attribution: last/first touch inside the lookback; direct when none; ties by event_id") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: view -> click -> purchase: last=click, first=view
+      (1L, 1L, "view", "2026-01-01 10:00:00", 5.0),
+      (2L, 1L, "click", "2026-01-01 10:30:00", 0.0),
+      (3L, 1L, "purchase", "2026-01-01 11:00:00", 100.0),
+      // u2: touch 8 days ago -> outside the 168h lookback: direct
+      (4L, 2L, "view", "2026-01-01 10:00:00", 0.0),
+      (5L, 2L, "purchase", "2026-01-10 10:00:00", 50.0),
+      // u3: no touch at all: direct
+      (6L, 3L, "purchase", "2026-01-01 09:00:00", 25.0),
+      // u4: two touches at the SAME instant -> higher event_id wins last
+      (7L, 4L, "view", "2026-01-01 10:00:00", 0.0),
+      (8L, 4L, "click", "2026-01-01 10:00:00", 0.0),
+      (9L, 4L, "purchase", "2026-01-01 10:05:00", 10.0))
+      .map { case (e, u, t, w, v) => (e, u, t, ts(w), v) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = Behavior.attribution(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(("last_touch", "click")) === ((2L, 110.0)))
+    assert(out(("last_touch", "direct")) === ((2L, 75.0)))
+    assert(out(("first_touch", "view")) === ((2L, 110.0)))
+    assert(out(("first_touch", "direct")) === ((2L, 75.0)))
+  }
+
+  test("attribution: each model's purchase counts sum to the purchase total; partition-independent") {
+    val ev = Queries.t(spark, "/root/testdata/sf0.001", "events")
+    val total = ev.filter(col("event_type") === "purchase" &&
+      col("ts").isNotNull && col("user_id").isNotNull).count()
+    val rows = Behavior.attribution(ev).collect()
+    Seq("last_touch", "first_touch").foreach { m =>
+      assert(rows.filter(_.getString(0) == m).map(_.getLong(2)).sum === total, m)
+    }
+    val b = Behavior.attribution(ev.repartition(7)).collect().map(_.toSeq).toSeq
+    assert(rows.map(_.toSeq).toSeq === b)
+  }
+
+  test("rolling actives: under-k estimates equal exact distinct users over the window") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2026-01-01 10:00:00"), (2L, "2026-01-01 11:00:00"),
+      (2L, "2026-01-02 10:00:00"), (3L, "2026-01-02 11:00:00"),
+      (4L, "2026-01-04 10:00:00"))
+      .map { case (u, w) => (u, ts(w), "view") }
+      .toDF("user_id", "ts", "event_type")
+    val out = Behavior.rollingActiveUsers(ev, windowDays = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val d0 = out.keys.min
+    // day 0: {1,2}; day 1: {1,2,3} over 2-day window; day 3: {4} (gap -
+    // day 2 absent, so only 1 day present in its window)
+    assert(out(d0) === ((2L, 1L)))
+    assert(out(d0 + 1) === ((3L, 2L)))
+    assert(out(d0 + 3) === ((1L, 1L)))
+  }
+
+  test("rolling actives: windowDays=1 equals exact daily distinct users on the real stream") {
+    val ev = Queries.t(spark, "/root/testdata/sf0.001", "events")
+    val got = Behavior.rollingActiveUsers(ev, windowDays = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ev.filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(floor(unix_timestamp(col("ts")) / 86400).as("d"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(want.nonEmpty)
+    // daily distincts sit far under k=1024, so the sketch IS exact
+    assert(got === want)
+  }
+
   test("rate anomaly: pre-epoch timestamps floor into the previous hour") {
     import spark.implicits._
     // -10s is hour -1 under floor division (the oracle's semantics);

