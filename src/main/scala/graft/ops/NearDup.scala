@@ -371,14 +371,75 @@ object NearDup {
     } finally tok.unpersist(false)
   }
 
+  /** Append one delta batch's token sets + band keys to the store — the
+    * nightly step after a [[incrementalNearDupPairsFromStore]] probe
+    * admits the batch (fresh doc_ids, the store contract).
+    */
+  def appendSignatureStore(delta: DataFrame, path: String): Unit = {
+    val tok = tokens(delta).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      tok.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$path/tokens.parquet")
+      bands(signatures(tok))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$path/bands.parquet")
+    } finally tok.unpersist(false)
+  }
+
+  /** Tombstone deleted docs — O(|deleted|), no store file touched (the
+    * [[graft.ops.Retrieval.deleteFromPostingsStore]] lifecycle): probes
+    * anti-join the tombstones, so a deleted doc stops matching (and
+    * stops witnessing candidates) the moment the tombstone lands.
+    */
+  def deleteFromSignatureStore(deletedIds: DataFrame, path: String): Unit =
+    deletedIds.select(col("doc_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/tombstones.parquet")
+
+  private def storeTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Fold the tombstones into the store files: rewrite tokens/bands
+    * minus tombstoned docs, compact-then-swap via rename (never
+    * in-place), drop the tombstone log. After compaction the store is
+    * logically identical to one rebuilt from the surviving corpus
+    * (MinHashLshSpec pins frames and probe output bit-for-bit).
+    */
+  def compactSignatureStore(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    storeTombstones(spark, path).foreach { tomb =>
+      val t = broadcast(tomb.select("doc_id"))
+      Seq("tokens", "bands").foreach { name =>
+        val live = new org.apache.hadoop.fs.Path(s"$path/$name.parquet")
+        val next = new org.apache.hadoop.fs.Path(s"$path/${name}_compact.parquet")
+        spark.read.parquet(live.toString)
+          .join(t, Seq("doc_id"), "left_anti")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(next.toString)
+        fs.delete(live, true)
+        require(fs.rename(next, live), s"compact swap failed for $name")
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones.parquet"), true)
+    }
+  }
+
   /** [[incrementalNearDupPairs]] against a MATERIALIZED base: the delta
     * batch is signed fresh (crawl-sized work), its band keys broadcast,
     * and the base side streams from the [[writeSignatureStore]] parquet —
     * the base text is never read, its signatures never recomputed, and
-    * nothing base-scale shuffles. Same output contract and verify
-    * arithmetic as the in-memory form (parity spec-pinned bit-for-bit);
-    * `delta` must carry doc_ids disjoint from the stored corpus (the
-    * ingest contract a ledgered pipeline already guarantees).
+    * nothing base-scale shuffles. Tombstoned docs ([[deleteFromSignatureStore]])
+    * are anti-joined out of BOTH base frames before matching. Same output
+    * contract and verify arithmetic as the in-memory form (parity
+    * spec-pinned bit-for-bit); `delta` must carry doc_ids disjoint from
+    * the stored corpus (the ingest contract a ledgered pipeline already
+    * guarantees).
     *
     * Cache lifetime is CALLER-OWNED for the delta token frame (consumed
     * by both the signature pass and the Jaccard verify of the returned
@@ -389,8 +450,11 @@ object NearDup {
       delta: DataFrame,
       threshold: Double = 0.5): DataFrame = {
     val spark = delta.sparkSession
-    val baseTok = spark.read.parquet(s"$storePath/tokens.parquet")
-    val baseBk = spark.read.parquet(s"$storePath/bands.parquet")
+    def live(df: DataFrame): DataFrame =
+      storeTombstones(spark, storePath).fold(df)(t =>
+        df.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
+    val baseTok = live(spark.read.parquet(s"$storePath/tokens.parquet"))
+    val baseBk = live(spark.read.parquet(s"$storePath/bands.parquet"))
     val deltaTok = tokens(delta)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deltaBk = bands(signatures(deltaTok))

@@ -85,17 +85,20 @@ object Ranks {
     val spark = df.sparkSession
     import spark.implicits._
     val p = spark.sparkContext.defaultParallelism
-    // localCheckpoint, not persist: (a) the sampled range bounds are
-    // PINNED — the counts action and the ranked plan can never resample
-    // different boundaries; (b) the ranked frame becomes a fresh leaf
-    // relation, so callers can join rank outputs back onto their own
-    // lineage (a shared non-leaf subtree carrying the nondeterministic
-    // pid column fails DeduplicateRelations — observed INTERNAL_ERROR
-    // when ranking a memory-sink snapshot). Internal-row checkpoint, no
-    // Row round-trip (the r6 CC lesson).
-    val ranged = df.repartitionByRange(p, order: _*)
+    // checkpoint, not persist: (a) the sampled range bounds are PINNED —
+    // the counts action and the ranked plan can never resample different
+    // boundaries; (b) the ranked frame becomes a fresh leaf relation, so
+    // callers can join rank outputs back onto their own lineage (a
+    // shared non-leaf subtree carrying the nondeterministic pid column
+    // fails DeduplicateRelations — observed INTERNAL_ERROR when ranking
+    // a memory-sink snapshot). RELIABLE checkpoint when a dir is set
+    // (executor loss mid-rank must not abort the job at cluster scale —
+    // the Clusters r5 lesson); local internal-row checkpoint otherwise.
+    val ranged0 = df.repartitionByRange(p, order: _*)
       .withColumn(PidCol, spark_partition_id())
-      .localCheckpoint()
+    val ranged =
+      if (spark.sparkContext.getCheckpointDir.isDefined) ranged0.checkpoint()
+      else ranged0.localCheckpoint()
     val counts = ranged.groupBy(col(PidCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L

@@ -90,6 +90,44 @@ class MinHashLshSpec extends SparkSpec {
     assert(fromStore.nonEmpty)
   }
 
+  test("signature store lifecycle: append + delete + compact equals a store rebuilt from the survivors") {
+    import org.apache.spark.sql.functions.col
+    val docs = Queries.t(spark, sf, "documents")
+    val store = tmpDir("sigstore").toString
+    val rebuilt = tmpDir("sigrebuilt").toString
+    val baseA = docs.filter(col("doc_id") % 5 === 1)
+    val baseB = docs.filter(col("doc_id") % 5 === 2)
+    val deleted = docs.filter(col("doc_id") % 5 === 2 && col("doc_id") % 3 === 0)
+    val survivors = docs.filter(
+      (col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2) &&
+        !(col("doc_id") % 5 === 2 && col("doc_id") % 3 === 0))
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+
+    graft.ops.NearDup.writeSignatureStore(baseA, store)
+    graft.ops.NearDup.appendSignatureStore(baseB, store)
+    graft.ops.NearDup.deleteFromSignatureStore(deleted.select("doc_id"), store)
+
+    // probe with tombstones pending = probe against the survivors
+    graft.ops.NearDup.writeSignatureStore(survivors, rebuilt)
+    val want = graft.ops.NearDup
+      .incrementalNearDupPairsFromStore(rebuilt, delta).collect().toSeq
+    val got = graft.ops.NearDup
+      .incrementalNearDupPairsFromStore(store, delta).collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+
+    // compact: frames bit-equal to the rebuilt store, probe unchanged,
+    // tombstone log gone
+    graft.ops.NearDup.compactSignatureStore(spark, store)
+    def frame(p: String, name: String) = spark.read.parquet(s"$p/$name.parquet")
+      .collect().map(_.toSeq).toSet
+    assert(frame(store, "tokens") === frame(rebuilt, "tokens"))
+    assert(frame(store, "bands") === frame(rebuilt, "bands"))
+    assert(!new java.io.File(s"$store/tombstones.parquet").exists())
+    assert(graft.ops.NearDup
+      .incrementalNearDupPairsFromStore(store, delta).collect().toSeq === want)
+  }
+
   test("signature store probe plan: base text never read, delta band keys broadcast") {
     import org.apache.spark.sql.functions.col
     val docs = Queries.t(spark, sf, "documents")

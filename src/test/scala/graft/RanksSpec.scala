@@ -74,4 +74,23 @@ class RanksSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan)
     assert(plan.contains("Window"), plan)
   }
+
+  // LAST in the suite: setCheckpointDir is context-global (the
+  // ClustersSpec discipline) — everything after it takes the reliable
+  // path, which is correct but writes checkpoint files
+  test("reliable-checkpoint path (dir set): ranks bit-equal to the local path") {
+    val df = frame(97)
+    val local = Ranks.withNtile(df, 4, Seq(asc("v"), asc("id")), "t")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("t"))).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("ranks-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val reliable = Ranks.withNtile(df, 4, Seq(asc("v"), asc("id")), "t")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("t"))).sorted.toSeq
+    assert(reliable === local)
+    import scala.jdk.CollectionConverters._
+    val rddDirs = java.nio.file.Files.walk(dir).iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("rdd-")).toSeq
+    assert(rddDirs.nonEmpty, "reliable path did not checkpoint")
+  }
 }
