@@ -2305,6 +2305,133 @@ object Queries {
            |  (rk - 1) / CAST(greatest(n - 1, 1) AS DOUBLE) AS pctl
            |FROM ranked ORDER BY o_orderkey""".stripMargin))
 
+  /** Equi-depth histogram (q131): `buckets` price bands with EQUAL row
+    * counts — the optimizer-statistics histogram (equal-width q58 is the
+    * visualization twin; equi-depth is what selectivity estimation
+    * wants). Bucket assignment is [[graft.ops.Ranks.withNtile]] — the
+    * exact two-pass distributed ntile, never a single-partition window —
+    * then ONE tiny keyed aggregate (output = `buckets` rows: lo/hi
+    * fences + count). Sum of counts = N and counts differ by ≤ 1 by the
+    * ntile contract.
+    */
+  private val q131 = QueryDef(
+    "q131_equidepth_hist",
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      graft.ops.Ranks.withNtile(li, 16,
+          Seq(asc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber")),
+          "bucket")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        .orderBy("bucket")
+    },
+    Some("""WITH ranked AS (
+           |  SELECT l_extendedprice,
+           |    CAST(ntile(16) OVER (
+           |      ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           |      AS BIGINT) AS bucket
+           |  FROM lineitem)
+           |SELECT bucket, CAST(count(*) AS BIGINT) AS cnt,
+           |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+           |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Data-quality expectations audit (q132): the dbt/Great-Expectations
+    * contract pass a warehouse runs before publishing — one row per
+    * rule with its violation count: not-null, value-range, key
+    * uniqueness, and referential integrity against the customer
+    * dimension. Audited over a deterministically DIRTIED variant of the
+    * orders fact (the q116/q126 derived-snapshot discipline — the clean
+    * testdata would make every count zero and the audit vacuous):
+    * prime-residue classes of o_orderkey get a nulled custkey (997), a
+    * nulled orderdate (991), a negated totalprice (983), duplicated
+    * rows (977), and an orphaned custkey (971). Null custkeys count
+    * under BOTH the not-null and the orphan rule (null never matches a
+    * dimension key — both engines agree). Shapes: map-side conditional
+    * counts in ONE aggregate (no per-rule scans), a keyed dup count
+    * bounded by |duplicated keys|, and one anti-join for the orphan
+    * check (the dimension side broadcasts).
+    */
+  private val q132 = QueryDef(
+    "q132_expectations",
+    (s, d) => {
+      val dirtied = t(s, d, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 997 === 0, lit(null))
+            .when(col("o_orderkey") % 971 === 0, col("o_custkey") + 10000000L)
+            .otherwise(col("o_custkey")).as("o_custkey"),
+          when(col("o_orderkey") % 991 === 0, lit(null))
+            .otherwise(col("o_orderdate")).as("o_orderdate"),
+          when(col("o_orderkey") % 983 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      val o = dirtied.unionByName(dirtied.filter(col("o_orderkey") % 977 === 0))
+      val c = t(s, d, "customer").select(col("c_custkey"))
+      val scalarRules = o.agg(
+        count(when(col("o_custkey").isNull, 1)).as("null_custkey"),
+        count(when(col("o_orderdate").isNull, 1)).as("null_orderdate"),
+        count(when(col("o_totalprice") <= 0, 1)).as("nonpositive_totalprice"))
+      val dups = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .agg(coalesce(sum(col("n")), lit(0L)).as("duplicate_orderkey_rows"))
+      val orphans = o.join(broadcast(c),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_custkey_rows"))
+      scalarRules.crossJoin(dups).crossJoin(orphans) // 1-row frames
+        .select(explode(array(
+          struct(lit("null_custkey").as("rule"),
+            col("null_custkey").as("violations")),
+          struct(lit("null_orderdate").as("rule"),
+            col("null_orderdate").as("violations")),
+          struct(lit("nonpositive_totalprice").as("rule"),
+            col("nonpositive_totalprice").as("violations")),
+          struct(lit("duplicate_orderkey_rows").as("rule"),
+            col("duplicate_orderkey_rows").as("violations")),
+          struct(lit("orphan_custkey_rows").as("rule"),
+            col("orphan_custkey_rows").as("violations")))).as("r"))
+        .select(col("r.rule").as("rule"), col("r.violations").as("violations"))
+        .orderBy("rule")
+    },
+    Some("""WITH dirtied AS (
+           |  SELECT o_orderkey,
+           |    CASE WHEN o_orderkey % 997 = 0 THEN NULL
+           |         WHEN o_orderkey % 971 = 0 THEN o_custkey + 10000000
+           |         ELSE o_custkey END AS o_custkey,
+           |    CASE WHEN o_orderkey % 991 = 0 THEN NULL
+           |         ELSE o_orderdate END AS o_orderdate,
+           |    CASE WHEN o_orderkey % 983 = 0 THEN -o_totalprice
+           |         ELSE o_totalprice END AS o_totalprice
+           |  FROM orders),
+           |o AS (
+           |  SELECT * FROM dirtied
+           |  UNION ALL SELECT * FROM dirtied WHERE o_orderkey % 977 = 0),
+           |scalars AS (
+           |  SELECT
+           |    CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+           |      AS null_custkey,
+           |    CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT)
+           |      AS null_orderdate,
+           |    CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+           |      AS nonpositive_totalprice
+           |  FROM o),
+           |dups AS (
+           |  SELECT CAST(coalesce(sum(n), 0) AS BIGINT)
+           |      AS duplicate_orderkey_rows
+           |  FROM (SELECT count(*) AS n FROM o GROUP BY o_orderkey
+           |        HAVING count(*) > 1)),
+           |orph AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS orphan_custkey_rows
+           |  FROM o WHERE NOT EXISTS (
+           |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+           |SELECT rule, violations FROM (
+           |  SELECT 'null_custkey' AS rule, null_custkey AS violations FROM scalars
+           |  UNION ALL SELECT 'null_orderdate', null_orderdate FROM scalars
+           |  UNION ALL SELECT 'nonpositive_totalprice', nonpositive_totalprice FROM scalars
+           |  UNION ALL SELECT 'duplicate_orderkey_rows', duplicate_orderkey_rows FROM dups
+           |  UNION ALL SELECT 'orphan_custkey_rows', orphan_custkey_rows FROM orph)
+           |ORDER BY rule""".stripMargin))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -2334,5 +2461,5 @@ object Queries {
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
-    q127, q128, q129, q130)
+    q127, q128, q129, q130, q131, q132)
 }
