@@ -383,13 +383,60 @@ object AnnPq {
       .mode(SaveMode.Append).parquet(s"$dir/codes.parquet")
   }
 
+  /** Tombstone deleted vectors — O(|deleted|), no code file touched
+    * (the [[graft.ops.Retrieval.deleteFromPostingsStore]] lifecycle):
+    * probes anti-join the tombstones, so a deleted vector stops
+    * appearing in ANY shortlist the moment the tombstone lands. The
+    * quantizers are deliberately NOT retrained (the FAISS contract:
+    * codebook/centroids are static once trained; drift is a periodic
+    * full rebuild, not a delete-path concern).
+    */
+  def deleteFromPqIndex(deletedIds: DataFrame, dir: String): Unit =
+    deletedIds.select(col("vec_id"))
+      .write.mode(SaveMode.Append).parquet(s"$dir/tombstones.parquet")
+
+  private def indexTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Fold the tombstones into the code table: rewrite codes minus
+    * tombstoned vectors (list_id partitioning preserved — the
+    * DPP-pruning layout survives), compact-then-swap via rename, drop
+    * the log. Quantizer files untouched (static by contract). AnnPqSpec
+    * pins the compacted codes frame bit-equal to the original minus the
+    * deleted set, and probe output unchanged across the compaction.
+    */
+  def compactPqIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    indexTombstones(spark, dir).foreach { tomb =>
+      val live = new org.apache.hadoop.fs.Path(s"$dir/codes.parquet")
+      val next = new org.apache.hadoop.fs.Path(s"$dir/codes_compact.parquet")
+      spark.read.schema("vec_id LONG, codes ARRAY<INT>, list_id LONG")
+        .parquet(live.toString)
+        .join(broadcast(tomb.select("vec_id")), Seq("vec_id"), "left_anti")
+        .write.partitionBy("list_id")
+        .mode(SaveMode.Overwrite).parquet(next.toString)
+      fs.delete(live, true)
+      require(fs.rename(next, live), "compact swap failed for codes")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones.parquet"), true)
+    }
+  }
+
   /** [[ivfPqTopK]] served from the store: the code table streams from
     * disk (never re-encoded), quantizers re-read, queries + re-rank
-    * floats from `emb`. Bit-equal to the in-memory form over the same
-    * logical corpus when the quantizers match (spec-pinned). The code
-    * table is read with an EXPLICIT schema: `list_id` is a directory
-    * partition column, and inference would type it INT — silently
-    * casting the probe's join key (the [[SemDedup]] store discipline).
+    * floats from `emb`; tombstoned vectors ([[deleteFromPqIndex]]) are
+    * anti-joined out before the search. Bit-equal to the in-memory form
+    * over the same logical corpus when the quantizers match
+    * (spec-pinned). The code table is read with an EXPLICIT schema:
+    * `list_id` is a directory partition column, and inference would
+    * type it INT — silently casting the probe's join key (the
+    * [[SemDedup]] store discipline).
     */
   def ivfPqTopKFromIndex(
       emb: DataFrame,
@@ -402,9 +449,11 @@ object AnnPq {
       topK: Int = TopK): DataFrame = {
     val spark = emb.sparkSession
     val (cb, cents) = readQuantizers(spark, dir)
-    val codeTable = spark.read
+    val stored = spark.read
       .schema("vec_id LONG, codes ARRAY<INT>, list_id LONG")
       .parquet(s"$dir/codes.parquet")
+    val codeTable = indexTombstones(spark, dir).fold(stored)(t =>
+      stored.join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti"))
     val clean = emb.filter(col("embedding").isNotNull &&
       size(col("embedding")) === m * subDim)
     searchIvfPq(codeTable, clean, cb, cents,

@@ -195,6 +195,37 @@ class AnnPqSpec extends SparkSpec {
     assert(stored.nonEmpty)
   }
 
+  test("pq index store: delete evicts a former top hit; compact folds the log in losslessly") {
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    AnnPq.writePqIndex(emb, dir)
+    val before = AnnPq.ivfPqTopKFromIndex(emb, dir).collect()
+    assert(before.nonEmpty)
+    // delete every query's current TOP hit — the strongest eviction test
+    val victims = before.filter(_.getLong(3) == 1L).map(_.getLong(1)).distinct
+    import spark.implicits._
+    AnnPq.deleteFromPqIndex(victims.toSeq.toDF("vec_id"), dir)
+    val after = AnnPq.ivfPqTopKFromIndex(emb, dir).collect()
+    assert(!after.exists(r => victims.contains(r.getLong(1))),
+      "deleted vectors still surfaced")
+    assert(after.nonEmpty)
+
+    // compact: codes frame == original minus the deleted set (bit-equal,
+    // quantizers untouched by contract), probe unchanged, log gone
+    val origCodes = spark.read
+      .schema("vec_id LONG, codes ARRAY<INT>, list_id LONG")
+      .parquet(s"$dir/codes.parquet")
+      .collect().map(_.toSeq).toSet
+    AnnPq.compactPqIndex(spark, dir)
+    val compacted = spark.read
+      .schema("vec_id LONG, codes ARRAY<INT>, list_id LONG")
+      .parquet(s"$dir/codes.parquet")
+      .collect().map(_.toSeq).toSet
+    assert(compacted === origCodes.filterNot(r =>
+      victims.contains(r.head.asInstanceOf[Long])))
+    assert(!new java.io.File(s"$dir/tombstones.parquet").exists())
+    assert(AnnPq.ivfPqTopKFromIndex(emb, dir).collect().toSeq === after.toSeq)
+  }
+
   test("pq index store: the search never re-encodes the corpus (no embedding scan feeds the code table)") {
     val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
     AnnPq.writePqIndex(emb, dir)
