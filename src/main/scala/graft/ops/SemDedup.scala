@@ -268,12 +268,84 @@ object SemDedup {
       .toIndexedSeq
       .sortBy(_._1)
 
+  /** Tombstone deleted vectors — O(|deleted|), no store file touched
+    * (the [[graft.ops.Retrieval.deleteFromPostingsStore]] lifecycle):
+    * probes and merges anti-join the tombstones out of BOTH the
+    * assigned frame and the edge set, so a deleted vector stops
+    * matching, stops witnessing crossings, and stops linking clusters
+    * the moment the tombstone lands. Centroids are static (the
+    * [[graft.ops.AnnPq.deleteFromPqIndex]] quantizer contract).
+    */
+  def deleteFromSemanticStore(deletedIds: DataFrame, path: String): Unit =
+    deletedIds.select(col("vec_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/tombstones.parquet")
+
+  private def storeTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  private def liveAssigned(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    storeTombstones(spark, path).fold(readAssigned(spark, path))(t =>
+      readAssigned(spark, path)
+        .join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti"))
+
+  private def liveEdges(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val edges = spark.read.parquet(s"$path/edges.parquet")
+    storeTombstones(spark, path).fold(edges) { t =>
+      val tb = broadcast(t.select("vec_id"))
+      edges
+        .join(tb.withColumnRenamed("vec_id", "a"), Seq("a"), "left_anti")
+        .join(tb.withColumnRenamed("vec_id", "b"), Seq("b"), "left_anti")
+    }
+  }
+
+  /** Fold the tombstones into the store files: assigned rows and edges
+    * touching a deleted vector are rewritten away (cell partitioning
+    * preserved), compact-then-swap via rename, log dropped. After
+    * compaction the store is bit-equal to one rebuilt from the
+    * surviving corpus with the same quantizer (SemDedupSpec pins
+    * frames and probe/merge outputs).
+    */
+  def compactSemanticStore(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swap(name: String): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$path/$name.parquet")
+      val next = new org.apache.hadoop.fs.Path(s"$path/${name}_compact.parquet")
+      fs.delete(live, true)
+      require(fs.rename(next, live), s"compact swap failed for $name")
+    }
+    storeTombstones(spark, path).foreach { _ =>
+      liveAssigned(spark, path)
+        .select("vec_id", "embedding", "nrm", "list_id")
+        .write.partitionBy("list_id")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/assigned_compact.parquet")
+      liveEdges(spark, path)
+        .select("a", "b")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/edges_compact.parquet")
+      swap("assigned")
+      swap("edges")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones.parquet"), true)
+    }
+  }
+
   /** [[incrementalSemanticDedup]] against a MATERIALIZED base: the delta
     * assigns map-side against the STORED centroids and broadcasts; the
     * base side streams from the [[writeSemanticStore]] cell directories
     * (embeddings never re-read, assignments never recomputed, nothing
     * base-scale shuffles — parity with the in-memory form spec-pinned
-    * bit-for-bit). `delta` must carry vec_ids disjoint from the stored
+    * bit-for-bit). Tombstoned vectors are anti-joined out first.
+    * `delta` must carry vec_ids disjoint from the stored
     * corpus (the ingest-ledger contract, as in
     * [[NearDup.incrementalNearDupPairsFromStore]]).
     */
@@ -283,7 +355,7 @@ object SemDedup {
       threshold: Double = 0.3): DataFrame = {
     val spark = delta.sparkSession
     val cents = readCentroids(spark, storePath)
-    val baseAssigned = readAssigned(spark, storePath)
+    val baseAssigned = liveAssigned(spark, storePath)
     val deltaAssigned =
       assignFrame(delta.filter(col("embedding").isNotNull), cents)
     crossingPairs(baseAssigned, deltaAssigned, threshold)
@@ -312,8 +384,8 @@ object SemDedup {
       threshold: Double = 0.3): DataFrame = {
     val spark = delta.sparkSession
     val cents = readCentroids(spark, storePath)
-    val baseAssigned = readAssigned(spark, storePath)
-    val baseEdges = spark.read.parquet(s"$storePath/edges.parquet")
+    val baseAssigned = liveAssigned(spark, storePath)
+    val baseEdges = liveEdges(spark, storePath)
     val deltaAssigned =
       assignFrame(delta.filter(col("embedding").isNotNull), cents)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

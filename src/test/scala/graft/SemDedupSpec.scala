@@ -143,6 +143,43 @@ class SemDedupSpec extends SparkSpec {
       "no dup group crosses the split — merge parity is vacuous")
   }
 
+  test("semantic store lifecycle: delete + compact equals a store rebuilt from the survivors") {
+    val (base, delta) = split(emb)
+    // deleted set avoids vec_id < nlist so the survivors' first-k
+    // quantizer equals the original store's (the q98 split convention)
+    val deleted = base.filter(col("vec_id") % 7 === 3 && col("vec_id") >= 16)
+    val survivors = base.filter(!(col("vec_id") % 7 === 3 && col("vec_id") >= 16))
+    val store = tmpDir("semstore3").toString
+    val rebuilt = tmpDir("semrebuilt").toString
+    SemDedup.writeSemanticStore(base, store)
+    SemDedup.deleteFromSemanticStore(deleted.select("vec_id"), store)
+    SemDedup.writeSemanticStore(survivors, rebuilt)
+
+    // probe + merge with tombstones pending == against the rebuilt store
+    val wantProbe = SemDedup.incrementalSemanticDedupFromStore(rebuilt, delta)
+      .collect().map(_.toSeq).toSeq
+    assert(SemDedup.incrementalSemanticDedupFromStore(store, delta)
+      .collect().map(_.toSeq).toSeq === wantProbe)
+    assert(wantProbe.nonEmpty)
+    val wantMerge = SemDedup.mergeSemanticDedupFromStore(rebuilt, delta)
+      .collect().map(_.toSeq).toSeq
+    assert(SemDedup.mergeSemanticDedupFromStore(store, delta)
+      .collect().map(_.toSeq).toSeq === wantMerge)
+
+    // compact: assigned + edges frames bit-equal to the rebuild, log gone
+    SemDedup.compactSemanticStore(spark, store)
+    def frame(p: String, name: String, schema: String) =
+      spark.read.schema(schema).parquet(s"$p/$name.parquet")
+        .collect().map(_.toSeq).toSet
+    val aSchema = "vec_id LONG, embedding ARRAY<FLOAT>, nrm DOUBLE, list_id LONG"
+    assert(frame(store, "assigned", aSchema) === frame(rebuilt, "assigned", aSchema))
+    assert(frame(store, "edges", "a LONG, b LONG") ===
+      frame(rebuilt, "edges", "a LONG, b LONG"))
+    assert(!new java.io.File(s"$store/tombstones.parquet").exists())
+    assert(SemDedup.incrementalSemanticDedupFromStore(store, delta)
+      .collect().map(_.toSeq).toSeq === wantProbe)
+  }
+
   test("incremental probe plan: base streams from the cell-partitioned store, delta broadcast") {
     val (base, delta) = split(emb)
     val store = tmpDir("semstore3").toString
