@@ -332,6 +332,24 @@ object ScaleCurve {
           () => graft.ops.Behavior.funnelStepsWindowed(
             Queries.t(spark, dir, "events")),
           _.agg(sum("users")).head().getLong(0)),
+        // RFM (q119): the r14 lead fix measured at growing user
+        // populations — output rows = purchasing users × factor exactly
+        // (user-offset replicas), and the curve watches the two-pass
+        // distributed ntile (range partition + offsets broadcast) absorb
+        // a 10× user frame where the replaced single-partition windows
+        // would serialize it.
+        Cell(f, "q119_rfm",
+          () => graft.ops.Behavior.rfmSegments(
+            Queries.t(spark, dir, "events")),
+          _.count()),
+        // attribution (q128): journeys replicate exactly, so last-touch
+        // purchase counts — the linearity witness, summed since output
+        // rows are bounded by |models| × |channels| — are base × factor.
+        Cell(f, "q128_attribution",
+          () => graft.ops.Behavior.attribution(
+            Queries.t(spark, dir, "events")),
+          _.filter(col("model") === "last_touch")
+            .agg(sum("purchases")).head().getLong(0)),
         // co-occurrence top-k (q121): fixed k output rows against a
         // growing corpus (the q89/q106 probe-cell contract — rows flat,
         // sec ≲ linear); the curve watches the in-row pair Generate and
