@@ -344,26 +344,45 @@ object AnnPq {
     val cents = AnnIvf.initCentroids(clean, nlist)
     require(cb.nonEmpty && cents.nonEmpty,
       "pq index needs a non-empty quantizer (corpus had no valid vectors)")
+    require(StoreManifest.currentSnapshot(spark, dir).isEmpty,
+      s"pq index $dir already exists — append or compact instead")
     cents.toDF("cid", "centroid")
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids.parquet")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/${StoreManifest.componentDir("centroids", 1L)}")
     cb.zipWithIndex.flatMap { case (cbj, j) =>
       cbj.zipWithIndex.map { case (c, r) => (j, r, c) }
     }.toDF("j", "r", "c")
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/codebook.parquet")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/${StoreManifest.componentDir("codebook", 1L)}")
     codeTableOf(clean, cb, cents, subDim)
       .write.partitionBy("list_id")
-      .mode(SaveMode.Overwrite).parquet(s"$dir/codes.parquet")
+      .mode(SaveMode.Overwrite)
+      .parquet(s"$dir/${StoreManifest.componentDir("codes", 1L)}")
+    StoreManifest.publish(spark, dir, StoreManifest.Snapshot(1L, -1L, Map(
+      "centroids" -> Seq(StoreManifest.componentDir("centroids", 1L)),
+      "codebook" -> Seq(StoreManifest.componentDir("codebook", 1L)),
+      "codes" -> Seq(StoreManifest.componentDir("codes", 1L)))))
   }
+
+  private val CodesSchema = "vec_id LONG, codes ARRAY<INT>, list_id LONG"
+
+  private def indexSnapshot(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      asOfVersion: Option[Long] = None): StoreManifest.Snapshot =
+    asOfVersion
+      .map(v => StoreManifest.snapshotAt(spark, dir, v))
+      .orElse(StoreManifest.currentSnapshot(spark, dir))
+      .getOrElse(sys.error(s"pq index $dir does not exist"))
 
   /** Stored quantizers: (codebook, centroids) — bounded collects. */
   private def readQuantizers(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (Seq[Seq[Seq[Double]]], Seq[(Long, Array[Float])]) = {
-    val cb = spark.read.parquet(s"$dir/codebook.parquet")
+      dir: String, snap: StoreManifest.Snapshot): (Seq[Seq[Seq[Double]]], Seq[(Long, Array[Float])]) = {
+    val cb = StoreManifest.readComponent(spark, dir, snap, "codebook").get
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3).toIndexedSeq)
-    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+    val cents = StoreManifest.readComponent(spark, dir, snap, "centroids").get
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
       .toIndexedSeq.sortBy(_._1)
@@ -371,60 +390,83 @@ object AnnPq {
   }
 
   /** Append a delta batch (fresh vec_ids — the store contract): encode
-    * map-side against the STORED quantizers, append to the cells.
+    * map-side against the STORED quantizers into a fresh cell-
+    * partitioned data dir + ONE atomic manifest publish
+    * ([[StoreManifest]]) — the quantizer dirs are carried by reference,
+    * never rewritten. `batchId` is the streaming exactly-once hook —
+    * a replayed foreachBatch id ≤ the manifest watermark is skipped
+    * before any write.
     */
   def appendPqIndex(delta: DataFrame, dir: String,
-      m: Int = M, subDim: Int = SubDim): Unit = {
-    val (cb, cents) = readQuantizers(delta.sparkSession, dir)
+      m: Int = M, subDim: Int = SubDim, batchId: Long = -1L): Unit = {
+    val spark = delta.sparkSession
+    val cur = indexSnapshot(spark, dir)
+    if (batchId >= 0 && batchId <= cur.batchWatermark) return // replay — already folded
+    val (cb, cents) = readQuantizers(spark, dir, cur)
     val clean = delta.filter(col("embedding").isNotNull &&
       size(col("embedding")) === m * subDim)
+    val v = cur.version + 1
     codeTableOf(clean, cb, cents, subDim)
       .write.partitionBy("list_id")
-      .mode(SaveMode.Append).parquet(s"$dir/codes.parquet")
+      .mode(SaveMode.Overwrite)
+      .parquet(s"$dir/${StoreManifest.componentDir("codes", v)}")
+    StoreManifest.publish(spark, dir, cur
+      .appending("codes", StoreManifest.componentDir("codes", v))
+      .copy(version = v, batchWatermark = math.max(cur.batchWatermark, batchId)))
   }
 
   /** Tombstone deleted vectors — O(|deleted|), no code file touched
     * (the [[graft.ops.Retrieval.deleteFromPostingsStore]] lifecycle):
     * probes anti-join the tombstones, so a deleted vector stops
-    * appearing in ANY shortlist the moment the tombstone lands. The
+    * appearing in ANY shortlist the moment the tombstone publishes. The
     * quantizers are deliberately NOT retrained (the FAISS contract:
     * codebook/centroids are static once trained; drift is a periodic
     * full rebuild, not a delete-path concern).
     */
-  def deleteFromPqIndex(deletedIds: DataFrame, dir: String): Unit =
+  def deleteFromPqIndex(deletedIds: DataFrame, dir: String): Unit = {
+    val spark = deletedIds.sparkSession
+    val cur = indexSnapshot(spark, dir)
+    val v = cur.version + 1
     deletedIds.select(col("vec_id"))
-      .write.mode(SaveMode.Append).parquet(s"$dir/tombstones.parquet")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/${StoreManifest.componentDir("tombstones", v)}")
+    StoreManifest.publish(spark, dir, cur
+      .appending("tombstones", StoreManifest.componentDir("tombstones", v))
+      .copy(version = v))
+  }
 
   private def indexTombstones(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones.parquet")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
-  }
+      dir: String,
+      snap: StoreManifest.Snapshot): Option[DataFrame] =
+    StoreManifest.readComponent(spark, dir, snap, "tombstones")
 
   /** Fold the tombstones into the code table: rewrite codes minus
     * tombstoned vectors (list_id partitioning preserved — the
-    * DPP-pruning layout survives), compact-then-swap via rename, drop
-    * the log. Quantizer files untouched (static by contract). AnnPqSpec
-    * pins the compacted codes frame bit-equal to the original minus the
-    * deleted set, and probe output unchanged across the compaction.
+    * DPP-pruning layout survives) into a fresh data dir, publish a
+    * manifest referencing it with no tombstones. Quantizer dirs carried
+    * by reference, untouched (static by contract). Never in-place and
+    * never a swap window — the pre-compact snapshot keeps serving
+    * through a crash or to concurrent readers ([[StoreManifest]]).
+    * AnnPqSpec pins the compacted codes frame bit-equal to the original
+    * minus the deleted set, and probe output unchanged across the
+    * compaction.
     */
   def compactPqIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    indexTombstones(spark, dir).foreach { tomb =>
-      val live = new org.apache.hadoop.fs.Path(s"$dir/codes.parquet")
-      val next = new org.apache.hadoop.fs.Path(s"$dir/codes_compact.parquet")
-      spark.read.schema("vec_id LONG, codes ARRAY<INT>, list_id LONG")
-        .parquet(live.toString)
+    val cur = indexSnapshot(spark, dir)
+    indexTombstones(spark, dir, cur).foreach { tomb =>
+      val v = cur.version + 1
+      StoreManifest.readComponent(spark, dir, cur, "codes", Some(CodesSchema)).get
         .join(broadcast(tomb.select("vec_id")), Seq("vec_id"), "left_anti")
         .write.partitionBy("list_id")
-        .mode(SaveMode.Overwrite).parquet(next.toString)
-      fs.delete(live, true)
-      require(fs.rename(next, live), "compact swap failed for codes")
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones.parquet"), true)
+        .mode(SaveMode.Overwrite)
+        .parquet(s"$dir/${StoreManifest.componentDir("codes", v)}")
+      StoreManifest.publish(spark, dir, StoreManifest.Snapshot(
+        v, cur.batchWatermark, Map(
+          "centroids" -> cur.components("centroids"),
+          "codebook" -> cur.components("codebook"),
+          "codes" -> Seq(StoreManifest.componentDir("codes", v)))))
     }
   }
 
@@ -446,13 +488,14 @@ object AnnPq {
       nprobe: Int = AnnIvf.NProbe,
       nQueries: Int = NQueries,
       shortlist: Int = Shortlist,
-      topK: Int = TopK): DataFrame = {
+      topK: Int = TopK,
+      asOfVersion: Option[Long] = None): DataFrame = {
     val spark = emb.sparkSession
-    val (cb, cents) = readQuantizers(spark, dir)
-    val stored = spark.read
-      .schema("vec_id LONG, codes ARRAY<INT>, list_id LONG")
-      .parquet(s"$dir/codes.parquet")
-    val codeTable = indexTombstones(spark, dir).fold(stored)(t =>
+    val snap = indexSnapshot(spark, dir, asOfVersion)
+    val (cb, cents) = readQuantizers(spark, dir, snap)
+    val stored = StoreManifest
+      .readComponent(spark, dir, snap, "codes", Some(CodesSchema)).get
+    val codeTable = indexTombstones(spark, dir, snap).fold(stored)(t =>
       stored.join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti"))
     val clean = emb.filter(col("embedding").isNotNull &&
       size(col("embedding")) === m * subDim)

@@ -361,72 +361,102 @@ object NearDup {
     * before returning — no caller-owned lifetime here.
     */
   def writeSignatureStore(docs: DataFrame, path: String): Unit = {
+    val spark = docs.sparkSession
+    require(StoreManifest.currentSnapshot(spark, path).isEmpty,
+      s"signature store $path already exists — append or compact instead")
+    writeSignatureBatch(docs, path, 1L)
+    StoreManifest.publish(spark, path, StoreManifest.Snapshot(1L, -1L, Map(
+      "tokens" -> Seq(StoreManifest.componentDir("tokens", 1L)),
+      "bands" -> Seq(StoreManifest.componentDir("bands", 1L)))))
+  }
+
+  /** One batch's tokens/bands data dirs for snapshot `v` (immutable
+    * once the manifest referencing them publishes).
+    */
+  private def writeSignatureBatch(docs: DataFrame, path: String, v: Long): Unit = {
     val tok = tokens(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       tok.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$path/tokens.parquet")
+        .parquet(s"$path/${StoreManifest.componentDir("tokens", v)}")
       bands(signatures(tok))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$path/bands.parquet")
+        .parquet(s"$path/${StoreManifest.componentDir("bands", v)}")
     } finally tok.unpersist(false)
   }
 
   /** Append one delta batch's token sets + band keys to the store — the
     * nightly step after a [[incrementalNearDupPairsFromStore]] probe
-    * admits the batch (fresh doc_ids, the store contract).
+    * admits the batch (fresh doc_ids, the store contract). Two new data
+    * dirs + ONE atomic manifest publish ([[StoreManifest]]): a crash
+    * before the publish leaves the previous snapshot serving, never a
+    * torn append. `batchId` is the streaming exactly-once hook — a
+    * replayed foreachBatch id ≤ the manifest watermark is skipped
+    * before any write.
     */
-  def appendSignatureStore(delta: DataFrame, path: String): Unit = {
-    val tok = tokens(delta).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      tok.write.mode(org.apache.spark.sql.SaveMode.Append)
-        .parquet(s"$path/tokens.parquet")
-      bands(signatures(tok))
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .parquet(s"$path/bands.parquet")
-    } finally tok.unpersist(false)
+  def appendSignatureStore(
+      delta: DataFrame, path: String, batchId: Long = -1L): Unit = {
+    val spark = delta.sparkSession
+    val cur = StoreManifest.currentSnapshot(spark, path)
+      .getOrElse(sys.error(s"signature store $path does not exist — write it first"))
+    if (batchId >= 0 && batchId <= cur.batchWatermark) return // replay — already folded
+    val v = cur.version + 1
+    writeSignatureBatch(delta, path, v)
+    StoreManifest.publish(spark, path, cur
+      .appending("tokens", StoreManifest.componentDir("tokens", v))
+      .appending("bands", StoreManifest.componentDir("bands", v))
+      .copy(version = v, batchWatermark = math.max(cur.batchWatermark, batchId)))
   }
 
   /** Tombstone deleted docs — O(|deleted|), no store file touched (the
     * [[graft.ops.Retrieval.deleteFromPostingsStore]] lifecycle): probes
     * anti-join the tombstones, so a deleted doc stops matching (and
-    * stops witnessing candidates) the moment the tombstone lands.
+    * stops witnessing candidates) the moment the tombstone publishes.
     */
-  def deleteFromSignatureStore(deletedIds: DataFrame, path: String): Unit =
+  def deleteFromSignatureStore(deletedIds: DataFrame, path: String): Unit = {
+    val spark = deletedIds.sparkSession
+    val cur = StoreManifest.currentSnapshot(spark, path)
+      .getOrElse(sys.error(s"signature store $path does not exist"))
+    val v = cur.version + 1
     deletedIds.select(col("doc_id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"$path/tombstones.parquet")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/${StoreManifest.componentDir("tombstones", v)}")
+    StoreManifest.publish(spark, path, cur
+      .appending("tombstones", StoreManifest.componentDir("tombstones", v))
+      .copy(version = v))
+  }
 
   private def storeTombstones(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones.parquet")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
-  }
+      path: String,
+      snap: StoreManifest.Snapshot): Option[DataFrame] =
+    StoreManifest.readComponent(spark, path, snap, "tombstones")
 
   /** Fold the tombstones into the store files: rewrite tokens/bands
-    * minus tombstoned docs, compact-then-swap via rename (never
-    * in-place), drop the tombstone log. After compaction the store is
-    * logically identical to one rebuilt from the surviving corpus
+    * minus tombstoned docs into fresh data dirs, publish a manifest
+    * referencing only those (tombstones gone). Never in-place and never
+    * a swap window — the pre-compact snapshot's dirs are untouched and
+    * keep serving through a crash or to concurrent readers
+    * ([[StoreManifest]]). After compaction the store is logically
+    * identical to one rebuilt from the surviving corpus
     * (MinHashLshSpec pins frames and probe output bit-for-bit).
     */
   def compactSignatureStore(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    storeTombstones(spark, path).foreach { tomb =>
+    val cur = StoreManifest.currentSnapshot(spark, path)
+      .getOrElse(sys.error(s"signature store $path does not exist"))
+    storeTombstones(spark, path, cur).foreach { tomb =>
       val t = broadcast(tomb.select("doc_id"))
+      val v = cur.version + 1
       Seq("tokens", "bands").foreach { name =>
-        val live = new org.apache.hadoop.fs.Path(s"$path/$name.parquet")
-        val next = new org.apache.hadoop.fs.Path(s"$path/${name}_compact.parquet")
-        spark.read.parquet(live.toString)
+        StoreManifest.readComponent(spark, path, cur, name).get
           .join(t, Seq("doc_id"), "left_anti")
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(next.toString)
-        fs.delete(live, true)
-        require(fs.rename(next, live), s"compact swap failed for $name")
+          .parquet(s"$path/${StoreManifest.componentDir(name, v)}")
       }
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones.parquet"), true)
+      StoreManifest.publish(spark, path, StoreManifest.Snapshot(
+        v, cur.batchWatermark, Map(
+          "tokens" -> Seq(StoreManifest.componentDir("tokens", v)),
+          "bands" -> Seq(StoreManifest.componentDir("bands", v)))))
     }
   }
 
@@ -448,13 +478,18 @@ object NearDup {
   def incrementalNearDupPairsFromStore(
       storePath: String,
       delta: DataFrame,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      asOfVersion: Option[Long] = None): DataFrame = {
     val spark = delta.sparkSession
+    val snap = asOfVersion
+      .map(v => StoreManifest.snapshotAt(spark, storePath, v))
+      .orElse(StoreManifest.currentSnapshot(spark, storePath))
+      .getOrElse(sys.error(s"signature store $storePath does not exist"))
     def live(df: DataFrame): DataFrame =
-      storeTombstones(spark, storePath).fold(df)(t =>
+      storeTombstones(spark, storePath, snap).fold(df)(t =>
         df.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
-    val baseTok = live(spark.read.parquet(s"$storePath/tokens.parquet"))
-    val baseBk = live(spark.read.parquet(s"$storePath/bands.parquet"))
+    val baseTok = live(StoreManifest.readComponent(spark, storePath, snap, "tokens").get)
+    val baseBk = live(StoreManifest.readComponent(spark, storePath, snap, "bands").get)
     val deltaTok = tokens(delta)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deltaBk = bands(signatures(deltaTok))

@@ -127,21 +127,32 @@ object Retrieval {
   // batch; at 100 TB the index is built ONCE, appended per nightly
   // batch, and a query reads only its own terms' postings:
   //
-  //   - postings live under `postings/`, hash-bucketed on the term
-  //     (`bucket = crc32(tok) % nBuckets` as a partition column) — a
-  //     query's scan is pruned to ≤ |query vocab| buckets of the
-  //     (already tiny, text-free) index, never the corpus. Buckets,
-  //     not one-directory-per-term: a crawl vocabulary is 10⁶–10⁹
-  //     terms, and bounded directory fanout is the lakehouse-safe
-  //     layout. dl rides denormalized on each posting row (classic
-  //     index layout), so scoring never joins a doc-length table.
-  //   - corpus scalars (N, Σdl) are per-batch monoid partials under
-  //     `stats/` (one row per write — the q103 discipline), summed at
-  //     query time; df comes from a count over the PRUNED postings.
-  //   - append = write the delta batch's postings/stats into the same
-  //     layout; RetrievalSpec pins base+delta store scoring bit-equal
-  //     to [[bm25TopK]] on the union corpus. (Doc ids must be fresh
-  //     per append — the signature-store contract.)
+  //   - postings are hash-bucketed on the term (`bucket = crc32(tok) %
+  //     nBuckets` as a partition column) — a query's scan is pruned to
+  //     ≤ |query vocab| buckets of the (already tiny, text-free) index,
+  //     never the corpus. Buckets, not one-directory-per-term: a crawl
+  //     vocabulary is 10⁶–10⁹ terms, and bounded directory fanout is
+  //     the lakehouse-safe layout. dl rides denormalized on each
+  //     posting row (classic index layout), so scoring never joins a
+  //     doc-length table.
+  //   - corpus scalars (N, Σdl) are per-batch monoid partials in the
+  //     `stats` component (one row per write — the q103 discipline),
+  //     summed at query time; df comes from a count over the PRUNED
+  //     postings.
+  //   - `doclens` keeps (doc_id, dl) — one row per indexed doc, the
+  //     forward index that lets a delete validate its targets and
+  //     derive the exact stats correction without trusting the
+  //     caller's text (and without scanning the term-scale postings).
+  //   - every mutation publishes through [[StoreManifest]]: data dirs
+  //     are immutable, the manifest pointer is the only mutable file,
+  //     appends/compactions are atomic, crash at any point leaves the
+  //     previous snapshot fully serveable, and `asOfVersion` reads
+  //     any retained snapshot (RetrievalSpec pins readAsOf(v) ≡ the
+  //     store rebuilt from the first v batches).
+  //   - append = write the delta batch's postings/stats/doclens dirs +
+  //     one manifest publish; RetrievalSpec pins base+delta store
+  //     scoring bit-equal to [[bm25TopK]] on the union corpus. (Doc
+  //     ids must be fresh per append — the signature-store contract.)
   // -------------------------------------------------------------------
 
   /** Postings rows for one corpus batch: (bucket, tok, doc_id, tf, dl). */
@@ -164,80 +175,167 @@ object Retrieval {
         .cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
 
-  /** Build the index from the base corpus (overwrite). */
-  def writePostingsStore(docs: DataFrame, dir: String, nBuckets: Int = 64): Unit = {
+  /** (doc_id, dl) forward index for one corpus batch — the same doc set
+    * and tokenizer as [[statsOf]] (a text-non-null doc with zero tokens
+    * still counts, dl 0), so the delete path's per-doc corrections sum
+    * to exactly what indexing added.
+    */
+  private def doclensOf(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(expr("filter(split(text, ' '), x -> x <> '')"))
+          .cast("long").as("dl"))
+
+  private val PostingsSchema = "tok STRING, doc_id LONG, tf LONG, dl LONG, bucket INT"
+
+  /** Write one batch's three data dirs for snapshot `v` (immutable once
+    * the manifest referencing them publishes).
+    */
+  private def writeBatchDirs(
+      docs: DataFrame, dir: String, v: Long, nBuckets: Int): Unit = {
     postingsOf(docs, nBuckets)
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
-      .parquet(s"$dir/postings")
-    statsOf(docs).write.mode(SaveMode.Overwrite).parquet(s"$dir/stats")
+      .parquet(s"$dir/${StoreManifest.componentDir("postings", v)}")
+    statsOf(docs).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/${StoreManifest.componentDir("stats", v)}")
+    doclensOf(docs).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/${StoreManifest.componentDir("doclens", v)}")
   }
 
-  /** Append one delta batch (fresh doc_ids — the store contract). */
-  def appendPostingsStore(delta: DataFrame, dir: String, nBuckets: Int = 64): Unit = {
-    postingsOf(delta, nBuckets)
-      .write.mode(SaveMode.Append).partitionBy("bucket")
-      .parquet(s"$dir/postings")
-    statsOf(delta).write.mode(SaveMode.Append).parquet(s"$dir/stats")
+  /** Build the index from the base corpus: data dirs + manifest v1. */
+  def writePostingsStore(docs: DataFrame, dir: String, nBuckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    require(StoreManifest.currentSnapshot(spark, dir).isEmpty,
+      s"postings store $dir already exists — append or compact instead")
+    writeBatchDirs(docs, dir, 1L, nBuckets)
+    StoreManifest.publish(spark, dir, StoreManifest.Snapshot(1L, -1L, Map(
+      "postings" -> Seq(StoreManifest.componentDir("postings", 1L)),
+      "stats" -> Seq(StoreManifest.componentDir("stats", 1L)),
+      "doclens" -> Seq(StoreManifest.componentDir("doclens", 1L)))))
   }
 
-  /** Tombstone deleted docs in the store — O(|deleted|), no postings
-    * file touched (the lakehouse delete shape): ids land in
-    * `dir/tombstones`, and a NEGATIVE stats partial keeps the store's
-    * (N, Σdl) scalars exact, so BM25's idf/avgdl reflect the live
-    * corpus immediately. `deleted` must be the doc rows themselves
-    * (doc_id + text): dl is recomputed with the indexing tokenizer, so
-    * the stats delta cancels exactly what indexing added. Serving
-    * anti-joins the tombstones ([[bm25TopKFromStore]]); df is counted
-    * AFTER that filter, so a deleted doc stops contributing to term
-    * rarity the moment the tombstone lands.
+  /** Append one delta batch (fresh doc_ids — the store contract): three
+    * new data dirs, ONE manifest publish — a crash before the publish
+    * leaves the previous snapshot serving, never a torn append.
+    *
+    * `batchId` is the streaming exactly-once hook: foreachBatch is
+    * at-least-once, so a replayed batch re-arrives with an id ≤ the
+    * manifest's watermark and is skipped BEFORE any write. Batch calls
+    * leave it at -1 (no watermark movement).
     */
-  def deleteFromPostingsStore(deleted: DataFrame, dir: String): Unit = {
-    deleted.filter(col("text").isNotNull).select(col("doc_id"))
-      .write.mode(SaveMode.Append).parquet(s"$dir/tombstones")
-    statsOf(deleted)
-      .select((-col("n_docs")).as("n_docs"), (-col("sum_dl")).as("sum_dl"))
-      .write.mode(SaveMode.Append).parquet(s"$dir/stats")
+  def appendPostingsStore(
+      delta: DataFrame, dir: String, nBuckets: Int = 64,
+      batchId: Long = -1L): Unit = {
+    val spark = delta.sparkSession
+    val cur = StoreManifest.currentSnapshot(spark, dir)
+      .getOrElse(sys.error(s"postings store $dir does not exist — write it first"))
+    if (batchId >= 0 && batchId <= cur.batchWatermark) return // replay — already folded
+    val v = cur.version + 1
+    writeBatchDirs(delta, dir, v, nBuckets)
+    StoreManifest.publish(spark, dir, cur
+      .appending("postings", StoreManifest.componentDir("postings", v))
+      .appending("stats", StoreManifest.componentDir("stats", v))
+      .appending("doclens", StoreManifest.componentDir("doclens", v))
+      .copy(version = v, batchWatermark = math.max(cur.batchWatermark, batchId)))
   }
 
-  private def tombstonesOf(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  /** Tombstone deleted docs — O(|deleted|), no postings dir touched
+    * (the lakehouse delete shape): validated ids land in a new
+    * `tombstones` dir, and a NEGATIVE stats partial keeps the store's
+    * (N, Σdl) scalars exact, so BM25's idf/avgdl reflect the live
+    * corpus immediately. Serving anti-joins the tombstones
+    * ([[bm25TopKFromStore]]); df is counted AFTER that filter, so a
+    * deleted doc stops contributing to term rarity the moment the
+    * delete publishes.
+    *
+    * Idempotent and self-validating: `deletedIds` (a doc_id frame) is
+    * first restricted to docs actually LIVE in the store — semi-join
+    * against the `doclens` forward index, anti-join against existing
+    * tombstones — and the stats correction is derived from the STORED
+    * dl of exactly those docs. Double-deleting a doc, or deleting one
+    * never indexed, is a provable no-op (no phantom negative partial —
+    * the r14 advisory); a delete that validates to nothing publishes
+    * nothing.
+    */
+  def deleteFromPostingsStore(deletedIds: DataFrame, dir: String): Unit = {
+    val spark = deletedIds.sparkSession
+    val cur = StoreManifest.currentSnapshot(spark, dir)
+      .getOrElse(sys.error(s"postings store $dir does not exist"))
+    val doclens = StoreManifest.readComponent(spark, dir, cur, "doclens")
+      .getOrElse(sys.error(s"postings store $dir has no doclens component"))
+    val live = StoreManifest.readComponent(spark, dir, cur, "tombstones")
+      .fold(doclens)(t =>
+        doclens.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
+    val valid = live
+      .join(broadcast(deletedIds.select("doc_id").distinct()), Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val agg = valid
+        .agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+        .collect()(0)
+      if (agg.getLong(0) > 0) {
+        val v = cur.version + 1
+        valid.select("doc_id").write.mode(SaveMode.Overwrite)
+          .parquet(s"$dir/${StoreManifest.componentDir("tombstones", v)}")
+        valid
+          .agg((-count(lit(1))).as("n_docs"),
+            (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl"))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$dir/${StoreManifest.componentDir("stats", v)}")
+        StoreManifest.publish(spark, dir, cur
+          .appending("tombstones", StoreManifest.componentDir("tombstones", v))
+          .appending("stats", StoreManifest.componentDir("stats", v))
+          .copy(version = v))
+      }
+    } finally valid.unpersist(false)
   }
 
-  /** Fold the tombstones into the files: rewrite the postings minus
+  private def tombstonesOf(
+      spark: SparkSession, dir: String,
+      snap: StoreManifest.Snapshot): Option[DataFrame] =
+    StoreManifest.readComponent(spark, dir, snap, "tombstones")
+
+  /** Fold the tombstones into the files: rewrite postings/doclens minus
     * tombstoned docs (bucket partitioning preserved — the pruning
-    * layout survives), collapse the stats partials to ONE row, drop the
-    * tombstone log. Compact-then-swap via rename (the
-    * [[graft.ops.Layout.compactRangeSorted]] / FileIngest publish
-    * discipline — never an in-place rewrite), after which the store is
-    * logically identical to an index rebuilt from the surviving corpus
-    * (RetrievalSpec pins postings/stats/scoring equality bit-for-bit).
+    * layout survives), collapse the stats partials to ONE row, publish
+    * a manifest referencing ONLY the rewritten dirs (tombstones gone).
+    * Never an in-place rewrite and never a swap window: the previous
+    * snapshot's dirs are untouched, a crash anywhere before the single
+    * manifest rename leaves it serving bit-for-bit, and concurrent
+    * readers that resolved it keep reading it. After compaction the
+    * store is logically identical to an index rebuilt from the
+    * surviving corpus (RetrievalSpec pins postings/stats/scoring
+    * equality bit-for-bit); pre-compact snapshots remain readable via
+    * `asOfVersion` until [[StoreManifest.vacuum]].
     */
   def compactPostingsStore(spark: SparkSession, dir: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def swap(name: String): Unit = {
-      val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
-      val next = new org.apache.hadoop.fs.Path(s"$dir/${name}_compact")
-      fs.delete(live, true)
-      require(fs.rename(next, live), s"compact swap failed for $name")
-    }
-    val tomb = tombstonesOf(spark, dir)
-    val postings = spark.read.parquet(s"$dir/postings")
-    tomb.fold(postings)(t =>
-        postings.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
+    val cur = StoreManifest.currentSnapshot(spark, dir)
+      .getOrElse(sys.error(s"postings store $dir does not exist"))
+    val v = cur.version + 1
+    val tomb = tombstonesOf(spark, dir, cur)
+    def live(df: DataFrame): DataFrame = tomb.fold(df)(t =>
+      df.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
+    val postings = StoreManifest
+      .readComponent(spark, dir, cur, "postings", Some(PostingsSchema)).get
+    live(postings)
       // canonical column order: the key join moved doc_id first, and the
       // compacted schema must equal a from-scratch build's
       .select("tok", "doc_id", "tf", "dl", "bucket")
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
-      .parquet(s"$dir/postings_compact")
-    spark.read.parquet(s"$dir/stats")
+      .parquet(s"$dir/${StoreManifest.componentDir("postings", v)}")
+    StoreManifest.readComponent(spark, dir, cur, "stats").get
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/stats_compact")
-    swap("postings")
-    swap("stats")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/${StoreManifest.componentDir("stats", v)}")
+    live(StoreManifest.readComponent(spark, dir, cur, "doclens").get)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/${StoreManifest.componentDir("doclens", v)}")
+    StoreManifest.publish(spark, dir, StoreManifest.Snapshot(
+      v, cur.batchWatermark, Map(
+        "postings" -> Seq(StoreManifest.componentDir("postings", v)),
+        "stats" -> Seq(StoreManifest.componentDir("stats", v)),
+        "doclens" -> Seq(StoreManifest.componentDir("doclens", v)))))
   }
 
   /** [[bm25TopK]] served from the store: same arithmetic, but the scan
@@ -245,6 +343,11 @@ object Retrieval {
     * docs only (tombstones anti-joined — broadcast, the deleted set is
     * the small side by contract). Output bit-equal to [[bm25TopK]] over
     * the same logical corpus (spec-pinned).
+    *
+    * `asOfVersion` serves any retained snapshot — the store exactly as
+    * of that publish (appends after it invisible, deletes after it
+    * still serving), bit-equal to a store built from only the batches
+    * folded by then (spec-pinned).
     */
   def bm25TopKFromStore(
       spark: SparkSession,
@@ -253,9 +356,14 @@ object Retrieval {
       topK: Int = 10,
       k1: Double = 1.2,
       b: Double = 0.75,
-      nBuckets: Int = 64): DataFrame = {
+      nBuckets: Int = 64,
+      asOfVersion: Option[Long] = None): DataFrame = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty))
     import spark.implicits._
+    val snap = asOfVersion
+      .map(v => StoreManifest.snapshotAt(spark, dir, v))
+      .orElse(StoreManifest.currentSnapshot(spark, dir))
+      .getOrElse(sys.error(s"postings store $dir does not exist"))
     val terms = queries.flatMap(_._2).distinct
     val termBuckets = terms.map { t =>
       val c = new java.util.zip.CRC32()
@@ -268,13 +376,14 @@ object Retrieval {
 
     // partition-pruned: only the query terms' buckets are listed/read;
     // tombstoned docs filtered BEFORE df so term rarity is live-corpus
-    val pruned = spark.read.parquet(s"$dir/postings")
+    val pruned = StoreManifest
+      .readComponent(spark, dir, snap, "postings", Some(PostingsSchema)).get
       .filter(col("bucket").isin(termBuckets.map(Int.box): _*))
       .join(broadcast(qterms), "tok")
-    val matched = tombstonesOf(spark, dir).fold(pruned)(t =>
+    val matched = tombstonesOf(spark, dir, snap).fold(pruned)(t =>
       pruned.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
 
-    val scalars = spark.read.parquet(s"$dir/stats")
+    val scalars = StoreManifest.readComponent(spark, dir, snap, "stats").get
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
 
     // df over the pruned slice = global df of each query term (postings
@@ -305,6 +414,88 @@ object Retrieval {
         round(col("score_q") / 1000000.0, 4).as("score"), col("rnk"))
       .orderBy("query_id", "rnk")
   }
+
+  // -------------------------------------------------------------------
+  // Hybrid retrieval fusion (q135): reciprocal-rank fusion of the BM25
+  // lexical shortlist and the IVF-PQ semantic shortlist — the RAG-
+  // curation query users compose by hand (publication: Cormack et al.'s
+  // RRF — rank-only fusion, robust to incomparable score scales).
+  // Exact-integer: contribution = RrfScale div (k + rank), a floor
+  // division both engines compute identically, so the fused ordering is
+  // oracle-replayable bit-for-bit. Scale shape: both legs are already
+  // topK-per-query (tiny frames); the fusion is one union + one
+  // (query, doc)-keyed sum + one per-query window over ≤ 2·topK rows.
+  // -------------------------------------------------------------------
+
+  /** Fixed-point scale for RRF contributions (1e6: k + rank ≤ ~70 keeps
+    * quotients 4-5 digits — distinct ranks stay distinct).
+    */
+  val RrfScale: Long = 1000000L
+
+  /** Fuse two (query_id, doc_id, rnk) shortlists by reciprocal rank.
+    * Output per query: topK docs by fused score — (query_id, doc_id,
+    * rrf_q, legs, rnk); `legs` counts the shortlists the doc appeared
+    * in (a both-leg doc outranks single-leg docs of similar rank, the
+    * RRF selling point).
+    */
+  def rrfFusion(
+      lex: DataFrame,
+      sem: DataFrame,
+      k: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(k >= 1 && topK >= 1)
+    val contrib = expr(s"${RrfScale}L div (${k}L + rnk)").as("c")
+    val both = lex.select(col("query_id"), col("doc_id"), contrib)
+      .unionByName(sem.select(col("query_id"), col("doc_id"), contrib))
+    val fused = both
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("rrf_q"), count(lit(1)).as("legs"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("rrf_q"), asc("doc_id"))
+    fused
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** q135: [[bm25TopK]] ∪ [[AnnPq.ivfPqTopK]] fused — lexical hits over
+    * `documents`, semantic hits over `embeddings`, shared query-id
+    * space (BM25's term queries 1..3 meet the ANN query vectors 0..4 on
+    * {1,2,3} — both legs contribute there, non-vacuously).
+    */
+  def hybridTopK(docs: DataFrame, emb: DataFrame): DataFrame =
+    rrfFusion(
+      bm25TopK(docs).select(col("query_id"), col("doc_id"), col("rnk")),
+      AnnPq.ivfPqTopK(emb)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk")))
+
+  /** DuckDB oracle for [[hybridTopK]]: both legs' published oracles as
+    * subqueries, the same floor-division fusion on top.
+    */
+  def hybridTopKOracleSql(k: Int = 60, topK: Int = 10): String =
+    s"""WITH lex AS (
+       |  SELECT query_id, doc_id, rnk FROM (
+       |${bm25TopKOracleSql().linesIterator.map("    " + _).mkString("\n")}
+       |  )),
+       |sem AS (
+       |  SELECT query_id, neighbor_id AS doc_id, rnk FROM (
+       |${AnnPq.ivfPqOracleSql().linesIterator.map("    " + _).mkString("\n")}
+       |  )),
+       |contribs AS (
+       |  SELECT query_id, doc_id, $RrfScale // ($k + rnk) AS c FROM lex
+       |  UNION ALL
+       |  SELECT query_id, doc_id, $RrfScale // ($k + rnk) AS c FROM sem),
+       |fused AS (
+       |  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_q,
+       |    CAST(count(*) AS BIGINT) AS legs
+       |  FROM contribs GROUP BY 1, 2)
+       |SELECT query_id, doc_id, rrf_q, legs, rnk FROM (
+       |  SELECT query_id, doc_id, rrf_q, legs,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY rrf_q DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM fused)
+       |WHERE rnk <= $topK
+       |ORDER BY query_id, rnk""".stripMargin
 
   /** DuckDB SQL replicating [[bm25TopK]] over the same parquet corpus. */
   def bm25TopKOracleSql(

@@ -227,20 +227,77 @@ object SemDedup {
       else AnnIvf.initCentroids(emb, nlist)
     require(cents.nonEmpty,
       "semantic store needs a non-empty quantizer (corpus had no valid vectors)")
+    require(StoreManifest.currentSnapshot(spark, path).isEmpty,
+      s"semantic store $path already exists — delete or compact instead")
     import spark.implicits._
     cents.toDF("cid", "centroid").write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/centroids.parquet")
+      .parquet(s"$path/${StoreManifest.componentDir("centroids", 1L)}")
     val assigned = assignFrame(emb, cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       assigned.write.partitionBy("list_id")
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$path/assigned.parquet")
+        .parquet(s"$path/${StoreManifest.componentDir("assigned", 1L)}")
       cellPairs(assigned, threshold).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$path/edges.parquet")
+        .parquet(s"$path/${StoreManifest.componentDir("edges", 1L)}")
     } finally assigned.unpersist(false)
+    StoreManifest.publish(spark, path, StoreManifest.Snapshot(1L, -1L, Map(
+      "centroids" -> Seq(StoreManifest.componentDir("centroids", 1L)),
+      "assigned" -> Seq(StoreManifest.componentDir("assigned", 1L)),
+      "edges" -> Seq(StoreManifest.componentDir("edges", 1L)))))
+  }
+
+  private def storeSnapshot(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      asOfVersion: Option[Long] = None): StoreManifest.Snapshot =
+    asOfVersion
+      .map(v => StoreManifest.snapshotAt(spark, path, v))
+      .orElse(StoreManifest.currentSnapshot(spark, path))
+      .getOrElse(sys.error(s"semantic store $path does not exist"))
+
+  /** Fold one delta batch into the store (fresh vec_ids — the store
+    * contract): assign against the STORED centroids (never retrained),
+    * write the delta's assigned rows plus its new edges — base↔delta
+    * crossings and delta↔delta within-cell pairs, exactly the edge
+    * increment [[mergeSemanticDedupFromStore]] computes — as fresh data
+    * dirs, ONE atomic manifest publish ([[StoreManifest]]). The stored
+    * edge set therefore remains the full corpus's
+    * (SemDedupSpec pins append-then-read ≡ [[writeSemanticStore]] over
+    * the union when the quantizers agree). `batchId` is the streaming
+    * exactly-once hook — a replayed foreachBatch id ≤ the manifest
+    * watermark is skipped before any write.
+    */
+  def appendSemanticStore(
+      delta: DataFrame, path: String,
+      threshold: Double = 0.3, batchId: Long = -1L): Unit = {
+    val spark = delta.sparkSession
+    val cur = storeSnapshot(spark, path)
+    if (batchId >= 0 && batchId <= cur.batchWatermark) return // replay — already folded
+    val cents = readCentroids(spark, path, cur)
+    val baseAssigned = liveAssigned(spark, path, cur)
+    val deltaAssigned =
+      assignFrame(delta.filter(col("embedding").isNotNull), cents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val v = cur.version + 1
+      deltaAssigned
+        .select("vec_id", "embedding", "nrm", "list_id")
+        .write.partitionBy("list_id")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/${StoreManifest.componentDir("assigned", v)}")
+      crossingPairs(baseAssigned, deltaAssigned, threshold)
+        .select(least(col("new_id"), col("base_id")).as("a"),
+          greatest(col("new_id"), col("base_id")).as("b"))
+        .unionByName(cellPairs(deltaAssigned, threshold))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/${StoreManifest.componentDir("edges", v)}")
+      StoreManifest.publish(spark, path, cur
+        .appending("assigned", StoreManifest.componentDir("assigned", v))
+        .appending("edges", StoreManifest.componentDir("edges", v))
+        .copy(version = v, batchWatermark = math.max(cur.batchWatermark, batchId)))
+    } finally deltaAssigned.unpersist(false)
   }
 
   /** The cell-partitioned assignment store, read with an EXPLICIT
@@ -249,20 +306,22 @@ object SemDedup {
     * key (killing dynamic partition pruning) and mistyping the merged
     * output. The declared schema keeps it the LONG the writer produced.
     */
+  private val AssignedSchema = "vec_id LONG, embedding ARRAY<FLOAT>, nrm DOUBLE, list_id LONG"
+
   private def readAssigned(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame =
-    spark.read
-      .schema("vec_id LONG, embedding ARRAY<FLOAT>, nrm DOUBLE, list_id LONG")
-      .parquet(s"$path/assigned.parquet")
+      path: String,
+      snap: StoreManifest.Snapshot): DataFrame =
+    StoreManifest.readComponent(spark, path, snap, "assigned", Some(AssignedSchema)).get
 
   /** The stored quantizer, sorted by cid — bounded collect (≤ nlist
     * rows, the [[AnnIvf.initCentroids]] bound).
     */
   private def readCentroids(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[(Long, Array[Float])] =
-    spark.read.parquet(s"$path/centroids.parquet")
+      path: String,
+      snap: StoreManifest.Snapshot): Seq[(Long, Array[Float])] =
+    StoreManifest.readComponent(spark, path, snap, "centroids").get
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
       .toIndexedSeq
@@ -273,32 +332,39 @@ object SemDedup {
     * probes and merges anti-join the tombstones out of BOTH the
     * assigned frame and the edge set, so a deleted vector stops
     * matching, stops witnessing crossings, and stops linking clusters
-    * the moment the tombstone lands. Centroids are static (the
+    * the moment the tombstone publishes. Centroids are static (the
     * [[graft.ops.AnnPq.deleteFromPqIndex]] quantizer contract).
     */
-  def deleteFromSemanticStore(deletedIds: DataFrame, path: String): Unit =
+  def deleteFromSemanticStore(deletedIds: DataFrame, path: String): Unit = {
+    val spark = deletedIds.sparkSession
+    val cur = storeSnapshot(spark, path)
+    val v = cur.version + 1
     deletedIds.select(col("vec_id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"$path/tombstones.parquet")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/${StoreManifest.componentDir("tombstones", v)}")
+    StoreManifest.publish(spark, path, cur
+      .appending("tombstones", StoreManifest.componentDir("tombstones", v))
+      .copy(version = v))
+  }
 
   private def storeTombstones(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones.parquet")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
-  }
+      path: String,
+      snap: StoreManifest.Snapshot): Option[DataFrame] =
+    StoreManifest.readComponent(spark, path, snap, "tombstones")
 
   private def liveAssigned(
-      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    storeTombstones(spark, path).fold(readAssigned(spark, path))(t =>
-      readAssigned(spark, path)
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      snap: StoreManifest.Snapshot): DataFrame =
+    storeTombstones(spark, path, snap).fold(readAssigned(spark, path, snap))(t =>
+      readAssigned(spark, path, snap)
         .join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti"))
 
   private def liveEdges(
-      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val edges = spark.read.parquet(s"$path/edges.parquet")
-    storeTombstones(spark, path).fold(edges) { t =>
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      snap: StoreManifest.Snapshot): DataFrame = {
+    val edges = StoreManifest.readComponent(spark, path, snap, "edges").get
+    storeTombstones(spark, path, snap).fold(edges) { t =>
       val tb = broadcast(t.select("vec_id"))
       edges
         .join(tb.withColumnRenamed("vec_id", "a"), Seq("a"), "left_anti")
@@ -308,34 +374,34 @@ object SemDedup {
 
   /** Fold the tombstones into the store files: assigned rows and edges
     * touching a deleted vector are rewritten away (cell partitioning
-    * preserved), compact-then-swap via rename, log dropped. After
-    * compaction the store is bit-equal to one rebuilt from the
-    * surviving corpus with the same quantizer (SemDedupSpec pins
-    * frames and probe/merge outputs).
+    * preserved) into fresh data dirs, published by ONE atomic manifest
+    * rename with the tombstones gone; centroid dirs carried by
+    * reference (static by contract). Never in-place and never a swap
+    * window — the pre-compact snapshot keeps serving through a crash
+    * or to concurrent readers ([[StoreManifest]]). After compaction the
+    * store is bit-equal to one rebuilt from the surviving corpus with
+    * the same quantizer (SemDedupSpec pins frames and probe/merge
+    * outputs).
     */
   def compactSemanticStore(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def swap(name: String): Unit = {
-      val live = new org.apache.hadoop.fs.Path(s"$path/$name.parquet")
-      val next = new org.apache.hadoop.fs.Path(s"$path/${name}_compact.parquet")
-      fs.delete(live, true)
-      require(fs.rename(next, live), s"compact swap failed for $name")
-    }
-    storeTombstones(spark, path).foreach { _ =>
-      liveAssigned(spark, path)
+    val cur = storeSnapshot(spark, path)
+    storeTombstones(spark, path, cur).foreach { _ =>
+      val v = cur.version + 1
+      liveAssigned(spark, path, cur)
         .select("vec_id", "embedding", "nrm", "list_id")
         .write.partitionBy("list_id")
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$path/assigned_compact.parquet")
-      liveEdges(spark, path)
+        .parquet(s"$path/${StoreManifest.componentDir("assigned", v)}")
+      liveEdges(spark, path, cur)
         .select("a", "b")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$path/edges_compact.parquet")
-      swap("assigned")
-      swap("edges")
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones.parquet"), true)
+        .parquet(s"$path/${StoreManifest.componentDir("edges", v)}")
+      StoreManifest.publish(spark, path, StoreManifest.Snapshot(
+        v, cur.batchWatermark, Map(
+          "centroids" -> cur.components("centroids"),
+          "assigned" -> Seq(StoreManifest.componentDir("assigned", v)),
+          "edges" -> Seq(StoreManifest.componentDir("edges", v)))))
     }
   }
 
@@ -352,10 +418,12 @@ object SemDedup {
   def incrementalSemanticDedupFromStore(
       storePath: String,
       delta: DataFrame,
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = 0.3,
+      asOfVersion: Option[Long] = None): DataFrame = {
     val spark = delta.sparkSession
-    val cents = readCentroids(spark, storePath)
-    val baseAssigned = liveAssigned(spark, storePath)
+    val snap = storeSnapshot(spark, storePath, asOfVersion)
+    val cents = readCentroids(spark, storePath, snap)
+    val baseAssigned = liveAssigned(spark, storePath, snap)
     val deltaAssigned =
       assignFrame(delta.filter(col("embedding").isNotNull), cents)
     crossingPairs(baseAssigned, deltaAssigned, threshold)
@@ -383,9 +451,10 @@ object SemDedup {
       delta: DataFrame,
       threshold: Double = 0.3): DataFrame = {
     val spark = delta.sparkSession
-    val cents = readCentroids(spark, storePath)
-    val baseAssigned = liveAssigned(spark, storePath)
-    val baseEdges = liveEdges(spark, storePath)
+    val snap = storeSnapshot(spark, storePath)
+    val cents = readCentroids(spark, storePath, snap)
+    val baseAssigned = liveAssigned(spark, storePath, snap)
+    val baseEdges = liveEdges(spark, storePath, snap)
     val deltaAssigned =
       assignFrame(delta.filter(col("embedding").isNotNull), cents)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1291,4 +1291,42 @@ object StreamingEtl {
           Iterator.single(next)
       }
   }
+
+  /** Streaming index maintenance — the production loop for every
+    * persisted store: "nightly crawl lands → fold the batch into the
+    * index, exactly-once". Each micro-batch is handed to `append`
+    * together with its batch id; the store-side append functions
+    * ([[graft.ops.Retrieval.appendPostingsStore]],
+    * [[graft.ops.NearDup.appendSignatureStore]],
+    * [[graft.ops.AnnPq.appendPqIndex]],
+    * [[graft.ops.SemDedup.appendSemanticStore]]) compare that id
+    * against the manifest's `batchWatermark` and skip ids already
+    * folded.
+    *
+    * Exactly-once: foreachBatch is at-least-once — a crash after the
+    * store publish but before the checkpoint commit replays the same
+    * batchId on restart — so the dedup decision must be atomic with
+    * the data publish. It is: the watermark rides INSIDE the manifest
+    * ([[graft.ops.StoreManifest.Snapshot]]), swapped by the same
+    * single-file rename as the data-dir lists (the
+    * [[runWithBatchReport]] admission-ledger discipline, moved into
+    * the store itself). Replayed ids are rejected BEFORE any write.
+    *
+    * Drains what is available, then stops (AvailableNow — the nightly
+    * backfill shape); schedule it per crawl drop or wrap with a
+    * ProcessingTime trigger for a long-lived service.
+    */
+  def runIndexAppend(
+      stream: DataFrame,
+      checkpoint: String,
+      append: (DataFrame, Long) => Unit): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        append(batch, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -211,18 +211,24 @@ class AnnPqSpec extends SparkSpec {
 
     // compact: codes frame == original minus the deleted set (bit-equal,
     // quantizers untouched by contract), probe unchanged, log gone
-    val origCodes = spark.read
-      .schema("vec_id LONG, codes ARRAY<INT>, list_id LONG")
-      .parquet(s"$dir/codes.parquet")
-      .collect().map(_.toSeq).toSet
+    import graft.ops.StoreManifest
+    def codes(): Set[Seq[Any]] = {
+      val snap = StoreManifest.currentSnapshot(spark, dir).get
+      StoreManifest.readComponent(spark, dir, snap, "codes",
+          Some("vec_id LONG, codes ARRAY<INT>, list_id LONG")).get
+        .collect().map(_.toSeq).toSet
+    }
+    val origCodes = codes()
+    val quantizerDirs = StoreManifest.currentSnapshot(spark, dir).get
+      .components.filter { case (k, _) => k == "centroids" || k == "codebook" }
     AnnPq.compactPqIndex(spark, dir)
-    val compacted = spark.read
-      .schema("vec_id LONG, codes ARRAY<INT>, list_id LONG")
-      .parquet(s"$dir/codes.parquet")
-      .collect().map(_.toSeq).toSet
-    assert(compacted === origCodes.filterNot(r =>
+    val compactedSnap = StoreManifest.currentSnapshot(spark, dir).get
+    assert(codes() === origCodes.filterNot(r =>
       victims.contains(r.head.asInstanceOf[Long])))
-    assert(!new java.io.File(s"$dir/tombstones.parquet").exists())
+    assert(compactedSnap.components.getOrElse("tombstones", Nil).isEmpty)
+    assert(compactedSnap.components.filter {
+      case (k, _) => k == "centroids" || k == "codebook" } === quantizerDirs,
+      "compaction must carry the quantizer dirs by reference, never rewrite them")
     assert(AnnPq.ivfPqTopKFromIndex(emb, dir).collect().toSeq === after.toSeq)
   }
 

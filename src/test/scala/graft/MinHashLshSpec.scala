@@ -117,13 +117,17 @@ class MinHashLshSpec extends SparkSpec {
     assert(got.nonEmpty)
 
     // compact: frames bit-equal to the rebuilt store, probe unchanged,
-    // tombstone log gone
+    // tombstone log gone from the manifest
     graft.ops.NearDup.compactSignatureStore(spark, store)
-    def frame(p: String, name: String) = spark.read.parquet(s"$p/$name.parquet")
-      .collect().map(_.toSeq).toSet
+    def frame(p: String, name: String) = {
+      val snap = graft.ops.StoreManifest.currentSnapshot(spark, p).get
+      graft.ops.StoreManifest.readComponent(spark, p, snap, name).get
+        .collect().map(_.toSeq).toSet
+    }
     assert(frame(store, "tokens") === frame(rebuilt, "tokens"))
     assert(frame(store, "bands") === frame(rebuilt, "bands"))
-    assert(!new java.io.File(s"$store/tombstones.parquet").exists())
+    assert(graft.ops.StoreManifest.currentSnapshot(spark, store).get
+      .components.getOrElse("tombstones", Nil).isEmpty)
     assert(graft.ops.NearDup
       .incrementalNearDupPairsFromStore(store, delta).collect().toSeq === want)
   }
@@ -147,7 +151,7 @@ class MinHashLshSpec extends SparkSpec {
       .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
     val locations = fileScans.map(_.metadata.getOrElse("Location", ""))
     assert(locations.nonEmpty && locations.forall(l =>
-      l.contains("tokens.parquet") || l.contains("bands.parquet")),
+      l.contains("tokens-v") || l.contains("bands-v")),
       s"probe scans a non-store table: $locations")
   }
 

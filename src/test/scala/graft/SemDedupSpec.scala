@@ -168,14 +168,18 @@ class SemDedupSpec extends SparkSpec {
 
     // compact: assigned + edges frames bit-equal to the rebuild, log gone
     SemDedup.compactSemanticStore(spark, store)
-    def frame(p: String, name: String, schema: String) =
-      spark.read.schema(schema).parquet(s"$p/$name.parquet")
+    import graft.ops.StoreManifest
+    def frame(p: String, name: String, schema: String) = {
+      val snap = StoreManifest.currentSnapshot(spark, p).get
+      StoreManifest.readComponent(spark, p, snap, name, Some(schema)).get
         .collect().map(_.toSeq).toSet
+    }
     val aSchema = "vec_id LONG, embedding ARRAY<FLOAT>, nrm DOUBLE, list_id LONG"
     assert(frame(store, "assigned", aSchema) === frame(rebuilt, "assigned", aSchema))
     assert(frame(store, "edges", "a LONG, b LONG") ===
       frame(rebuilt, "edges", "a LONG, b LONG"))
-    assert(!new java.io.File(s"$store/tombstones.parquet").exists())
+    assert(StoreManifest.currentSnapshot(spark, store).get
+      .components.getOrElse("tombstones", Nil).isEmpty)
     assert(SemDedup.incrementalSemanticDedupFromStore(store, delta)
       .collect().map(_.toSeq).toSeq === wantProbe)
   }
@@ -193,9 +197,11 @@ class SemDedupSpec extends SparkSpec {
     // the probe's base side reads the materialized assignments — the
     // base embeddings table itself contributes no scan to the probe
     assert(fileScans.exists(_.metadata.getOrElse("Location", "")
-      .contains("assigned.parquet")), fileScans.map(_.metadata))
+      .contains("assigned-v")), fileScans.map(_.metadata))
     // the store was written partitionBy(list_id): cell directories exist
-    val dirs = new java.io.File(s"$store/assigned.parquet").listFiles()
+    val assignedDir = graft.ops.StoreManifest.currentSnapshot(spark, store).get
+      .components("assigned").head
+    val dirs = new java.io.File(s"$store/$assignedDir").listFiles()
       .filter(_.isDirectory).map(_.getName)
     assert(dirs.exists(_.startsWith("list_id=")), dirs.mkString(","))
   }
