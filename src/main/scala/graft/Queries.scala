@@ -2182,35 +2182,21 @@ object Queries {
     * pipeline runs before any mean-based metric (one fat-finger price
     * must not move the group average).
     *
-    * Shape: q40's ONE grouped percentile pass (both fences in one
-    * buffer), fences broadcast back onto the rows (tiny |groups|-row
-    * frame), clipping in-row, ONE final aggregate. Determinism: fences
-    * are quantized to 4 decimals BEFORE clipping — exactly the surface
-    * q40's hash-match proves both engines agree on (raw interpolated
-    * quantiles can differ in the last ulp; clipped sums would inherit
-    * it) — and the clipped sum is a rounded 2dp money sum.
+    * Shape ([[graft.ops.Winsorize]]): q40's ONE grouped percentile pass
+    * (both fences in one buffer), fences broadcast back onto the rows
+    * (tiny |groups|-row frame), clipping in-row, ONE final aggregate.
+    * Determinism: fences are quantized to 4 decimals BEFORE clipping —
+    * exactly the surface q40's hash-match proves both engines agree on
+    * (raw interpolated quantiles can differ in the last ulp; clipped
+    * sums would inherit it) — and the clipped sum is a rounded 2dp
+    * money sum. This exact form is the ORACLE ANCHOR; the bounded-state
+    * 100 TB path is `approxFences = true` (one GK sketch per group,
+    * rank-error bound spec-asserted — the q67-vs-q40 pattern).
     */
   private val q124 = QueryDef(
     "q124_winsorize",
-    (s, d) => {
-      val li = t(s, d, "lineitem")
-      val fences = li.groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, array(0.05D, 0.95D))").as("ps"))
-        .select(col("l_returnflag"),
-          round(element_at(col("ps"), 1), 4).as("lo"),
-          round(element_at(col("ps"), 2), 4).as("hi"))
-      li.join(broadcast(fences), "l_returnflag")
-        .select(col("l_returnflag"),
-          col("l_extendedprice").as("x"), col("lo"), col("hi"))
-        .groupBy(col("l_returnflag"))
-        .agg(
-          count(lit(1)).as("cnt"),
-          count(when(col("x") < col("lo"), 1)).as("n_lo"),
-          count(when(col("x") > col("hi"), 1)).as("n_hi"),
-          round(sum(least(greatest(col("x"), col("lo")), col("hi"))), 2)
-            .as("wins_sum"))
-        .orderBy("l_returnflag")
-    },
+    (s, d) => graft.ops.Winsorize.winsorizedAgg(
+      t(s, d, "lineitem"), "l_returnflag", "l_extendedprice"),
     Some("""WITH fences AS (
            |  SELECT l_returnflag,
            |    round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
@@ -2250,6 +2236,25 @@ object Queries {
       graft.ops.Multimodal.mediaWithReencodes(s, d)),
     Some(graft.ops.Multimodal.imageNearDupOracleSql()))
 
+  /** Audio fingerprint near-dup: decode-or-fallback band-energy hash
+    * (exact-integer cell sums, gain-invariant by construction), shared
+    * 16-bit band candidates + exact Hamming verify.
+    */
+  private val q134 = QueryDef(
+    "q134_audio_neardup",
+    (s, d) => graft.ops.Multimodal.audioNearDupPairs(
+      graft.ops.Multimodal.audioWithVariants(s, d)),
+    Some(graft.ops.Multimodal.audioNearDupOracleSql()))
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical and
+    * IVF-PQ semantic shortlists — exact floor-division contributions.
+    */
+  private val q135 = QueryDef(
+    "q135_hybrid_rrf",
+    (s, d) => graft.ops.Retrieval.hybridTopK(
+      t(s, d, "documents"), t(s, d, "embeddings")),
+    Some(graft.ops.Retrieval.hybridTopKOracleSql()))
+
   /** Rolling distinct actives (DAU/WAU) from daily KMV sketches merged
     * over a trailing window — O(k) state per day, KMV-closure exact.
     */
@@ -2274,6 +2279,15 @@ object Queries {
     (s, d) => graft.ops.Graph.personalizedPageRank(
       t(s, d, "orders"), t(s, d, "lineitem")),
     Some(graft.ops.Graph.personalizedPageRankOracleSql()))
+
+  /** Weighted PageRank: edge weight = order-line count per pair — a
+    * 50-trade relationship endorses 50× harder than a one-off.
+    */
+  private val q133 = QueryDef(
+    "q133_weighted_pagerank",
+    (s, d) => graft.ops.Graph.weightedPageRank(
+      t(s, d, "orders"), t(s, d, "lineitem")),
+    Some(graft.ops.Graph.weightedPageRankOracleSql()))
 
   /** Exact global percentile rank per order (q130): the [[graft.ops.Ranks]]
     * two-pass primitive serving a whole-table query — every row gets its
@@ -2461,5 +2475,5 @@ object Queries {
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
-    q127, q128, q129, q130, q131, q132)
+    q127, q128, q129, q130, q131, q132, q133, q134, q135)
 }

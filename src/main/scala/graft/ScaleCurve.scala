@@ -148,6 +148,35 @@ object ScaleCurve {
     }.reduce(_.union(_))
   }
 
+  /** N× trade graph (orders + lineitem): replicas offset the order,
+    * customer, and supplier keys with consistent strides, so each
+    * replica is a DISJOINT copy of the base trade graph — rank-family
+    * cells (q129/q130/q131/q133) see exactly f independent components
+    * / f-fold row growth. Strides are padded to multiples of 10 so the
+    * q129 seed residue (suppkey % 10 = 0) elects the SAME seed pattern
+    * in every replica, and ties replicate deterministically.
+    */
+  def scaleTrade(orders: DataFrame, lineitem: DataFrame, factor: Int): (DataFrame, DataFrame) = {
+    def stride(df: DataFrame, c: String): Long = {
+      val raw = df.agg(max(col(c))).head().getAs[Number](0).longValue() + 1L
+      ((raw + 9L) / 10L) * 10L
+    }
+    val okStride = stride(orders, "o_orderkey")
+    val custStride = stride(orders, "o_custkey")
+    val suppStride = stride(lineitem, "l_suppkey")
+    val o = (0 until factor).map { r =>
+      orders
+        .withColumn("o_orderkey", col("o_orderkey") + lit(r * okStride))
+        .withColumn("o_custkey", col("o_custkey") + lit(r * custStride))
+    }.reduce(_.unionByName(_))
+    val l = (0 until factor).map { r =>
+      lineitem
+        .withColumn("l_orderkey", col("l_orderkey") + lit(r * okStride))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(r * suppStride))
+    }.reduce(_.unionByName(_))
+    (o, l)
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse("/tmp/graft-scale")
@@ -174,7 +203,7 @@ object ScaleCurve {
     // otherwise leave the factor dir half-synthesized forever)
     factors.foreach { f =>
       val dir = s"$work/x$f"
-      val complete = Seq("documents", "embeddings", "events")
+      val complete = Seq("documents", "embeddings", "events", "orders", "lineitem")
         .forall(t => new java.io.File(s"$dir/$t.parquet/_SUCCESS").exists())
       if (!complete) {
         scaleDocuments(Queries.t(spark, base, "documents"), f)
@@ -186,6 +215,12 @@ object ScaleCurve {
         scaleEvents(Queries.t(spark, base, "events"), f)
           .repartition(math.max(4, f * 4))
           .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        val (o, l) = scaleTrade(
+          Queries.t(spark, base, "orders"), Queries.t(spark, base, "lineitem"), f)
+        o.repartition(math.max(4, f * 4))
+          .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        l.repartition(math.max(4, f * 4))
+          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       }
     }
 
@@ -350,6 +385,34 @@ object ScaleCurve {
             Queries.t(spark, dir, "events")),
           _.filter(col("model") === "last_touch")
             .agg(sum("purchases")).head().getLong(0)),
+        // personalized PageRank (q129): replicas are DISJOINT trade
+        // graphs with the same seed residue pattern, so the rank
+        // distribution replicates (topK output flat by the vertex-asc
+        // tiebreak); the curve watches 3 damped iterations — edge frame
+        // persisted once, |V|-row rank state broadcast — absorb an
+        // f-fold edge set. sec ≲ linear is the pass condition.
+        Cell(f, "q129_ppr",
+          () => SparkEntry.queries("q129_personalized_pagerank")(spark, dir),
+          _.count()),
+        // weighted PageRank (q133): the same contract with order-line
+        // counts as weights (weights replicate exactly per replica).
+        Cell(f, "q133_weighted_pagerank",
+          () => SparkEntry.queries("q133_weighted_pagerank")(spark, dir),
+          _.count()),
+        // exact global percentile (q130): the Ranks two-pass primitive
+        // at FULL-table output — rows exactly orders × f, every task
+        // sorting N/P rows; the curve is the direct receipt that the
+        // checkpoint + two passes stay linear (the q119 lead-fix
+        // methodology applied to the heaviest Ranks consumer).
+        Cell(f, "q130_percentile",
+          () => SparkEntry.queries("q130_global_percentile")(spark, dir),
+          _.count()),
+        // equi-depth histogram (q131): same Ranks core, bounded output
+        // (16 buckets) — the witness is the bucket-count SUM, which
+        // must equal lineitem rows × f exactly (the ntile contract).
+        Cell(f, "q131_equidepth",
+          () => SparkEntry.queries("q131_equidepth_hist")(spark, dir),
+          _.agg(sum("cnt")).head().getLong(0)),
         // co-occurrence top-k (q121): fixed k output rows against a
         // growing corpus (the q89/q106 probe-cell contract — rows flat,
         // sec ≲ linear); the curve watches the in-row pair Generate and

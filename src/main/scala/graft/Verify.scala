@@ -20,6 +20,9 @@ object Verify {
       // every stored shape to session-zoned TimestampType under UTC.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // delete reliable checkpoints (Ranks/Clusters) once GC'd — see
+      // etl.Sessions: unbounded checkpoint-dir growth otherwise
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     // optional reliable-checkpoint dir for iterative CC (see etl.Sessions)
     sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")

@@ -39,6 +39,10 @@ object Sessions {
       // Scala Column API works without this (graft.functions)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // reliable checkpoints (Ranks, Clusters) are deleted once their
+      // RDDs are GC'd — without this every withNtile call under a
+      // checkpoint dir leaks its directory forever (the r14 advisory)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     checkpointDir.fold(b)(dir => b.config("spark.checkpoint.dir", dir))
   }
 

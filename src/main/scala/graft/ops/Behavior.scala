@@ -246,24 +246,32 @@ object Behavior {
   def rfmScores(perUser: DataFrame): DataFrame = {
     val per = perUser
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val maxTs = per.agg(max(col("last_ts"))).collect()
-      .headOption.flatMap(r => Option(r.getTimestamp(0)))
-    val maxTsLit = maxTs.map(lit(_)).getOrElse(lit(null).cast("timestamp"))
-    val base = per.select(col("user_id"),
-      datediff(maxTsLit.cast("date"), col("last_ts").cast("date"))
-        .cast("long").as("recency_days"),
-      col("frequency"), col("monetary"))
-    def tile(metric: String, order: Seq[org.apache.spark.sql.Column],
-        out: String) =
-      Ranks.withNtile(base.select(col("user_id"), col(metric)), 4,
-        order :+ asc("user_id"), out).select(col("user_id"), col(out))
-    base
-      .join(tile("recency_days", Seq(asc("recency_days")), "r_score"), "user_id")
-      .join(tile("frequency", Seq(desc("frequency")), "f_score"), "user_id")
-      .join(tile("monetary", Seq(desc("monetary")), "m_score"), "user_id")
-      .select(col("user_id"), col("recency_days"), col("frequency"),
-        col("monetary"), col("r_score"), col("f_score"), col("m_score"))
-      .orderBy("user_id")
+    // the cache serves the four IN-CALL materializations (the max-ts
+    // collect + the three eagerly checkpointed tile passes) and is
+    // dropped before returning — the returned plan's own `base` branch
+    // recomputes one cheap per-user agg instead of pinning executor
+    // storage across a long-lived session (the r14 advisory)
+    try {
+      val maxTs = per.agg(max(col("last_ts"))).collect()
+        .headOption.flatMap(r => Option(r.getTimestamp(0)))
+      val maxTsLit = maxTs.map(lit(_)).getOrElse(lit(null).cast("timestamp"))
+      def baseOf(src: DataFrame) = src.select(col("user_id"),
+        datediff(maxTsLit.cast("date"), col("last_ts").cast("date"))
+          .cast("long").as("recency_days"),
+        col("frequency"), col("monetary"))
+      val base = baseOf(per)
+      def tile(metric: String, order: Seq[org.apache.spark.sql.Column],
+          out: String) =
+        Ranks.withNtile(base.select(col("user_id"), col(metric)), 4,
+          order :+ asc("user_id"), out).select(col("user_id"), col(out))
+      baseOf(perUser)
+        .join(tile("recency_days", Seq(asc("recency_days")), "r_score"), "user_id")
+        .join(tile("frequency", Seq(desc("frequency")), "f_score"), "user_id")
+        .join(tile("monetary", Seq(desc("monetary")), "m_score"), "user_id")
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary"), col("r_score"), col("f_score"), col("m_score"))
+        .orderBy("user_id")
+    } finally per.unpersist(false)
   }
 
   /** DuckDB SQL replicating [[rfmSegments]]. */

@@ -144,6 +144,17 @@ object Graph {
     val isSeed = col("v") % 2 === 1 && expr(s"(v div 2) % $seedMod") === 0
     val seeds = deg.select(col("src").as("v"))
       .filter(isSeed).agg(count(lit(1)).as("ns"))
+    // a NON-EMPTY graph with an empty seed set must fail loudly here:
+    // on Spark `r div ns` with ns = 0 yields NULL and the result
+    // silently empties, while the DuckDB oracle raises division-by-zero
+    // — fail the same way on both. An EMPTY graph is fine on both
+    // engines identically (no vertex row ever reaches the division), so
+    // totality on empty inputs is preserved (EmptyInputSpec).
+    val gate = deg.select(col("src").as("v"))
+      .agg(count(lit(1)).as("nv"), count(when(isSeed, 1)).as("ns"))
+      .collect()(0)
+    require(gate.getLong(0) == 0L || gate.getLong(1) > 0L,
+      s"personalizedPageRank: no supplier vertex satisfies suppkey % $seedMod == 0 — empty seed set")
     val init = deg.select(col("src").as("v"), col("deg"))
       .crossJoin(broadcast(seeds)) // 1-row frame: the scalar-broadcast pattern
       .select(col("v"), col("deg"),
@@ -236,6 +247,110 @@ object Graph {
        |nn AS (SELECT count(*) AS n FROM deg),
        |r0 AS (
        |  SELECT v, deg, $S // nn.n AS r, (($S // nn.n) * 15) // 100 AS base
+       |  FROM deg, nn),
+       |$itCtes
+       |SELECT CASE WHEN v % 2 = 0 THEN 'c' || (v // 2) ELSE 's' || (v // 2) END
+       |    AS vertex,
+       |  CAST(r AS BIGINT) AS rank_q
+       |FROM it$iters ORDER BY rank_q DESC, vertex ASC LIMIT $topK""".stripMargin
+  }
+
+  /** WEIGHTED PageRank (q133): the q102 iteration with edge weights —
+    * an edge's share of its source's outflow is proportional to its
+    * weight instead of uniform. Weight = the number of order LINES
+    * linking the (customer, supplier) pair: a pair that traded 50 times
+    * is a 50× stronger endorsement than a one-off (the public weighted-
+    * PageRank/CommonCrawl-host-ranking construction, where link
+    * multiplicity weighs the edge).
+    *
+    * Same exact-integer fixed-point: contribution per edge =
+    * (r · w) div w_total(src), an exact long product (w ≤ |lineitem|,
+    * r ≤ Scale·damping-headroom, product ≪ Long.Max) then integer
+    * division — commutative/associative, so the DuckDB oracle replays
+    * every iteration bit-for-bit. Same broadcast-ranks/shuffle-twin
+    * shape: the |V|-row rank state (now carrying w_total) broadcasts,
+    * the weighted edge frame is persisted once and NEVER shuffles.
+    * Unit weights provably recover [[pageRank]] bit-for-bit
+    * (GraphSpec): w = 1 makes w_total = deg and (r·1) div deg = the
+    * unweighted contribution.
+    */
+  def weightedPageRank(
+      orders: DataFrame,
+      lineitem: DataFrame,
+      iters: Int = 3,
+      topK: Int = 50,
+      broadcastRanks: Boolean = true): DataFrame = {
+    require(iters >= 1 && topK >= 1)
+    val pairs = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(
+        (col("o_custkey") * 2).as("cu"),
+        (col("l_suppkey") * 2 + 1).as("su"))
+      .groupBy(col("cu"), col("su"))
+      .agg(count(lit(1)).as("w"))
+    val edges = pairs.select(col("cu").as("src"), col("su").as("dst"), col("w"))
+      .union(pairs.select(col("su").as("src"), col("cu").as("dst"), col("w")))
+      .persist()
+    def small(df: DataFrame): DataFrame =
+      if (broadcastRanks) broadcast(df) else df
+    val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("wtot"))
+    val n = deg.agg(count(lit(1)).as("n"))
+    val init = deg.select(col("src").as("v"), col("wtot"))
+      .crossJoin(broadcast(n)) // 1-row frame: the scalar-broadcast pattern
+      .select(col("v"), col("wtot"),
+        expr(s"${Scale}L div n").as("r"),
+        expr(s"((${Scale}L div n) * 15) div 100").as("base"))
+      .persist()
+    var ranks = init
+    for (_ <- 1 to iters) {
+      // rank state (v, r, wtot) broadcasts; the per-EDGE share is an
+      // exact long product then one integer division
+      val contrib = ranks.select(col("v").as("src"), col("r"), col("wtot"))
+      val inflow = edges.join(small(contrib), "src")
+        .select(col("dst"), expr("(r * w) div wtot").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      ranks = init.select(col("v"), col("wtot"), col("base"))
+        .join(small(inflow), col("v") === col("dst"), "left")
+        .select(col("v"), col("wtot"), col("base"),
+          (col("base") + expr("(85 * coalesce(inflow, 0L)) div 100")).as("r"))
+    }
+    ranks.select(
+        concat(
+          when(col("v") % 2 === 0, lit("c")).otherwise(lit("s")),
+          expr("v div 2")).as("vertex"),
+        col("r").as("rank_q"))
+      .orderBy(desc("rank_q"), asc("vertex"))
+      .limit(topK)
+  }
+
+  /** DuckDB oracle for [[weightedPageRank]] — the weighted iteration as
+    * chained CTEs; BIGINT sums land in HUGEINT (exact), cast back.
+    */
+  def weightedPageRankOracleSql(iters: Int = 3, topK: Int = 50): String = {
+    val S = Scale
+    val itCtes = (1 to iters).map { i =>
+      val prev = if (i == 1) "r0" else s"it${i - 1}"
+      s"""it$i AS (
+         |  SELECT $prev.v, $prev.wtot, $prev.base,
+         |    $prev.base + (85 * coalesce(f.inflow, 0)) // 100 AS r
+         |  FROM $prev LEFT JOIN (
+         |    SELECT e.dst AS dst, sum(($prev.r * e.w) // $prev.wtot) AS inflow
+         |    FROM edges e JOIN $prev ON $prev.v = e.src GROUP BY 1) f
+         |  ON f.dst = $prev.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT o_custkey * 2 AS cu, l_suppkey * 2 + 1 AS su,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT cu AS src, su AS dst, w FROM pairs
+       |  UNION ALL SELECT su AS src, cu AS dst, w FROM pairs),
+       |deg AS (SELECT src AS v, sum(w) AS wtot FROM edges GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (
+       |  SELECT v, wtot, $S // nn.n AS r, (($S // nn.n) * 15) // 100 AS base
        |  FROM deg, nn),
        |$itCtes
        |SELECT CASE WHEN v % 2 = 0 THEN 'c' || (v // 2) ELSE 's' || (v // 2) END

@@ -319,28 +319,47 @@ object Multimodal {
       items: Dataset[MediaItem],
       maxHamming: Int = 3,
       sliceMax: Option[Long] = Some(100L),
-      hotBandMax: Option[Long] = None): DataFrame = {
+      hotBandMax: Option[Long] = None): DataFrame =
+    hammingBandPairs(dHashes(items), "dhash", maxHamming, sliceMax, hotBandMax)
+
+  /** The shared 64-bit-fingerprint matcher behind [[imageNearDupPairs]]
+    * and [[audioNearDupPairs]]: 4 × 16-bit band equi-join for candidates
+    * (two hashes within hamming ≤ 3 must share ≥ 1 band — pigeonhole,
+    * banding loses nothing), exact Hamming verify on the candidate
+    * hashes only — payload bytes never cross the wire after the hash
+    * pass. `hashed` is (id, <hashCol>).
+    */
+  private def hammingBandPairs(
+      hashed0: DataFrame,
+      hashCol: String,
+      maxHamming: Int,
+      sliceMax: Option[Long],
+      hotBandMax: Option[Long]): DataFrame = {
     require(maxHamming <= 3, "4 x 16-bit bands are pigeonhole-complete only to hamming 3")
-    val hashed = dHashes(items)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint, not persist: the decode pass materializes ONCE
+    // (both candidate-join sides read the checkpointed blocks), and the
+    // blocks are reference-tracked away when the frame is dropped — a
+    // bare persist with no unpersist pins executor storage across every
+    // catalog run of a long-lived session (the r14 advisory)
+    val hashed = hashed0.localCheckpoint()
     val banded = hashed.select(
-      col("id"), col("dhash"),
+      col("id"), col(hashCol),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
-          shiftright(col("dhash"), 16 * b).bitwiseAND(lit(0xffffL)).as("bv"))
+          shiftright(col(hashCol), 16 * b).bitwiseAND(lit(0xffffL)).as("bv"))
       }: _*)).as("bk"))
-      .select(col("id"), col("dhash"),
+      .select(col("id"), col(hashCol),
         col("bk.band").as("band"), col("bk.bv").as("bv"))
     val keys = Seq("band", "bv")
     val guarded = Lsh.guardHotBuckets(banded, keys, hotBandMax)
     val lhs = guarded.select(col("id").as("id_a"),
-      col("dhash").as("dhash_a"), col("band"), col("bv"))
+      col(hashCol).as("h_a"), col("band"), col("bv"))
     Lsh.candidateJoin(guarded, lhs, keys, "id_a", sliceMax)
       .filter(col("id_a") < col("id"))
       .select(col("id_a"), col("id").as("id_b"),
-        col("dhash_a"), col("dhash").as("dhash_b"))
+        col("h_a"), col(hashCol).as("h_b"))
       .distinct()
-      .withColumn("hamming", expr("CAST(bit_count(dhash_a ^ dhash_b) AS BIGINT)"))
+      .withColumn("hamming", expr("CAST(bit_count(h_a ^ h_b) AS BIGINT)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy("id_a", "id_b")
@@ -422,6 +441,215 @@ object Multimodal {
        |  WHERE a.id < $sliceMax AND a.id < c.id)
        |SELECT id_a, id_b, CAST(bit_count(xor(dhash_a, dhash_b)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(dhash_a, dhash_b)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Audio fingerprint near-dup: deterministic band-energy bits over
+  // decoded PCM — the audio member of the modality matrix (text q25,
+  // embedding q94, image q126). The public construction family is the
+  // Philips/Haitsma-Kalker energy-difference fingerprint; this variant
+  // keeps the repo's exact-integer discipline: 72 time-cell energy SUMS
+  // (|sample| is exact, sums are exact longs, NO float spectrum), then
+  // the same 9×8 gradient-bit comparison as dHash. Gain invariance is
+  // EXACT by construction: scaling every sample by g > 0 scales every
+  // cell sum by exactly g, so all comparisons — hence all 64 bits —
+  // are unchanged (MultimodalSpec pins hash equality under gain). A
+  // resample shifts cell boundaries by at most a sample, so bits move
+  // only where adjacent cells nearly tie — within the banding budget.
+  // -------------------------------------------------------------------
+
+  /** 64-bit audio fingerprint. Decodable PCM (WAV/AIFF/AU via
+    * javax.sound.sampled — the [[decodeMeta]] codec stack) takes the
+    * real path: channel-0 samples → 72-cell |sample| sums → gradient
+    * bits. Anything else falls back to the same construction over raw
+    * payload bytes (unsigned-byte sums per cell), keeping the operator
+    * TOTAL and the catalog query (q134) oracle-replayable — the q126/
+    * q34 totality discipline. Empty/null payloads hash to 0.
+    */
+  def audioHash64(content: Array[Byte]): Long = {
+    val grid =
+      if (content == null || content.isEmpty) new Array[Long](72)
+      else pcmSamples(content) match {
+        case Some(s) if s.nonEmpty => sumGrid72(s.length)(j => math.abs(s(j).toLong))
+        case _ => sumGrid72(content.length)(j => (content(j) & 0xff).toLong)
+      }
+    gradientBitsL(grid)
+  }
+
+  /** Channel-0 integer samples of a decodable PCM payload; None when no
+    * installed codec claims the bytes or the encoding is not plain
+    * 8/16-bit PCM (compressed encodings would need float paths — those
+    * payloads take the deterministic byte fallback instead).
+    */
+  private[graft] def pcmSamples(b: Array[Byte]): Option[Array[Int]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(b))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val frameSize = fmt.getFrameSize
+        val ok = (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) &&
+          (bits == 8 || bits == 16) && frameSize > 0
+        if (!ok) None
+        else {
+          val raw = ais.readAllBytes()
+          val n = raw.length / frameSize
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            val o = i * frameSize // channel 0 = first sample of the frame
+            out(i) =
+              if (bits == 8) {
+                val v = raw(o) & 0xff
+                if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+                  v - 128
+                else raw(o).toInt
+              } else {
+                val (lo, hi) = if (fmt.isBigEndian) (o + 1, o) else (o, o + 1)
+                val v = ((raw(hi) & 0xff) << 8) | (raw(lo) & 0xff)
+                val s = v.toShort.toInt
+                if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+                  s - 32768
+                else s
+              }
+            i += 1
+          }
+          Some(out)
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** Row-major 9×8 grid of exact long sums over 72 equal index ranges:
+    * cell i sums f(j) for j in [i·n div 72, (i+1)·n div 72) — the same
+    * evenly-spaced boundaries as [[byteGrid9x8]], summed instead of
+    * point-sampled (energy, not luma). Cells beyond a short payload
+    * sum to 0.
+    */
+  private[ops] def sumGrid72(n: Int)(f: Int => Long): Array[Long] = {
+    val grid = new Array[Long](72)
+    var i = 0
+    while (i < 72) {
+      var j = (i.toLong * n / 72).toInt
+      val hi = ((i + 1).toLong * n / 72).toInt
+      var acc = 0L
+      while (j < hi) { acc += f(j); j += 1 }
+      grid(i) = acc
+      i += 1
+    }
+    grid
+  }
+
+  /** [[gradientBits]] over exact long sums. */
+  private[ops] def gradientBitsL(grid: Array[Long]): Long = {
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (grid(r * 9 + c + 1) > grid(r * 9 + c)) bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** (id, ahash) for a media table — the decode/hash map runs where the
+    * bytes sit (the [[dHashes]] codec discipline, CPU-spread first).
+    */
+  def audioHashes(items: Dataset[MediaItem]): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items
+      .repartition(spark.sparkContext.defaultParallelism, col("id"))
+      .mapPartitions(_.map(it => (it.id, audioHash64(it.content))))
+      .toDF("id", "ahash")
+  }
+
+  /** Audio near-duplicate pairs: [[audioHash64]] per payload, then the
+    * shared band/verify machinery ([[hammingBandPairs]]). Output
+    * (id_a, id_b, hamming).
+    */
+  def audioNearDupPairs(
+      items: Dataset[MediaItem],
+      maxHamming: Int = 3,
+      sliceMax: Option[Long] = Some(100L),
+      hotBandMax: Option[Long] = None): DataFrame =
+    hammingBandPairs(audioHashes(items), "ahash", maxHamming, sliceMax, hotBandMax)
+
+  /** q134's media fixture: the corpus texts as opaque payloads PLUS a
+    * deterministic near-variant of every doc_id ≡ 0 (mod 7) — first
+    * character rewritten to 'x', id offset by 10⁶ (the
+    * [[mediaWithReencodes]] derived-snapshot discipline). A variant
+    * moves ONE byte inside cell 0, so at most the first row's leading
+    * comparisons flip; distinct docs differ in energy everywhere.
+    */
+  def audioWithVariants(spark: SparkSession, dir: String): Dataset[MediaItem] = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull && col("doc_id").isNotNull)
+    val base = docs.select(
+      col("doc_id").as("id"),
+      concat(lit("aud_"), col("source")).as("modality"),
+      encode(col("text"), "UTF-8").as("content"))
+    val variant = docs.filter(col("doc_id") % 7 === 0).select(
+      (col("doc_id") + lit(1000000L)).as("id"),
+      concat(lit("aud_"), col("source")).as("modality"),
+      encode(concat(lit("x"), expr("substring(text, 2)")), "UTF-8").as("content"))
+    base.unionByName(variant).as[MediaItem]
+  }
+
+  /** DuckDB oracle for [[audioNearDupPairs]] over [[audioWithVariants]]
+    * payloads (UTF-8 text bytes — never decodable as audio, so every
+    * row takes the byte-sum fallback, replayed here via codepoint sums;
+    * exact for the ASCII corpus). Same banding, slice, Hamming verify.
+    */
+  def audioNearDupOracleSql(maxHamming: Int = 3, sliceMax: Long = 100L): String = {
+    val bandRows = (0 until 4)
+      .map(b => s"SELECT id, ahash, $b AS band, (ahash >> ${16 * b}) & 65535 AS bv FROM hashed")
+      .mkString("\n  UNION ALL\n  ")
+    // bit weights as Scala-computed literals (the TextOps fpExpr pattern)
+    val ahashExpr = (0 until 64)
+      .map { k =>
+        val hi = (k / 8) * 9 + (k % 8) + 2
+        val lo = hi - 1
+        s"CASE WHEN g[$hi] > g[$lo] THEN ${1L << k} ELSE 0 END"
+      }
+      .mkString("\n      + ")
+    s"""WITH media AS (
+       |  SELECT doc_id AS id, text FROM documents
+       |  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS id, 'x' || substr(text, 2) AS text
+       |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL AND doc_id % 7 = 0),
+       |grids AS (
+       |  SELECT id,
+       |    CASE WHEN len(text) = 0 THEN list_transform(range(0, 72), i -> CAST(0 AS BIGINT))
+       |      ELSE list_transform(range(0, 72),
+       |        i -> coalesce(list_sum(list_transform(
+       |               range(CAST(i * len(text) // 72 AS BIGINT),
+       |                     CAST((i + 1) * len(text) // 72 AS BIGINT)),
+       |               j -> greatest(CAST(unicode(substr(text, CAST(j AS BIGINT) + 1, 1)) AS BIGINT), 0))),
+       |             0))
+       |    END AS g
+       |  FROM media),
+       |hashed AS (
+       |  SELECT id,
+       |    CAST($ahashExpr AS BIGINT) AS ahash
+       |  FROM grids),
+       |banded AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, c.id AS id_b,
+       |    a.ahash AS ahash_a, c.ahash AS ahash_b
+       |  FROM banded a JOIN banded c ON a.band = c.band AND a.bv = c.bv
+       |  WHERE a.id < $sliceMax AND a.id < c.id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(ahash_a, ahash_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(ahash_a, ahash_b)) <= $maxHamming
        |ORDER BY id_a, id_b""".stripMargin
   }
 

@@ -125,6 +125,65 @@ class GraphSpec extends SparkSpec {
     assert(bc.nonEmpty)
   }
 
+  test("personalized: an empty seed set fails loudly instead of returning an empty frame") {
+    // no supplier key ≡ 0 (mod 10) in this graph: Spark's `div ns` with
+    // ns = 0 would yield NULL ranks and silently empty the output while
+    // the DuckDB oracle raises — the guard makes both engines fail
+    val (o, l) = graphFrames(Seq((1L, 1L), (2L, 3L)))
+    val e = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(o, l, seedMod = 10)
+    }
+    assert(e.getMessage.contains("empty seed set"))
+  }
+
+  test("weighted: unit weights recover plain pageRank bit-for-bit") {
+    // every (cust, supp) pair appears exactly once -> all weights 1,
+    // w_total = degree, (r * 1) div deg = the unweighted contribution
+    val edges = (1L to 40L).map(c => (c, c % 7 + 1)) ++ Seq((41L, 9L))
+    val (o, l) = graphFrames(edges)
+    val unweighted = Graph.pageRank(o, l, topK = 100)
+      .collect().map(_.toSeq).toSeq
+    val weighted = Graph.weightedPageRank(o, l, topK = 100)
+      .collect().map(_.toSeq).toSeq
+    assert(weighted === unweighted)
+    assert(weighted.nonEmpty)
+  }
+
+  test("weighted: a heavy edge outranks many light ones; duplicates now matter") {
+    // c1..c4 each trade ONCE with s1 and TWELVE times with s2; c5
+    // trades once with s1 only. Unweighted (distinct pairs) s1 wins: 5
+    // partners vs 4, every shared customer splitting 50/50. Weighted,
+    // each shared customer pushes 12/13 of its outflow into s2 every
+    // iteration — the trade volume flips the order.
+    val light = (1L to 4L).map(c => (c, 1L)) :+ ((5L, 1L))
+    val heavy = (1L to 4L).flatMap(c => Seq.fill(12)((c, 2L)))
+    val edges = light ++ heavy
+    val (o, l) = graphFrames(edges)
+    val uw = Graph.pageRank(o, l, topK = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = Graph.weightedPageRank(o, l, topK = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uw("s1") > uw("s2"), "unweighted fixture must favor the partner hub")
+    assert(w("s2") > w("s1"),
+      s"12x edge weight must outrank 4 unit edges: s1=${w("s1")} s2=${w("s2")}")
+    // truncating integer division only ever LOSES mass: total <= Scale
+    assert(w.values.sum <= Graph.Scale)
+  }
+
+  test("weighted: deterministic under partitioning; broadcast and shuffle twins bit-equal") {
+    val o = Queries.t(spark, "/root/testdata/sf0.001", "orders")
+    val l = Queries.t(spark, "/root/testdata/sf0.001", "lineitem")
+    val bc = Graph.weightedPageRank(o, l, broadcastRanks = true)
+      .collect().map(_.toSeq).toSeq
+    val sh = Graph.weightedPageRank(
+        o.repartition(7), l.repartition(3), broadcastRanks = false)
+      .collect().map(_.toSeq).toSeq
+    assert(bc === sh)
+    assert(bc.nonEmpty)
+    // weights genuinely vary on the real data (else this is the unit test)
+    assert(bc !== Graph.pageRank(o, l).collect().map(_.toSeq).toSeq)
+  }
+
   test("topK truncates with the rank-desc vertex-asc tiebreak") {
     val m = Graph.pageRank(
       graphFrames(Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)))._1,

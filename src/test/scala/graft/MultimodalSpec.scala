@@ -214,6 +214,76 @@ class MultimodalSpec extends SparkSpec {
     assert(want.contains((0L, 1L, 0L)), s"planted exact dup missed: $want")
   }
 
+  /** Canonical 44-byte-header mono 16-bit PCM WAV around `samples`. */
+  private def wavBytes(samples: Array[Int], rate: Int = 8000): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(rate); bb.putInt(rate * 2); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    samples.foreach(s => bb.putShort(s.toShort))
+    bb.array()
+  }
+
+  /** Deterministic test signal: constant |amplitude| per 1/72 time cell
+    * (levels well separated between adjacent cells), alternating sign —
+    * cell energy sums are exact integers the fingerprint compares.
+    */
+  private def signal(n: Int, mult: Int = 1, perm: Int = 37): Array[Int] =
+    Array.tabulate(n) { j =>
+      val cell = (j.toLong * 72 / n).toInt
+      val lvl = (100 + ((cell * perm + 7) % 53) * 30) * mult
+      if (j % 2 == 0) lvl else -lvl
+    }
+
+  test("audio fingerprint: real PCM path decodes; gain shift preserves the hash EXACTLY") {
+    val base = wavBytes(signal(7200))
+    assert(Multimodal.pcmSamples(base).exists(_.length == 7200),
+      "WAV payload must take the real PCM path, not the byte fallback")
+    val gained = wavBytes(signal(7200, mult = 2))
+    val (ha, hg) = (Multimodal.audioHash64(base), Multimodal.audioHash64(gained))
+    assert(ha === hg, "exact gain invariance: every cell sum scales by exactly 2")
+    assert(ha != 0L, "hash degenerated to 0 — the fixture lost its energy structure")
+  }
+
+  test("audio near-dup: resampled copy found, different content rejected") {
+    val base = signal(7200)
+    val resampled = Array.tabulate(3600)(i => base(2 * i)) // 2x decimation
+    val items = Seq(
+      MediaItem(1L, "aud", wavBytes(base)),
+      MediaItem(2L, "aud", wavBytes(resampled, rate = 4000)),
+      MediaItem(3L, "aud", wavBytes(signal(7200, perm = 41))), // different content
+      MediaItem(4L, "aud", wavBytes(signal(7200, mult = 3)))   // gain twin of 1
+    ).toDS()
+    val pairs = Multimodal.audioNearDupPairs(items)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"resampled near-dup missed: $pairs")
+    assert(pairs.contains((1L, 4L)), s"gain-shifted copy missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"different-content signal matched: $pairs")
+  }
+
+  test("audio fingerprint byte fallback matches an independent reference implementation") {
+    val payload = "the quick brown fox jumps over the lazy dog, twice over".getBytes("UTF-8")
+    def refCell(i: Int): Long = {
+      val lo = (i.toLong * payload.length / 72).toInt
+      val hi = ((i + 1).toLong * payload.length / 72).toInt
+      (lo until hi).map(j => (payload(j) & 0xff).toLong).sum
+    }
+    var want = 0L
+    for (r <- 0 until 8; c <- 0 until 8)
+      if (refCell(r * 9 + c + 1) > refCell(r * 9 + c)) want |= 1L << (r * 8 + c)
+    assert(Multimodal.audioHash64(payload) === want)
+    assert(Multimodal.audioHash64(Array.empty[Byte]) === 0L)
+    assert(Multimodal.audioHash64(null) === 0L)
+    // the fallback is the SUM grid, not dHash's point-sample grid: the
+    // two fingerprints genuinely differ on the same opaque payload
+    assert(Multimodal.audioHash64(payload) !== Multimodal.dHash64(payload))
+  }
+
   test("sampleFrames keeps every stride-th fixed-size chunk") {
     val df = Seq((1L, ("x" * 5000).getBytes("UTF-8"))).toDF("id", "content")
     val frames = Multimodal.sampleFrames(df, frameBytes = 1024, stride = 2)

@@ -45,4 +45,56 @@ class WinsorizeSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(4)).toMap
     assert(out === viaCase)
   }
+
+  test("approx fences: clipped counts stay within the GK rank-error bound of the exact form") {
+    val li = Queries.t(spark, sf, "lineitem")
+    def run(approx: Boolean, accuracy: Int = 10000) = graft.ops.Winsorize
+      .winsorizedAgg(li, "l_returnflag", "l_extendedprice",
+        approxFences = approx, accuracy = accuracy)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val exact = run(approx = false)
+
+    // deliberately coarse sketch: rank error <= n/accuracy per fence,
+    // so each side's clipped count moves by at most that many rows
+    // (+2 slack: the exact fence interpolates between values and both
+    // fences are 4dp-quantized)
+    val accuracy = 100
+    val coarse = run(approx = true, accuracy = accuracy)
+    assert(coarse.keySet === exact.keySet)
+    exact.foreach { case (flag, (cnt, nLo, nHi)) =>
+      val (cntA, nLoA, nHiA) = coarse(flag)
+      assert(cntA === cnt, "fence mode must not change row counts")
+      val bound = cnt / accuracy + 2
+      assert(math.abs(nLoA - nLo) <= bound,
+        s"$flag lo-clip drift ${math.abs(nLoA - nLo)} > $bound (n=$cnt)")
+      assert(math.abs(nHiA - nHi) <= bound,
+        s"$flag hi-clip drift ${math.abs(nHiA - nHi)} > $bound (n=$cnt)")
+    }
+
+    // at the DEFAULT accuracy the sketch is rank-exact at this scale
+    // (accuracy >> group sizes): clip counts match the exact fences to
+    // within ONE row per side — the residual is not rank error but the
+    // fence-definition boundary (GK returns the data element AT the
+    // rank; the exact form interpolates strictly past it, so the
+    // element itself flips sides)
+    val fine = run(approx = true)
+    exact.foreach { case (flag, (cnt, nLo, nHi)) =>
+      val (cntA, nLoA, nHiA) = fine(flag)
+      assert(cntA === cnt)
+      assert(math.abs(nLoA - nLo) <= 1 && math.abs(nHiA - nHi) <= 1,
+        s"$flag default-accuracy approx fences drifted beyond the boundary element: " +
+          s"exact ($nLo, $nHi) vs approx ($nLoA, $nHiA)")
+    }
+
+    // the approx plan must carry NO unbounded-buffer percentile: the
+    // whole point is bounded state per group at 100 TB
+    val approxPlan = graft.ops.Winsorize
+      .winsorizedAgg(li, "l_returnflag", "l_extendedprice", approxFences = true)
+      .queryExecution.optimizedPlan.toString
+    assert(approxPlan.contains("approx_percentile"), approxPlan.take(500))
+    assert(!"(?<!approx_)percentile\\(".r.findFirstIn(approxPlan).isDefined,
+      "approx mode still plans the unbounded exact percentile")
+  }
 }
