@@ -469,6 +469,26 @@ object Retrieval {
       AnnPq.ivfPqTopK(emb)
         .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk")))
 
+  /** [[hybridTopK]] served from the PERSISTED indexes: the lexical leg
+    * reads the bucket-pruned postings store, the semantic leg the
+    * cell-partitioned code table — the corpus text is never
+    * re-tokenized and the vectors never re-encoded at query time (the
+    * nightly-crawl serving path; `emb` supplies only the query vectors
+    * and the broadcast re-rank floats). Bit-equal to the in-memory
+    * form over the same logical corpus (spec-pinned), including across
+    * store deletes — each leg anti-joins its own tombstones.
+    */
+  def hybridTopKFromStores(
+      spark: SparkSession,
+      postingsDir: String,
+      pqIndexDir: String,
+      emb: DataFrame): DataFrame =
+    rrfFusion(
+      bm25TopKFromStore(spark, postingsDir)
+        .select(col("query_id"), col("doc_id"), col("rnk")),
+      AnnPq.ivfPqTopKFromIndex(emb, pqIndexDir)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk")))
+
   /** DuckDB oracle for [[hybridTopK]]: both legs' published oracles as
     * subqueries, the same floor-division fusion on top.
     */

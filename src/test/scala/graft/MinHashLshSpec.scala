@@ -132,6 +132,28 @@ class MinHashLshSpec extends SparkSpec {
       .incrementalNearDupPairsFromStore(store, delta).collect().toSeq === want)
   }
 
+  test("signature store: readAsOf(v) probes the store exactly as of that publish") {
+    import org.apache.spark.sql.functions.col
+    val docs = Queries.t(spark, sf, "documents")
+    val store = tmpDir("sigasof").toString
+    val baseOnly = tmpDir("sigbase").toString
+    val baseA = docs.filter(col("doc_id") % 5 === 1)
+    val baseB = docs.filter(col("doc_id") % 5 === 2)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    graft.ops.NearDup.writeSignatureStore(baseA, store)   // v1
+    graft.ops.NearDup.appendSignatureStore(baseB, store)  // v2
+    graft.ops.NearDup.writeSignatureStore(baseA, baseOnly)
+    val asOf1 = graft.ops.NearDup
+      .incrementalNearDupPairsFromStore(store, delta, asOfVersion = Some(1L))
+      .collect().toSeq
+    assert(asOf1 === graft.ops.NearDup
+      .incrementalNearDupPairsFromStore(baseOnly, delta).collect().toSeq)
+    val current = graft.ops.NearDup
+      .incrementalNearDupPairsFromStore(store, delta).collect().toSeq
+    assert(current.size > asOf1.size,
+      "v2 must see strictly more base docs than the v1 snapshot for a non-vacuous receipt")
+  }
+
   test("signature store probe plan: base text never read, delta band keys broadcast") {
     import org.apache.spark.sql.functions.col
     val docs = Queries.t(spark, sf, "documents")

@@ -296,6 +296,30 @@ class RetrievalSpec extends SparkSpec {
       s"both-leg agreement must outrank single-leg docs: ${fused.toSeq}")
   }
 
+  test("hybrid from stores: equals the in-memory fusion; deletes flow through both legs") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pDir = java.nio.file.Files.createTempDirectory("hybridpost").toString
+    val iDir = java.nio.file.Files.createTempDirectory("hybridpq").toString
+    Retrieval.writePostingsStore(corpus, pDir)
+    graft.ops.AnnPq.writePqIndex(emb, iDir)
+    val served = Retrieval.hybridTopKFromStores(spark, pDir, iDir, emb)
+      .collect().toSeq
+    assert(served === Retrieval.hybridTopK(corpus, emb).collect().toSeq)
+    assert(served.nonEmpty)
+
+    // delete a lexical top doc from the postings store: the fused list
+    // re-ranks without it, from the SAME stores, no rebuild
+    val victim = served.filter(_.getAs[Long]("legs") >= 1L)
+      .minBy(_.getAs[Long]("rnk")).getAs[Long]("doc_id")
+    import spark.implicits._
+    Retrieval.deleteFromPostingsStore(Seq(victim).toDF("doc_id"), pDir)
+    graft.ops.AnnPq.deleteFromPqIndex(Seq(victim).toDF("vec_id"), iDir)
+    val after = Retrieval.hybridTopKFromStores(spark, pDir, iDir, emb).collect()
+    assert(!after.exists(_.getAs[Long]("doc_id") == victim),
+      "deleted doc still serves through the fused path")
+    assert(after.nonEmpty)
+  }
+
   import graft.ops.TextOps
 
   test("phrase search: planted positions found exactly") {
