@@ -2255,6 +2255,16 @@ object Queries {
       t(s, d, "documents"), t(s, d, "embeddings")),
     Some(graft.ops.Retrieval.hybridTopKOracleSql()))
 
+  /** Video frame-fingerprint near-dup: frame-sliced 64-bit gradient
+    * hashes, band candidates across frame indexes, temporal-alignment
+    * vote — a trimmed copy of the same footage lands on one offset.
+    */
+  private val q136 = QueryDef(
+    "q136_video_neardup",
+    (s, d) => graft.ops.Multimodal.videoNearDupPairs(
+      graft.ops.Multimodal.videoWithVariants(s, d)),
+    Some(graft.ops.Multimodal.videoNearDupOracleSql()))
+
   /** Rolling distinct actives (DAU/WAU) from daily KMV sketches merged
     * over a trailing window — O(k) state per day, KMV-closure exact.
     */
@@ -2475,5 +2485,5 @@ object Queries {
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
-    q127, q128, q129, q130, q131, q132, q133, q134, q135)
+    q127, q128, q129, q130, q131, q132, q133, q134, q135, q136)
 }

@@ -653,6 +653,205 @@ object Multimodal {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // Video perceptual near-dup (q136): frame-sampled per-frame hashes +
+  // temporal-alignment vote — the public frame-fingerprint video-dedup
+  // construction (per-frame perceptual hash, pairs vote on a constant
+  // frame OFFSET; a trimmed/re-encoded copy of the same footage aligns
+  // all its frame matches on one offset, unrelated clips scatter). No
+  // video codec ships in the JDK, so the per-frame hash is the
+  // deterministic byte-grid gradient construction ([[byteGrid9x8]] over
+  // each fixed-size frame slice) — the q126/q34 totality discipline: a
+  // real deployment swaps in a decoded-keyframe [[dHash64]] per frame
+  // and the ENTIRE candidate/vote plumbing below is unchanged.
+  // -------------------------------------------------------------------
+
+  /** Per-frame 64-bit hashes: the payload split into fixed `frameBytes`
+    * slices (up to `maxFrames`), each hashed by the same 9×8
+    * byte-sampled gradient construction as [[dHash64]]'s fallback —
+    * cell i of frame f reads the unsigned byte at frame offset
+    * (i·flen) div 72 where flen is the (possibly partial) slice length.
+    * Empty/null payloads yield no frames.
+    */
+  private[graft] def videoFrameHash64(
+      content: Array[Byte], frameBytes: Int, maxFrames: Int): Array[Long] = {
+    if (content == null || content.isEmpty) return Array.empty
+    val nf = math.min(
+      (content.length + frameBytes - 1) / frameBytes, maxFrames)
+    Array.tabulate(nf) { f =>
+      val off = f * frameBytes
+      val flen = math.min(frameBytes, content.length - off)
+      val grid = new Array[Int](72)
+      var i = 0
+      while (i < 72) {
+        grid(i) = content(off + (i.toLong * flen / 72).toInt) & 0xff
+        i += 1
+      }
+      gradientBits(grid)
+    }
+  }
+
+  /** (id, fidx, vhash) per sampled frame — the hash map runs where the
+    * bytes sit ([[dHashes]]'s CPU-spread discipline); each payload emits
+    * at most `maxFrames` 64-bit rows, so the post-hash footprint is
+    * O(maxFrames · 8 bytes) per video regardless of payload size.
+    */
+  def videoFrameHashes(
+      items: Dataset[MediaItem],
+      frameBytes: Int = 64,
+      maxFrames: Int = 16): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items
+      .repartition(spark.sparkContext.defaultParallelism, col("id"))
+      .mapPartitions(_.flatMap { it =>
+        videoFrameHash64(it.content, frameBytes, maxFrames).iterator
+          .zipWithIndex.map { case (h, f) => (it.id, f, h) }
+      })
+      .toDF("id", "fidx", "vhash")
+  }
+
+  /** Video near-duplicate pairs with temporal alignment: per-frame
+    * hashes ([[videoFrameHashes]]), 16-bit band equi-join for candidate
+    * FRAME pairs (pigeonhole-complete to hamming ≤ 3, the
+    * [[imageNearDupPairs]] contract — NOT keyed on frame index, so a
+    * trimmed copy still matches), exact Hamming verify on the candidate
+    * longs, then a vote per (pair, frame-offset): `(id_a, id_b,
+    * foffset, votes)` for every alignment with at least `minVotes`
+    * agreeing frames. Payload bytes never cross the wire after the hash
+    * pass; the vote is ONE keyed aggregate over verified frame pairs.
+    */
+  def videoNearDupPairs(
+      items: Dataset[MediaItem],
+      maxHamming: Int = 3,
+      minVotes: Int = 3,
+      frameBytes: Int = 64,
+      maxFrames: Int = 16,
+      sliceMax: Option[Long] = Some(100L),
+      hotBandMax: Option[Long] = None): DataFrame = {
+    require(maxHamming <= 3, "4 x 16-bit bands are pigeonhole-complete only to hamming 3")
+    // localCheckpoint: the hash pass materializes ONCE for both join
+    // sides and the blocks are reference-tracked away (the
+    // hammingBandPairs rationale)
+    val frames = videoFrameHashes(items, frameBytes, maxFrames).localCheckpoint()
+    val banded = frames.select(
+      col("id"), col("fidx"), col("vhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("vhash"), 16 * b).bitwiseAND(lit(0xffffL)).as("bv"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("fidx"), col("vhash"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val keys = Seq("band", "bv")
+    val guarded = Lsh.guardHotBuckets(banded, keys, hotBandMax)
+    val lhs = guarded.select(col("id").as("id_a"), col("fidx").as("fidx_a"),
+      col("vhash").as("h_a"), col("band"), col("bv"))
+    Lsh.candidateJoin(guarded, lhs, keys, "id_a", sliceMax)
+      .filter(col("id_a") < col("id"))
+      .select(col("id_a"), col("id").as("id_b"),
+        col("fidx_a"), col("fidx").as("fidx_b"),
+        col("h_a"), col("vhash").as("h_b"))
+      .distinct() // a frame pair sharing 2+ bands must count ONE vote
+      .filter(expr("bit_count(h_a ^ h_b)") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"),
+        (col("fidx_b") - col("fidx_a")).cast("long").as("foffset"))
+      .agg(count(lit(1)).as("votes"))
+      .filter(col("votes") >= minVotes)
+      .orderBy("id_a", "id_b", "foffset")
+  }
+
+  /** q136's media fixture: corpus texts as opaque "footage" PLUS a
+    * deterministic TRIMMED re-encode of every doc_id ≡ 0 (mod 9) long
+    * enough to carry 5+ frames — the first frame dropped and the new
+    * leading byte rewritten ('x' || text[frameBytes+2..]), id offset by
+    * 10⁶. Frame f of the variant is byte-identical to frame f+1 of the
+    * original for f ≥ 1 (hamming 0) and differs in ONE sampled cell at
+    * f = 0, so the pair's votes concentrate at foffset = −1 — the
+    * derived-snapshot discipline (variants derived from the input,
+    * never synthesized from thin air).
+    */
+  def videoWithVariants(
+      spark: SparkSession, dir: String, frameBytes: Int = 64): Dataset[MediaItem] = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull && col("doc_id").isNotNull)
+    val base = docs.select(
+      col("doc_id").as("id"),
+      concat(lit("vid_"), col("source")).as("modality"),
+      encode(col("text"), "UTF-8").as("content"))
+    val variant = docs
+      .filter(col("doc_id") % 9 === 0 && length(col("text")) >= 5 * frameBytes)
+      .select(
+        (col("doc_id") + lit(1000000L)).as("id"),
+        concat(lit("vid_"), col("source")).as("modality"),
+        encode(concat(lit("x"), expr(s"substring(text, ${frameBytes + 2})")), "UTF-8")
+          .as("content"))
+    base.unionByName(variant).as[MediaItem]
+  }
+
+  /** DuckDB oracle for [[videoNearDupPairs]] over [[videoWithVariants]]
+    * payloads (ASCII text bytes, so byte(i) = unicode(char(i)) and the
+    * per-frame byte-grid replays via codepoints — the q126 discipline).
+    * Same frame slicing, same banding, same Hamming verify, same
+    * offset vote.
+    */
+  def videoNearDupOracleSql(
+      maxHamming: Int = 3,
+      minVotes: Int = 3,
+      frameBytes: Int = 64,
+      maxFrames: Int = 16,
+      sliceMax: Long = 100L): String = {
+    val W = frameBytes
+    val bandRows = (0 until 4)
+      .map(b => s"SELECT id, fidx, vhash, $b AS band, (vhash >> ${16 * b}) & 65535 AS bv FROM hashed")
+      .mkString("\n  UNION ALL\n  ")
+    // bit weights as Scala-computed literals (the TextOps fpExpr pattern)
+    val vhashExpr = (0 until 64)
+      .map { k =>
+        val hi = (k / 8) * 9 + (k % 8) + 2
+        val lo = hi - 1
+        s"CASE WHEN g[$hi] > g[$lo] THEN ${1L << k} ELSE 0 END"
+      }
+      .mkString("\n      + ")
+    s"""WITH media AS (
+       |  SELECT doc_id AS id, text FROM documents
+       |  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS id, 'x' || substr(text, ${W + 2}) AS text
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+       |    AND doc_id % 9 = 0 AND len(text) >= ${5 * W}),
+       |frames AS (
+       |  SELECT id, text,
+       |    unnest(range(0, least(CAST((len(text) + ${W - 1}) // $W AS BIGINT), $maxFrames)))
+       |      AS fidx
+       |  FROM media),
+       |ftext AS (
+       |  SELECT id, fidx, substr(text, CAST(fidx * $W AS BIGINT) + 1, $W) AS ft
+       |  FROM frames),
+       |grids AS (
+       |  SELECT id, fidx, list_transform(range(0, 72),
+       |    i -> greatest(CAST(unicode(substr(ft, CAST(i * len(ft) // 72 AS BIGINT) + 1, 1)) AS BIGINT), 0)) AS g
+       |  FROM ftext),
+       |hashed AS (
+       |  SELECT id, fidx,
+       |    CAST($vhashExpr AS BIGINT) AS vhash
+       |  FROM grids),
+       |banded AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, c.id AS id_b, a.fidx AS fidx_a, c.fidx AS fidx_b,
+       |    a.vhash AS h_a, c.vhash AS h_b
+       |  FROM banded a JOIN banded c ON a.band = c.band AND a.bv = c.bv
+       |  WHERE a.id < $sliceMax AND a.id < c.id)
+       |SELECT id_a, id_b, CAST(fidx_b - fidx_a AS BIGINT) AS foffset,
+       |  CAST(count(*) AS BIGINT) AS votes
+       |FROM cand WHERE bit_count(xor(h_a, h_b)) <= $maxHamming
+       |GROUP BY 1, 2, 3
+       |HAVING count(*) >= $minVotes
+       |ORDER BY id_a, id_b, foffset""".stripMargin
+  }
+
   /** Synthesize a media table from the driver's documents parquet: the
     * UTF-8 text bytes stand in for an opaque payload. Used by specs and
     * the q34 oracle query so the binary plumbing runs against real

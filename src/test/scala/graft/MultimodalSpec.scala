@@ -293,4 +293,70 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(0).length == 1024)
     assert(frames(2).length == 5000 - 4 * 1024, "last chunk is the remainder")
   }
+
+  test("video frame hashes match an independent per-frame reference; cap and totality hold") {
+    val rnd = new scala.util.Random(7)
+    val payload = Array.fill(400)(rnd.nextInt(256).toByte)
+    val got = Multimodal.videoFrameHash64(payload, 64, 16)
+    assert(got.length == 7, "400 bytes at 64/frame = 7 frames (last partial)")
+    // independent recompute: per-frame byte grid + gradient bits
+    for (f <- 0 until 7) {
+      val off = f * 64
+      val flen = math.min(64, 400 - off)
+      def cell(i: Int): Int = payload(off + (i.toLong * flen / 72).toInt) & 0xff
+      var want = 0L
+      for (r <- 0 until 8; c <- 0 until 8)
+        if (cell(r * 9 + c + 1) > cell(r * 9 + c)) want |= 1L << (r * 8 + c)
+      assert(got(f) === want, s"frame $f hash diverged from the reference")
+    }
+    assert(Multimodal.videoFrameHash64(payload, 64, 3).length == 3, "maxFrames cap")
+    assert(Multimodal.videoFrameHash64(Array.empty[Byte], 64, 16).isEmpty)
+    assert(Multimodal.videoFrameHash64(null, 64, 16).isEmpty)
+  }
+
+  test("video near-dup: trimmed copy aligns at foffset -1; scrambled frames rejected") {
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(512)(rnd.nextInt(256).toByte) // 8 full frames
+    // trimmed re-encode: drop frame 0, flip the new leading byte
+    val trimmed = base.drop(64).clone()
+    trimmed(0) = 'x'.toByte
+    // same frames, shuffled order: every frame pair still matches, but
+    // the matches scatter across offsets — no alignment reaches 3 votes
+    val scrambled = Array.range(0, 8).map(f => (f * 3) % 8)
+      .flatMap(f => base.slice(f * 64, (f + 1) * 64))
+    val other = Array.fill(512)(rnd.nextInt(256).toByte)
+    val items = Seq(
+      Multimodal.MediaItem(1L, "vid", base),
+      Multimodal.MediaItem(2L, "vid", trimmed),
+      Multimodal.MediaItem(3L, "vid", other),
+      Multimodal.MediaItem(4L, "vid", scrambled)
+    ).toDS()
+    val rows = Multimodal.videoNearDupPairs(items)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+    val byPair = rows.groupBy(_._1)
+    assert(byPair.contains((1L, 2L)), s"trimmed copy missed: ${rows.toSeq}")
+    val (off, votes) = byPair((1L, 2L)).map(_._2).maxBy(_._2)
+    assert(off === -1L, s"alignment offset wrong: ${byPair((1L, 2L)).toSeq}")
+    assert(votes >= 7L, s"7 surviving frames must all vote at -1: $votes")
+    assert(!byPair.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated content matched: ${rows.toSeq}")
+    assert(!byPair.keySet.contains((1L, 4L)) && !byPair.keySet.contains((2L, 4L)),
+      s"scrambled frame order must not align: ${rows.toSeq}")
+  }
+
+  test("video near-dup over the corpus fixture: every planted trim found at foffset -1") {
+    val pairs = Multimodal.videoNearDupPairs(Multimodal.videoWithVariants(spark, sf))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planted = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("text").isNotNull && col("doc_id").isNotNull)
+      .filter(col("doc_id") % 9 === 0 && length(col("text")) >= 320 &&
+        col("doc_id") < 100)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(planted.nonEmpty, "fixture vacuous: no plantable docs at this sf")
+    planted.foreach { id =>
+      assert(pairs.contains((id, id + 1000000L, -1L)),
+        s"planted trim of doc $id not found at foffset -1")
+    }
+  }
 }
