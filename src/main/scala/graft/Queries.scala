@@ -2265,6 +2265,15 @@ object Queries {
       graft.ops.Multimodal.videoWithVariants(s, d)),
     Some(graft.ops.Multimodal.videoNearDupOracleSql()))
 
+  /** Boolean retrieval: docs containing ALL must terms and NONE of the
+    * mustNot terms — AND as a count-equals aggregate, NOT as one
+    * broadcast anti-join; the curation-filter query shape.
+    */
+  private val q137 = QueryDef(
+    "q137_boolean_search",
+    (s, d) => graft.ops.Retrieval.booleanSearch(t(s, d, "documents")),
+    Some(graft.ops.Retrieval.booleanSearchOracleSql()))
+
   /** Rolling distinct actives (DAU/WAU) from daily KMV sketches merged
     * over a trailing window — O(k) state per day, KMV-closure exact.
     */
@@ -2485,5 +2494,5 @@ object Queries {
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
-    q127, q128, q129, q130, q131, q132, q133, q134, q135, q136)
+    q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137)
 }

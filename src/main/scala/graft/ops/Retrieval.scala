@@ -416,6 +416,154 @@ object Retrieval {
   }
 
   // -------------------------------------------------------------------
+  // Boolean retrieval (q137): docs containing ALL `must` terms and NONE
+  // of the `mustNot` terms — the curation/compliance filter every
+  // corpus pipeline runs ("English docs mentioning X but not Y") and
+  // the predicate leg of every hand-rolled RAG filter. Classic
+  // posting-list evaluation re-expressed relationally:
+  //   AND  = one (query, doc)-keyed count over the matched postings,
+  //          kept when it equals |must| (set-intersection as an
+  //          aggregate — doc_id in the key, hot terms can't hot-key it);
+  //   NOT  = one broadcast anti-join on the mustNot postings' doc set
+  //          (query-vocab-bounded, tiny by construction).
+  // The corpus text is scanned once (in-memory form) or never (store
+  // form: bucket-pruned postings slice, tombstones anti-joined first).
+  // -------------------------------------------------------------------
+
+  /** Default boolean queries over the synthetic corpus vocabulary:
+    * (query_id, must-contain-all, must-contain-none).
+    */
+  val DefaultBoolQueries: Seq[(Long, Seq[String], Seq[String])] = Seq(
+    (1L, Seq("hash", "join"), Seq("stream")),
+    (2L, Seq("vector"), Seq("scan", "filter")),
+    (3L, Seq("window"), Seq.empty))
+
+  /** Boolean retrieval over (doc_id, tok) distinct term incidences —
+    * shared evaluator for the corpus and store forms. `incidences` may
+    * carry duplicates; they are collapsed here so a term repeated in a
+    * doc counts once toward the AND.
+    */
+  private def booleanEval(
+      incidences: DataFrame,
+      queries: Seq[(Long, Seq[String], Seq[String])]): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "every boolean query needs at least one must term")
+    require(queries.forall { case (_, m, n) => m.intersect(n).isEmpty },
+      "a term cannot be both must and mustNot")
+    val spark = incidences.sparkSession
+    import spark.implicits._
+    val must = queries
+      .flatMap { case (qid, ms, _) => ms.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "tok")
+    val mustCnt = queries
+      .map { case (qid, ms, _) => (qid, ms.distinct.size.toLong) }
+      .toDF("query_id", "need")
+    val toks = incidences.select("doc_id", "tok").distinct()
+    val hits = toks
+      .join(broadcast(must), "tok")
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("got"))
+      .join(broadcast(mustCnt), "query_id")
+      .filter(col("got") === col("need"))
+      .select("query_id", "doc_id")
+    val negPairs = queries
+      .flatMap { case (qid, _, ns) => ns.distinct.map(t => (qid, t)) }
+    val out =
+      if (negPairs.isEmpty) hits
+      else {
+        val neg = toks
+          .join(broadcast(negPairs.toDF("query_id", "tok")), "tok")
+          .select("query_id", "doc_id").distinct()
+        hits.join(broadcast(neg), Seq("query_id", "doc_id"), "left_anti")
+      }
+    out.orderBy("query_id", "doc_id")
+  }
+
+  /** Boolean retrieval over the corpus: one text scan, the same
+    * whitespace tokenizer as [[bm25TopK]]. Output (query_id, doc_id).
+    */
+  def booleanSearch(
+      docs: DataFrame,
+      queries: Seq[(Long, Seq[String], Seq[String])] = DefaultBoolQueries): DataFrame =
+    booleanEval(
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok")),
+      queries)
+
+  /** [[booleanSearch]] served from the postings store: the scan is the
+    * bucket-pruned postings slice for the queries' terms (must AND
+    * mustNot — a NOT needs its term's postings to know which docs to
+    * exclude), tombstones anti-joined first so deleted docs neither
+    * match nor exclude. Bit-equal to the corpus form over the same
+    * logical corpus (spec-pinned); `asOfVersion` serves any retained
+    * snapshot.
+    */
+  def booleanSearchFromStore(
+      spark: SparkSession,
+      dir: String,
+      queries: Seq[(Long, Seq[String], Seq[String])] = DefaultBoolQueries,
+      nBuckets: Int = 64,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val snap = asOfVersion
+      .map(v => StoreManifest.snapshotAt(spark, dir, v))
+      .orElse(StoreManifest.currentSnapshot(spark, dir))
+      .getOrElse(sys.error(s"postings store $dir does not exist"))
+    val terms = queries.flatMap { case (_, m, n) => m ++ n }.distinct
+    val termBuckets = terms.map { t =>
+      val c = new java.util.zip.CRC32()
+      c.update(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (c.getValue % nBuckets).toInt
+    }.distinct
+    val pruned = StoreManifest
+      .readComponent(spark, dir, snap, "postings", Some(PostingsSchema)).get
+      .filter(col("bucket").isin(termBuckets.map(Int.box): _*))
+      .filter(col("tok").isin(terms: _*))
+    val live = tombstonesOf(spark, dir, snap).fold(pruned)(t =>
+      pruned.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
+    booleanEval(live.select("doc_id", "tok"), queries)
+  }
+
+  /** DuckDB oracle for [[booleanSearch]] — the same distinct-incidence
+    * count-equals-|must| AND and anti-join NOT.
+    */
+  def booleanSearchOracleSql(
+      queries: Seq[(Long, Seq[String], Seq[String])] = DefaultBoolQueries): String = {
+    val mustRows = queries
+      .flatMap { case (qid, ms, _) => ms.distinct.map(t => s"(CAST($qid AS BIGINT), '$t')") }
+      .mkString(", ")
+    val needRows = queries
+      .map { case (qid, ms, _) => s"(CAST($qid AS BIGINT), CAST(${ms.distinct.size} AS BIGINT))" }
+      .mkString(", ")
+    val negPairs = queries.flatMap { case (qid, _, ns) => ns.distinct.map(qid -> _) }
+    val negClause =
+      if (negPairs.isEmpty) ""
+      else {
+        val negRows = negPairs
+          .map { case (qid, t) => s"(CAST($qid AS BIGINT), '$t')" }
+          .mkString(", ")
+        s"""AND NOT EXISTS (
+           |  SELECT 1 FROM toks tn JOIN (VALUES $negRows) n(query_id, tok) USING (tok)
+           |  WHERE n.query_id = sel.query_id AND tn.doc_id = sel.doc_id)""".stripMargin
+      }
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id,
+       |      unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |    FROM documents WHERE text IS NOT NULL)),
+       |sel AS (
+       |  SELECT m.query_id, t.doc_id
+       |  FROM toks t JOIN (VALUES $mustRows) m(query_id, tok) USING (tok)
+       |  GROUP BY 1, 2
+       |  HAVING count(*) = (
+       |    SELECT c.need FROM (VALUES $needRows) c(query_id, need)
+       |    WHERE c.query_id = m.query_id))
+       |SELECT query_id, doc_id FROM sel
+       |WHERE TRUE $negClause
+       |ORDER BY query_id, doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Hybrid retrieval fusion (q135): reciprocal-rank fusion of the BM25
   // lexical shortlist and the IVF-PQ semantic shortlist — the RAG-
   // curation query users compose by hand (publication: Cormack et al.'s

@@ -320,6 +320,38 @@ class RetrievalSpec extends SparkSpec {
     assert(after.nonEmpty)
   }
 
+  test("boolean search: AND/NOT semantics hand-checked; repeated terms count once") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash join hash join hash"), // both musts (repeats collapse), no not
+      (2L, "hash join stream"),         // both musts but the NOT kills it
+      (3L, "hash merge"),               // one must missing
+      (4L, "vector table"),             // q2 must, no nots
+      (5L, "vector scan"),              // q2 must + a NOT
+      (6L, "window window")             // q3 (no nots at all)
+    ).toDF("doc_id", "text")
+    val got = Retrieval.booleanSearch(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 1L), (2L, 4L), (3L, 6L)))
+  }
+
+  test("boolean search from the store: bit-equal to the corpus form; deletes are live") {
+    val dir = java.nio.file.Files.createTempDirectory("boolstore").toString
+    Retrieval.writePostingsStore(corpus, dir)
+    val direct = Retrieval.booleanSearch(corpus).collect().toSeq
+    assert(direct.nonEmpty, "fixture vacuous: no boolean hits on the corpus")
+    assert(Retrieval.booleanSearchFromStore(spark, dir).collect().toSeq === direct)
+
+    // delete one matched doc: the store must serve exactly the corpus
+    // form over the survivors — the doc neither matches nor excludes
+    val victim = direct.head.getLong(1)
+    import spark.implicits._
+    Retrieval.deleteFromPostingsStore(Seq(victim).toDF("doc_id"), dir)
+    val survivors = corpus.filter(col("doc_id") =!= victim)
+    assert(Retrieval.booleanSearchFromStore(spark, dir).collect().toSeq
+      === Retrieval.booleanSearch(survivors).collect().toSeq)
+  }
+
   import graft.ops.TextOps
 
   test("phrase search: planted positions found exactly") {
