@@ -2274,6 +2274,24 @@ object Queries {
     (s, d) => graft.ops.Retrieval.booleanSearch(t(s, d, "documents")),
     Some(graft.ops.Retrieval.booleanSearchOracleSql()))
 
+  /** Mutual-kNN graph over the embedding corpus: IVF-bucketed kNN for
+    * every vector, edge kept iff it is top-k in BOTH directions — the
+    * graph-clustering backbone, never all-pairs.
+    */
+  private val q138 = QueryDef(
+    "q138_knn_graph",
+    (s, d) => graft.ops.AnnIvf.knnGraph(t(s, d, "embeddings")),
+    Some(graft.ops.AnnIvf.knnGraphOracleSql()))
+
+  /** Quality-signal ensemble: three exact distributed rankings (length,
+    * type-token ratio, stopword density) fused by rank sum — the
+    * Borda-count curation selector on the Ranks primitive.
+    */
+  private val q139 = QueryDef(
+    "q139_quality_ensemble",
+    (s, d) => graft.ops.QualityOps.qualityEnsemble(t(s, d, "documents")),
+    Some(graft.ops.QualityOps.qualityEnsembleOracleSql()))
+
   /** Rolling distinct actives (DAU/WAU) from daily KMV sketches merged
     * over a trailing window — O(k) state per day, KMV-closure exact.
     */
@@ -2494,5 +2512,6 @@ object Queries {
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
-    q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137)
+    q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
+    q138, q139)
 }

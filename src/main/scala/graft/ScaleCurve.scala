@@ -420,6 +420,29 @@ object ScaleCurve {
         // rotation.
         Cell(f, "q121_cooccurrence",
           () => graft.ops.TextOps.cooccurrenceTopK(docs),
+          _.count()),
+        // hybrid RRF (q135): both legs are probe-shaped (constant
+        // shortlists against a growing corpus), and the fusion itself
+        // touches ≤ 2·topK rows per query regardless of corpus size —
+        // rows flat, sec ≲ linear (the two legs' scans dominate).
+        Cell(f, "q135_hybrid_rrf",
+          () => graft.ops.Retrieval.hybridTopK(docs, emb),
+          _.count()),
+        // video near-dup (q136): the frame-hash pass is a linear
+        // per-payload map (≤ maxFrames longs out per video); candidates
+        // ride the bounded slice (id < 100 = replica 0 only), so output
+        // stays flat while the banded corpus grows ×f. sec must track
+        // the linear hash stream, never the quadratic frame-pair space.
+        Cell(f, "q136_video_neardup",
+          () => graft.ops.Multimodal.videoNearDupPairs(
+            graft.ops.Multimodal.videoWithVariants(spark, dir)),
+          _.count()),
+        // boolean retrieval (q137): replica texts are alphabet-rotated,
+        // so only replica 0 matches the query vocabulary — hits flat
+        // (the q106 probe contract) while the token scan grows ×f; the
+        // AND aggregate's key space grows with matches, not the corpus.
+        Cell(f, "q137_boolean",
+          () => graft.ops.Retrieval.booleanSearch(docs),
           _.count()))
     }
 

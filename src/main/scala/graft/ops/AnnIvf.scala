@@ -195,6 +195,91 @@ object AnnIvf {
       .orderBy("query_id", "rnk")
   }
 
+  /** Mutual-kNN graph over the whole corpus (q138): EVERY vector probes
+    * its `nprobe` cells for its `k` nearest neighbors (the [[annTopK]]
+    * machinery with the query side = the corpus), then an edge (a, b)
+    * survives iff a is in kNN(b) AND b is in kNN(a) — the mutual-kNN
+    * graph, the standard noise-robust backbone for graph clustering and
+    * near-dup mining over embeddings (one-sided kNN links a cluster
+    * point to an outlier; mutuality prunes exactly those asymmetric
+    * edges).
+    *
+    * Scale shape: the kNN pass is the IVF probe join (candidates
+    * bounded by the probed fraction, never all-pairs); the mutuality
+    * check is ONE self equi-join of the n·k-row kNN frame on the
+    * reversed pair key — corpus-scale but thin (two longs + a double
+    * per row), shuffled on the pair key, no broadcast needed at any n.
+    * The kNN frame is checkpointed so both join sides read one
+    * materialization. Output (vec_a, vec_b, cosine), vec_a < vec_b.
+    */
+  def knnGraph(emb: DataFrame, k: Int = 5,
+      nlist: Int = NList, nprobe: Int = NProbe, trainIters: Int = 0): DataFrame = {
+    val knn = annTopK(emb, queryMax = Long.MaxValue, k, nlist, nprobe, trainIters)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .localCheckpoint()
+    knn.as("f")
+      .join(knn.as("r"),
+        col("f.query_id") === col("r.neighbor_id") &&
+          col("f.neighbor_id") === col("r.query_id"))
+      .filter(col("f.query_id") < col("f.neighbor_id"))
+      .select(col("f.query_id").as("vec_a"),
+        col("f.neighbor_id").as("vec_b"),
+        col("f.cosine").as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** DuckDB oracle for [[knnGraph]]: [[oracleSql]]'s CTE chain with the
+    * query filter lifted (every vector probes), wrapped in the mutual
+    * self-join. The cosine emitted is the forward edge's — bit-equal to
+    * the reverse's (same products, 4dp rounding) and replayed
+    * identically here.
+    */
+  def knnGraphOracleSql(k: Int = 5,
+      nlist: Int = NList, nprobe: Int = NProbe): String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, x, i FROM ex WHERE vec_id < $nlist),
+       |cnorm AS (SELECT cid, sqrt(sum(x * x)) AS nrm FROM cents GROUP BY 1),
+       |scores AS (
+       |  SELECT e.vec_id, c.cid, round(sum(e.x * c.x) / cn.nrm, 6) AS s
+       |  FROM ex e JOIN cents c ON c.i = e.i JOIN cnorm cn ON cn.cid = c.cid
+       |  GROUP BY e.vec_id, c.cid, cn.nrm),
+       |ranked AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |  FROM scores),
+       |assigned AS (SELECT vec_id, cid AS list_id FROM ranked WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS list_id
+       |  FROM ranked WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assigned a ON a.list_id = p.list_id
+       |  WHERE a.vec_id <> p.query_id),
+       |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+       |sims AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |    round(sum(a.x * b.x) / (na.nrm * nb.nrm), 4) AS cosine
+       |  FROM cand cd
+       |  JOIN ex a ON a.vec_id = cd.query_id
+       |  JOIN ex b ON b.vec_id = cd.neighbor_id AND b.i = a.i
+       |  JOIN norms na ON na.vec_id = cd.query_id
+       |  JOIN norms nb ON nb.vec_id = cd.neighbor_id
+       |  GROUP BY 1, 2, na.nrm, nb.nrm),
+       |knn AS (
+       |  SELECT query_id, neighbor_id, cosine FROM (
+       |    SELECT query_id, neighbor_id, cosine,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rnk
+       |    FROM sims) WHERE rnk <= $k)
+       |SELECT f.query_id AS vec_a, f.neighbor_id AS vec_b, f.cosine AS cosine
+       |FROM knn f JOIN knn r
+       |  ON r.query_id = f.neighbor_id AND r.neighbor_id = f.query_id
+       |WHERE f.query_id < f.neighbor_id
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   /** DuckDB SQL replicating [[annTopK]]: same first-nlist quantizer, same
     * 6-decimal score rounding, same min-id tie-break, same probe width.
     */

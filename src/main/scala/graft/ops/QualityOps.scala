@@ -798,4 +798,87 @@ object QualityOps {
        |  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM tc)
        |SELECT metric, value FROM card ORDER BY metric""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Quality-signal ensemble (q139): rank fusion of incomparable quality
+  // scales. Individual signals (length, lexical diversity, stopword
+  // density) live on different scales and distributions, so averaging
+  // raw scores is meaningless; the standard fix (used by every data-
+  // curation ensemble since the Borda count) is to rank-normalize each
+  // signal EXACTLY and fuse the ranks. The ranks come from
+  // [[graft.ops.Ranks]] — three two-pass distributed rankings, each
+  // task sorting N/P rows, never a single-partition window.
+  // -------------------------------------------------------------------
+
+  private val EnsembleStopwords = Seq("the", "a", "and", "of", "to")
+
+  /** Top-`topN` docs by fused quality rank. Signals per doc (one token
+    * scan): n_tok (more is better), type-token ratio n_dist/n_tok
+    * (higher = lexically diverse), stopword ratio n_stop/n_tok (lower =
+    * less boilerplate-glue). Each ratio is ONE long/long double
+    * division — correctly rounded, bit-identical across engines — and
+    * each rank is exact with a doc_id tie-break, so the fused ordering
+    * is fully deterministic. Output (doc_id, r_len, r_ttr, r_stop,
+    * combined); zero-token docs are excluded (no rankable signal).
+    */
+  def qualityEnsemble(docs: DataFrame, topN: Int = 100): DataFrame = {
+    require(topN >= 1)
+    val stopList = EnsembleStopwords.map(s => s"'$s'").mkString(", ")
+    val sig = docs
+      .filter(col("text").isNotNull && col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        size(array_distinct(col("toks"))).cast("long").as("n_dist"),
+        size(expr(s"filter(toks, x -> x IN ($stopList))"))
+          .cast("long").as("n_stop"))
+      .filter(col("n_tok") > 0)
+      .withColumn("ttr", col("n_dist") / col("n_tok"))
+      .withColumn("stop_ratio", col("n_stop") / col("n_tok"))
+    val r1 = Ranks.withGlobalRowNumber(
+      sig, Seq(desc("n_tok"), asc("doc_id")), "r_len")
+    val r2 = Ranks.withGlobalRowNumber(
+      r1, Seq(desc("ttr"), asc("doc_id")), "r_ttr")
+    val r3 = Ranks.withGlobalRowNumber(
+      r2, Seq(asc("stop_ratio"), asc("doc_id")), "r_stop")
+    r3
+      .withColumn("combined",
+        col("r_len") + col("r_ttr") + col("r_stop"))
+      .orderBy(asc("combined"), asc("doc_id"))
+      .limit(topN)
+      .select("doc_id", "r_len", "r_ttr", "r_stop", "combined")
+  }
+
+  /** DuckDB oracle for [[qualityEnsemble]] — the same signals and
+    * tie-breaks through plain window row_numbers (the oracle may be
+    * naive; the Spark side must not be).
+    */
+  def qualityEnsembleOracleSql(topN: Int = 100): String = {
+    val stopList = EnsembleStopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH sig AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tok,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist,
+       |    CAST(len(list_filter(toks,
+       |      x -> list_contains([$stopList], x))) AS BIGINT) AS n_stop
+       |  FROM (
+       |    SELECT doc_id,
+       |      list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |    FROM documents
+       |    WHERE text IS NOT NULL AND doc_id IS NOT NULL)),
+       |rated AS (
+       |  SELECT doc_id, n_tok,
+       |    n_dist / n_tok AS ttr, n_stop / n_tok AS stop_ratio
+       |  FROM sig WHERE n_tok > 0),
+       |ranked AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY n_tok DESC, doc_id) AS r_len,
+       |    row_number() OVER (ORDER BY ttr DESC, doc_id) AS r_ttr,
+       |    row_number() OVER (ORDER BY stop_ratio ASC, doc_id) AS r_stop
+       |  FROM rated)
+       |SELECT doc_id, r_len, r_ttr, r_stop,
+       |  r_len + r_ttr + r_stop AS combined
+       |FROM ranked ORDER BY combined, doc_id LIMIT $topN""".stripMargin
+  }
 }

@@ -120,4 +120,26 @@ class AnnIvfSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "plan fell back to BNLJ")
     assert(!plan.contains("CartesianProduct"), "plan fell back to cartesian")
   }
+
+  test("knn graph: every edge is mutual, canonically oriented; asymmetric links pruned") {
+    import graft.ops.AnnIvf
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val graph = AnnIvf.knnGraph(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(graph.nonEmpty, "fixture vacuous: no mutual edges at this sf")
+    assert(graph.forall { case (a, b) => a < b }, "edges must be canonically oriented")
+    // reference: the one-sided kNN from the same probe machinery
+    val knn = AnnIvf.annTopK(emb, queryMax = Long.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graph.foreach { case (a, b) =>
+      assert(knn((a, b)) && knn((b, a)), s"non-mutual edge ($a,$b) survived")
+    }
+    // pruning is non-vacuous: one-sided links exist and none survive
+    val oneSided = knn.filter { case (a, b) => !knn((b, a)) }
+    assert(oneSided.nonEmpty, "fixture vacuous: every kNN link is already mutual")
+    oneSided.foreach { case (a, b) =>
+      val e = if (a < b) (a, b) else (b, a)
+      assert(!graph(e), s"asymmetric link $e survived mutuality")
+    }
+  }
 }

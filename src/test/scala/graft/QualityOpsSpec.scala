@@ -285,4 +285,49 @@ class QualityOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("quality ensemble: bit-equal to the single-window Borda fusion; quality orders as designed") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = QualityOps.qualityEnsemble(docs).collect().map(_.toSeq).toSeq
+
+    // independent single-window reference (test-only: global windows are
+    // exactly what the production op must NOT use)
+    val sig = docs
+      .filter(col("text").isNotNull && col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        size(array_distinct(col("toks"))).cast("long").as("n_dist"),
+        size(expr("filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to'))"))
+          .cast("long").as("n_stop"))
+      .filter(col("n_tok") > 0)
+      .withColumn("ttr", col("n_dist") / col("n_tok"))
+      .withColumn("stop_ratio", col("n_stop") / col("n_tok"))
+    val want = sig
+      .withColumn("r_len",
+        row_number().over(Window.orderBy(desc("n_tok"), asc("doc_id"))).cast("long"))
+      .withColumn("r_ttr",
+        row_number().over(Window.orderBy(desc("ttr"), asc("doc_id"))).cast("long"))
+      .withColumn("r_stop",
+        row_number().over(Window.orderBy(asc("stop_ratio"), asc("doc_id"))).cast("long"))
+      .withColumn("combined", col("r_len") + col("r_ttr") + col("r_stop"))
+      .orderBy(asc("combined"), asc("doc_id")).limit(100)
+      .select("doc_id", "r_len", "r_ttr", "r_stop", "combined")
+      .collect().map(_.toSeq).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+
+    // semantics: a long, diverse, stopword-free doc beats a short,
+    // repetitive, stopword-glued one on every leg
+    val tiny = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "the the the a a of"))
+      .toDF("doc_id", "text")
+    val r = QualityOps.qualityEnsemble(tiny, topN = 2).collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(r.head.getAs[Long]("combined") === 3L, "doc 1 must rank first on every signal")
+  }
 }
