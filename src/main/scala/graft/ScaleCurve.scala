@@ -443,6 +443,23 @@ object ScaleCurve {
         // AND aggregate's key space grows with matches, not the corpus.
         Cell(f, "q137_boolean",
           () => graft.ops.Retrieval.booleanSearch(docs),
+          _.count()),
+        // mutual-kNN graph (q138): every vector is a query, so BOTH the
+        // probe side and the n·k kNN frame grow ×f — output must grow
+        // ~linearly (component-rotated replicas reproduce the base
+        // neighborhoods), sec ≲ linearly, with nlist scaled ×f so the
+        // per-cell population (hence per-query candidate work) stays
+        // bounded (the q109 prescription).
+        Cell(f, "q138_knn_graph",
+          () => graft.ops.AnnIvf.knnGraph(emb, nlist = 16 * f),
+          _.count()),
+        // quality ensemble (q139): three Ranks two-pass rankings over a
+        // corpus growing ×f; output fixed at topN, so the curve watches
+        // the range-partitioned sorts (every task N/P rows) absorb the
+        // growth — sec must stay ≲ linear, never the single-window
+        // serialization the primitive exists to avoid.
+        Cell(f, "q139_quality_ensemble",
+          () => graft.ops.QualityOps.qualityEnsemble(docs),
           _.count()))
     }
 

@@ -1329,4 +1329,68 @@ object StreamingEtl {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming near-dup ADMISSION GATE over the persisted signature
+    * store — the nightly-crawl loop composed end-to-end. Per micro-batch:
+    *
+    *   1. probe the CURRENT store for near-dups of the batch's docs
+    *      (store side = everything admitted by earlier batches — base
+    *      corpus plus every prior night's keepers);
+    *   2. within-batch dedup (full batch, no slice): a doc that pairs
+    *      with ANY other batch doc and is not that pair's minimum is
+    *      dropped — the conservative pairwise min-keeper (a dup of a
+    *      dropped doc is still dropped; transitive chains keep only
+    *      minima), the q66 keeper-election rule at gate granularity;
+    *   3. admit the keepers: append ONLY them to the store, and write
+    *      the rejection decisions (doc_id, dup_of, jaccard, origin) to
+    *      `decisionsDir/batch=<id>`.
+    *
+    * Exactly-once under at-least-once delivery: the store append rides
+    * the manifest `batchWatermark` ([[runIndexAppend]]'s contract), and
+    * the gate checks that watermark FIRST — a replayed batch id is
+    * skipped entirely (no probe, no decision rewrite, no publish), so
+    * the decisions dir and the store can never disagree about a batch.
+    * A crash after the decisions write but before the store publish
+    * replays the batch: the watermark is still behind, the probe
+    * re-runs against the identical store state, and the decisions
+    * overwrite with identical rows — idempotent end to end.
+    */
+  def runDedupGate(
+      stream: DataFrame,
+      checkpoint: String,
+      storePath: String,
+      decisionsDir: String,
+      threshold: Double = 0.5): Unit =
+    runIndexAppend(stream, checkpoint, (batch, batchId) => {
+      val spark = batch.sparkSession
+      val cur = graft.ops.StoreManifest.currentSnapshot(spark, storePath)
+        .getOrElse(sys.error(
+          s"signature store $storePath does not exist — write the base corpus first"))
+      if (batchId > cur.batchWatermark) {
+        val docs = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val storeDups = graft.ops.NearDup
+            .incrementalNearDupPairsFromStore(storePath, docs, threshold)
+            .select(col("doc_id"), col("dup_of"), col("jaccard"),
+              lit("store").as("origin"))
+          val withinDups = graft.ops.NearDup
+            .lshNearDupPairs(docs, sliceMax = None, threshold = threshold)
+            .select(col("doc_b").as("doc_id"), col("doc_a").as("dup_of"),
+              col("jaccard"), lit("batch").as("origin"))
+          val decisions = storeDups.unionByName(withinDups)
+            .orderBy("doc_id", "dup_of", "origin")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            // overwrite per batch partition: a replayed crash window
+            // rewrites the same rows, never duplicates them
+            decisions.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$decisionsDir/batch=$batchId")
+            val keepers = docs.join(
+              broadcast(decisions.select("doc_id").distinct()),
+              Seq("doc_id"), "left_anti")
+            graft.ops.NearDup.appendSignatureStore(keepers, storePath, batchId = batchId)
+          } finally decisions.unpersist(false)
+        } finally docs.unpersist(false)
+      }
+    })
 }

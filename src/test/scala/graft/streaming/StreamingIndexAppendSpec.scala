@@ -156,4 +156,76 @@ class StreamingIndexAppendSpec extends SparkSpec {
     assert(component(appended, "edges", None).nonEmpty,
       "no edges in the fixture — append parity is vacuous")
   }
+
+  test("dedup gate: streamed probe+admit loop across a restart == the sequential batch fold; replay no-op") {
+    val in = tmpDir("gate-in")
+    val ckpt = tmpDir("gate-ckpt")
+    val decisions = tmpDir("gate-dec").toString
+    val streamStore = tmpDir("gate-stream").toString
+    val batchStore = tmpDir("gate-batch").toString
+    val s0 = corpus.filter(col("doc_id") % 3 === 0)
+    val s1 = corpus.filter(col("doc_id") % 3 === 1)
+    val s2 = corpus.filter(col("doc_id") % 3 === 2)
+
+    NearDup.writeSignatureStore(s0, streamStore)
+    def drain(): Unit = StreamingEtl.runDedupGate(
+      spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1).json(in.toString),
+      ckpt.toString, streamStore, decisions)
+    writeFile(in, "night1.json", s1.toJSON.collect().mkString("\n"))
+    drain()
+    writeFile(in, "night2.json", s2.toJSON.collect().mkString("\n"))
+    drain() // RESTART on the same checkpoint: only night2 is a new batch
+
+    // reference: the same admission fold through the batch APIs
+    NearDup.writeSignatureStore(s0, batchStore)
+    val refDecisions = Seq(s1, s2).map { s =>
+      val storeDups = NearDup.incrementalNearDupPairsFromStore(batchStore, s)
+        .select(col("doc_id"), col("dup_of"))
+      val withinDups = NearDup.lshNearDupPairs(s, sliceMax = None)
+        .select(col("doc_b").as("doc_id"), col("doc_a").as("dup_of"))
+      val losers = storeDups.unionByName(withinDups)
+        .select("doc_id").distinct()
+      val keepers = s.join(losers, Seq("doc_id"), "left_anti")
+      val dec = storeDups.unionByName(withinDups)
+        .collect().map(_.toSeq).toSet
+      NearDup.appendSignatureStore(keepers, batchStore)
+      dec
+    }
+
+    def component(dir: String, name: String): Set[Seq[Any]] = {
+      val sn = StoreManifest.currentSnapshot(spark, dir).get
+      StoreManifest.readComponent(spark, dir, sn, name)
+        .map(_.collect().map(_.toSeq).toSet).getOrElse(Set.empty)
+    }
+    for (name <- Seq("tokens", "bands"))
+      assert(component(streamStore, name) === component(batchStore, name),
+        s"gated store component $name diverged from the batch fold")
+
+    // decisions match the reference fold per batch, and are non-vacuous
+    for ((want, b) <- refDecisions.zipWithIndex) {
+      val got = spark.read.parquet(s"$decisions/batch=$b")
+        .select("doc_id", "dup_of").collect().map(_.toSeq).toSet
+      assert(got === want, s"batch $b decisions diverged")
+    }
+    assert(refDecisions.exists(_.nonEmpty),
+      "fixture vacuous: the gate never rejected a doc")
+
+    // at-least-once replay: a fresh checkpoint re-delivers both files as
+    // batch ids 0 and 1 — both are behind the watermark and must be
+    // skipped entirely (store version AND decisions untouched)
+    val verBefore = StoreManifest.currentSnapshot(spark, streamStore).get.version
+    val decBefore = spark.read.parquet(s"$decisions/batch=0")
+      .collect().map(_.toSeq).toSet
+    val ckpt2 = tmpDir("gate-ckpt2")
+    StreamingEtl.runDedupGate(
+      spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1).json(in.toString),
+      ckpt2.toString, streamStore, decisions)
+    assert(StoreManifest.currentSnapshot(spark, streamStore).get.version === verBefore,
+      "replayed batches must not publish")
+    assert(spark.read.parquet(s"$decisions/batch=0")
+      .collect().map(_.toSeq).toSet === decBefore,
+      "replayed batches must not rewrite decisions")
+  }
 }
