@@ -2292,6 +2292,24 @@ object Queries {
     (s, d) => graft.ops.QualityOps.qualityEnsemble(t(s, d, "documents")),
     Some(graft.ops.QualityOps.qualityEnsembleOracleSql()))
 
+  /** Per-class embedding centroids + distance outliers: quantize-then-
+    * sum pooling (no float crosses a shuffle), in-row integer residual
+    * fold, global top-N — the mislabel screen.
+    */
+  private val q140 = QueryDef(
+    "q140_embedding_outliers",
+    (s, d) => graft.ops.EmbedStats.classOutliers(t(s, d, "embeddings")),
+    Some(graft.ops.EmbedStats.classOutliersOracleSql()))
+
+  /** Leakage-safe train/eval split: near-dup clusters travel together
+    * (split keyed on q64's cluster_id, singletons = own cluster), so
+    * eval can never hold a near-copy of a train doc.
+    */
+  private val q141 = QueryDef(
+    "q141_leakage_split",
+    (s, d) => graft.ops.TrainPipe.leakageSafeSplit(t(s, d, "embeddings")),
+    Some(graft.ops.TrainPipe.leakageSafeSplitOracleSql()))
+
   /** Rolling distinct actives (DAU/WAU) from daily KMV sketches merged
     * over a trailing window — O(k) state per day, KMV-closure exact.
     */
@@ -2513,5 +2531,5 @@ object Queries {
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
-    q138, q139)
+    q138, q139, q140, q141)
 }

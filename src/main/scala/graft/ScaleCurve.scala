@@ -429,10 +429,12 @@ object ScaleCurve {
           () => graft.ops.Retrieval.hybridTopK(docs, emb),
           _.count()),
         // video near-dup (q136): the frame-hash pass is a linear
-        // per-payload map (≤ maxFrames longs out per video); candidates
-        // ride the bounded slice (id < 100 = replica 0 only), so output
-        // stays flat while the banded corpus grows ×f. sec must track
-        // the linear hash stream, never the quadratic frame-pair space.
+        // per-payload map (≤ maxFrames longs out per video). The
+        // alphabet rotation is MONOTONE on bytes, so replica payloads
+        // gradient-hash like their base doc — every replica is a
+        // planted cross-replica near-dup, and the output GROWS with f
+        // (base-side lhs stays the id<100 slice). sec must track the
+        // linear hash stream, never the quadratic frame-pair space.
         Cell(f, "q136_video_neardup",
           () => graft.ops.Multimodal.videoNearDupPairs(
             graft.ops.Multimodal.videoWithVariants(spark, dir)),

@@ -950,6 +950,11 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("tok_a"), asc("tok_b"))
       .limit(k)
+      // unpartitioned window — DELIBERATE and bounded: its input is the
+      // post-limit frame, ≤ k rows by construction (TakeOrderedAndProject
+      // upstream), so "all data to a single partition" is k rows, not the
+      // corpus. The WindowExec runtime warning is expected here; the
+      // corpus-scale work (pair Generate + keyed count) is all upstream.
       .withColumn("rnk",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(desc("cnt"), asc("tok_a"), asc("tok_b"))).cast("long"))

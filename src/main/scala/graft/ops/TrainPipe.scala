@@ -1037,4 +1037,75 @@ object TrainPipe {
        |WHERE rnk <= $k
        |ORDER BY source, rnk""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Leakage-safe train/eval split (q141): the eval set must not contain
+  // a near-duplicate of anything in train — the contamination mode a
+  // doc-level random split CANNOT prevent (a template cluster lands on
+  // both sides and eval measures memorization). The fix every serious
+  // pipeline ships: split by DUP CLUSTER, not by doc — all members of a
+  // near-dup cluster travel together.
+  // -------------------------------------------------------------------
+
+  /** Assign every vector to train/eval by its near-dup cluster
+    * ([[Clusters.embedDupClusters]] — q64's transitive closure over the
+    * banded LSH pairs; vectors in no cluster are their own singleton
+    * cluster, id = vec_id). Eval = clusters with
+    * `cluster_id % evalMod == evalSlot`. Output (vec_id, cluster_id,
+    * cluster_size, split); the guarantee — NO near-dup pair straddles
+    * the split — is spec-pinned over the pair set itself.
+    *
+    * Scale shape: the cluster pass is q64's (banded candidates, linear
+    * CC); the singleton fill is ONE left join of the corpus ids against
+    * the (much smaller) clustered set; the split column is a pure map.
+    */
+  def leakageSafeSplit(
+      emb: DataFrame, evalMod: Int = 10, evalSlot: Int = 0): DataFrame = {
+    require(evalMod >= 2 && evalSlot >= 0 && evalSlot < evalMod)
+    val cc = Clusters.embedDupClusters(emb)
+    val all = emb
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .select(col("vec_id"))
+    all
+      .join(cc, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .withColumn("split",
+        when(pmod(col("cluster_id"), lit(evalMod)) === evalSlot, lit("eval"))
+          .otherwise(lit("train")))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for [[leakageSafeSplit]]: q64's recursive-closure
+    * oracle with the singleton fill and the same modular slot rule.
+    */
+  def leakageSafeSplitOracleSql(evalMod: Int = 10, evalSlot: Int = 0): String = {
+    val pairsSql = AnnLsh.nearDupOracleSql()
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT vec_a AS a, vec_b AS b FROM pairs
+       |  UNION
+       |  SELECT vec_b, vec_a FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+       |  UNION
+       |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.v = e.b),
+       |cc AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY 1),
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1),
+       |assigned AS (
+       |  SELECT cc.v AS vec_id, cc.cluster_id, sizes.cluster_size
+       |  FROM cc JOIN sizes USING (cluster_id)),
+       |everyone AS (
+       |  SELECT e.vec_id,
+       |    coalesce(a.cluster_id, e.vec_id) AS cluster_id,
+       |    CAST(coalesce(a.cluster_size, 1) AS BIGINT) AS cluster_size
+       |  FROM (SELECT vec_id FROM embeddings
+       |        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) e
+       |  LEFT JOIN assigned a USING (vec_id))
+       |SELECT vec_id, cluster_id, cluster_size,
+       |  CASE WHEN cluster_id % $evalMod = $evalSlot THEN 'eval' ELSE 'train' END
+       |    AS split
+       |FROM everyone ORDER BY vec_id""".stripMargin
+  }
 }

@@ -244,4 +244,29 @@ class AnnPqSpec extends SparkSpec {
     assert(!plan.contains("pq_encode"), plan.linesIterator.take(30).mkString("\n"))
     assert(plan.contains("pq_lut"), "queries still build their LUTs map-side")
   }
+
+  test("pq index store: readAsOf(v) serves exactly the first-v-batches index") {
+    import graft.ops.StoreManifest
+    val dir = java.nio.file.Files.createTempDirectory("pqasof").toString
+    val baseDir = java.nio.file.Files.createTempDirectory("pqasofbase").toString
+    val base = emb.filter(col("vec_id") % 50 =!= 17 || col("vec_id") < 16)
+    val delta = emb.filter(col("vec_id") % 50 === 17 && col("vec_id") >= 16)
+    AnnPq.writePqIndex(base, dir)   // v1
+    AnnPq.appendPqIndex(delta, dir) // v2
+    AnnPq.writePqIndex(base, baseDir)
+    val asOf1 = AnnPq.ivfPqTopKFromIndex(emb, dir, asOfVersion = Some(1L))
+      .collect().toSeq
+    assert(asOf1 === AnnPq.ivfPqTopKFromIndex(emb, baseDir).collect().toSeq,
+      "the v1 snapshot must serve exactly the base-only index")
+    assert(asOf1.nonEmpty)
+    // non-vacuous: the append IS visible at the current version
+    val codesSchema = Some("vec_id LONG, codes ARRAY<INT>, list_id LONG")
+    def codeCount(snap: StoreManifest.Snapshot): Long =
+      StoreManifest.readComponent(spark, dir, snap, "codes", codesSchema)
+        .get.count()
+    val v1 = StoreManifest.snapshotAt(spark, dir, 1L)
+    val cur = StoreManifest.currentSnapshot(spark, dir).get
+    assert(codeCount(cur) === codeCount(v1) + delta.count(),
+      "current snapshot must carry exactly the appended codes on top of v1")
+  }
 }

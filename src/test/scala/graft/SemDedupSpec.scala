@@ -205,4 +205,40 @@ class SemDedupSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName)
     assert(dirs.exists(_.startsWith("list_id=")), dirs.mkString(","))
   }
+
+  test("semantic store: readAsOf(v) probes the store exactly as of that publish") {
+    val (base, delta) = split(emb)
+    // fold HALF the delta into the store, probe with the other half
+    val deltaA = delta.filter(col("vec_id") % 2 === 0)
+    val deltaB = delta.filter(col("vec_id") % 2 === 1)
+    val store = tmpDir("semasof").toString
+    val baseOnly = tmpDir("semasofbase").toString
+    SemDedup.writeSemanticStore(base, store)   // v1
+    SemDedup.appendSemanticStore(deltaA, store) // v2
+    SemDedup.writeSemanticStore(base, baseOnly)
+    val asOf1 = SemDedup
+      .incrementalSemanticDedupFromStore(store, deltaB, asOfVersion = Some(1L))
+      .collect().map(_.toSeq).toSeq
+    assert(asOf1 === SemDedup.incrementalSemanticDedupFromStore(baseOnly, deltaB)
+      .collect().map(_.toSeq).toSeq,
+      "the v1 snapshot must probe exactly the base-only store")
+    assert(asOf1.nonEmpty, "fixture vacuous: no crossings against the v1 base")
+    // non-vacuous: the append IS visible at the current version — its
+    // assigned component carries exactly the deltaA rows on top of v1's
+    import graft.ops.StoreManifest
+    val assignedSchema =
+      Some("vec_id LONG, embedding ARRAY<FLOAT>, nrm DOUBLE, list_id LONG")
+    def assignedCount(snap: StoreManifest.Snapshot): Long =
+      StoreManifest.readComponent(spark, store, snap, "assigned", assignedSchema)
+        .get.count()
+    val v1 = StoreManifest.snapshotAt(spark, store, 1L)
+    val cur = StoreManifest.currentSnapshot(spark, store).get
+    assert(assignedCount(cur) === assignedCount(v1) + deltaA.count(),
+      "current snapshot must carry exactly the appended assignments on top of v1")
+    // and v1 crossings survive into the current probe (append-only base)
+    val current = SemDedup.incrementalSemanticDedupFromStore(store, deltaB)
+      .collect().map(_.toSeq).toSeq
+    assert(asOf1.toSet.subsetOf(current.toSet),
+      "v1 crossings must survive into the current snapshot's probe")
+  }
 }

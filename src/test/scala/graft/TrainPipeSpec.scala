@@ -536,4 +536,36 @@ class TrainPipeSpec extends SparkSpec {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  test("leakage-safe split: no near-dup pair straddles train/eval; every vector gets exactly one side") {
+    import graft.ops.{AnnLsh, TrainPipe}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val split = TrainPipe.leakageSafeSplit(emb).collect()
+    val side = split.map(r => r.getLong(0) -> r.getString(3)).toMap
+
+    // total, single-sided coverage of the valid corpus
+    val validIds = emb
+      .filter(org.apache.spark.sql.functions.col("vec_id").isNotNull &&
+        org.apache.spark.sql.functions.col("embedding").isNotNull)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(side.keySet === validIds)
+    assert(side.values.toSet === Set("train", "eval"),
+      "both sides must be non-empty on this corpus")
+
+    // THE guarantee: every near-dup pair lands on one side
+    val pairs = AnnLsh.nearDupPairs(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture vacuous: no near-dup pairs to keep together")
+    pairs.foreach { case (a, b) =>
+      assert(side(a) === side(b), s"near-dup pair ($a,$b) straddles the split")
+    }
+
+    // and the split is genuinely cluster-keyed: some cluster with >1
+    // member sits entirely in eval (travel-together, not drop-from-eval)
+    val clustered = split.filter(_.getLong(2) > 1L)
+    assert(clustered.exists(_.getString(3) == "eval") ||
+      clustered.groupBy(_.getLong(1)).values.exists(g =>
+        g.length > 1 && g.forall(_.getString(3) == "train")),
+      "no multi-member cluster observed on either side")
+  }
 }
