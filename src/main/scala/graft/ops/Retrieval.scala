@@ -452,27 +452,37 @@ object Retrieval {
       "a term cannot be both must and mustNot")
     val spark = incidences.sparkSession
     import spark.implicits._
-    val must = queries
-      .flatMap { case (qid, ms, _) => ms.distinct.map(t => (qid, t)) }
-      .toDF("query_id", "tok")
+    // ONE corpus pass for both legs: must and mustNot terms ride one
+    // role-flagged broadcast applied BELOW the dedup (the map-side
+    // filter leaves only the query-vocab sliver, so the distinct
+    // shuffles matches, never the corpus), and the sliver is
+    // checkpointed so the AND aggregate and the NOT set both read one
+    // materialization — the token scan never runs twice.
+    val terms = queries
+      .flatMap { case (qid, ms, ns) =>
+        ms.distinct.map(t => (qid, t, "m")) ++
+          ns.distinct.map(t => (qid, t, "n"))
+      }
+      .toDF("query_id", "tok", "role")
     val mustCnt = queries
       .map { case (qid, ms, _) => (qid, ms.distinct.size.toLong) }
       .toDF("query_id", "need")
-    val toks = incidences.select("doc_id", "tok").distinct()
-    val hits = toks
-      .join(broadcast(must), "tok")
+    val hasNeg = queries.exists(_._3.nonEmpty)
+    val matched0 = incidences.select("doc_id", "tok")
+      .join(broadcast(terms), "tok")
+      .select("query_id", "doc_id", "tok", "role").distinct()
+      .select("query_id", "doc_id", "role")
+    val matched = if (hasNeg) matched0.localCheckpoint() else matched0
+    val hits = matched.filter(col("role") === "m")
       .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("got"))
       .join(broadcast(mustCnt), "query_id")
       .filter(col("got") === col("need"))
       .select("query_id", "doc_id")
-    val negPairs = queries
-      .flatMap { case (qid, _, ns) => ns.distinct.map(t => (qid, t)) }
     val out =
-      if (negPairs.isEmpty) hits
+      if (!hasNeg) hits
       else {
-        val neg = toks
-          .join(broadcast(negPairs.toDF("query_id", "tok")), "tok")
+        val neg = matched.filter(col("role") === "n")
           .select("query_id", "doc_id").distinct()
         hits.join(broadcast(neg), Seq("query_id", "doc_id"), "left_anti")
       }
