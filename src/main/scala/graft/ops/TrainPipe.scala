@@ -1067,7 +1067,11 @@ object TrainPipe {
       .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
       .select(col("vec_id"))
     all
-      .join(cc, Seq("vec_id"), "left")
+      // the clustered set is bounded by the pair set (tiny next to the
+      // corpus) — broadcast it so the singleton fill never sorts the
+      // corpus; at a clustered-set size beyond broadcast, drop the hint
+      // and let AQE pick the shuffle join
+      .join(broadcast(cc), Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"),
         coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
