@@ -2501,6 +2501,51 @@ object Queries {
            |  UNION ALL SELECT 'orphan_custkey_rows', orphan_custkey_rows FROM orph)
            |ORDER BY rule""".stripMargin))
 
+  /** Trigram substring search: pg_trgm-style gram prefilter (a doc can
+    * contain the pattern only if it contains every trigram of it), AND
+    * via count-equals, exact contains() verify on candidates only.
+    */
+  private val q142 = QueryDef(
+    "q142_trigram_search",
+    (s, d) => graft.ops.Retrieval.trigramSearch(t(s, d, "documents")),
+    Some(graft.ops.Retrieval.trigramSearchOracleSql()))
+
+  /** SCD2 history materialization: the events change stream folded
+    * into type-2 validity intervals — one key-partitioned window pass,
+    * episode heads by lag(), interval close by lead().
+    */
+  private val q143 = QueryDef(
+    "q143_scd2",
+    (s, d) => graft.ops.ChangeCapture.scd2FromEvents(t(s, d, "events")),
+    Some(graft.ops.ChangeCapture.scd2OracleSql()))
+
+  /** Robust (median/MAD) outlier screen over a deliberately dirtied
+    * orders fact (clean uniform prices make 3·MAD unreachable — the
+    * q132 planted-violation discipline): exact medians via two Ranks
+    * two-pass rankings, deviations and fences in raw doubles.
+    */
+  private val q144 = QueryDef(
+    "q144_mad_outliers",
+    (s, d) => {
+      val dirtied = t(s, d, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 1009 === 0, col("o_totalprice") * 50.0)
+            .when(col("o_orderkey") % 1013 === 0, col("o_totalprice") * -10.0)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      graft.ops.Robust.madOutliers(dirtied, "o_orderkey", "o_totalprice")
+    },
+    Some(graft.ops.Robust.ordersOutliersOracleSql()))
+
+  /** BPE tokenizer training, iteration-one surface: adjacent symbol-
+    * pair counts weighted by distinct-word frequency (the corpus scans
+    * once; merges iterate over the word table — [[graft.ops.TextOps
+    * .bpeMerges]] runs the full loop, spec-gated).
+    */
+  private val q145 = QueryDef(
+    "q145_bpe_pairs",
+    (s, d) => graft.ops.TextOps.bpePairCounts(t(s, d, "documents")),
+    Some(graft.ops.TextOps.bpePairCountsOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -2531,5 +2576,5 @@ object Queries {
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
-    q138, q139, q140, q141)
+    q138, q139, q140, q141, q142, q143, q144, q145)
 }

@@ -211,4 +211,67 @@ object ChangeCapture {
        |  FROM oldsnap o FULL OUTER JOIN newsnap n ON o.c_custkey = n.c_custkey)
        |WHERE change_type IS NOT NULL
        |ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // SCD2 history materialization (q143): turn a keyed change stream
+  // into the type-2 slowly-changing dimension — one row per state
+  // EPISODE with [valid_from, valid_to) validity and an is_current
+  // flag (Kimball's public dimensional-modeling pattern; the MERGE
+  // target every warehouse maintains by hand).
+  //
+  // Shape, scale-first: both passes are ONE key-partitioned window over
+  // the same (key, ts, seq) sort — Catalyst reuses the sort and the
+  // exchange, so the whole materialization is one shuffle of the change
+  // stream and two pipelined window evaluations. No global sort, no
+  // join: episode detection is lag() ≠ current (nulls start an
+  // episode), interval close is lead() over the surviving episode
+  // heads. A hot key degrades to one task sorting that key's events —
+  // the same bound as any per-entity sessionization.
+  // -------------------------------------------------------------------
+
+  /** SCD2 episodes of each user's event_type state over the events
+    * change stream: (user_id, event_id, event_type, valid_from,
+    * valid_to, is_current), where event_id is the surrogate version id
+    * (the episode's opening event — also the output's tie-break for
+    * same-timestamp changes). valid_to is the next episode's
+    * valid_from, null while current (half-open intervals: a lookup ts
+    * joins `valid_from <= ts < coalesce(valid_to, infinity)`).
+    */
+  def scd2FromEvents(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .filter(col("event_type").isNotNull && col("ts").isNotNull)
+      .select("user_id", "event_id", "event_type", "ts")
+      .withColumn("__prev", lag(col("event_type"), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  /** DuckDB oracle for [[scd2FromEvents]] — identical episode/interval
+    * windows. Spark evaluates lead() over the POST-filter episode rows
+    * because the filter sits between the two withColumns; the SQL makes
+    * that explicit with a CTE.
+    */
+  def scd2OracleSql(): String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+      |episodes AS (
+      |  SELECT user_id, event_id, event_type, ts FROM ordered
+      |  WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_id, event_type, ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS valid_to,
+      |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+      |    AS is_current
+      |FROM episodes
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
 }

@@ -723,4 +723,104 @@ object Retrieval {
        |WHERE rnk <= $topK
        |ORDER BY query_id, rnk""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Trigram substring search (q142): find documents containing an
+  // arbitrary substring — the `LIKE '%pattern%'` query a curation
+  // pipeline runs for contamination forensics and boilerplate hunting.
+  // A raw LIKE is a full-corpus scan per pattern; the public index
+  // answer (PostgreSQL pg_trgm, Google Code Search — Cox's public
+  // writeup) is a TRIGRAM index: a doc can contain the pattern only if
+  // it contains EVERY trigram of the pattern, so candidates come from
+  // an AND over 3-char-gram incidences (the q137 count-equals shape)
+  // and the exact `contains` verify touches candidates only.
+  //
+  // Shape, scale-first: the corpus trigram expansion is a per-row
+  // codegen'd transform (no UDF) immediately filtered by the queries'
+  // trigram vocabulary — only the matched sliver (rows whose trigram
+  // appears in SOME pattern) survives into the distinct/aggregate
+  // shuffle, and doc_id rides in the aggregate key so a hot trigram
+  // cannot hot-key it. The exact verify is one broadcast join of the
+  // (tiny) pattern table against the candidate doc rows. At 100 TB the
+  // expansion amortizes into a persisted trigram postings store (the
+  // q137 bucket layout, trigram instead of token); the corpus form
+  // here is the one-shot query shape.
+  // -------------------------------------------------------------------
+
+  /** Default substring queries over the synthetic corpus: a common
+    * cross-word phrase, a rare 3-word span, a word-prefix span, and a
+    * no-match probe (empty result legs must not break the union).
+    */
+  val DefaultSubstringQueries: Seq[(Long, String)] = Seq(
+    (1L, "merge batch"),
+    (2L, "table part a"),
+    (3L, "stream filt"),
+    (4L, "quantumzz"))
+
+  /** Documents containing each pattern as a raw substring:
+    * (query_id, doc_id), totally ordered. Patterns must be ≥ 3 chars
+    * (the trigram prefilter needs one full gram) and must not contain
+    * single quotes (they are embedded in the oracle SQL verbatim).
+    */
+  def trigramSearch(
+      docs: DataFrame,
+      queries: Seq[(Long, String)] = DefaultSubstringQueries): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.length >= 3),
+      "every substring query needs a pattern of at least 3 chars")
+    require(queries.forall(q => !q._2.contains("'")),
+      "patterns must not contain single quotes")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val patTris = queries.map { case (qid, p) =>
+      (qid, p, p.sliding(3).toSeq.distinct)
+    }
+    val allTris = patTris.flatMap(_._3).distinct
+    val triTable = patTris
+      .flatMap { case (qid, _, ts) => ts.map(qid -> _) }
+      .toDF("query_id", "tri")
+    val needTable = patTris
+      .map { case (qid, _, ts) => (qid, ts.size.toLong) }
+      .toDF("query_id", "need")
+    val patTable = queries.toDF("query_id", "pattern")
+    // per-row trigram expansion, filtered to the query vocabulary BEFORE
+    // any shuffle: the explode is pipelined and the isin cuts the stream
+    // map-side, so the distinct below shuffles the matched sliver only
+    val incidences = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, greatest(length(text) - 2, 0))," +
+            " i -> substr(text, i, 3))")).as("tri"))
+      .filter(col("tri").isin(allTris: _*))
+    val candidates = incidences
+      .join(broadcast(triTable), "tri")
+      .select("query_id", "doc_id", "tri").distinct()
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("got"))
+      .join(broadcast(needTable), "query_id")
+      .filter(col("got") === col("need"))
+      .select("query_id", "doc_id")
+    // exact verify on candidates only: join the pattern in (broadcast,
+    // tiny) and re-check against the full text
+    candidates
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .join(broadcast(patTable), Seq("query_id"))
+      .filter(col("text").contains(col("pattern")))
+      .select("query_id", "doc_id")
+      .orderBy("query_id", "doc_id")
+  }
+
+  /** DuckDB oracle for [[trigramSearch]] — the trigram index is a pure
+    * prefilter, so the oracle is the plain contains() scan.
+    */
+  def trigramSearchOracleSql(
+      queries: Seq[(Long, String)] = DefaultSubstringQueries): String = {
+    val rows = queries
+      .map { case (qid, p) => s"(CAST($qid AS BIGINT), '$p')" }
+      .mkString(", ")
+    s"""SELECT q.query_id, d.doc_id
+       |FROM documents d JOIN (VALUES $rows) q(query_id, pattern)
+       |  ON contains(d.text, q.pattern)
+       |WHERE d.text IS NOT NULL
+       |ORDER BY 1, 2""".stripMargin
+  }
 }

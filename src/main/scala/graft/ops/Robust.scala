@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Robust (median/MAD) outlier screening — the anomaly detector a data
+  * pipeline runs over value columns where mean/stddev z-scores are
+  * themselves corrupted by the outliers they hunt (the classic robust-
+  * statistics argument: median and MAD have a 50% breakdown point,
+  * mean/stddev have 0%). Flag rows whose absolute deviation from the
+  * median exceeds k · MAD (median absolute deviation) — Hampel's
+  * published identifier, the boxplot's robust cousin.
+  *
+  * Reference scope: the reference's aggregate stage publishes min/max/
+  * mean summaries (`loan_spark_etl.py` aggregate stage); a robust
+  * outlier screen is the audit a production pipeline adds on top.
+  *
+  * Determinism: the median is EXACT via the [[Ranks]] two-pass global
+  * ranking (never a single-partition window), computed as the mean of
+  * the one or two middle ranks — `(a + b) / 2` with one double add and
+  * one divide, an arithmetic chain DuckDB replays bit-for-bit (the
+  * oracle ranks the same way rather than calling `median()`, whose
+  * interpolation `a + (b-a)/2` is NOT the same float). Deviations,
+  * the MAD, and the `dev > k·MAD` comparison are raw double arithmetic
+  * on both engines — no rounding anywhere.
+  *
+  * Shape, scale-first: two [[Ranks]] passes (each: range partition on
+  * the sort key + per-partition row_number + broadcast offsets — every
+  * task sorts N/P rows) + two 1-row scalar broadcasts; the flag filter
+  * is one map-side pass. Exactness at 100 TB costs those two sorted
+  * passes — the `approx = true` twin collapses both medians into ONE
+  * `approx_percentile` (GK sketch, bounded state) scan for the
+  * screening-at-scale path; RobustSpec pins its flag set against the
+  * exact form within the sketch's rank-error bound (the q124/q67
+  * discipline: exact form anchors the oracle, sketch form documents
+  * the scale path).
+  */
+object Robust {
+
+  /** Rows of `df` whose `abs(value − median)` exceeds `k` · MAD:
+    * (keyCol, valueCol, dev), ordered by dev desc. `keyCol` must be a
+    * unique tie-break key. Exact by default; `approx = true` swaps both
+    * medians for one bounded-state `approx_percentile` pass.
+    */
+  def madOutliers(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      k: Double = 3.0,
+      approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(k > 0)
+    val base = df.select(col(keyCol), col(valueCol))
+      .filter(col(valueCol).isNotNull)
+    val medFrame =
+      if (approx)
+        base.agg(expr(s"approx_percentile($valueCol, 0.5D, $accuracy)").as("med"))
+      else exactMedian(base, valueCol, keyCol)
+    val devs = base
+      .crossJoin(broadcast(medFrame)) // 1-row scalar
+      .withColumn("dev", abs(col(valueCol) - col("med")))
+    val madFrame =
+      if (approx)
+        devs.agg(expr(s"approx_percentile(dev, 0.5D, $accuracy)").as("mad"))
+      else exactMedian(devs.select(col(keyCol), col("dev")), "dev", keyCol)
+        .withColumnRenamed("med", "mad")
+    devs
+      .crossJoin(broadcast(madFrame)) // 1-row scalar
+      .filter(col("dev") > lit(k) * col("mad"))
+      .select(col(keyCol), col(valueCol), col("dev"))
+      .orderBy(desc("dev"), col(keyCol))
+  }
+
+  /** Exact global median of `valueCol` as a 1-row frame (column `med`):
+    * mean of the middle one/two ranks of the [[Ranks]] global ranking
+    * ((N+1)/2 and N/2+1 — equal when N is odd).
+    */
+  private def exactMedian(
+      df: DataFrame, valueCol: String, tieCol: String): DataFrame = {
+    val ranked = Ranks.withGlobalRowNumber(
+      df, Seq(asc(valueCol), asc(tieCol)), "__rk")
+    // total row count: same bounded driver-side scalar Ranks itself
+    // already collected for its offsets (q130 discipline)
+    val n = ranked.count()
+    require(n > 0, s"madOutliers: no non-null $valueCol rows")
+    ranked
+      .filter(col("__rk") === (n + 1) / 2 || col("__rk") === n / 2 + 1)
+      .agg(avg(col(valueCol)).as("med"))
+  }
+
+  /** DuckDB oracle for the exact [[madOutliers]] over the DIRTIED
+    * orders fact (see q144: clean uniform prices put every deviation
+    * under 3·MAD — prime-residue planted outliers make the screen
+    * non-vacuous, the q132 discipline) — the same rank-the-middle
+    * median on both passes, never `median()` (its even-count
+    * interpolation is a different float chain).
+    */
+  def ordersOutliersOracleSql(k: Double = 3.0): String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey,
+       |    CASE WHEN o_orderkey % 1009 = 0 THEN o_totalprice * 50.0
+       |         WHEN o_orderkey % 1013 = 0 THEN o_totalprice * -10.0
+       |         ELSE o_totalprice END AS o_totalprice
+       |  FROM orders),
+       |ranked AS (
+       |  SELECT o_orderkey, o_totalprice,
+       |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
+       |    count(*) OVER () AS n
+       |  FROM o WHERE o_totalprice IS NOT NULL),
+       |med AS (
+       |  SELECT avg(o_totalprice) AS m FROM ranked
+       |  WHERE rk = (n + 1) // 2 OR rk = n // 2 + 1),
+       |devs AS (
+       |  SELECT o_orderkey, o_totalprice,
+       |    abs(o_totalprice - (SELECT m FROM med)) AS dev
+       |  FROM o WHERE o_totalprice IS NOT NULL),
+       |dranked AS (
+       |  SELECT dev, row_number() OVER (ORDER BY dev, o_orderkey) AS rk,
+       |    count(*) OVER () AS n
+       |  FROM devs),
+       |mad AS (
+       |  SELECT avg(dev) AS m FROM dranked
+       |  WHERE rk = (n + 1) // 2 OR rk = n // 2 + 1)
+       |SELECT o_orderkey, o_totalprice, dev FROM devs
+       |WHERE dev > $k * (SELECT m FROM mad)
+       |ORDER BY dev DESC, o_orderkey""".stripMargin
+}

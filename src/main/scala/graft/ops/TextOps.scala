@@ -1033,4 +1033,140 @@ object TextOps {
        |  AND array_to_string(t[CAST(i AS BIGINT):CAST(i + ${w - 1} AS BIGINT)], ' ') = '$lit'
        |ORDER BY doc_id, pos""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // BPE merge training (q145): byte-pair-encoding tokenizer training as
+  // published (Sennrich, Haddow & Birch, ACL 2016) — iteratively count
+  // adjacent symbol pairs over the corpus and merge the most frequent.
+  // The q99 subword counter CONSUMES a vocabulary; this is the operator
+  // that LEARNS one — the piece of a training-data pipeline that runs
+  // over the full corpus and therefore must distribute.
+  //
+  // Shape, scale-first (the standard distributed formulation): pair
+  // counting runs over the DISTINCT-WORD table weighted by word
+  // frequency — the corpus is scanned ONCE to build (word, freq), and
+  // every merge iteration touches only distinct words (orders of
+  // magnitude smaller; Zipf makes the ratio grow with corpus size).
+  // Each iteration = one codegen'd per-row pair expansion + one
+  // (a, b)-keyed aggregate with map-side partials + a 1-ROW argmax
+  // collect (TakeOrderedAndProject — the only driver traffic), then a
+  // per-row greedy fold applying the merge (higher-order aggregate(),
+  // no UDF). State between iterations is localCheckpoint'd so lineage
+  // stays O(1) per iteration.
+  // -------------------------------------------------------------------
+
+  /** Adjacent symbol-pair counts of the CURRENT symbolization, weighted
+    * by word frequency — iteration one of BPE training (symbols =
+    * single characters). Output: (pair, cnt) top-`topN` by count desc,
+    * pair asc — the oracle-gated surface (later iterations depend on
+    * the argmax chain; [[bpeMerges]] covers them, spec-gated).
+    */
+  def bpePairCounts(docs: DataFrame, topN: Int = 50): DataFrame =
+    pairCounts(wordTable(docs).withColumn("syms", charSplit("w")))
+      .orderBy(desc("cnt"), asc("pair"))
+      .limit(topN)
+      .select("pair", "cnt")
+
+  /** DuckDB oracle for [[bpePairCounts]]: same distinct-word weighting,
+    * same 2-char windows.
+    */
+  def bpePairCountsOracleSql(topN: Int = 50): String =
+    s"""WITH words AS (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+       |      AS w
+       |    FROM documents WHERE text IS NOT NULL)
+       |  GROUP BY 1),
+       |pairs AS (
+       |  SELECT substr(w, CAST(i AS INTEGER), 1) || ' ' ||
+       |      substr(w, CAST(i AS INTEGER) + 1, 1) AS pair,
+       |    freq
+       |  FROM words, unnest(range(1, len(w))) AS r(i)
+       |  WHERE len(w) >= 2)
+       |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+       |FROM pairs GROUP BY 1
+       |ORDER BY cnt DESC, pair LIMIT $topN""".stripMargin
+
+  /** Learn `nMerges` BPE merge rules over the corpus. Returns
+    * (step, left, right, cnt) in learning order — cnt is the pair's
+    * weighted frequency when it was chosen. Ties break (cnt desc,
+    * left asc, right asc) so the learned vocabulary is deterministic.
+    * Stops early when no pair occurs at least `minCount` times.
+    */
+  def bpeMerges(
+      docs: DataFrame,
+      nMerges: Int,
+      minCount: Long = 2L): Seq[(Int, String, String, Long)] = {
+    require(nMerges >= 1 && minCount >= 1)
+    var words = wordTable(docs)
+      .withColumn("syms", charSplit("w"))
+      .select("syms", "freq")
+      .localCheckpoint()
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val top = pairCounts(words)
+        .orderBy(desc("cnt"), asc("pair"))
+        .limit(1).collect() // 1 row — the argmax is the only collect
+      val best = top.headOption.filter(_.getAs[Long]("cnt") >= minCount)
+      best match {
+        case None => exhausted = true
+        case Some(row) =>
+          // pair column carries (a, b) as a 2-element array — split back
+          val arr = row.getAs[scala.collection.Seq[String]]("ab")
+          val (a, b) = (arr(0), arr(1))
+          learned += ((step, a, b, row.getAs[Long]("cnt")))
+          words = words
+            .withColumn("syms", mergeFold(col("syms"), a, b))
+            .localCheckpoint()
+          step += 1
+      }
+    }
+    learned.result()
+  }
+
+  /** (word, freq) over the whitespace tokenizer — the corpus's single
+    * full scan; every BPE iteration reads this table, not the corpus.
+    */
+  private def wordTable(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(explode(expr(
+        "filter(split(text, ' '), x -> x <> '')")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** Single-character symbolization of the named word column. */
+  private def charSplit(w: String): Column =
+    expr(s"transform(sequence(1, length($w)), i -> substr($w, i, 1))")
+
+  /** Weighted adjacent-pair counts of the current symbolization:
+    * (pair = 'a b' display string, ab = [a, b], cnt). Every adjacent
+    * occurrence counts (aaa → two a·a pairs), matching the published
+    * counting.
+    */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .filter(size(col("syms")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(syms) - 1)," +
+          " i -> array(element_at(syms, i), element_at(syms, i + 1)))"))
+        .as("ab"), col("freq"))
+      .groupBy(col("ab"))
+      .agg(sum(col("freq")).as("cnt"))
+      .withColumn("pair", concat_ws(" ", col("ab")))
+
+  /** Apply merge rule (a, b) → "ab" to a symbol array: one greedy
+    * left-to-right fold (aggregate() HOF — codegen-adjacent, no UDF),
+    * the same single pass the published implementation's in-word
+    * replace performs: [a, a, a, a] under (a, a) → [aa, aa].
+    */
+  private def mergeFold(syms: Column, a: String, b: String): Column =
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
 }

@@ -248,6 +248,59 @@ object StreamingEtl {
       }
   }
 
+  /** The OPEN episode per user for [[streamingScd2]] — O(1) state:
+    * the current SCD2 row, not the history.
+    */
+  case class OpenEpisode(eventId: Long, eventType: String, fromUs: Long)
+
+  /** A CLOSED SCD2 episode: q143's row shape with is_current=false,
+    * timestamps as exact micros (streaming Append can only emit
+    * finalized rows — the open episode IS the state; the batch form's
+    * is_current row materializes on demand from it).
+    */
+  case class Scd2Closed(user_id: Long, event_id: Long, event_type: String,
+      valid_from_us: Long, valid_to_us: Long)
+
+  /** Streaming SCD2 materialization — q143's type-2 history as per-key
+    * state: each user carries ONLY the open episode; an arrival with a
+    * DIFFERENT event_type closes it (emit, micros-exact) and opens the
+    * next; a same-type arrival is absorbed (consecutive duplicates
+    * collapse, exactly the batch lag() filter). Deterministic
+    * (ts, event_id) order within each batch; per-user in-order arrival
+    * across batches (the [[streamingFunnel]] contract). Spec pins
+    * stream closed rows = batch q143 `is_current=false` rows exactly,
+    * across multi-batch splits.
+    */
+  def streamingScd2(events: DataFrame): Dataset[Scd2Closed] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id").as[Long], col("event_type").as[String],
+        expr("unix_micros(ts)").as[Long], col("event_id").as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenEpisode, Scd2Closed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          var open = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[Scd2Closed]()
+          rows.toSeq.sortBy(r => (r._3, r._4)).foreach {
+            case (_, tpe, us, id) =>
+              open match {
+                case Some(o) if o.eventType != tpe =>
+                  out += Scd2Closed(user, o.eventId, o.eventType, o.fromUs, us)
+                  open = Some(OpenEpisode(id, tpe, us))
+                case Some(_) => // same type: absorbed
+                case None =>
+                  open = Some(OpenEpisode(id, tpe, us))
+              }
+          }
+          open.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Per-type trailing-window state for [[streamingRateAnomalies]]:
     * (hour, count) cells for the current hour plus up to `trailingHours`
     * closed hours — O(trailingHours) per type, never the events.

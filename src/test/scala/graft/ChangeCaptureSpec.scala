@@ -121,4 +121,61 @@ class ChangeCaptureSpec extends SparkSpec {
     assert(out.getOrElse("changed", 0L) === n31)
     assert(out.values.sum > 0)
   }
+
+  // ------------------------------------------------------- SCD2 (q143)
+
+  private val evSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("ts", TimestampType)))
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+
+  private def events(rows: (Long, Long, String, Long)*) =
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        rows.map(r => Row(r._1, r._2, r._3, ts(r._4))): _*), evSchema)
+
+  test("scd2: consecutive duplicate states collapse into one episode") {
+    // user 1: A A B A  ->  episodes A[t1,t3) B[t3,t4) A[t4,null)
+    val out = ChangeCapture.scd2FromEvents(events(
+      (1L, 1L, "A", 10L), (2L, 1L, "A", 20L),
+      (3L, 1L, "B", 30L), (4L, 1L, "A", 40L)))
+      .collect()
+      .map(r => (r.getLong(1), r.getString(2),
+        r.getTimestamp(3).getTime / 1000, Option(r.getTimestamp(4)).map(_.getTime / 1000),
+        r.getBoolean(5)))
+    assert(out.toSeq === Seq(
+      (1L, "A", 10L, Some(30L), false),
+      (3L, "B", 30L, Some(40L), false),
+      (4L, "A", 40L, None, true)))
+  }
+
+  test("scd2: intervals chain per user — valid_to = next valid_from, exactly one current") {
+    val out = ChangeCapture.scd2FromEvents(
+      Queries.t(spark, "/root/testdata/sf0.001", "events"))
+      .collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      // output order within a user is (valid_from, event_id)
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getTimestamp(4) === b.getTimestamp(3),
+            "valid_to must equal the next episode's valid_from")
+          assert(!a.getBoolean(5))
+        case _ =>
+      }
+      assert(rows.last.isNullAt(4) && rows.last.getBoolean(5),
+        "exactly the last episode is current")
+    }
+  }
+
+  test("scd2: same-timestamp changes tie-break by event_id") {
+    val out = ChangeCapture.scd2FromEvents(events(
+      (5L, 2L, "Y", 10L), (4L, 2L, "X", 10L)))
+      .collect()
+      .map(r => (r.getLong(1), r.getString(2), Option(r.getTimestamp(4)).isEmpty))
+    assert(out.toSeq === Seq((4L, "X", false), (5L, "Y", true)))
+  }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.ops.Robust
+
+/** Contract for the median/MAD robust outlier screen (q144): exact
+  * medians match hand arithmetic, the screen survives contamination
+  * that breaks mean/stddev z-scores, and the approx twin flags the
+  * same rows at fixture scale.
+  */
+class RobustSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType),
+    StructField("v", DoubleType)))
+
+  private def df(rows: (Long, Double)*) =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*), schema)
+
+  test("hand fixture: median, MAD, and the flag threshold are exact") {
+    // values 1..9 plus outlier 100: median of 10 values = (5+6)/2 = 5.5
+    // devs: 4.5 3.5 2.5 1.5 0.5 0.5 1.5 2.5 3.5 94.5
+    // sorted: .5 .5 1.5 1.5 2.5 2.5 3.5 3.5 4.5 94.5 -> MAD = (2.5+2.5)/2 = 2.5
+    // threshold 3*2.5 = 7.5: only dev 94.5 crosses
+    val rows = (1L to 9L).map(i => (i, i.toDouble)) :+ (10L, 100.0)
+    val out = Robust.madOutliers(df(rows: _*), "k", "v").collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 10L && out(0).getDouble(2) === 94.5)
+  }
+
+  test("odd count: median is the single middle rank") {
+    // 1..5 plus outlier 50 removed -> odd: 1 2 3 4 100 -> med 3,
+    // devs 2 1 0 1 97 -> MAD 1 -> threshold 3: flags 100 only
+    val out = Robust.madOutliers(
+      df((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0), (5L, 100.0)), "k", "v")
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(5L))
+  }
+
+  test("robustness: 20% contamination does not drag the fence (mean/stddev would)") {
+    // 8 inliers at ~10, 2 huge outliers: mean/stddev z-score at k=2
+    // misses both (stddev exploded); median/MAD flags exactly the two
+    val rows = Seq((1L, 9.0), (2L, 9.5), (3L, 10.0), (4L, 10.1),
+      (5L, 10.2), (6L, 10.4), (7L, 10.8), (8L, 11.0),
+      (9L, 5000.0), (10L, 6000.0))
+    val flagged = Robust.madOutliers(df(rows: _*), "k", "v")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(9L, 10L))
+  }
+
+  test("approx twin flags the same rows as exact on the dirtied orders fact") {
+    val sf = "/root/testdata/sf0.001"
+    val dirtied = SparkEntry.queries("q144_mad_outliers") // exact form
+    val exact = dirtied(spark, sf).collect().map(_.getLong(0)).toSet
+    import org.apache.spark.sql.functions._
+    val d = Queries.t(spark, sf, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 1009 === 0, col("o_totalprice") * 50.0)
+          .when(col("o_orderkey") % 1013 === 0, col("o_totalprice") * -10.0)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    val approx = Robust.madOutliers(d, "o_orderkey", "o_totalprice",
+      approx = true).collect().map(_.getLong(0)).toSet
+    // planted outliers sit ~10x past the fence; GK rank error at the
+    // default accuracy cannot move the fence enough to flip any of them
+    assert(approx === exact)
+    assert(exact.nonEmpty, "the dirtied fact must flag planted outliers")
+  }
+}

@@ -423,4 +423,57 @@ class TextOpsSpec extends SparkSpec {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  // -------------------------------------------------- BPE training (q145)
+
+  /** The ACL-2016 paper's corpus (word frequencies chosen so ties
+    * exercise the deterministic break): low:5 lower:2 newest:6 widest:3.
+    */
+  private def bpeCorpus = {
+    import spark.implicits._
+    (Seq.fill(5)("low").zipWithIndex.map { case (w, i) => (i.toLong, w) } ++
+      Seq.fill(2)("lower").zipWithIndex.map { case (w, i) => (100L + i, w) } ++
+      Seq.fill(6)("newest").zipWithIndex.map { case (w, i) => (200L + i, w) } ++
+      Seq.fill(3)("widest").zipWithIndex.map { case (w, i) => (300L + i, w) })
+      .toDF("doc_id", "text")
+  }
+
+  test("bpe merges: the published example learns es, est, lo, low in order") {
+    // step 1: es=9 ties st=9 -> 'es' wins (pair asc); step 2: (es,t)=9;
+    // step 3: lo=7 ties ow=7 -> 'lo'; step 4: (lo,w)=7
+    val merges = TextOps.bpeMerges(bpeCorpus, nMerges = 4)
+    assert(merges === Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "l", "o", 7L), (4, "lo", "w", 7L)))
+  }
+
+  test("bpe merges: stops early when no pair reaches minCount") {
+    import spark.implicits._
+    val tiny = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    // every pair occurs once; minCount=2 learns nothing
+    assert(TextOps.bpeMerges(tiny, nMerges = 3).isEmpty)
+    // minCount=1 learns deterministically (pair asc on all-ties)
+    val m = TextOps.bpeMerges(tiny, nMerges = 1, minCount = 1L)
+    assert(m === Seq((1, "a", "b", 1L)))
+  }
+
+  test("bpe pair counting: every adjacent occurrence counts (aaaa -> 3)") {
+    import spark.implicits._
+    val d = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val top = TextOps.bpePairCounts(d, topN = 5).collect()
+    assert(top.length === 1)
+    assert(top(0).getString(0) === "a a" && top(0).getLong(1) === 3L)
+    // after merging (a,a) the word is [aa, aa]: greedy left-to-right
+    val m = TextOps.bpeMerges(d, nMerges = 2, minCount = 1L)
+    assert(m.head === ((1, "a", "a", 3L)))
+    assert(m(1) === ((2, "aa", "aa", 1L)))
+  }
+
+  test("q145 pair counts match on the real corpus under repartitioning") {
+    val docs = Queries.t(spark, "/root/testdata/sf0.001", "documents")
+    val a = TextOps.bpePairCounts(docs).collect().map(_.toSeq).toSeq
+    val b = TextOps.bpePairCounts(docs.repartition(7)).collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }

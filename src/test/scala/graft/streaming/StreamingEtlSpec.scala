@@ -809,6 +809,58 @@ class StreamingEtlSpec extends SparkSpec {
     assert(got.values.map(_._1).sum > 0)
   }
 
+  test("streaming SCD2: closed episodes equal batch q143 non-current rows across time-split batches") {
+    import spark.implicits._
+    val in = tmpDir("scd2-in")
+    val events = graft.Queries.t(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "event_type", "ts")
+    // JSON serializes timestamps at MILLIS — ship exact micros as a
+    // long and rebuild ts on the stream side (SCD2 compares validity
+    // boundaries bit-for-bit, unlike the aggregating twins)
+    val wire = events.select(col("event_id"), col("user_id"),
+      col("event_type"), expr("unix_micros(ts)").as("ts_us"))
+    // time split: episode state is order-sensitive — per-user event-time
+    // order across batches is the contract (the attribution discipline)
+    val cut = events.filter(col("ts").isNotNull)
+      .agg(expr("percentile(unix_micros(ts), 0.5D)")).head().getDouble(0).toLong
+    writeFile(in, "a.json",
+      wire.filter(col("ts_us") < cut)
+        .toJSON.collect().mkString("\n"))
+    writeFile(in, "b.json",
+      wire.filter(col("ts_us").isNull || col("ts_us") >= cut)
+        .toJSON.collect().mkString("\n"))
+
+    val stream = spark.readStream.schema(wire.schema)
+      .option("maxFilesPerTrigger", 1).json(in.toString)
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+    val sq = StreamingEtl.streamingScd2(stream)
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+
+    val got = spark.table("scd2_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._4, t._2))
+    val want = graft.ops.ChangeCapture.scd2FromEvents(events)
+      .filter(!col("is_current"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(valid_from)"), expr("unix_micros(valid_to)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._4, t._2))
+    assert(got.toSeq === want.toSeq)
+    assert(got.nonEmpty)
+    // every open episode is withheld: one fewer emitted row per user
+    // than the batch history's total
+    val batchAll = graft.ops.ChangeCapture.scd2FromEvents(events).count()
+    val users = want.map(_._1).distinct.length.toLong
+    assert(got.length.toLong <= batchAll - users)
+  }
+
   test("streaming CDC materializer: prev snapshot as initial state + change stream equals batch applyDelta") {
     import spark.implicits._
     val customer = graft.Queries.t(spark, "/root/testdata/sf0.001", "customer")
