@@ -2546,6 +2546,37 @@ object Queries {
     (s, d) => graft.ops.TextOps.bpePairCounts(t(s, d, "documents")),
     Some(graft.ops.TextOps.bpePairCountsOracleSql()))
 
+  /** Triangle counting + local clustering coefficient over the q138
+    * mutual-kNN similarity graph (degree ≤ k by construction): degree-
+    * ordered orientation, wedge-at-source ⋈ closing edge — each
+    * triangle found exactly once, out-degrees √|E|-bounded under skew.
+    */
+  private val q146 = QueryDef(
+    "q146_triangles",
+    (s, d) => graft.ops.Graph.triangleStats(
+      graft.ops.AnnIvf.knnGraph(t(s, d, "embeddings"))),
+    Some(graft.ops.Graph.knnTriangleOracleSql()))
+
+  /** PSI distribution-drift audit between two order periods (the
+    * retraining data contract): ONE scan, one |buckets|-row aggregate;
+    * the current period's planted 1.5× residue-class shift (q132
+    * discipline) concentrates drift in never-seen buckets, which the
+    * half-count smoothing keeps in the signal.
+    */
+  private val q147 = QueryDef(
+    "q147_psi_drift",
+    (s, d) => {
+      val dirtied = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          when(col("o_orderkey") % 7 === 0 &&
+              col("o_orderdate") >= lit("1998-01-01").cast("timestamp"),
+            col("o_totalprice") * 1.5)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      graft.ops.Drift.psiDrift(
+        dirtied, "o_totalprice", "o_orderdate", "1998-01-01", 50000.0)
+    },
+    Some(graft.ops.Drift.ordersDriftOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -2576,5 +2607,5 @@ object Queries {
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
-    q138, q139, q140, q141, q142, q143, q144, q145)
+    q138, q139, q140, q141, q142, q143, q144, q145, q146, q147)
 }

@@ -462,6 +462,49 @@ object ScaleCurve {
         // serialization the primitive exists to avoid.
         Cell(f, "q139_quality_ensemble",
           () => graft.ops.QualityOps.qualityEnsemble(docs),
+          _.count()),
+        // embedding class outliers (q140): the (label, pos)-keyed pooling
+        // aggregate grows ×f in input while its output stays |labels|·dim;
+        // scoring is an in-row fold, output fixed at topN — sec must track
+        // the single scan, rows flat.
+        Cell(f, "q140_embedding_outliers",
+          () => graft.ops.EmbedStats.classOutliers(emb),
+          _.count()),
+        // leakage-safe split (q141): q64's banded clustering + the
+        // broadcast split fill over a corpus growing ×f — component-
+        // rotated replicas reproduce the base cluster structure, so
+        // output rows grow exactly ×f and the split stays a pure map.
+        Cell(f, "q141_leakage_split",
+          () => graft.ops.TrainPipe.leakageSafeSplit(emb),
+          _.count()),
+        // trigram search (q142): the gram expansion scans ×f text but the
+        // map-side vocabulary filter keeps the shuffled sliver bounded by
+        // pattern matches — alphabet-rotated replicas carry none of the
+        // base patterns, so hits stay ~flat (probe contract) while sec
+        // tracks the linear scan.
+        Cell(f, "q142_trigram",
+          () => graft.ops.Retrieval.trigramSearch(docs),
+          _.count()),
+        // SCD2 (q143): ONE user-partitioned window pass over events
+        // growing ×f; replica users replay the base episode structure, so
+        // output rows grow exactly ×f and sec must track the partitioned
+        // sort, never a global one.
+        Cell(f, "q143_scd2",
+          () => SparkEntry.queries("q143_scd2")(spark, dir),
+          _.count()),
+        // median/MAD outliers (q144): two Ranks two-pass exact medians
+        // over orders growing ×f (every task sorts N/P rows); planted
+        // prime-residue outliers keep output ~linear (residue density is
+        // uniform over offset replica keys).
+        Cell(f, "q144_mad_outliers",
+          () => SparkEntry.queries("q144_mad_outliers")(spark, dir),
+          _.count()),
+        // BPE pair counts (q145): the distinct-word table grows ×f
+        // (rotated replicas mint disjoint words) and pair counting rides
+        // map-side partials; output fixed at topN (replica-rotated pairs
+        // tie, pair-asc breaks) — sec ≲ linear in the word table.
+        Cell(f, "q145_bpe_pairs",
+          () => graft.ops.TextOps.bpePairCounts(docs),
           _.count()))
     }
 

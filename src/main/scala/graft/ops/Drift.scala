@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift audit between two periods of a fact — the data
+  * contract a production pipeline checks before retraining on a new
+  * window: has the VALUE DISTRIBUTION moved, not just the row count?
+  * Metric: Population Stability Index (PSI), the published credit-risk
+  * monitoring statistic — per bucket i,
+  * psi_i = (p_cur_i − p_ref_i) · ln(p_cur_i / p_ref_i), always ≥ 0;
+  * total > 0.1 is the conventional "investigate", > 0.25 "act".
+  *
+  * Determinism (cross-engine hash-compare): every share is one double
+  * division of exact longs; the ln argument is formed as ONE division
+  * of exact long PRODUCTS ((cc·nr)/(cr·nc)) so both engines feed ln the
+  * same double; the contribution is quantized to integer millionths
+  * with floor(x·1e6 + 0.5) — the q106/BM25 discipline that absorbs the
+  * ≤ 1 ulp ln() divergence between libm implementations. PSI
+  * contributions are non-negative, so the half-up floor never straddles
+  * zero.
+  *
+  * Shape, scale-first: ONE scan → ONE |buckets|-row aggregate with
+  * map-side conditional partials (both periods counted in the same
+  * pass — the q132 one-aggregate audit shape); period totals ride a
+  * 1-row broadcast scalar. Nothing corpus-scale shuffles: the shuffle
+  * carries |buckets| rows of two longs.
+  */
+object Drift {
+
+  /** Per-bucket PSI between the reference period (`dateCol` < `cut`)
+    * and the current period (≥ `cut`) over fixed-width `bucketWidth`
+    * buckets of `valueCol`. Output: (bucket, ref_cnt, cur_cnt, psi_q)
+    * with psi_q = round(psi_i · 1e6) as a long, bucket asc. A bucket
+    * empty in ONE period is where drift concentrates (new mass in
+    * never-seen territory) — ln(0) is handled by the standard
+    * half-count substitution: the share numerator is max(cnt, 0.5),
+    * totals stay actual. Deterministic (0.5 is exact in binary), total,
+    * and the signal survives instead of being filtered out.
+    */
+  def psiDrift(
+      facts: DataFrame,
+      valueCol: String,
+      dateCol: String,
+      cut: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0)
+    val cutTs = lit(cut).cast("timestamp")
+    val bucketed = facts
+      .filter(col(valueCol).isNotNull && col(dateCol).isNotNull)
+      .select(
+        floor(col(valueCol) / bucketWidth).cast("long").as("bucket"),
+        (col(dateCol) < cutTs).as("is_ref"))
+    val counts = bucketed
+      .groupBy("bucket")
+      .agg(
+        count(when(col("is_ref"), 1)).as("ref_cnt"),
+        count(when(!col("is_ref"), 1)).as("cur_cnt"))
+    val totals = counts.agg(
+      sum(col("ref_cnt")).as("nr"), sum(col("cur_cnt")).as("nc"))
+    // half-count smoothing: a zero count enters shares and ln as 0.5
+    // (exact in binary — deterministic on both engines)
+    val ca = greatest(col("cur_cnt").cast("double"), lit(0.5))
+    val ra = greatest(col("ref_cnt").cast("double"), lit(0.5))
+    counts
+      .crossJoin(broadcast(totals)) // 1-row scalar
+      .select(col("bucket"), col("ref_cnt"), col("cur_cnt"),
+        floor(
+          ((ca / col("nc")) - (ra / col("nr"))) *
+            // products in double (counts are < 2^53, so the conversions
+            // are exact and the chain stays correctly-rounded): a long
+            // product would overflow at ~1e10-row periods
+            log((ca * col("nr").cast("double")) /
+              (ra * col("nc").cast("double"))) *
+            lit(1000000.0) + lit(0.5)).cast("long").as("psi_q"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB oracle for [[psiDrift]] over the DIRTIED orders fact used
+    * by q147 (see the query: clean uniform prices drift nowhere — the
+    * current period's residue class gets a 1.5× price shift, the q132
+    * planted-violation discipline). Identical bucket, share, and
+    * quantization arithmetic.
+    */
+  def ordersDriftOracleSql(
+      cut: String = "1998-01-01",
+      bucketWidth: Double = 50000.0): String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_orderdate,
+       |    CASE WHEN o_orderkey % 7 = 0
+       |           AND o_orderdate >= TIMESTAMP '$cut'
+       |         THEN o_totalprice * 1.5 ELSE o_totalprice END
+       |      AS o_totalprice
+       |  FROM orders),
+       |bucketed AS (
+       |  SELECT CAST(floor(o_totalprice / $bucketWidth) AS BIGINT) AS bucket,
+       |    (o_orderdate < TIMESTAMP '$cut') AS is_ref
+       |  FROM o WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+       |counts AS (
+       |  SELECT bucket,
+       |    CAST(count(*) FILTER (WHERE is_ref) AS BIGINT) AS ref_cnt,
+       |    CAST(count(*) FILTER (WHERE NOT is_ref) AS BIGINT) AS cur_cnt
+       |  FROM bucketed GROUP BY 1),
+       |totals AS (
+       |  SELECT sum(ref_cnt) AS nr, sum(cur_cnt) AS nc FROM counts),
+       |smoothed AS (
+       |  SELECT bucket, ref_cnt, cur_cnt,
+       |    greatest(CAST(cur_cnt AS DOUBLE), 0.5) AS ca,
+       |    greatest(CAST(ref_cnt AS DOUBLE), 0.5) AS ra
+       |  FROM counts)
+       |SELECT bucket, ref_cnt, cur_cnt,
+       |  CAST(floor(
+       |    ((ca / nc) - (ra / nr)) *
+       |    ln((ca * CAST(nr AS DOUBLE)) / (ra * CAST(nc AS DOUBLE)))
+       |    * 1000000.0 + 0.5)
+       |    AS BIGINT) AS psi_q
+       |FROM smoothed, totals
+       |ORDER BY bucket""".stripMargin
+}

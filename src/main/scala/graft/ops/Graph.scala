@@ -358,4 +358,107 @@ object Graph {
        |  CAST(r AS BIGINT) AS rank_q
        |FROM it$iters ORDER BY rank_q DESC, vertex ASC LIMIT $topK""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Triangle counting + local clustering coefficient (q146): the local-
+  // density signal graph pipelines read off a similarity graph — a
+  // vertex whose neighbors all know each other sits inside a tight
+  // cluster; coefficient ~0 flags hubs bridging unrelated regions.
+  // Published construction: degree-ordered edge orientation (Cohen's
+  // MapReduce triangle enumeration / Suri-Vassilvitskii): orient every
+  // edge from the (degree, id)-smaller endpoint; any acyclic
+  // orientation gives each triangle EXACTLY one vertex with two
+  // out-edges, so enumerating (wedge at src) ⋈ (closing edge) counts
+  // each triangle once, and out-degrees are bounded by ~sqrt(|E|)
+  // regardless of hub degree — the skew-proof property that makes the
+  // plan survive power-law graphs at 100 TB.
+  //
+  // The graph here is q138's mutual-kNN similarity graph (degree ≤ k by
+  // construction — the co-purchase graph alternative is COMPLETE on
+  // this testdata and triangle counting on a clique is vacuous).
+  // -------------------------------------------------------------------
+
+  /** Per-vertex triangle counts, wedge counts, and local clustering
+    * coefficient over an undirected edge list. `edges` must carry the
+    * canonical (u < v) distinct pairs in columns `uCol`, `vCol`.
+    * Output: (vec_id, degree, triangles, wedges, coeff) for vertices of
+    * degree ≥ 2 (coefficient is undefined below one wedge), triangles
+    * desc / id asc, top `topK`. coeff = triangles / wedges — two exact
+    * longs into one double division, bit-identical across engines.
+    */
+  def triangleStats(
+      edges: DataFrame,
+      uCol: String = "vec_a",
+      vCol: String = "vec_b",
+      topK: Int = 50): DataFrame = {
+    val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
+      .distinct()
+      // the edge list is read three times (degree, wedges, closing-edge
+      // probe) — materialize once; the kNN build above it is itself
+      // checkpointed, so this is a thin frame of id pairs
+      .localCheckpoint()
+    val deg = e.select(col("u").as("s"))
+      .unionAll(e.select(col("v").as("s")))
+      .groupBy("s").agg(count(lit(1)).as("d"))
+    // orient from the (degree, id)-smaller endpoint; u < v makes the
+    // tie-break (equal degrees -> keep u as source) total
+    val oriented = e
+      .join(deg.select(col("s").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("s").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("src"),
+        when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("dst"))
+    // wedges at src: both dsts oriented OUT of src; a.dst < b.dst keeps
+    // the candidate closing edge in canonical form for the probe join
+    val tris = oriented.as("a")
+      .join(oriented.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .select(col("a.src").as("w"), col("a.dst").as("x"), col("b.dst").as("y"))
+      .join(e, col("x") === col("u") && col("y") === col("v"), "left_semi")
+    val perVertex = tris
+      .select(explode(array(col("w"), col("x"), col("y"))).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("triangles"))
+    deg.filter(col("d") >= 2)
+      .join(perVertex, Seq("s"), "left")
+      .select(col("s").as("vec_id"), col("d").as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        (col("d") * (col("d") - 1) / lit(2)).cast("long").as("wedges"))
+      .withColumn("coeff", col("triangles") / col("wedges"))
+      .orderBy(desc("triangles"), asc("vec_id"))
+      .limit(topK)
+  }
+
+  /** DuckDB oracle for [[triangleStats]] over the q138 mutual-kNN graph:
+    * the knnGraph oracle as a subquery, triangles via the plain a<b<c
+    * three-way join (the oracle optimizes for replayability, not the
+    * oriented plan's skew bound).
+    */
+  def knnTriangleOracleSql(topK: Int = 50): String =
+    s"""WITH edges AS (
+       |  SELECT vec_a AS u, vec_b AS v FROM (
+       |${AnnIvf.knnGraphOracleSql()}
+       |  )),
+       |deg AS (
+       |  SELECT s, CAST(count(*) AS BIGINT) AS d FROM (
+       |    SELECT u AS s FROM edges UNION ALL SELECT v FROM edges)
+       |  GROUP BY 1),
+       |tri AS (
+       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM edges e1
+       |  JOIN edges e2 ON e2.u = e1.v
+       |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |pv AS (
+       |  SELECT s, CAST(count(*) AS BIGINT) AS triangles FROM (
+       |    SELECT a AS s FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri)
+       |  GROUP BY 1)
+       |SELECT d.s AS vec_id, d.d AS degree,
+       |  coalesce(pv.triangles, 0) AS triangles,
+       |  CAST(d.d * (d.d - 1) // 2 AS BIGINT) AS wedges,
+       |  coalesce(pv.triangles, 0) / CAST(d.d * (d.d - 1) // 2 AS BIGINT)
+       |    AS coeff
+       |FROM deg d LEFT JOIN pv ON pv.s = d.s
+       |WHERE d.d >= 2
+       |ORDER BY triangles DESC, vec_id LIMIT $topK""".stripMargin
 }

@@ -80,9 +80,11 @@ object Robust {
     val ranked = Ranks.withGlobalRowNumber(
       df, Seq(asc(valueCol), asc(tieCol)), "__rk")
     // total row count: same bounded driver-side scalar Ranks itself
-    // already collected for its offsets (q130 discipline)
+    // already collected for its offsets (q130 discipline). n = 0 flows
+    // through: the rank filter matches nothing, avg yields one null-med
+    // row, and every downstream dev/flag is null-filtered — the whole
+    // operator is total on empty input (EmptyInputSpec gate)
     val n = ranked.count()
-    require(n > 0, s"madOutliers: no non-null $valueCol rows")
     ranked
       .filter(col("__rk") === (n + 1) / 2 || col("__rk") === n / 2 + 1)
       .agg(avg(col(valueCol)).as("med"))

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.ops.Drift
+
+/** Contract for the PSI drift audit (q147): hand-checked quantized
+  * contributions including the half-count smoothing path, near-zero PSI
+  * on identically distributed periods, and the planted shift crossing
+  * the published 0.1 "investigate" threshold.
+  */
+class DriftSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("v", DoubleType),
+    StructField("dt", TimestampType)))
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+
+  private def df(rows: (Double, String)*) =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, ts(r._2))): _*), schema)
+
+  test("hand fixture: shares, ln chain, and half-count smoothing are exact") {
+    // ref: 4 rows in bucket 0; cur: 2 in bucket 0, 2 in bucket 1
+    val rows = Seq.fill(4)((0.5, "1997-01-01")) ++
+      Seq.fill(2)((0.5, "1999-01-01")) ++ Seq.fill(2)((1.5, "1999-01-01"))
+    val out = Drift.psiDrift(df(rows: _*), "v", "dt", "1998-01-01", 1.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // bucket 0: (2/4 - 4/4) * ln((2*4)/(4*4)) = 0.5*ln2 = 0.34657359...
+    assert(out(0L) === ((4L, 2L, 346574L)))
+    // bucket 1 (ref empty -> ra = 0.5): (2/4 - 0.5/4) * ln((2*4)/(0.5*4))
+    //   = 0.375 * ln 4 = 0.51986038...
+    assert(out(1L) === ((0L, 2L, 519860L)))
+  }
+
+  test("identical periods: every contribution is exactly zero") {
+    val rows = (1 to 50).flatMap(i =>
+      Seq((i * 37 % 10 + 0.5, "1997-01-01"), (i * 37 % 10 + 0.5, "1999-01-01")))
+    val out = Drift.psiDrift(df(rows: _*), "v", "dt", "1998-01-01", 1.0).collect()
+    assert(out.nonEmpty)
+    // equal counts and equal totals: shares identical, ln(1) = 0
+    assert(out.forall(_.getLong(3) === 0L))
+  }
+
+  test("q147: planted current-period shift crosses the 0.1 PSI threshold; clean twin does not") {
+    val sf = "/root/testdata/sf0.001"
+    val dirtyTotal = SparkEntry.queries("q147_psi_drift")(spark, sf)
+      .collect().map(_.getLong(3)).sum
+    assert(dirtyTotal > 100000L,
+      s"planted drift must cross PSI 0.1 (got ${dirtyTotal / 1e6})")
+    val clean = Drift.psiDrift(
+      Queries.t(spark, sf, "orders"),
+      "o_totalprice", "o_orderdate", "1998-01-01", 50000.0)
+      .collect().map(_.getLong(3)).sum
+    assert(clean < 100000L,
+      s"undirtied periods must sit below PSI 0.1 (got ${clean / 1e6})")
+    assert(clean < dirtyTotal / 5,
+      "the detector must separate planted drift from sampling noise")
+  }
+}

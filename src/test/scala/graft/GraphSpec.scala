@@ -192,4 +192,55 @@ class GraphSpec extends SparkSpec {
     // all four ranks tie -> vertex asc decides: c1, c2
     assert(m === Seq("c1", "c2"))
   }
+
+  // ------------------------------------------------- triangles (q146)
+
+  private def edgeDf(es: (Long, Long)*) = {
+    import implicits._
+    es.toSeq.toDF("vec_a", "vec_b")
+  }
+
+  test("triangles: hand fixture — two triangles sharing a vertex, a tail vertex") {
+    // triangle (1,2,3), triangle (3,4,5), tail edge (5,6)
+    val out = Graph.triangleStats(edgeDf(
+      (1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (3L, 5L), (4L, 5L), (5L, 6L)))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .toMap
+    // vertex 3: degree 4, 2 triangles, 6 wedges, coeff 1/3
+    assert(out(3L) === ((4L, 2L, 6L, 2.0 / 6.0)))
+    assert(out(1L) === ((2L, 1L, 1L, 1.0)))
+    assert(out(5L) === ((3L, 1L, 3L, 1.0 / 3.0)))
+    // vertex 6 has degree 1: excluded (no wedge to close)
+    assert(!out.contains(6L))
+  }
+
+  test("triangles: a triangle-free graph (star + path) yields all-zero counts") {
+    val out = Graph.triangleStats(edgeDf(
+      (1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(1L -> 0L, 4L -> 0L))
+  }
+
+  test("triangles: oriented enumeration equals the brute-force 3-join on the kNN graph") {
+    val emb = Queries.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val edges = graft.ops.AnnIvf.knnGraph(emb)
+      .select("vec_a", "vec_b").localCheckpoint()
+    val out = Graph.triangleStats(edges, topK = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val e = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vs = e.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val deg = vs.map(v => v -> e.count(p => p._1 == v || p._2 == v)).toMap
+    val triPerV = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      Seq(a, b, c) <- vs.combinations(3)
+      if e((a, b)) && e((b, c)) && e((a, c))
+      v <- Seq(a, b, c)
+    } triPerV(v) += 1
+    val want = vs.filter(deg(_) >= 2)
+      .map(v => (v, deg(v).toLong, triPerV(v))).sorted
+    assert(out.toSeq === want)
+    assert(want.exists(_._3 > 0L), "the kNN graph must contain triangles")
+  }
 }
