@@ -2577,6 +2577,39 @@ object Queries {
     },
     Some(graft.ops.Drift.ordersDriftOracleSql()))
 
+  /** Funnel step-transition latencies with EXACT medians (q110's
+    * time-to-convert companion): per-group medians from group-
+    * PARTITIONED rank/count windows — sort-based and spillable where
+    * q40's percentile buffers whole groups (the grouped-exact-median
+    * scale answer).
+    */
+  private val q148 = QueryDef(
+    "q148_funnel_latency",
+    (s, d) => graft.ops.Behavior.funnelStepLatencies(t(s, d, "events")),
+    Some(graft.ops.Behavior.funnelStepLatenciesOracleSql()))
+
+  /** EXACT grouped percentiles with bounded memory (q149): q40's
+    * numbers from a group-partitioned rank window instead of the
+    * whole-group percentile buffer — the exact scale twin the q40/q124
+    * hazard family was missing (q67 is the approx one). RobustSpec
+    * pins bit-equality with percentile().
+    */
+  private val q149 = QueryDef(
+    "q149_grouped_percentile",
+    (s, d) => graft.ops.Robust.groupedPercentiles(
+      t(s, d, "lineitem"), "l_returnflag", "l_extendedprice",
+      Seq("l_orderkey", "l_linenumber")),
+    Some(graft.ops.Robust.lineitemPercentilesOracleSql()))
+
+  /** Top session paths (the Sankey feed): gap sessionization + in-
+    * session position share ONE user-partitioned sort; the per-session
+    * collect is rank-bounded at maxLen BEFORE it happens.
+    */
+  private val q150 = QueryDef(
+    "q150_session_paths",
+    (s, d) => graft.ops.Behavior.sessionPaths(t(s, d, "events")),
+    Some(graft.ops.Behavior.sessionPathsOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -2607,5 +2640,6 @@ object Queries {
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
-    q138, q139, q140, q141, q142, q143, q144, q145, q146, q147)
+    q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
+    q149, q150)
 }

@@ -73,6 +73,191 @@ object Behavior {
     counts.reduce(_ unionByName _).orderBy("step")
   }
 
+  /** Funnel step-transition latencies with EXACT medians (q148): for
+    * each adjacent step pair, how long converting users took — the
+    * time-to-convert read every growth report pairs with q110's counts.
+    *
+    * The median discipline is the scale answer to exact GROUPED
+    * percentiles: q40's `percentile` holds every group value in ONE
+    * aggregation buffer (unbounded — the documented q40/q124 hazard);
+    * here each group's median comes from a group-PARTITIONED window
+    * (rank + count over the transition key) — sort-based, spillable,
+    * every task sorts its groups' rows, no whole-group array ever
+    * materializes. Median = mean of the middle one/two ranks (the q144
+    * rank-the-middle form, replayed identically in DuckDB — never an
+    * interpolating percentile call).
+    *
+    * Output: (step, transition, users, median_us, mean_us) — users =
+    * converters of that transition, median/mean over exact micros
+    * (mean = sum of exact longs / count, one double division).
+    */
+  def funnelStepLatencies(
+      events: DataFrame,
+      steps: Seq[String] = DefaultFunnel): DataFrame = {
+    require(steps.length >= 2)
+    import org.apache.spark.sql.expressions.Window
+    val typed = steps.map(s =>
+      events.filter(col("event_type") === s && col("ts").isNotNull &&
+        col("user_id").isNotNull))
+    val reaches = typed.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (ev, _)) =>
+        val base = prev match {
+          case None => ev.select(col("user_id"), col("ts"))
+          case Some(p) =>
+            ev.join(p.select(col("user_id"), col("reach").as("prev_reach")), "user_id")
+              .filter(col("ts") > col("prev_reach"))
+              .select(col("user_id"), col("ts"))
+        }
+        Some(base.groupBy(col("user_id")).agg(min(col("ts")).as("reach")))
+    }.flatten
+    val lats = reaches.sliding(2).toSeq.zipWithIndex.map {
+      case (Seq(a, b), i) =>
+        b.select(col("user_id"), col("reach"))
+          .join(a.select(col("user_id"), col("reach").as("prev_reach")), "user_id")
+          .select(
+            lit((i + 1).toLong).as("step"),
+            lit(s"${steps(i)}->${steps(i + 1)}").as("transition"),
+            col("user_id"),
+            (unix_micros(col("reach")) - unix_micros(col("prev_reach")))
+              .as("lat_us"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy("transition")
+    val ranked = lats
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("lat_us"), col("user_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+    ranked
+      .groupBy(col("step"), col("transition"))
+      .agg(
+        max(col("n")).cast("long").as("users"),
+        avg(when(col("rk") === expr("(n + 1) div 2") ||
+            col("rk") === expr("n div 2 + 1"), col("lat_us")))
+          .as("median_us"),
+        (sum(col("lat_us")) / count(lit(1))).as("mean_us"))
+      .orderBy("step")
+  }
+
+  /** DuckDB oracle for [[funnelStepLatencies]] — the same reach chain,
+    * the same rank-the-middle median inside each transition.
+    */
+  def funnelStepLatenciesOracleSql(
+      steps: Seq[String] = DefaultFunnel): String = {
+    require(steps.length >= 2 && steps.forall(!_.contains("'")))
+    val ctes = steps.zipWithIndex.map { case (s, i) =>
+      if (i == 0)
+        s"""r1 AS (
+           |  SELECT user_id, min(ts) AS reach FROM events
+           |  WHERE event_type = '$s' AND ts IS NOT NULL AND user_id IS NOT NULL
+           |  GROUP BY 1)""".stripMargin
+      else
+        s"""r${i + 1} AS (
+           |  SELECT e.user_id, min(e.ts) AS reach FROM events e
+           |  JOIN r$i p ON p.user_id = e.user_id
+           |  WHERE e.event_type = '$s' AND e.ts IS NOT NULL AND e.ts > p.reach
+           |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val latSelects = steps.sliding(2).toSeq.zipWithIndex.map {
+      case (Seq(a, b), i) =>
+        s"""SELECT CAST(${i + 1} AS BIGINT) AS step, '$a->$b' AS transition,
+           |  c.user_id,
+           |  epoch_us(c.reach) - epoch_us(p.reach) AS lat_us
+           |FROM r${i + 2} c JOIN r${i + 1} p USING (user_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $ctes,
+       |lats AS (
+       |$latSelects),
+       |ranked AS (
+       |  SELECT step, transition, lat_us,
+       |    row_number() OVER (PARTITION BY transition
+       |      ORDER BY lat_us, user_id) AS rk,
+       |    count(*) OVER (PARTITION BY transition) AS n
+       |  FROM lats)
+       |SELECT step, transition, CAST(max(n) AS BIGINT) AS users,
+       |  avg(CASE WHEN rk = (n + 1) // 2 OR rk = n // 2 + 1
+       |        THEN lat_us END) AS median_us,
+       |  sum(lat_us) / count(*) AS mean_us
+       |FROM ranked GROUP BY 1, 2 ORDER BY step""".stripMargin
+  }
+
+  /** Top user paths by session (q150): the "what do users actually do"
+    * Sankey feed — sessionize on an inactivity gap (q27's definition),
+    * take each session's first `maxLen` event types in order, count
+    * identical paths. Shape, scale-first: sessionization and the
+    * in-session position are TWO evaluations over the SAME
+    * user-partitioned (ts, event_id) sort (one exchange); the per-
+    * session collect is BOUNDED at maxLen rows by a rank prefilter
+    * (never "collect the whole session, then truncate" — the aggregate
+    * buffer holds ≤ maxLen structs); path counting is one keyed count
+    * with map-side partials.
+    */
+  def sessionPaths(
+      events: DataFrame,
+      gapMinutes: Int = 30,
+      maxLen: Int = 5,
+      topK: Int = 20): DataFrame = {
+    require(gapMinutes >= 1 && maxLen >= 1 && topK >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prevTs = lag("ts", 1).over(w)
+    val sess = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      .withColumn("new_sess",
+        when(prevTs.isNull ||
+          col("ts") > prevTs + expr(s"INTERVAL $gapMinutes MINUTES"), 1)
+          .otherwise(0))
+      .withColumn("sess_idx",
+        sum("new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy(col("user_id"), col("sess_idx"))
+      .orderBy(col("ts"), col("event_id"))
+    sess
+      .withColumn("pos", row_number().over(ws))
+      .filter(col("pos") <= maxLen) // bound the collect BEFORE it happens
+      .groupBy(col("user_id"), col("sess_idx"))
+      .agg(concat_ws("->",
+        expr("transform(array_sort(collect_list(struct(pos, event_type)))," +
+          " x -> x.event_type)")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("sessions"))
+      .orderBy(desc("sessions"), asc("path"))
+      .limit(topK)
+  }
+
+  /** DuckDB oracle for [[sessionPaths]] — identical gap sessionization,
+    * position bound, and ordered path assembly.
+    */
+  def sessionPathsOracleSql(
+      gapMinutes: Int = 30,
+      maxLen: Int = 5,
+      topK: Int = 20): String =
+    s"""WITH marked AS (
+       |  SELECT user_id, event_id, event_type, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts > lag(ts) OVER w + INTERVAL $gapMinutes MINUTE
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |    AND event_type IS NOT NULL
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sessed AS (
+       |  SELECT *, sum(new_sess) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS sess_idx
+       |  FROM marked),
+       |positioned AS (
+       |  SELECT *, row_number() OVER (
+       |      PARTITION BY user_id, sess_idx ORDER BY ts, event_id) AS pos
+       |  FROM sessed),
+       |paths AS (
+       |  SELECT user_id, sess_idx,
+       |    string_agg(event_type, '->' ORDER BY pos) AS path
+       |  FROM positioned WHERE pos <= $maxLen
+       |  GROUP BY 1, 2)
+       |SELECT path, CAST(count(*) AS BIGINT) AS sessions
+       |FROM paths GROUP BY 1
+       |ORDER BY sessions DESC, path LIMIT $topK""".stripMargin
+
   /** DuckDB SQL replicating [[funnelSteps]]. */
   def funnelStepsOracleSql(steps: Seq[String] = DefaultFunnel): String = {
     require(steps.nonEmpty && steps.forall(!_.contains("'")))

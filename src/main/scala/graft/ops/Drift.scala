@@ -56,6 +56,15 @@ object Drift {
       .agg(
         count(when(col("is_ref"), 1)).as("ref_cnt"),
         count(when(!col("is_ref"), 1)).as("cur_cnt"))
+    psiFromCounts(counts)
+  }
+
+  /** The PSI arithmetic over a prepared (bucket, ref_cnt, cur_cnt)
+    * frame — shared by the batch form above and the streaming gate
+    * ([[graft.streaming.StreamingEtl.runDriftGate]]), so the two can
+    * never diverge (spec-pinned bit-equal).
+    */
+  def psiFromCounts(counts: DataFrame): DataFrame = {
     val totals = counts.agg(
       sum(col("ref_cnt")).as("nr"), sum(col("cur_cnt")).as("nc"))
     // half-count smoothing: a zero count enters shares and ln as 0.5
@@ -74,6 +83,18 @@ object Drift {
               (ra * col("nc").cast("double"))) *
             lit(1000000.0) + lit(0.5)).cast("long").as("psi_q"))
       .orderBy("bucket")
+  }
+
+  /** Fixed-width bucket histogram of `valueCol` — the persisted
+    * reference artifact the streaming gate compares batches against.
+    * Output: (bucket, cnt).
+    */
+  def histogram(
+      df: DataFrame, valueCol: String, bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0)
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(floor(col(valueCol) / bucketWidth).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
   }
 
   /** DuckDB oracle for [[psiDrift]] over the DIRTIED orders fact used

@@ -90,6 +90,71 @@ object Robust {
       .agg(avg(col(valueCol)).as("med"))
   }
 
+  /** EXACT grouped percentiles with BOUNDED memory (q149) — the scale
+    * twin of q40's `percentile(...)`: that aggregate buffers every
+    * group value in ONE ObjectHashAggregate buffer (billions of doubles
+    * per group at 100 TB — the documented q40/q124 hazard, answered so
+    * far only by q67's GK sketch). Here each group's quantiles come
+    * from a group-PARTITIONED rank/count window — sort-based, spillable,
+    * no whole-group array ever materializes — plus the same linear
+    * interpolation Spark's `percentile` and DuckDB's `quantile_cont`
+    * both publish: pos = (n−1)·p, v = lo + (hi − lo)·(pos − ⌊pos⌋).
+    * RobustSpec pins bit-equality with the `percentile()` form, so this
+    * IS q40's answer, just with a plan that survives group skew.
+    *
+    * Output: (groupCol, p, v) with v rounded to 4dp (the q40 contract),
+    * ordered by (group, p). `ps` become plan literals in a ≤|ps|-row
+    * broadcast; the only corpus-size work is the one partitioned sort.
+    */
+  def groupedPercentiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      tieCols: Seq[String],
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val order = (col(valueCol) +: tieCols.map(col)).map(_.asc)
+    val ranked = df
+      .filter(col(valueCol).isNotNull)
+      .select((groupCol +: valueCol +: tieCols).distinct.map(col): _*)
+      .withColumn("rk", row_number().over(w.orderBy(order: _*)).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+    val psDf = ps.toDF("p")
+    val rlo = (floor((col("n") - 1) * col("p")) + 1).cast("long")
+    val rhi = least(rlo + 1, col("n"))
+    ranked
+      .join(broadcast(psDf), col("rk") === rlo || col("rk") === rhi)
+      .withColumn("rlo", rlo)
+      .groupBy(col(groupCol), col("p"))
+      .agg(
+        max(col("n")).as("n"),
+        min(when(col("rk") === col("rlo"), col(valueCol))).as("lo"),
+        coalesce(
+          min(when(col("rk") === col("rlo") + 1, col(valueCol))),
+          min(when(col("rk") === col("rlo"), col(valueCol)))).as("hi"))
+      .select(col(groupCol), col("p"),
+        round(
+          col("lo") + (col("hi") - col("lo")) *
+            ((col("n") - 1) * col("p") - floor((col("n") - 1) * col("p"))),
+          4).as("v"))
+      .orderBy(groupCol, "p")
+  }
+
+  /** DuckDB oracle for [[groupedPercentiles]] over lineitem — the
+    * INDEPENDENT formulation (`quantile_cont`, which shares the
+    * published interpolation), one SELECT per quantile.
+    */
+  def lineitemPercentilesOracleSql(
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): String =
+    ps.map(p =>
+      s"""SELECT l_returnflag, CAST($p AS DOUBLE) AS p,
+         |  round(quantile_cont(l_extendedprice, $p), 4) AS v
+         |FROM lineitem GROUP BY 1""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY l_returnflag, p")
+
   /** DuckDB oracle for the exact [[madOutliers]] over the DIRTIED
     * orders fact (see q144: clean uniform prices put every deviation
     * under 3·MAD — prime-residue planted outliers make the screen

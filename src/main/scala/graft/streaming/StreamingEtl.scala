@@ -1408,6 +1408,40 @@ object StreamingEtl {
     * re-runs against the identical store state, and the decisions
     * overwrite with identical rows — idempotent end to end.
     */
+  /** Streaming distribution-drift gate — q147's PSI audit as a per-
+    * batch contract check: every micro-batch's value histogram is
+    * scored against a PERSISTED reference histogram (the training
+    * period's, written once by [[graft.ops.Drift.histogram]]), and the
+    * per-bucket PSI report lands at `reportDir/batch=<id>`. The
+    * arithmetic is [[graft.ops.Drift.psiFromCounts]] — the SAME code
+    * the batch q147 runs, so stream and batch scores are bit-equal by
+    * construction (spec-pinned). Stateless per batch; replay-
+    * idempotent because each batch OVERWRITES its own partition (the
+    * runDedupGate decisions discipline) — a crash-replayed batch
+    * rewrites identical rows against the immutable reference.
+    */
+  def runDriftGate(
+      stream: DataFrame,
+      checkpoint: String,
+      refHistogramPath: String,
+      reportDir: String,
+      valueCol: String,
+      bucketWidth: Double): Unit =
+    runIndexAppend(stream, checkpoint, (batch, batchId) => {
+      val spark = batch.sparkSession
+      val ref = spark.read.parquet(refHistogramPath)
+        .select(col("bucket"), col("cnt").as("ref_cnt"))
+      val cur = graft.ops.Drift.histogram(batch, valueCol, bucketWidth)
+        .select(col("bucket"), col("cnt").as("cur_cnt"))
+      val counts = ref.join(cur, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("ref_cnt"), lit(0L)).as("ref_cnt"),
+          coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"))
+      graft.ops.Drift.psiFromCounts(counts)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$reportDir/batch=$batchId")
+    })
+
   def runDedupGate(
       stream: DataFrame,
       checkpoint: String,

@@ -349,4 +349,84 @@ class BehaviorSpec extends SparkSpec {
     val b = Behavior.rateAnomalies(ev.repartition(7)).collect().map(_.toSeq).toSeq
     assert(a === b)
   }
+
+  // ------------------------------------------- funnel latencies (q148)
+
+  test("funnel latencies: hand-exact medians (odd and even group sizes), strict order") {
+    val ev = eventsDf(Seq(
+      // u1: vc = 10 min, cp = 30 min
+      (1L, "view", "2026-01-01 10:00:00"),
+      (1L, "click", "2026-01-01 10:10:00"),
+      (1L, "purchase", "2026-01-01 10:40:00"),
+      // u2: vc = 30 min, no purchase
+      (2L, "view", "2026-01-01 10:00:00"),
+      (2L, "click", "2026-01-01 10:30:00"),
+      // u3: vc = 5 min, cp = 85 min
+      (3L, "view", "2026-01-01 10:00:00"),
+      (3L, "click", "2026-01-01 10:05:00"),
+      (3L, "purchase", "2026-01-01 11:30:00"),
+      // u4: purchase BEFORE click — excluded from cp
+      (4L, "view", "2026-01-01 10:00:00"),
+      (4L, "purchase", "2026-01-01 10:01:00"),
+      (4L, "click", "2026-01-01 10:02:00")))
+    val out = Behavior.funnelStepLatencies(ev).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val m = 60L * 1000000L // minute in micros
+    // vc lats: u1 10m, u2 30m, u3 5m, u4 2m -> sorted 2,5,10,30 (even):
+    //   median (5+10)/2 = 7.5m, mean 47/4 = 11.75m
+    assert(out("view->click") ===
+      ((4L, 7.5 * m, 11.75 * m)))
+    // cp lats: u1 30m, u3 85m (even): median and mean both 57.5m
+    assert(out("click->purchase") === ((2L, 57.5 * m, 57.5 * m)))
+  }
+
+  test("funnel latencies: partition-independent on the real events") {
+    val ev = Queries.t(spark, "/root/testdata/sf0.001", "events")
+    val a = Behavior.funnelStepLatencies(ev).collect().map(_.toSeq).toSeq
+    val b = Behavior.funnelStepLatencies(ev.repartition(9)).collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  // ---------------------------------------------- session paths (q150)
+
+  private def eventsDfWithIds(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.zipWithIndex.map { case ((u, t, w), i) => (i.toLong, u, t, ts(w)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+  }
+
+  test("session paths: gap splits, order within session, maxLen truncation") {
+    val ev = eventsDfWithIds(Seq(
+      // u1 session 1: view->click (2 min apart); session 2 after 60 min: purchase
+      (1L, "view", "2026-01-01 10:00:00"),
+      (1L, "click", "2026-01-01 10:02:00"),
+      (1L, "purchase", "2026-01-01 11:30:00"),
+      // u2 one session of 7 events: truncated to maxLen=5
+      (2L, "view", "2026-01-01 10:00:00"),
+      (2L, "view", "2026-01-01 10:01:00"),
+      (2L, "view", "2026-01-01 10:02:00"),
+      (2L, "view", "2026-01-01 10:03:00"),
+      (2L, "view", "2026-01-01 10:04:00"),
+      (2L, "click", "2026-01-01 10:05:00"),
+      (2L, "purchase", "2026-01-01 10:06:00"),
+      // u3: same path as u1's first session
+      (3L, "view", "2026-01-01 12:00:00"),
+      (3L, "click", "2026-01-01 12:10:00")))
+    val out = Behavior.sessionPaths(ev)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      "view->click" -> 2L,
+      "purchase" -> 1L,
+      "view->view->view->view->view" -> 1L))
+  }
+
+  test("session paths: partition-independent and total on the real events") {
+    val ev = Queries.t(spark, "/root/testdata/sf0.001", "events")
+    val a = Behavior.sessionPaths(ev).collect().map(_.toSeq).toSeq
+    val b = Behavior.sessionPaths(ev.repartition(11)).collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }

@@ -51,6 +51,49 @@ class RobustSpec extends SparkSpec {
     assert(flagged === Set(9L, 10L))
   }
 
+  test("q149 grouped percentiles are bit-equal to percentile() before rounding") {
+    import org.apache.spark.sql.functions._
+    val li = Queries.t(spark, "/root/testdata/sf0.001", "lineitem")
+    val win = graft.ops.Robust.groupedPercentiles(
+      li, "l_returnflag", "l_extendedprice", Seq("l_orderkey", "l_linenumber"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val buf = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ps"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 4).as("p25"),
+        round(element_at(col("ps"), 2), 4).as("p50"),
+        round(element_at(col("ps"), 3), 4).as("p75"))
+      .collect()
+      .flatMap(r => Seq(0.25, 0.5, 0.75).zipWithIndex.map { case (p, i) =>
+        (r.getString(0), p) -> r.getDouble(i + 1)
+      }).toMap
+    assert(win.keySet === buf.keySet)
+    // the window form must reproduce the buffered aggregate's numbers
+    // exactly (same interpolation, same 4dp round) — this is the q40
+    // retirement contract
+    win.foreach { case (k, v) => assert(v === buf(k), s"at $k") }
+  }
+
+  test("q149: single-row and two-row groups interpolate like percentile()") {
+    import org.apache.spark.sql.functions._
+    val tiny = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, 10.0), Row(2L, 10.0), Row(3L, 20.0)),
+      StructType(Seq(StructField("k", LongType), StructField("v", DoubleType))))
+      .withColumn("g", when(col("k") === 1, "solo").otherwise("pair"))
+    val out = graft.ops.Robust.groupedPercentiles(tiny, "g", "v", Seq("k"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    // solo group: every quantile is the single value
+    assert(out(("solo", 0.25)) === 10.0 &&
+      out(("solo", 0.5)) === 10.0 && out(("solo", 0.75)) === 10.0)
+    // pair group (10, 20): pos = p -> 10 + 10p
+    assert(out(("pair", 0.25)) === 12.5)
+    assert(out(("pair", 0.5)) === 15.0)
+    assert(out(("pair", 0.75)) === 17.5)
+  }
+
   test("approx twin flags the same rows as exact on the dirtied orders fact") {
     val sf = "/root/testdata/sf0.001"
     val dirtied = SparkEntry.queries("q144_mad_outliers") // exact form

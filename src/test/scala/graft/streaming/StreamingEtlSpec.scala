@@ -861,6 +861,42 @@ class StreamingEtlSpec extends SparkSpec {
     assert(got.length.toLong <= batchAll - users)
   }
 
+  test("streaming drift gate: per-batch PSI report equals batch q147 on the same split") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val in = tmpDir("drift-in")
+    val refPath = tmpDir("drift-ref").toString + "/hist"
+    val reportDir = tmpDir("drift-rep").toString + "/reports"
+    val ckpt = tmpDir("drift-ckpt").toString
+
+    val dirtied = graft.Queries.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"),
+        when(col("o_orderkey") % 7 === 0 &&
+            col("o_orderdate") >= lit("1998-01-01").cast("timestamp"),
+          col("o_totalprice") * 1.5)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    val cutTs = lit("1998-01-01").cast("timestamp")
+    graft.ops.Drift.histogram(
+      dirtied.filter(col("o_orderdate") < cutTs), "o_totalprice", 50000.0)
+      .write.parquet(refPath)
+    val cur = dirtied.filter(col("o_orderdate") >= cutTs)
+      .select("o_orderkey", "o_totalprice")
+    writeFile(in, "a.json", cur.toJSON.collect().mkString("\n"))
+
+    val stream = spark.readStream.schema(cur.schema).json(in.toString)
+    StreamingEtl.runDriftGate(stream, ckpt, refPath, reportDir,
+      "o_totalprice", 50000.0)
+
+    val got = spark.read.parquet(s"$reportDir/batch=0").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val want = graft.SparkEntry.queries("q147_psi_drift")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+    assert(got.map(_._4).sum > 100000L, "the planted drift must cross PSI 0.1")
+  }
+
   test("streaming CDC materializer: prev snapshot as initial state + change stream equals batch applyDelta") {
     import spark.implicits._
     val customer = graft.Queries.t(spark, "/root/testdata/sf0.001", "customer")
