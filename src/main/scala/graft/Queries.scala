@@ -2610,6 +2610,26 @@ object Queries {
     (s, d) => graft.ops.Behavior.sessionPaths(t(s, d, "events")),
     Some(graft.ops.Behavior.sessionPathsOracleSql()))
 
+  /** Cross-source duplication matrix: which crawls duplicate each
+    * other — full-corpus guarded near-dup pairs folded to one tiny
+    * (source_lo, source_hi) aggregate; jaccard quantized to longs
+    * before the sum (no float crosses the shuffle).
+    */
+  private val q151 = QueryDef(
+    "q151_dup_matrix",
+    (s, d) => graft.ops.NearDup.sourceDupMatrix(t(s, d, "documents")),
+    Some(graft.ops.NearDup.sourceDupMatrixOracleSql()))
+
+  /** k-anonymity audit (Sweeney): quasi-identifier groups below k —
+    * three QI sets in ONE grouping-sets pass (single Expand aggregate,
+    * the q18 discipline); the privacy family's audit complement to
+    * q73's scrub and the cross-store purge.
+    */
+  private val q152 = QueryDef(
+    "q152_k_anonymity",
+    (s, d) => graft.ops.QualityOps.kAnonymityAudit(t(s, d, "customer")),
+    Some(graft.ops.QualityOps.kAnonymityOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -2641,5 +2661,5 @@ object Queries {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
-    q149, q150)
+    q149, q150, q151, q152)
 }

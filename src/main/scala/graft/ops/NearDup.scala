@@ -682,4 +682,63 @@ object NearDup {
        |SELECT doc_a, doc_b, jaccard FROM ver
        |WHERE jaccard >= $threshold ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Cross-source duplication matrix (q151): WHICH crawls duplicate each
+  // other — the provenance question a curation team asks before buying
+  // or re-crawling a source (a source that is 80% near-dups of an
+  // already-held one adds little). Rides the full-corpus guarded pair
+  // machinery (the q68 shape); the matrix fold is one tiny keyed
+  // aggregate over the pair set.
+  //
+  // Determinism: per-pair jaccard (already 4dp) is quantized to integer
+  // millionths BEFORE the sum (the q90 no-float-crosses-a-shuffle rule
+  // — a double sum's value depends on partition order; a long sum does
+  // not), and the mean is ONE exact-long division at the end.
+  // -------------------------------------------------------------------
+
+  /** Near-dup pair counts and mean jaccard per unordered source pair:
+    * (source_lo, source_hi, pairs, avg_j_q) — avg_j_q is the mean
+    * per-pair jaccard in integer millionths (double: exact-long sum /
+    * exact count), ordered pairs desc. Self-cells (lo = hi) measure
+    * intra-source duplication; off-diagonal cells measure overlap.
+    */
+  def sourceDupMatrix(
+      docs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = lshNearDupPairs(docs, sliceMax = None, threshold = threshold)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(
+        least(col("sa"), col("sb")).as("source_lo"),
+        greatest(col("sa"), col("sb")).as("source_hi"),
+        floor(col("jaccard") * 1000000.0 + 0.5).cast("long").as("j_q"))
+      .groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).as("pairs"), sum(col("j_q")).as("sum_j_q"))
+      .select(col("source_lo"), col("source_hi"), col("pairs"),
+        (col("sum_j_q") / col("pairs")).as("avg_j_q"))
+      .orderBy(desc("pairs"), asc("source_lo"), asc("source_hi"))
+  }
+
+  /** DuckDB oracle for [[sourceDupMatrix]]: the full-corpus pair oracle
+    * as a subquery, the same quantize-then-sum fold.
+    */
+  def sourceDupMatrixOracleSql(threshold: Double = 0.5): String =
+    s"""WITH allpairs AS (
+       |  SELECT * FROM (
+       |${oracleSql(sliceMax = Long.MaxValue, threshold = threshold)}
+       |  )),
+       |srcs AS (SELECT doc_id, source FROM documents)
+       |SELECT least(sa.source, sb.source) AS source_lo,
+       |  greatest(sa.source, sb.source) AS source_hi,
+       |  CAST(count(*) AS BIGINT) AS pairs,
+       |  sum(CAST(floor(jaccard * 1000000.0 + 0.5) AS BIGINT))
+       |    / count(*) AS avg_j_q
+       |FROM allpairs
+       |JOIN srcs sa ON sa.doc_id = allpairs.doc_a
+       |JOIN srcs sb ON sb.doc_id = allpairs.doc_b
+       |GROUP BY 1, 2
+       |ORDER BY pairs DESC, source_lo, source_hi""".stripMargin
 }

@@ -881,4 +881,68 @@ object QualityOps {
        |  r_len + r_ttr + r_stop AS combined
        |FROM ranked ORDER BY combined, doc_id LIMIT $topN""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // k-anonymity audit (q152): Sweeney's re-identification risk check —
+  // a row whose quasi-identifier combination is shared by fewer than k
+  // rows is linkable to an individual. The privacy family's audit
+  // complement to q73's PII scrub and Stores.purgeEverywhere's erasure:
+  // scrub values, forget ids, AND verify the published slices are not
+  // re-identifiable.
+  //
+  // Shape, scale-first: EVERY quasi-identifier set is audited in ONE
+  // aggregate pass via GROUPING SETS (a single Expand + hash aggregate
+  // — the q18/q46 rollup discipline; auditors check many QI subsets,
+  // and per-set scans would multiply the read). Output = only the
+  // risky groups, a tiny fraction of the table.
+  // -------------------------------------------------------------------
+
+  /** Quasi-identifier groups smaller than `k` over customer, audited
+    * for THREE QI sets in one pass: (nationkey, mktsegment), (nationkey),
+    * (mktsegment). Output: (qi_set, c_nationkey, c_mktsegment,
+    * group_size) for groups with 0 < size < k — nulls mark the column a
+    * QI set aggregates away (the grouping-sets convention), qi_set
+    * names the set.
+    */
+  def kAnonymityAudit(customer: DataFrame, k: Long = 25L): DataFrame = {
+    require(k >= 2)
+    val spark = customer.sparkSession
+    customer.createOrReplaceTempView("__kanon_customer")
+    // grouping sets express the multi-QI audit directly; grouping_id()
+    // distinguishes which set a row belongs to
+    spark.sql(
+      s"""SELECT
+         |  CASE grouping_id(c_nationkey, c_mktsegment)
+         |    WHEN 0 THEN 'nation+segment'
+         |    WHEN 1 THEN 'nation'
+         |    ELSE 'segment' END AS qi_set,
+         |  c_nationkey, c_mktsegment,
+         |  count(*) AS group_size
+         |FROM __kanon_customer
+         |GROUP BY GROUPING SETS (
+         |  (c_nationkey, c_mktsegment), (c_nationkey), (c_mktsegment))
+         |HAVING count(*) < $k
+         |ORDER BY qi_set, c_nationkey, c_mktsegment""".stripMargin)
+      .select(col("qi_set"), col("c_nationkey"),
+        col("c_mktsegment"), col("group_size").cast("long").as("group_size"))
+  }
+
+  /** DuckDB oracle for [[kAnonymityAudit]] — same sets, same labels.
+    * (DuckDB's GROUPING() bit order matches Spark's grouping_id for
+    * this two-column list.)
+    */
+  def kAnonymityOracleSql(k: Long = 25L): String =
+    s"""SELECT
+       |  CASE WHEN grouping(c_nationkey) = 0 AND grouping(c_mktsegment) = 0
+       |         THEN 'nation+segment'
+       |       WHEN grouping(c_mktsegment) = 1 AND grouping(c_nationkey) = 0
+       |         THEN 'nation'
+       |       ELSE 'segment' END AS qi_set,
+       |  c_nationkey, c_mktsegment,
+       |  CAST(count(*) AS BIGINT) AS group_size
+       |FROM customer
+       |GROUP BY GROUPING SETS (
+       |  (c_nationkey, c_mktsegment), (c_nationkey), (c_mktsegment))
+       |HAVING count(*) < $k
+       |ORDER BY qi_set, c_nationkey NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin
 }

@@ -253,4 +253,34 @@ class MinHashLshSpec extends SparkSpec {
     // hot — exactly the documented loss case
     assert(unguarded.contains((1L, 11L)) && !guarded.exists(_._1 == 1L))
   }
+
+  // ------------------------------------------- source dup matrix (q151)
+
+  test("dup matrix: cross-source and intra-source cells, quantized means exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "srcA"),
+      (2L, "alpha beta gamma delta epsilon", "srcB"), // exact dup of 1, cross-source
+      (3L, "one two three four five six", "srcA"),
+      (4L, "one two three four five seven", "srcA"),  // near-dup of 3, intra-source
+      (5L, "totally unrelated content here", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ops.NearDup.sourceDupMatrix(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // 1-2: jaccard 1.0 -> j_q 1000000; 3-4: 5/7 = 0.7143 -> 714300
+    assert(out(("srcA", "srcB")) === ((1L, 1000000.0)))
+    assert(out(("srcA", "srcA")) === ((1L, 714300.0)))
+    assert(out.size === 2)
+  }
+
+  test("dup matrix on the real corpus: pair total equals the full-corpus pair count") {
+    val docs = Queries.t(spark, sf, "documents")
+    val matrix = graft.ops.NearDup.sourceDupMatrix(docs).collect()
+    val total = graft.ops.NearDup.lshNearDupPairs(docs, sliceMax = None).count()
+    assert(matrix.map(_.getLong(2)).sum === total)
+    assert(matrix.nonEmpty)
+  }
 }

@@ -330,4 +330,45 @@ class QualityOpsSpec extends SparkSpec {
     assert(r.map(_.getLong(0)).toSeq === Seq(1L, 2L))
     assert(r.head.getAs[Long]("combined") === 3L, "doc 1 must rank first on every signal")
   }
+
+  // ---------------------------------------------- k-anonymity (q152)
+
+  test("k-anonymity: risky combos flagged per QI set, safe groups silent") {
+    import spark.implicits._
+    // nation 1: 30 rows across 2 segments (safe alone); nation 2: 3 rows
+    // (risky alone AND in combination)
+    val rows =
+      (1 to 20).map(i => (i.toLong, 1, "SEG_A")) ++
+        (21 to 30).map(i => (i.toLong, 1, "SEG_B")) ++
+        (31 to 33).map(i => (i.toLong, 2, "SEG_A"))
+    val cust = rows.toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    val out = graft.ops.QualityOps.kAnonymityAudit(cust, k = 25L)
+      .collect()
+      .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2))) -> r.getLong(3))
+      .toMap
+    assert(out === Map(
+      // combos below 25: (1, SEG_A)=20, (1, SEG_B)=10, (2, SEG_A)=3
+      ("nation+segment", Some(1), Some("SEG_A")) -> 20L,
+      ("nation+segment", Some(1), Some("SEG_B")) -> 10L,
+      ("nation+segment", Some(2), Some("SEG_A")) -> 3L,
+      // nation alone: 2 has 3 rows (risky), 1 has 30 (safe, silent)
+      ("nation", Some(2), None) -> 3L,
+      // segment alone: SEG_A has 23 (risky), SEG_B 10 (risky)
+      ("segment", None, Some("SEG_A")) -> 23L,
+      ("segment", None, Some("SEG_B")) -> 10L))
+  }
+
+  test("k-anonymity: every flagged group is genuinely below k on the real customers") {
+    val cust = Queries.t(spark, "/root/testdata/sf0.001", "customer")
+    val out = graft.ops.QualityOps.kAnonymityAudit(cust).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(3) < 25L))
+    // cross-check one flagged combo against a direct count
+    val r = out.find(_.getString(0) == "nation+segment").get
+    val direct = cust
+      .filter(col("c_nationkey") === r.getInt(1) &&
+        col("c_mktsegment") === r.getString(2))
+      .count()
+    assert(direct === r.getLong(3))
+  }
 }
