@@ -2630,6 +2630,15 @@ object Queries {
     (s, d) => graft.ops.QualityOps.kAnonymityAudit(t(s, d, "customer")),
     Some(graft.ops.QualityOps.kAnonymityOracleSql()))
 
+  /** ANN recall@k evaluation (the FAISS protocol as an operator): IVF
+    * shortlists semi-joined against the exact ranking — per-query
+    * hits and recall, the index-tuning sweep's one-query harness.
+    */
+  private val q153 = QueryDef(
+    "q153_ann_recall",
+    (s, d) => graft.ops.AnnIvf.recallAtK(t(s, d, "embeddings")),
+    Some(graft.ops.AnnIvf.recallOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -2661,5 +2670,5 @@ object Queries {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
-    q149, q150, q151, q152)
+    q149, q150, q151, q152, q153)
 }

@@ -323,4 +323,111 @@ object AnnIvf {
        |      ORDER BY cosine DESC, neighbor_id) AS rnk
        |  FROM sims) WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ANN recall evaluation (q153): recall@k of the IVF index against the
+  // exact brute-force ranking — THE metric every approximate-index
+  // deployment reports (FAISS's published evaluation protocol), here as
+  // a first-class operator so index-parameter sweeps (nlist/nprobe) are
+  // one query away instead of a hand-built harness. Both rankings use
+  // the SAME rounded-cosine + neighbor-id tie-break, so recall is
+  // well-defined and deterministic (AnnLshSpec asserts a recall FLOOR
+  // as a test; this op reports the exact per-query value as data).
+  //
+  // Shape, scale-first: the exact side broadcasts the ≤ queryMax query
+  // slivers against the corpus (the q24 shape — bounded by contract:
+  // recall evaluation samples queries, it never runs all-pairs); the
+  // approx side is the IVF probe join. The comparison is one left-semi
+  // join of two k·|queries|-row shortlists.
+  // -------------------------------------------------------------------
+
+  /** Per-query recall@k of [[annTopK]] (IVF, `nlist`/`nprobe`) against
+    * the exact ranking: (query_id, n_exact, hits, recall). n_exact =
+    * |exact shortlist| (= k unless the corpus is smaller); recall =
+    * hits / n_exact, two exact longs into one double division.
+    */
+  def recallAtK(
+      emb: DataFrame,
+      queryMax: Long = 5L,
+      k: Int = 5,
+      nlist: Int = NList,
+      nprobe: Int = NProbe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val valid = emb.filter(col("embedding").isNotNull)
+    val q = valid.filter(col("vec_id") < queryMax)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+    val c = valid.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("nv"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    val exact = broadcast(q)
+      .join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4)
+          .as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id")
+    val approx = annTopK(emb, queryMax, k, nlist, nprobe)
+      .select("query_id", "neighbor_id")
+    // both shortlists are k·|queries| rows by the sampling contract —
+    // broadcast them so the comparison never sort-merges
+    val hits = exact
+      .join(broadcast(approx), Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(broadcast(hits), Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall", col("hits") / col("n_exact"))
+      .orderBy("query_id")
+  }
+
+  /** DuckDB oracle for [[recallAtK]]: the q24 exact CTE and the IVF
+    * oracle as subqueries, the same semi-join fold.
+    */
+  def recallOracleSql(
+      queryMax: Long = 5L,
+      k: Int = 5,
+      nlist: Int = NList,
+      nprobe: Int = NProbe): String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+       |sims AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    round(sum(a.x * b.x) / (na.nrm * nb.nrm), 4) AS cosine
+       |  FROM ex a
+       |  JOIN ex b ON a.i = b.i AND a.vec_id < $queryMax AND a.vec_id <> b.vec_id
+       |  JOIN norms na ON na.vec_id = a.vec_id
+       |  JOIN norms nb ON nb.vec_id = b.vec_id
+       |  GROUP BY 1, 2, na.nrm, nb.nrm),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rnk
+       |    FROM sims) WHERE rnk <= $k),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |${oracleSql(queryMax, k, nlist, nprobe)}
+       |  )),
+       |hits AS (
+       |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits
+       |  FROM exact e
+       |  WHERE EXISTS (SELECT 1 FROM approx a
+       |    WHERE a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+       |  GROUP BY 1),
+       |nex AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM exact GROUP BY 1)
+       |SELECT nex.query_id, nex.n_exact,
+       |  coalesce(hits.hits, 0) AS hits,
+       |  coalesce(hits.hits, 0) / nex.n_exact AS recall
+       |FROM nex LEFT JOIN hits ON hits.query_id = nex.query_id
+       |ORDER BY nex.query_id""".stripMargin
 }
