@@ -2639,6 +2639,16 @@ object Queries {
     (s, d) => graft.ops.AnnIvf.recallAtK(t(s, d, "embeddings")),
     Some(graft.ops.AnnIvf.recallOracleSql()))
 
+  /** Functional-dependency audit (profiling): violation counts per
+    * candidate FD — one two-column keyed aggregate each, two-stage
+    * partial distinct, never an Expand. One true FD (orderkey is the
+    * key) and two violated candidates keep it non-vacuous.
+    */
+  private val q154 = QueryDef(
+    "q154_fd_audit",
+    (s, d) => graft.ops.QualityOps.fdAudit(t(s, d, "orders")),
+    Some(graft.ops.QualityOps.fdAuditOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -2670,5 +2680,5 @@ object Queries {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
-    q149, q150, q151, q152, q153)
+    q149, q150, q151, q152, q153, q154)
 }

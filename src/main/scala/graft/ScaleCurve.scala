@@ -505,6 +505,32 @@ object ScaleCurve {
         // tie, pair-asc breaks) — sec ≲ linear in the word table.
         Cell(f, "q145_bpe_pairs",
           () => graft.ops.TextOps.bpePairCounts(docs),
+          _.count()),
+        // funnel latencies (q148): the reach chain is keyed min-
+        // aggregates over events growing ×f; the exact medians ride a
+        // transition-partitioned window over the (much smaller)
+        // converter set — output = |transitions| rows, flat.
+        Cell(f, "q148_funnel_latency",
+          () => graft.ops.Behavior.funnelStepLatencies(
+            Queries.t(spark, dir, "events")),
+          _.count()),
+        // grouped exact percentiles (q149): THE q40-retirement receipt —
+        // the group-partitioned rank window must absorb 10× lineitem by
+        // sorting N/P rows per task (spillable), where the percentile()
+        // buffer it replaces would hold the whole group in one
+        // aggregation buffer. Output fixed at |groups|·|ps|.
+        Cell(f, "q149_grouped_percentile",
+          () => graft.ops.Robust.groupedPercentiles(
+            Queries.t(spark, dir, "lineitem"),
+            "l_returnflag", "l_extendedprice",
+            Seq("l_orderkey", "l_linenumber")),
+          _.count()),
+        // session paths (q150): sessionization + position share one
+        // user-partitioned sort over events ×f; path counting output is
+        // topK-fixed while the distinct-path key space grows slowly.
+        Cell(f, "q150_session_paths",
+          () => graft.ops.Behavior.sessionPaths(
+            Queries.t(spark, dir, "events")),
           _.count()))
     }
 

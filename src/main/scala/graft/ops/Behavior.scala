@@ -121,11 +121,13 @@ object Behavior {
             (unix_micros(col("reach")) - unix_micros(col("prev_reach")))
               .as("lat_us"))
     }.reduce(_ unionByName _)
-    val w = Window.partitionBy("transition")
-    val ranked = lats
-      .withColumn("rk", row_number().over(
-        w.orderBy(col("lat_us"), col("user_id"))))
-      .withColumn("n", count(lit(1)).over(w))
+    // grouped two-pass ranking, not Window.partitionBy(transition):
+    // |transitions| = |steps|-1 (two here) — a transition-partitioned
+    // window would serialize each transition's converters into ONE task
+    // (the q149 finding); the range-partitioned form sorts N/P per task
+    val ranked = Ranks.withGroupedRowNumber(
+      lats, Seq("transition"),
+      Seq(col("lat_us").asc, col("user_id").asc), "rk", countOut = Some("n"))
     ranked
       .groupBy(col("step"), col("transition"))
       .agg(

@@ -927,6 +927,66 @@ object QualityOps {
         col("c_mktsegment"), col("group_size").cast("long").as("group_size"))
   }
 
+  // -------------------------------------------------------------------
+  // Functional-dependency audit (q154): does column A determine column
+  // B? The data-profiling primitive (Metanome/HyFD's published problem)
+  // a warehouse runs before trusting a join key or declaring a
+  // dimension hierarchy — here as violation COUNTS, not just a boolean,
+  // so near-FDs (data-entry noise) are visible.
+  //
+  // Shape, scale-first: each candidate FD is ONE (lhs)-keyed aggregate
+  // counting distinct rhs per group (two-stage partial distinct — the
+  // q111 discipline, no Expand), then a tiny summary fold; candidates
+  // run as a union of |candidates| independent aggregates over column-
+  // pruned scans (each reads its two columns only).
+  // -------------------------------------------------------------------
+
+  /** Violation summary for candidate FDs over the orders fact:
+    * (fd, lhs_groups, violating_groups, max_rhs) — violating = lhs
+    * groups with > 1 distinct rhs; max_rhs = the worst group's distinct
+    * count; holds iff violating_groups = 0. Candidates: orderkey →
+    * custkey (true FD: orderkey is the key), custkey → orderpriority
+    * (false: customers order at many priorities), orderdate →
+    * orderstatus (false).
+    */
+  def fdAudit(orders: DataFrame): DataFrame = {
+    def check(name: String, lhs: String, rhs: String): DataFrame =
+      orders
+        .select(col(lhs), col(rhs))
+        .groupBy(col(lhs))
+        .agg(countDistinct(col(rhs)).as("nrhs"))
+        .agg(
+          count(lit(1)).as("lhs_groups"),
+          count(when(col("nrhs") > 1, 1)).as("violating_groups"),
+          max(col("nrhs")).as("max_rhs"))
+        .select(lit(name).as("fd"), col("lhs_groups"),
+          col("violating_groups"), col("max_rhs"))
+    check("o_orderkey->o_custkey", "o_orderkey", "o_custkey")
+      .unionByName(check("o_custkey->o_orderpriority",
+        "o_custkey", "o_orderpriority"))
+      .unionByName(check("o_orderdate->o_orderstatus",
+        "o_orderdate", "o_orderstatus"))
+      .orderBy("fd")
+  }
+
+  /** DuckDB oracle for [[fdAudit]] — same per-candidate aggregates. */
+  def fdAuditOracleSql(): String = {
+    def one(name: String, lhs: String, rhs: String): String =
+      s"""SELECT '$name' AS fd,
+         |  CAST(count(*) AS BIGINT) AS lhs_groups,
+         |  CAST(count(*) FILTER (WHERE nrhs > 1) AS BIGINT)
+         |    AS violating_groups,
+         |  CAST(max(nrhs) AS BIGINT) AS max_rhs
+         |FROM (
+         |  SELECT $lhs, count(DISTINCT $rhs) AS nrhs
+         |  FROM orders GROUP BY 1)""".stripMargin
+    Seq(
+      one("o_orderkey->o_custkey", "o_orderkey", "o_custkey"),
+      one("o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"),
+      one("o_orderdate->o_orderstatus", "o_orderdate", "o_orderstatus"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+  }
+
   /** DuckDB oracle for [[kAnonymityAudit]] — same sets, same labels.
     * (DuckDB's GROUPING() bit order matches Spark's grouping_id for
     * this two-column list.)

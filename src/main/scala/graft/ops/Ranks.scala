@@ -76,6 +76,84 @@ object Ranks {
     }
   }
 
+  /** `df` plus an exact 1-based rank over `order` WITHIN each group of
+    * `groupCols` (column `out`, long), and optionally each group's
+    * total row count (`countOut`) — the grouped twin of
+    * [[withGlobalRowNumber]], for the FEW-GROUPS × huge-rows shape
+    * where `Window.partitionBy(group)` serializes each group into one
+    * task (observed: q149's 3-group window left 3 of 32 threads
+    * sorting 60M rows — a 6.4× scale cell at 10× data; this form
+    * restores the every-task-sorts-N/P-rows bound; SCALE_CURVE carries
+    * the measured cell).
+    *
+    * Construction: range-partition on (groupCols ++ order) — each
+    * partition holds a contiguous slice of ONE OR A FEW groups — then
+    * per-(partition, group) local row_number + driver prefix-summed
+    * offsets per group, broadcast back. Driver traffic is the
+    * per-(partition, group) counts: ≤ P + |groups| rows (contiguity:
+    * a partition boundary can split a group at most once), the same
+    * bounded-by-cluster-width contract as the global form's P longs —
+    * callers with MILLIONS of groups should use the plain partitioned
+    * window instead (it parallelizes fine there; this primitive exists
+    * for the opposite regime).
+    */
+  def withGroupedRowNumber(
+      df: DataFrame,
+      groupCols: Seq[String],
+      order: Seq[Column],
+      out: String,
+      countOut: Option[String] = None): DataFrame = {
+    require(groupCols.nonEmpty && order.nonEmpty)
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val ranged0 = df
+      .repartitionByRange(p, (groupCols.map(col) ++ order): _*)
+      .withColumn(PidCol, spark_partition_id())
+    val ranged =
+      if (spark.sparkContext.getCheckpointDir.isDefined) ranged0.checkpoint()
+      else ranged0.localCheckpoint()
+    val countRows = ranged
+      .groupBy((PidCol +: groupCols).map(col): _*)
+      .agg(count(lit(1)).as("__graft_n"))
+      .collect() // ≤ P + |groups| rows — the documented contract
+    // per group in pid order: prefix-sum offsets; group totals ride along
+    val byGroup = countRows
+      .groupBy(r => groupCols.map(c => r.getAs[Any](c)).toList)
+    val offRows = byGroup.iterator.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int](PidCol))
+      val total = sorted.map(_.getAs[Long]("__graft_n")).sum
+      var acc = 0L
+      sorted.map { r =>
+        val off = acc
+        acc += r.getAs[Long]("__graft_n")
+        org.apache.spark.sql.Row.fromSeq(
+          r.getAs[Int](PidCol) +:
+            groupCols.map(c => r.getAs[Any](c)) :+ off :+ total)
+      }
+    }.toSeq
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(
+        PidCol, org.apache.spark.sql.types.IntegerType) +:
+        groupCols.map(c => ranged.schema(c)) :+
+        org.apache.spark.sql.types.StructField(
+          "__graft_off", org.apache.spark.sql.types.LongType) :+
+        org.apache.spark.sql.types.StructField(
+          "__graft_tot", org.apache.spark.sql.types.LongType))
+    val offDf = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(offRows: _*), offSchema))
+    val w = Window.partitionBy((PidCol +: groupCols).map(col): _*)
+      .orderBy(order: _*)
+    val ranked = ranged
+      .withColumn("__graft_local", row_number().over(w).cast("long"))
+      .join(offDf, PidCol +: groupCols)
+      .withColumn(out, col("__graft_off") + col("__graft_local"))
+    val withCount = countOut match {
+      case Some(c) => ranked.withColumnRenamed("__graft_tot", c)
+      case None => ranked.drop("__graft_tot")
+    }
+    withCount.drop(PidCol, "__graft_off", "__graft_local")
+  }
+
   private val RankCol = "__graft_rank"
   private val PidCol = "__graft_pid"
 

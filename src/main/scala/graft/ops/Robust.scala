@@ -115,13 +115,15 @@ object Robust {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
     val spark = df.sparkSession
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
     val order = (col(valueCol) +: tieCols.map(col)).map(_.asc)
-    val ranked = df
-      .filter(col(valueCol).isNotNull)
-      .select((groupCol +: valueCol +: tieCols).distinct.map(col): _*)
-      .withColumn("rk", row_number().over(w.orderBy(order: _*)).cast("long"))
-      .withColumn("n", count(lit(1)).over(w))
+    // grouped two-pass ranking (NOT Window.partitionBy(group)): with few
+    // groups a group-partitioned window serializes each group into one
+    // task — 3 of 32 threads sorting at q149's shape. The range-
+    // partitioned form sorts N/P rows per task whatever |groups| is.
+    val ranked = Ranks.withGroupedRowNumber(
+      df.filter(col(valueCol).isNotNull)
+        .select((groupCol +: valueCol +: tieCols).distinct.map(col): _*),
+      Seq(groupCol), order, "rk", countOut = Some("n"))
     val psDf = ps.toDF("p")
     val rlo = (floor((col("n") - 1) * col("p")) + 1).cast("long")
     val rhi = least(rlo + 1, col("n"))

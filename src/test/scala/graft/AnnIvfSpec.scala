@@ -142,4 +142,23 @@ class AnnIvfSpec extends SparkSpec {
       assert(!graph(e), s"asymmetric link $e survived mutuality")
     }
   }
+
+  // ------------------------------------------------ recall eval (q153)
+
+  test("recall@k: bounded to [0,1], and probing EVERY cell recovers recall 1.0") {
+    val emb = Queries.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val partial = graft.ops.AnnIvf.recallAtK(emb).collect()
+    assert(partial.nonEmpty)
+    partial.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "hits cannot exceed the exact shortlist")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // nprobe = nlist scans every cell: the IVF candidates are the whole
+    // corpus, rankings coincide, recall is exactly 1 for every query
+    val full = graft.ops.AnnIvf.recallAtK(emb,
+      nprobe = graft.ops.AnnIvf.NList).collect()
+    assert(full.nonEmpty)
+    full.foreach(r => assert(r.getDouble(3) === 1.0,
+      s"query ${r.getLong(0)} recall ${r.getDouble(3)} under full probe"))
+  }
 }

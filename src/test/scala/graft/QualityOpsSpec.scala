@@ -358,6 +358,27 @@ class QualityOpsSpec extends SparkSpec {
       ("segment", None, Some("SEG_B")) -> 10L))
   }
 
+  test("fd audit: a planted true FD reads zero violations, a planted violation is counted") {
+    import spark.implicits._
+    // keys 1..4 unique -> orderkey->custkey holds; custkey 10 maps to
+    // two priorities -> violated with max_rhs 2
+    val orders = Seq(
+      (1L, 10L, "P1", "1997-01-01", "O"),
+      (2L, 10L, "P2", "1997-01-02", "O"),
+      (3L, 11L, "P1", "1997-01-03", "F"),
+      (4L, 12L, "P1", "1997-01-03", "F"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority", "d", "o_orderstatus")
+      .withColumn("o_orderdate", col("d").cast("timestamp")).drop("d")
+    val out = graft.ops.QualityOps.fdAudit(orders)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("o_orderkey->o_custkey") === ((4L, 0L, 1L)))
+    assert(out("o_custkey->o_orderpriority") === ((3L, 1L, 2L)))
+    // 1997-01-03 has one status F twice -> no violation; others single
+    assert(out("o_orderdate->o_orderstatus") === ((3L, 0L, 1L)))
+  }
+
   test("k-anonymity: every flagged group is genuinely below k on the real customers") {
     val cust = Queries.t(spark, "/root/testdata/sf0.001", "customer")
     val out = graft.ops.QualityOps.kAnonymityAudit(cust).collect()

@@ -53,6 +53,43 @@ class RanksSpec extends SparkSpec {
     assert(got.values.toSeq.sorted === (1L to 100L))
   }
 
+  test("grouped row number equals the group-partitioned window, totals exact") {
+    import spark.implicits._
+    // few groups × many rows — the regime the primitive exists for;
+    // sizes chosen so groups straddle range-partition boundaries
+    val df = (0 until 500).map { i =>
+      (s"g${i % 3}", (i * 37) % 500, i.toLong)
+    }.toDF("g", "v", "id").repartition(7)
+    val got = Ranks.withGroupedRowNumber(
+      df, Seq("g"), Seq(asc("v"), asc("id")), "rk", countOut = Some("n"))
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("rk"), r.getAs[Long]("n"))).toMap
+    val w = Window.partitionBy("g").orderBy(asc("v"), asc("id"))
+    val want = df
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("rk"), r.getAs[Long]("n"))).toMap
+    assert(got === want)
+    // totals: groups of 500 over 3 residues -> 167/167/166
+    assert(got.values.map(_._2).toSet === Set(167L, 166L))
+  }
+
+  test("grouped row number: single group degenerates to the global form") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => ("only", (i * 7) % 100, i.toLong))
+      .toDF("g", "v", "id").repartition(5)
+    val got = Ranks.withGroupedRowNumber(
+      df, Seq("g"), Seq(asc("v"), asc("id")), "rk")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rk")).toMap
+    val want = Ranks.withGlobalRowNumber(
+      df, Seq(asc("v"), asc("id")), "rk")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rk")).toMap
+    assert(got === want)
+  }
+
   test("partition-independent: any input layout yields identical ranks") {
     val base = frame(83)
     val a = Ranks.withNtile(base, 4, Seq(asc("v"), asc("id")), "t")
