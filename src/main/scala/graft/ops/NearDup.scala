@@ -645,11 +645,26 @@ object NearDup {
   /** DuckDB SQL replicating [[lshNearDupPairs]] exactly (same constants,
     * same arithmetic), for the driver's oracle compare.
     */
-  def oracleSql(sliceMax: Long = 100L, threshold: Double = 0.5): String = {
+  def oracleSql(
+      sliceMax: Long = 100L,
+      threshold: Double = 0.5,
+      hotBandMax: Option[Long] = None): String = {
     val minCols = seeds.zipWithIndex
       .map { case ((a, b), i) => s"min((x*$a+$b)%$P) AS m$i" }
       .mkString(",\n    ")
     val sigList = (0 until K).map(i => s"m$i").mkString("[", ", ", "]")
+    // the hot-bucket guard drops BAND ROWS in buckets above the cap on
+    // both join sides (Lsh.guardHotBuckets) — replicated as a windowed
+    // bucket count over the bands CTE
+    val bandsSrc = hotBandMax.fold("bands")(_ => "guardedbands")
+    val guardCte = hotBandMax.fold("") { cap =>
+      s""",
+         |guardedbands AS (
+         |  SELECT doc_id, b, k1, k2 FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY b, k1, k2) AS bsz
+         |    FROM bands)
+         |  WHERE bsz <= $cap)""".stripMargin
+    }
     s"""WITH tok AS (
        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
        |  FROM documents),
@@ -666,10 +681,10 @@ object NearDup {
        |bands AS (
        |  SELECT doc_id, b, sig[2*b+1] AS k1, sig[2*b+2] AS k2
        |  FROM (SELECT doc_id, $sigList AS sig FROM mins),
-       |       (SELECT unnest(range(0, $Bands)) AS b)),
+       |       (SELECT unnest(range(0, $Bands)) AS b))$guardCte,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-       |  FROM bands a JOIN bands c
+       |  FROM $bandsSrc a JOIN $bandsSrc c
        |    ON a.b = c.b AND a.k1 = c.k1 AND a.k2 = c.k2 AND a.doc_id < c.doc_id
        |  WHERE a.doc_id < $sliceMax),
        |ver AS (
@@ -705,8 +720,17 @@ object NearDup {
     */
   def sourceDupMatrix(
       docs: DataFrame,
-      threshold: Double = 0.5): DataFrame = {
-    val pairs = lshNearDupPairs(docs, sliceMax = None, threshold = threshold)
+      threshold: Double = 0.5,
+      hotBandMax: Option[Long] = Some(64L)): DataFrame = {
+    // guarded by default: the matrix is an AGGREGATE view of the pair
+    // set, and the unguarded full-corpus pair enumeration on a hot
+    // vocabulary is answer-size-quadratic (observed 57 s vs 3.5 s at
+    // sf0.1). The guard's documented loss (a pair whose EVERY shared
+    // bucket is hot) biases each cell by at most the same bound the
+    // pairs_full_guarded scale cell carries — the right trade for a
+    // provenance summary.
+    val pairs = lshNearDupPairs(docs, sliceMax = None, threshold = threshold,
+      hotBandMax = hotBandMax)
     val src = docs.select(col("doc_id"), col("source"))
     pairs
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
@@ -725,10 +749,12 @@ object NearDup {
   /** DuckDB oracle for [[sourceDupMatrix]]: the full-corpus pair oracle
     * as a subquery, the same quantize-then-sum fold.
     */
-  def sourceDupMatrixOracleSql(threshold: Double = 0.5): String =
+  def sourceDupMatrixOracleSql(
+      threshold: Double = 0.5,
+      hotBandMax: Option[Long] = Some(64L)): String =
     s"""WITH allpairs AS (
        |  SELECT * FROM (
-       |${oracleSql(sliceMax = Long.MaxValue, threshold = threshold)}
+       |${oracleSql(sliceMax = Long.MaxValue, threshold = threshold, hotBandMax = hotBandMax)}
        |  )),
        |srcs AS (SELECT doc_id, source FROM documents)
        |SELECT least(sa.source, sb.source) AS source_lo,

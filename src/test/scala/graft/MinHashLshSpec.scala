@@ -276,10 +276,11 @@ class MinHashLshSpec extends SparkSpec {
     assert(out.size === 2)
   }
 
-  test("dup matrix on the real corpus: pair total equals the full-corpus pair count") {
+  test("dup matrix on the real corpus: pair total equals the guarded full-corpus pair count") {
     val docs = Queries.t(spark, sf, "documents")
     val matrix = graft.ops.NearDup.sourceDupMatrix(docs).collect()
-    val total = graft.ops.NearDup.lshNearDupPairs(docs, sliceMax = None).count()
+    val total = graft.ops.NearDup
+      .lshNearDupPairs(docs, sliceMax = None, hotBandMax = Some(64L)).count()
     assert(matrix.map(_.getLong(2)).sum === total)
     assert(matrix.nonEmpty)
   }
