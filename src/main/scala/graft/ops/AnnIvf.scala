@@ -214,9 +214,16 @@ object AnnIvf {
     */
   def knnGraph(emb: DataFrame, k: Int = 5,
       nlist: Int = NList, nprobe: Int = NProbe, trainIters: Int = 0): DataFrame = {
-    val knn = annTopK(emb, queryMax = Long.MaxValue, k, nlist, nprobe, trainIters)
+    val knn0 = annTopK(emb, queryMax = Long.MaxValue, k, nlist, nprobe, trainIters)
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
-      .localCheckpoint()
+    // both sides of the mutuality self-join read this materialization;
+    // RELIABLE checkpoint when a dir is set (a local checkpoint's blocks
+    // die with their executor, aborting the multi-pass job at cluster
+    // scale — the Clusters r5 contract), local otherwise
+    val knn =
+      if (emb.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        knn0.checkpoint()
+      else knn0.localCheckpoint()
     knn.as("f")
       .join(knn.as("r"),
         col("f.query_id") === col("r.neighbor_id") &&

@@ -236,12 +236,20 @@ object ChangeCapture {
     * same-timestamp changes). valid_to is the next episode's
     * valid_from, null while current (half-open intervals: a lookup ts
     * joins `valid_from <= ts < coalesce(valid_to, infinity)`).
+    *
+    * Dirty-data totality: rows with a null user_id are DROPPED, same as
+    * the neighbouring event operators (sessionPaths, transitionCounts,
+    * funnels) — on dirty data they would otherwise collapse into one
+    * pseudo-user's episode chain, and the final user_id sort would
+    * diverge between engines (Spark ASC NULLS FIRST vs DuckDB NULLS
+    * LAST). A keyed dimension for an unknown key is meaningless.
     */
   def scd2FromEvents(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     events
-      .filter(col("event_type").isNotNull && col("ts").isNotNull)
+      .filter(col("user_id").isNotNull &&
+        col("event_type").isNotNull && col("ts").isNotNull)
       .select("user_id", "event_id", "event_type", "ts")
       .withColumn("__prev", lag(col("event_type"), 1).over(w))
       .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
@@ -263,7 +271,8 @@ object ChangeCapture {
       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |      AS prev
       |  FROM events
-      |  WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+      |  WHERE user_id IS NOT NULL
+      |    AND event_type IS NOT NULL AND ts IS NOT NULL),
       |episodes AS (
       |  SELECT user_id, event_id, event_type, ts FROM ordered
       |  WHERE prev IS NULL OR prev <> event_type)

@@ -63,6 +63,15 @@ object Drift {
     * frame — shared by the batch form above and the streaming gate
     * ([[graft.streaming.StreamingEtl.runDriftGate]]), so the two can
     * never diverge (spec-pinned bit-equal).
+    *
+    * Degenerate periods: when EITHER period is entirely empty (nr = 0
+    * or nc = 0 — an empty micro-batch reaching the gate, or a reference
+    * compared before any current rows), the shares are undefined and
+    * the raw arithmetic would cast Infinity to Long.MaxValue. psi_q is
+    * NULL in that case — an explicit "period empty" sentinel a consumer
+    * can distinguish from any real score (real PSI is a finite long ≥
+    * 0), and the oracle SQL carries the same CASE guard so the engines
+    * agree on degenerate input too.
     */
   def psiFromCounts(counts: DataFrame): DataFrame = {
     val totals = counts.agg(
@@ -74,14 +83,15 @@ object Drift {
     counts
       .crossJoin(broadcast(totals)) // 1-row scalar
       .select(col("bucket"), col("ref_cnt"), col("cur_cnt"),
-        floor(
-          ((ca / col("nc")) - (ra / col("nr"))) *
-            // products in double (counts are < 2^53, so the conversions
-            // are exact and the chain stays correctly-rounded): a long
-            // product would overflow at ~1e10-row periods
-            log((ca * col("nr").cast("double")) /
-              (ra * col("nc").cast("double"))) *
-            lit(1000000.0) + lit(0.5)).cast("long").as("psi_q"))
+        when(col("nr") > 0 && col("nc") > 0,
+          floor(
+            ((ca / col("nc")) - (ra / col("nr"))) *
+              // products in double (counts are < 2^53, so the conversions
+              // are exact and the chain stays correctly-rounded): a long
+              // product would overflow at ~1e10-row periods
+              log((ca * col("nr").cast("double")) /
+                (ra * col("nc").cast("double"))) *
+              lit(1000000.0) + lit(0.5)).cast("long")).as("psi_q"))
       .orderBy("bucket")
   }
 
@@ -130,11 +140,12 @@ object Drift {
        |    greatest(CAST(ref_cnt AS DOUBLE), 0.5) AS ra
        |  FROM counts)
        |SELECT bucket, ref_cnt, cur_cnt,
+       |  CASE WHEN nr > 0 AND nc > 0 THEN
        |  CAST(floor(
        |    ((ca / nc) - (ra / nr)) *
        |    ln((ca * CAST(nr AS DOUBLE)) / (ra * CAST(nc AS DOUBLE)))
        |    * 1000000.0 + 0.5)
-       |    AS BIGINT) AS psi_q
+       |    AS BIGINT) END AS psi_q
        |FROM smoothed, totals
        |ORDER BY bucket""".stripMargin
 }

@@ -391,12 +391,18 @@ object Graph {
       uCol: String = "vec_a",
       vCol: String = "vec_b",
       topK: Int = 50): DataFrame = {
-    val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
+    val e0 = edges.select(col(uCol).as("u"), col(vCol).as("v"))
       .distinct()
-      // the edge list is read three times (degree, wedges, closing-edge
-      // probe) — materialize once; the kNN build above it is itself
-      // checkpointed, so this is a thin frame of id pairs
-      .localCheckpoint()
+    // the edge list is read three times (degree, wedges, closing-edge
+    // probe) — materialize once; the kNN build above it is itself
+    // checkpointed, so this is a thin frame of id pairs. RELIABLE
+    // checkpoint when a dir is set (a local checkpoint's blocks die with
+    // their executor, aborting this multi-pass consumer at cluster
+    // scale — the Clusters r5 contract), local otherwise
+    val e =
+      if (edges.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        e0.checkpoint()
+      else e0.localCheckpoint()
     val deg = e.select(col("u").as("s"))
       .unionAll(e.select(col("v").as("s")))
       .groupBy("s").agg(count(lit(1)).as("d"))

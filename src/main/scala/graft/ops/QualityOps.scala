@@ -906,25 +906,28 @@ object QualityOps {
     */
   def kAnonymityAudit(customer: DataFrame, k: Long = 25L): DataFrame = {
     require(k >= 2)
-    val spark = customer.sparkSession
-    customer.createOrReplaceTempView("__kanon_customer")
-    // grouping sets express the multi-QI audit directly; grouping_id()
-    // distinguishes which set a row belongs to
-    spark.sql(
-      s"""SELECT
-         |  CASE grouping_id(c_nationkey, c_mktsegment)
-         |    WHEN 0 THEN 'nation+segment'
-         |    WHEN 1 THEN 'nation'
-         |    ELSE 'segment' END AS qi_set,
-         |  c_nationkey, c_mktsegment,
-         |  count(*) AS group_size
-         |FROM __kanon_customer
-         |GROUP BY GROUPING SETS (
-         |  (c_nationkey, c_mktsegment), (c_nationkey), (c_mktsegment))
-         |HAVING count(*) < $k
-         |ORDER BY qi_set, c_nationkey, c_mktsegment""".stripMargin)
-      .select(col("qi_set"), col("c_nationkey"),
-        col("c_mktsegment"), col("group_size").cast("long").as("group_size"))
+    // Dataset.groupingSets (Spark 4) expresses the multi-QI audit
+    // directly on the frame — no session-global temp view (the r15
+    // createOrReplaceTempView leaked the view and raced concurrent
+    // audits in one session); grouping_id() names the set (bit = 1 for
+    // a column the set aggregates away: 0 = both kept, 1 = segment
+    // away, 2 = nation away)
+    customer
+      .groupingSets(
+        Seq(
+          Seq(col("c_nationkey"), col("c_mktsegment")),
+          Seq(col("c_nationkey")),
+          Seq(col("c_mktsegment"))),
+        col("c_nationkey"), col("c_mktsegment"))
+      .agg(grouping_id().as("__gid"), count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+      .select(
+        when(col("__gid") === 0, "nation+segment")
+          .when(col("__gid") === 1, "nation")
+          .otherwise("segment").as("qi_set"),
+        col("c_nationkey"), col("c_mktsegment"),
+        col("group_size").cast("long").as("group_size"))
+      .orderBy("qi_set", "c_nationkey", "c_mktsegment")
   }
 
   // -------------------------------------------------------------------

@@ -44,11 +44,19 @@ object Ranks {
 
   /** `df` plus an exact 1-based global rank over `order` in column
     * `out` (long). Row order of the OUTPUT is unspecified (join-shuffled)
-    * — callers sort or join as needed.
+    * — callers sort or join as needed. `countOut`: optionally also emit
+    * the TOTAL row count as a literal column — the ranking already
+    * collected the per-partition counts whose sum is N, so a caller
+    * that needs N (e.g. a median's middle-rank filter) gets it for free
+    * instead of paying a second count() action over the frame.
     */
   def withGlobalRowNumber(
-      df: DataFrame, order: Seq[Column], out: String): DataFrame =
-    rank(df, order) { (ranked, _) => ranked.withColumnRenamed(RankCol, out) }
+      df: DataFrame, order: Seq[Column], out: String,
+      countOut: Option[String] = None): DataFrame =
+    rank(df, order) { (ranked, total) =>
+      val r = ranked.withColumnRenamed(RankCol, out)
+      countOut.fold(r)(c => r.withColumn(c, lit(total)))
+    }
 
   /** `df` plus an exact SQL `ntile(n)` tile over `order` in column
     * `out` (long, 1..n): first `N mod n` tiles hold `ceil(N/n)` rows,
@@ -143,9 +151,18 @@ object Ranks {
       java.util.Arrays.asList(offRows: _*), offSchema))
     val w = Window.partitionBy((PidCol +: groupCols).map(col): _*)
       .orderBy(order: _*)
-    val ranked = ranged
+    // join back NULL-SAFELY (<=>) on the group keys: a NULL group key is
+    // a valid window partition (Window.partitionBy groups nulls
+    // together), and a bare-equality join would silently DROP every
+    // null-keyed row from the ranked output — the offsets side already
+    // carries the null group (driver-side groupBy keys on Any, null
+    // included), so <=> restores exact Window semantics
+    val local = ranged
       .withColumn("__graft_local", row_number().over(w).cast("long"))
-      .join(offDf, PidCol +: groupCols)
+    val joinCond = ((local(PidCol) === offDf(PidCol)) +:
+      groupCols.map(c => local(c) <=> offDf(c))).reduce(_ && _)
+    val ranked = (PidCol +: groupCols)
+      .foldLeft(local.join(offDf, joinCond))((d, c) => d.drop(offDf(c)))
       .withColumn(out, col("__graft_off") + col("__graft_local"))
     val withCount = countOut match {
       case Some(c) => ranked.withColumnRenamed("__graft_tot", c)

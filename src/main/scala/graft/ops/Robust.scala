@@ -77,16 +77,15 @@ object Robust {
     */
   private def exactMedian(
       df: DataFrame, valueCol: String, tieCol: String): DataFrame = {
-    val ranked = Ranks.withGlobalRowNumber(
-      df, Seq(asc(valueCol), asc(tieCol)), "__rk")
-    // total row count: same bounded driver-side scalar Ranks itself
-    // already collected for its offsets (q130 discipline). n = 0 flows
-    // through: the rank filter matches nothing, avg yields one null-med
-    // row, and every downstream dev/flag is null-filtered — the whole
-    // operator is total on empty input (EmptyInputSpec gate)
-    val n = ranked.count()
-    ranked
-      .filter(col("__rk") === (n + 1) / 2 || col("__rk") === n / 2 + 1)
+    // total row count rides out of the ranking as a literal column
+    // (Ranks already collected the per-partition counts whose sum is N)
+    // — no second count() action over the checkpointed frame. n = 0
+    // flows through: the rank filter matches nothing, avg yields one
+    // null-med row, and every downstream dev/flag is null-filtered —
+    // the whole operator is total on empty input (EmptyInputSpec gate)
+    Ranks.withGlobalRowNumber(
+      df, Seq(asc(valueCol), asc(tieCol)), "__rk", countOut = Some("__n"))
+      .filter(expr("__rk = (__n + 1) div 2 OR __rk = __n div 2 + 1"))
       .agg(avg(col(valueCol)).as("med"))
   }
 

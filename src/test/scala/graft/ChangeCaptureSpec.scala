@@ -171,6 +171,16 @@ class ChangeCaptureSpec extends SparkSpec {
     }
   }
 
+  test("scd2: null user_id rows are dropped, not collapsed into a pseudo-user") {
+    val rows = java.util.Arrays.asList(
+      Row(1L, null, "A", ts(10L)), Row(2L, null, "B", ts(20L)),
+      Row(3L, 1L, "A", ts(30L)))
+    val out = ChangeCapture.scd2FromEvents(
+      spark.createDataFrame(rows, evSchema)).collect()
+    assert(out.length === 1, "null-user events must not form episodes")
+    assert(out.head.getLong(0) === 1L && out.head.getLong(1) === 3L)
+  }
+
   test("scd2: same-timestamp changes tie-break by event_id") {
     val out = ChangeCapture.scd2FromEvents(events(
       (5L, 2L, "Y", 10L), (4L, 2L, "X", 10L)))

@@ -45,6 +45,17 @@ class DriftSpec extends SparkSpec {
     assert(out.forall(_.getLong(3) === 0L))
   }
 
+  test("empty period: psi_q is the NULL sentinel, never a cast Infinity") {
+    // every row lands in the reference period -> nc = 0; the raw share
+    // arithmetic would cast Infinity to Long.MaxValue — the guard must
+    // emit the explicit null sentinel instead
+    val rows = Seq.fill(4)((0.5, "1997-01-01")) ++ Seq.fill(2)((1.5, "1997-01-01"))
+    val out = Drift.psiDrift(df(rows: _*), "v", "dt", "1998-01-01", 1.0).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.isNullAt(3)),
+      "empty current period must yield null psi_q in every bucket")
+  }
+
   test("q147: planted current-period shift crosses the 0.1 PSI threshold; clean twin does not") {
     val sf = "/root/testdata/sf0.001"
     val dirtyTotal = SparkEntry.queries("q147_psi_drift")(spark, sf)

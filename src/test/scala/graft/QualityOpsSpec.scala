@@ -382,6 +382,9 @@ class QualityOpsSpec extends SparkSpec {
   test("k-anonymity: every flagged group is genuinely below k on the real customers") {
     val cust = Queries.t(spark, "/root/testdata/sf0.001", "customer")
     val out = graft.ops.QualityOps.kAnonymityAudit(cust).collect()
+    // the audit is side-effect-free on the session: no leaked temp view
+    // (the r15 form registered a session-global __kanon_customer)
+    assert(!spark.catalog.tableExists("__kanon_customer"))
     assert(out.nonEmpty)
     assert(out.forall(_.getLong(3) < 25L))
     // cross-check one flagged combo against a direct count

@@ -90,6 +90,30 @@ class RanksSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("grouped row number: NULL group keys rank as their own partition") {
+    import spark.implicits._
+    // a NULL group key is a valid window partition — the offsets join
+    // must be null-safe or every null-keyed row silently vanishes
+    val df = (0 until 120).map { i =>
+      val g = if (i % 3 == 0) null else s"g${i % 3}"
+      (g, (i * 37) % 120, i.toLong)
+    }.toDF("g", "v", "id").repartition(7)
+    val got = Ranks.withGroupedRowNumber(
+      df, Seq("g"), Seq(asc("v"), asc("id")), "rk", countOut = Some("n"))
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("rk"), r.getAs[Long]("n"))).toMap
+    val w = Window.partitionBy("g").orderBy(asc("v"), asc("id"))
+    val want = df
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("rk"), r.getAs[Long]("n"))).toMap
+    assert(got.size === 120, "null-keyed rows must not be dropped")
+    assert(got === want)
+  }
+
   test("partition-independent: any input layout yields identical ranks") {
     val base = frame(83)
     val a = Ranks.withNtile(base, 4, Seq(asc("v"), asc("id")), "t")
