@@ -153,6 +153,7 @@ object AnnLsh {
       sliceMax: Option[Long] = Some(100L),
       threshold: Double = 0.3,
       hotBucketMax: Option[Long] = None,
+      pairBudget: Option[Long] = Some(Lsh.DefaultPairBudget),
       // `ordered = false` skips the final global sort (a range exchange
       // plus its sampling job) for callers that immediately re-shuffle —
       // connected components ([[Clusters.embedDupClusters]]) consumes the
@@ -166,6 +167,10 @@ object AnnLsh {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bk = buckets(vecs, dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // safe-by-default (the q151 lesson — see Lsh.preflightFullCorpus);
+    // bk is persisted, so the preflight's scan is reused by the join
+    if (sliceMax.isEmpty && hotBucketMax.isEmpty)
+      Lsh.preflightFullCorpus(bk, Seq("l", "bucket"), pairBudget)
     val cand = candidatesFromBuckets(bk, "vec_a", strict = true, sliceMax, hotBucketMax)
       .withColumnRenamed("vec_id", "vec_b")
     cand

@@ -73,7 +73,7 @@ object Drift {
     * 0), and the oracle SQL carries the same CASE guard so the engines
     * agree on degenerate input too.
     */
-  def psiFromCounts(counts: DataFrame): DataFrame = {
+  def psiFromCounts(counts: DataFrame, keyCol: String = "bucket"): DataFrame = {
     val totals = counts.agg(
       sum(col("ref_cnt")).as("nr"), sum(col("cur_cnt")).as("nc"))
     // half-count smoothing: a zero count enters shares and ln as 0.5
@@ -82,7 +82,7 @@ object Drift {
     val ra = greatest(col("ref_cnt").cast("double"), lit(0.5))
     counts
       .crossJoin(broadcast(totals)) // 1-row scalar
-      .select(col("bucket"), col("ref_cnt"), col("cur_cnt"),
+      .select(col(keyCol), col("ref_cnt"), col("cur_cnt"),
         when(col("nr") > 0 && col("nc") > 0,
           floor(
             ((ca / col("nc")) - (ra / col("nr"))) *
@@ -92,8 +92,78 @@ object Drift {
               log((ca * col("nr").cast("double")) /
                 (ra * col("nc").cast("double"))) *
               lit(1000000.0) + lit(0.5)).cast("long")).as("psi_q"))
-      .orderBy("bucket")
+      .orderBy(keyCol)
   }
+
+  /** Categorical twin of [[psiDrift]] (the more common monitoring ask —
+    * the reference's own schema is mostly categorical: status, product
+    * type, purpose — /root/reference/airflow/include/loan_spark_etl.py):
+    * per-CATEGORY PSI between the two periods of `catCol`, identical
+    * arithmetic via [[psiFromCounts]] so the numeric, categorical, and
+    * streaming forms can never diverge. A category present in only one
+    * period (the new-status / retired-status signal) is where drift
+    * concentrates; the half-count smoothing keeps it in the signal.
+    * Output: (category, ref_cnt, cur_cnt, psi_q), category asc.
+    *
+    * Same scale shape as the numeric form: ONE scan, one |categories|-row
+    * aggregate with map-side conditional partials, totals a 1-row
+    * broadcast.
+    */
+  def categoricalPsiDrift(
+      facts: DataFrame,
+      catCol: String,
+      dateCol: String,
+      cut: String): DataFrame = {
+    val cutTs = lit(cut).cast("timestamp")
+    val counts = facts
+      .filter(col(catCol).isNotNull && col(dateCol).isNotNull)
+      .select(col(catCol).as("category"), (col(dateCol) < cutTs).as("is_ref"))
+      .groupBy("category")
+      .agg(
+        count(when(col("is_ref"), 1)).as("ref_cnt"),
+        count(when(!col("is_ref"), 1)).as("cur_cnt"))
+    psiFromCounts(counts, keyCol = "category")
+  }
+
+  /** DuckDB oracle for [[categoricalPsiDrift]] over the DIRTIED orders
+    * fact used by q157: the current period's orderkey % 11 residue class
+    * reports a NEVER-SEEN status 'X' (a new code shipped mid-stream —
+    * the q147/q132 planted-violation discipline), so drift concentrates
+    * in a category with ref_cnt = 0. Identical share/ln/quantization
+    * arithmetic to [[ordersDriftOracleSql]].
+    */
+  def ordersCategoricalDriftOracleSql(cut: String = "1998-01-01"): String =
+    s"""WITH o AS (
+       |  SELECT o_orderdate,
+       |    CASE WHEN o_orderkey % 11 = 0
+       |           AND o_orderdate >= TIMESTAMP '$cut'
+       |         THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+       |  FROM orders),
+       |counts AS (
+       |  SELECT o_orderstatus AS category,
+       |    CAST(count(*) FILTER (WHERE o_orderdate < TIMESTAMP '$cut')
+       |      AS BIGINT) AS ref_cnt,
+       |    CAST(count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '$cut')
+       |      AS BIGINT) AS cur_cnt
+       |  FROM o
+       |  WHERE o_orderstatus IS NOT NULL AND o_orderdate IS NOT NULL
+       |  GROUP BY 1),
+       |totals AS (
+       |  SELECT sum(ref_cnt) AS nr, sum(cur_cnt) AS nc FROM counts),
+       |smoothed AS (
+       |  SELECT category, ref_cnt, cur_cnt,
+       |    greatest(CAST(cur_cnt AS DOUBLE), 0.5) AS ca,
+       |    greatest(CAST(ref_cnt AS DOUBLE), 0.5) AS ra
+       |  FROM counts)
+       |SELECT category, ref_cnt, cur_cnt,
+       |  CASE WHEN nr > 0 AND nc > 0 THEN
+       |  CAST(floor(
+       |    ((ca / nc) - (ra / nr)) *
+       |    ln((ca * CAST(nr AS DOUBLE)) / (ra * CAST(nc AS DOUBLE)))
+       |    * 1000000.0 + 0.5)
+       |    AS BIGINT) END AS psi_q
+       |FROM smoothed, totals
+       |ORDER BY category""".stripMargin
 
   /** Fixed-width bucket histogram of `valueCol` — the persisted
     * reference artifact the streaming gate compares batches against.

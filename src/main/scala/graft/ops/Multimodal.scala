@@ -351,6 +351,9 @@ object Multimodal {
       .select(col("id"), col(hashCol),
         col("bk.band").as("band"), col("bk.bv").as("bv"))
     val keys = Seq("band", "bv")
+    // safe-by-default (the q151 lesson — see Lsh.preflightFullCorpus)
+    if (sliceMax.isEmpty && hotBandMax.isEmpty)
+      Lsh.preflightFullCorpus(banded, keys, Some(Lsh.DefaultPairBudget))
     val guarded = Lsh.guardHotBuckets(banded, keys, hotBandMax)
     val lhs = guarded.select(col("id").as("id_a"),
       col(hashCol).as("h_a"), col("band"), col("bv"))
@@ -743,6 +746,9 @@ object Multimodal {
       .select(col("id"), col("fidx"), col("vhash"),
         col("bk.band").as("band"), col("bk.bv").as("bv"))
     val keys = Seq("band", "bv")
+    // safe-by-default (the q151 lesson — see Lsh.preflightFullCorpus)
+    if (sliceMax.isEmpty && hotBandMax.isEmpty)
+      Lsh.preflightFullCorpus(banded, keys, Some(Lsh.DefaultPairBudget))
     val guarded = Lsh.guardHotBuckets(banded, keys, hotBandMax)
     val lhs = guarded.select(col("id").as("id_a"), col("fidx").as("fidx_a"),
       col("vhash").as("h_a"), col("band"), col("bv"))

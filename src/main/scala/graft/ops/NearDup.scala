@@ -128,7 +128,8 @@ object NearDup {
       docs: DataFrame,
       sliceMax: Option[Long] = Some(100L),
       threshold: Double = 0.5,
-      hotBandMax: Option[Long] = None): DataFrame = {
+      hotBandMax: Option[Long] = None,
+      pairBudget: Option[Long] = Some(Lsh.DefaultPairBudget)): DataFrame = {
     // Both `tok` and `bk` are consumed more than once (tok: signatures + the
     // two verification attaches; bk: both sides of the candidate self-join).
     // Persist them so each lineage is computed exactly once — without this the
@@ -138,6 +139,12 @@ object NearDup {
     // are the ones you would materialize to storage between stages.
     val tok = tokens(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bk = bands(signatures(tok)).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // safe-by-default (the q151 lesson): a full-corpus call with NO hot-
+    // bucket cap sizes its own candidate space first and fails fast with
+    // the estimate instead of enumerating a quadratic blowup (bk is
+    // persisted, so the preflight's scan is reused by the join)
+    if (sliceMax.isEmpty && hotBandMax.isEmpty)
+      Lsh.preflightFullCorpus(bk, Seq("band", "k1", "k2"), pairBudget)
     val cand = candidatesFromBands(bk, sliceMax, hotBandMax)
     verifiedJaccard(cand, tok, "doc_a", "doc_b", threshold)
       .orderBy("doc_a", "doc_b")

@@ -84,7 +84,8 @@ object TextOps {
     * drops degenerate ones ([[Lsh.guardHotBuckets]]).
     */
   def simhashPairs(docs: DataFrame, sliceMax: Option[Long] = Some(100L),
-      maxHamming: Int = 3, hotBandMax: Option[Long] = None): DataFrame = {
+      maxHamming: Int = 3, hotBandMax: Option[Long] = None,
+      pairBudget: Option[Long] = Some(Lsh.DefaultPairBudget)): DataFrame = {
     val fp = simhash(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = fp.select(
       col("doc_id"), col("fp"),
@@ -93,6 +94,9 @@ object TextOps {
       }: _*)).as("bk"))
       .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.bv").as("bv"))
     val keys = Seq("band", "bv")
+    // safe-by-default (the q151 lesson — see Lsh.preflightFullCorpus)
+    if (sliceMax.isEmpty && hotBandMax.isEmpty)
+      Lsh.preflightFullCorpus(banded, keys, pairBudget)
     val guarded = Lsh.guardHotBuckets(banded, keys, hotBandMax)
     val lhs = guarded
       .select(col("doc_id").as("doc_a"), col("fp").as("fp_a"), col("band"), col("bv"))
@@ -1169,4 +1173,138 @@ object TextOps {
             element_at(acc, -1) === lit(a) && x === lit(b),
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
           .otherwise(concat(acc, array(x))))
+
+  // -------------------------------------------------------------------
+  // HTML/boilerplate text extraction (q155): the FIRST stage of every
+  // real crawl pipeline — every operator in this catalog assumes clean
+  // `text`, but a crawl corpus arrives as markup. Published rules
+  // (jusText / trafilatura's paragraph classification): split the page
+  // into block-level segments, strip tags, and keep a block iff
+  //   - its tag is a CONTENT tag (nav/aside/footer are boilerplate by
+  //     construction),
+  //   - its visible text is long enough (short blocks are chrome), and
+  //   - its LINK DENSITY is low (anchor-text chars / text chars < 1/3 —
+  //     link farms, share bars, and menus are link-dominated).
+  //
+  // Everything is per-row codegen'd string ops (regexp_extract_all +
+  // higher-order filter/transform — no UDF, no shuffle: a pure map at
+  // any corpus size). The q73 regex-subset discipline applies: this is
+  // an 80/20 extractor over well-formed flat markup, not an HTML5
+  // parser — blocks are non-nested, which the synthesis (and any
+  // boilerplate-wrapped crawl slice) satisfies; RE2-compatible regexes
+  // only (no backreferences), so the DuckDB oracle replays it exactly.
+  // -------------------------------------------------------------------
+
+  /** Block-level segments: flat (non-nested) block tags, lazily matched
+    * to the first closing block tag. RE2-safe (no backreference). */
+  val HtmlBlockPattern =
+    "<(?:p|h1|li|nav|aside|footer)[^>]*>.*?</(?:p|h1|li|nav|aside|footer)>"
+  val HtmlTagStripPattern = "<[^>]*>"
+  val HtmlAnchorTextPattern = "<a [^>]*>([^<]*)</a>"
+  val BoilerplateTags = Seq("nav", "aside", "footer")
+
+  /** Extract the content text of a raw-markup column: (doc_id,
+    * extracted, kept_blocks, dropped_blocks), doc_id asc. Blocks are
+    * classified by tag / min visible chars / link density (see object
+    * note); kept blocks' stripped text joins with a single space. A row
+    * with NO block markup passes through whole (tags stripped, trimmed)
+    * with kept = dropped = 0 — total over non-HTML and null input.
+    */
+  def extractText(
+      docs: DataFrame,
+      htmlCol: String = "raw_html",
+      minChars: Int = 25): DataFrame = {
+    val html = coalesce(col(htmlCol), lit(""))
+    val blocks = regexp_extract_all(html, lit(HtmlBlockPattern), lit(0))
+    def plainOf(b: Column): Column =
+      trim(regexp_replace(b, HtmlTagStripPattern, ""))
+    // coalesce: DuckDB's array_to_string over a no-match extract is NULL
+    // where Spark's array_join is '' — pin both engines to 0
+    def linkChars(b: Column): Column =
+      coalesce(
+        length(array_join(
+          regexp_extract_all(b, lit(HtmlAnchorTextPattern), lit(1)), "")),
+        lit(0))
+    def keep(b: Column): Column = {
+      val tag = regexp_extract(b, "^<([a-z0-9]+)", 1)
+      !tag.isin(BoilerplateTags: _*) &&
+        length(plainOf(b)) >= minChars &&
+        linkChars(b) * 3 < length(plainOf(b))
+    }
+    val kept = filter(blocks, keep _)
+    docs.select(
+      col("doc_id"),
+      when(size(blocks) === 0,
+        trim(regexp_replace(html, HtmlTagStripPattern, "")))
+        .otherwise(array_join(transform(kept, plainOf _), " "))
+        .as("extracted"),
+      when(size(blocks) === 0, lit(0L))
+        .otherwise(size(kept).cast("long")).as("kept_blocks"),
+      when(size(blocks) === 0, lit(0L))
+        .otherwise((size(blocks) - size(kept)).cast("long"))
+        .as("dropped_blocks"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic raw-markup synthesis for q155 (the q147 dirtied-fact
+    * discipline — the testdata ships clean text, so the query wraps it
+    * in the crawl chrome a real corpus arrives with): nav + optional
+    * sponsored aside (doc_id % 3), headline, the body paragraph, an
+    * optional link-dominated share bar (doc_id % 2), a too-short block,
+    * and a footer. Flat blocks only (the extractor's documented domain).
+    */
+  def syntheticHtml(docId: Column, text: Column): Column =
+    concat(
+      lit("<html><body><nav><a href=\"/\">Home</a> " +
+        "<a href=\"/topics\">Topics</a> <a href=\"/contact\">Contact</a></nav>"),
+      when(docId % 3 === 0,
+        lit("<aside>Sponsored: <a href=\"/buy\">click here</a> " +
+          "<a href=\"/win\">win now</a></aside>")).otherwise(lit("")),
+      lit("<h1>Document "), docId.cast("string"), lit("</h1>"),
+      lit("<p>"), text, lit("</p>"),
+      when(docId % 2 === 0,
+        lit("<p>Share: <a href=\"/fb\">Facebook</a> " +
+          "<a href=\"/tw\">Twitter</a> <a href=\"/rss\">RSS</a></p>"))
+        .otherwise(lit("")),
+      lit("<p>ok</p><footer>(c) 2026 Example <a href=\"/tos\">Terms</a> " +
+        "<a href=\"/privacy\">Privacy</a></footer></body></html>"))
+
+  /** DuckDB oracle for [[extractText]] over [[syntheticHtml]]-wrapped
+    * documents: identical synthesis, block regexes, classification
+    * arithmetic, and join separator. (The oracle replays the with-blocks
+    * branch — the synthesis always emits markup; the no-block
+    * passthrough is spec-covered in TextOpsSpec.)
+    */
+  def extractTextOracleSql(minChars: Int = 25): String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    '<html><body><nav><a href="/">Home</a> <a href="/topics">Topics</a> <a href="/contact">Contact</a></nav>'
+       |    || CASE WHEN doc_id % 3 = 0 THEN '<aside>Sponsored: <a href="/buy">click here</a> <a href="/win">win now</a></aside>' ELSE '' END
+       |    || '<h1>Document ' || doc_id || '</h1>'
+       |    || '<p>' || text || '</p>'
+       |    || CASE WHEN doc_id % 2 = 0 THEN '<p>Share: <a href="/fb">Facebook</a> <a href="/tw">Twitter</a> <a href="/rss">RSS</a></p>' ELSE '' END
+       |    || '<p>ok</p><footer>(c) 2026 Example <a href="/tos">Terms</a> <a href="/privacy">Privacy</a></footer></body></html>'
+       |      AS raw_html
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id,
+       |    regexp_extract_all(raw_html, '$HtmlBlockPattern') AS blocks
+       |  FROM h),
+       |k AS (
+       |  SELECT doc_id, blocks,
+       |    list_filter(blocks, x ->
+       |      regexp_extract(x, '^<([a-z0-9]+)', 1)
+       |        NOT IN ('nav', 'aside', 'footer')
+       |      AND len(trim(regexp_replace(x, '$HtmlTagStripPattern', '', 'g'))) >= $minChars
+       |      AND coalesce(len(array_to_string(
+       |            regexp_extract_all(x, '$HtmlAnchorTextPattern', 1), '')), 0) * 3
+       |          < len(trim(regexp_replace(x, '$HtmlTagStripPattern', '', 'g')))) AS kept
+       |  FROM b)
+       |SELECT doc_id,
+       |  array_to_string(list_transform(kept,
+       |    x -> trim(regexp_replace(x, '$HtmlTagStripPattern', '', 'g'))), ' ')
+       |    AS extracted,
+       |  CAST(len(kept) AS BIGINT) AS kept_blocks,
+       |  CAST(len(blocks) - len(kept) AS BIGINT) AS dropped_blocks
+       |FROM k ORDER BY doc_id""".stripMargin
 }

@@ -89,6 +89,52 @@ class FullCorpusSpec extends SparkSpec {
       "guard dropped nothing on a corpus with known hot bands")
   }
 
+  // ------------------------------------------------- Pair-blowup preflight
+
+  test("Lsh.estimatedPairs is exactly sum of C(bucket, 2)") {
+    import spark.implicits._
+    // buckets of sizes 1, 2, 3, 5 -> 0 + 1 + 3 + 10 = 14 raw pairs
+    val bk = Seq(
+      ("a", 0L), ("b", 0L), ("b", 1L), ("c", 0L), ("c", 1L), ("c", 2L),
+      ("d", 0L), ("d", 1L), ("d", 2L), ("d", 3L), ("d", 4L))
+      .toDF("k", "doc_id")
+    assert(graft.ops.Lsh.estimatedPairs(bk, Seq("k")) == 14L)
+    assert(graft.ops.Lsh.estimatedPairs(bk.limit(0), Seq("k")) == 0L)
+  }
+
+  test("preflight: unguarded full-corpus call over budget fails fast with the estimate") {
+    import spark.implicits._
+    // degenerate corpus: every doc identical -> every band bucket holds all
+    // N docs -> Bands x C(N, 2) raw candidates, the q151 blowup in miniature
+    val hot = (0L until 200L).map(d => (d, "the same boilerplate text every time"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val ex = intercept[IllegalArgumentException] {
+      NearDup.lshNearDupPairs(hot, sliceMax = None, pairBudget = Some(1000L)).collect()
+    }
+    assert(ex.getMessage.contains("raw"), s"no estimate in: ${ex.getMessage}")
+    assert(ex.getMessage.contains("budget 1000"), s"no budget in: ${ex.getMessage}")
+    // the message carries the actual estimate (32 bands x C(200,2) = 636800)
+    assert(ex.getMessage.contains("636800"), s"estimate absent: ${ex.getMessage}")
+    // remediations still work: a hot-band cap skips the preflight entirely,
+    // an explicit opt-out accepts the cost, and a bounded slice never
+    // triggers it
+    assert(NearDup.lshNearDupPairs(hot, sliceMax = None, hotBandMax = Some(64L),
+      pairBudget = Some(1000L)).count() >= 0)
+    assert(NearDup.lshNearDupPairs(hot, sliceMax = None, pairBudget = None).count() > 0)
+    assert(NearDup.lshNearDupPairs(hot, sliceMax = Some(5L),
+      pairBudget = Some(1000L)).count() > 0)
+  }
+
+  test("preflight: the sf corpus passes the default budget on every family") {
+    // the known-hot synthetic corpus still sits far under the 50M default —
+    // the guard exists for degenerate blowups, not for honest workloads
+    assert(NearDup.lshNearDupPairs(docs, sliceMax = None).count() > 0)
+    assert(TextOps.simhashPairs(docs, sliceMax = None).count() >= 0)
+    assert(AnnLsh.nearDupPairs(emb, sliceMax = None).count() >= 0)
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   test("unsliced simhashPairs: shuffle join plan + slice-restriction equality") {
