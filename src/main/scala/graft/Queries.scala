@@ -2649,6 +2649,76 @@ object Queries {
     (s, d) => graft.ops.QualityOps.fdAudit(t(s, d, "orders")),
     Some(graft.ops.QualityOps.fdAuditOracleSql()))
 
+  /** HTML/boilerplate text extraction (the first stage of every real
+    * crawl pipeline): documents wrapped in deterministic crawl chrome
+    * (nav / sponsored aside / headline / share bar / footer — the q147
+    * dirtied-fact discipline), then jusText-style block classification
+    * by tag, min visible chars, and link density. Pure per-row
+    * codegen'd string ops — a map at any corpus size.
+    */
+  private val q155 = QueryDef(
+    "q155_html_extract",
+    (s, d) => graft.ops.TextOps.extractText(
+      t(s, d, "documents").withColumn("raw_html",
+        graft.ops.TextOps.syntheticHtml(col("doc_id"), col("text")))),
+    Some(graft.ops.TextOps.extractTextOracleSql()))
+
+  /** URL canonicalization + host/domain keys (the CCNet/C4 crawl
+    * discipline): messy synthesized frontier URLs (mixed case, default
+    * ports, fragments, tracking params, unsorted queries) reduced to
+    * one canonical name + the registered-domain cap key. Pure map.
+    */
+  private val q156 = QueryDef(
+    "q156_url_canonical",
+    (s, d) => graft.ops.UrlOps.canonicalize(
+      t(s, d, "documents").withColumn("url",
+        graft.ops.UrlOps.syntheticUrl(col("doc_id"), col("source"))))
+      .select("doc_id", "url", "canon_url", "host", "domain")
+      .orderBy("doc_id"),
+    Some(graft.ops.UrlOps.canonicalizeOracleSql))
+
+  /** Categorical PSI drift (q147's twin over category columns — the
+    * more common monitoring ask): the current period's orderkey % 11
+    * residue class reports a never-seen status, so drift concentrates
+    * in a ref_cnt = 0 category. Same one-aggregate shape and
+    * psiFromCounts core as the numeric and streaming forms.
+    */
+  private val q157 = QueryDef(
+    "q157_categorical_drift",
+    (s, d) => {
+      val cut = "1998-01-01"
+      val dirtied = t(s, d, "orders")
+        .select(col("o_orderdate"),
+          when(col("o_orderkey") % 11 === 0 &&
+              col("o_orderdate") >= lit(cut).cast("timestamp"),
+            lit("X")).otherwise(col("o_orderstatus")).as("o_orderstatus"))
+      graft.ops.Drift.categoricalPsiDrift(
+        dirtied, "o_orderstatus", "o_orderdate", cut)
+    },
+    Some(graft.ops.Drift.ordersCategoricalDriftOracleSql()))
+
+  /** ANN nprobe sweep (q153 generalized to the index-tuning loop):
+    * recall@k at every probe depth from ONE corpus scan — candidates
+    * tagged with the centroid rank that admitted them, per-depth
+    * shortlists a filter + re-rank over the checkpointed candidate
+    * frame. Recall is monotone in nprobe and exactly 1.0 at
+    * nprobe = nlist (spec-asserted).
+    */
+  private val q158 = QueryDef(
+    "q158_ann_nprobe_sweep",
+    (s, d) => graft.ops.AnnIvf.recallSweep(t(s, d, "embeddings")),
+    Some(graft.ops.AnnIvf.recallSweepOracleSql()))
+
+  /** Per-domain document cap (q86's per-source cap re-keyed on the
+    * REGISTERED domain from q156's canonicalization — www.x.com and
+    * news.x.com count against one quota): the common-crawl mixing
+    * discipline, exact sharded two-phase top-k.
+    */
+  private val q159 = QueryDef(
+    "q159_domain_cap",
+    (s, d) => graft.ops.UrlOps.domainCap(t(s, d, "documents")),
+    Some(graft.ops.UrlOps.domainCapOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -2680,5 +2750,5 @@ object Queries {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
-    q149, q150, q151, q152, q153, q154)
+    q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159)
 }

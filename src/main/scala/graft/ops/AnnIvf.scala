@@ -392,6 +392,122 @@ object AnnIvf {
       .orderBy("query_id")
   }
 
+  /** nprobe sweep of [[recallAtK]] (q158): the recall curve an index-
+    * tuning loop actually reads — recall@k at EVERY probe depth in
+    * `nprobes`, from ONE corpus scan. The probe join runs once at
+    * max(nprobes) with each candidate tagged by the CENTROID RANK
+    * (`crn`) of the list that admitted it (each vector lives in exactly
+    * one list, so crn is unique per (query, neighbor)); the per-depth
+    * shortlist is then a FILTER (crn ≤ p) + re-rank over the
+    * checkpointed candidate frame — no second pass over the corpus for
+    * any depth. The exact shortlist is computed once and reused by
+    * every depth's semi-join.
+    *
+    * Monotonicity is structural: the candidate set at p is a superset
+    * of the set at p' < p, so hits (and recall) are non-decreasing in
+    * nprobe; at nprobe = nlist every list is probed, the candidate set
+    * IS the corpus, and recall is exactly 1.0 (same rounded cosine +
+    * id tie-break on both rankings) — both spec-asserted.
+    *
+    * Output: (nprobe, query_id, n_exact, hits, recall), nprobe asc /
+    * query_id asc; the rows at nprobe = [[NProbe]] are bit-equal to
+    * [[recallAtK]]'s.
+    */
+  def recallSweep(
+      emb: DataFrame,
+      queryMax: Long = 5L,
+      k: Int = 5,
+      nlist: Int = NList,
+      nprobes: Seq[Int] = Seq(1, 2, NProbe, 8, NList)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobes.nonEmpty && nprobes.forall(p => p >= 1 && p <= nlist),
+      s"nprobes must be within [1, nlist=$nlist], got $nprobes")
+    val cents = initCentroids(emb, nlist)
+    require(cents.nonEmpty, "empty corpus: no centroids to sweep")
+    val maxProbe = nprobes.max
+    val sc = scored(col("embedding"), cents)
+    val valid = emb.filter(col("embedding").isNotNull)
+    val assigned = valid.select(
+      col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nn"),
+      (-array_max(sc).getField("nc")).as("list_id"))
+    val probes = valid
+      .filter(col("vec_id") < queryMax)
+      .select(
+        col("vec_id").as("query_id"), col("embedding").as("qv"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qn"),
+        posexplode(transform(
+          slice(reverse(array_sort(sc)), 1, maxProbe),
+          x => -x.getField("nc"))))
+      .select(col("query_id"), col("qv"), col("qn"),
+        (col("pos") + 1).as("crn"), col("col").as("list_id"))
+    val sims0 = probes
+      .join(assigned, "list_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("crn"),
+        round(dot(col("qv"), col("embedding")) / (col("qn") * col("nn")), 4)
+          .as("cosine"))
+    // every sweep depth re-reads the candidate frame — materialize ONCE
+    // (candidates are bounded by the |queries| × probed-fraction
+    // contract); RELIABLE checkpoint when a dir is set (the Clusters r5
+    // contract), local otherwise
+    val sims =
+      if (emb.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        sims0.checkpoint()
+      else sims0.localCheckpoint()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    val q = valid.filter(col("vec_id") < queryMax)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+    val c = valid.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("nv"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nn"))
+    val exact0 = broadcast(q)
+      .join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4)
+          .as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id")
+    val exact =
+      if (emb.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        exact0.checkpoint()
+      else exact0.localCheckpoint()
+    val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    nprobes.sorted.map { p =>
+      val approx = sims.filter(col("crn") <= p)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select("query_id", "neighbor_id")
+      val hits = exact
+        .join(broadcast(approx), Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      nExact
+        .join(broadcast(hits), Seq("query_id"), "left")
+        .select(lit(p.toLong).as("nprobe"), col("query_id"), col("n_exact"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .withColumn("recall", col("hits") / col("n_exact"))
+    }.reduce(_.unionByName(_))
+      .orderBy("nprobe", "query_id")
+  }
+
+  /** DuckDB oracle for [[recallSweep]]: one [[recallOracleSql]] replay
+    * per depth, unioned with the depth as a column. */
+  def recallSweepOracleSql(
+      queryMax: Long = 5L,
+      k: Int = 5,
+      nlist: Int = NList,
+      nprobes: Seq[Int] = Seq(1, 2, NProbe, 8, NList)): String =
+    nprobes.sorted
+      .map(p =>
+        s"""SELECT CAST($p AS BIGINT) AS nprobe, * FROM (
+           |${recallOracleSql(queryMax, k, nlist, p)}
+           |)""".stripMargin)
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY nprobe, query_id")
+
   /** DuckDB oracle for [[recallAtK]]: the q24 exact CTE and the IVF
     * oracle as subqueries, the same semi-join fold.
     */

@@ -66,7 +66,7 @@ object TrainPipe {
       .orderBy("doc_id")
 
   /** DuckDB hex7 parse of md5(`argSql`) — shared literal arithmetic. */
-  private def duckHex7(argSql: String): String =
+  private[graft] def duckHex7(argSql: String): String =
     s"""CAST(list_reduce(
        |  list_transform(range(1, 8),
        |    p -> instr('0123456789abcdef', substr(md5($argSql), p, 1)) - 1),

@@ -161,4 +161,27 @@ class AnnIvfSpec extends SparkSpec {
     full.foreach(r => assert(r.getDouble(3) === 1.0,
       s"query ${r.getLong(0)} recall ${r.getDouble(3)} under full probe"))
   }
+
+  test("q158 nprobe sweep: monotone recall, exact endpoint, and q153 consistency") {
+    val emb = Queries.t(spark, sf, "embeddings")
+    val nlist = graft.ops.AnnIvf.NList
+    val sweep = graft.ops.AnnIvf.recallSweep(emb,
+      nprobes = Seq(1, 2, graft.ops.AnnIvf.NProbe, 8, nlist)).collect()
+    assert(sweep.nonEmpty)
+    // hits non-decreasing in nprobe per query (candidate sets are nested)
+    sweep.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      val byProbe = rows.sortBy(_.getLong(0)).map(_.getLong(3))
+      assert(byProbe.zip(byProbe.tail).forall { case (a, b) => a <= b },
+        s"hits not monotone: ${byProbe.toSeq}")
+    }
+    // nprobe = nlist probes every cell: recall exactly 1.0
+    sweep.filter(_.getLong(0) == nlist.toLong)
+      .foreach(r => assert(r.getDouble(4) === 1.0))
+    // the sweep's rows at the default depth are bit-equal to recallAtK's
+    val atDefault = sweep.filter(_.getLong(0) == graft.ops.AnnIvf.NProbe.toLong)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    val q153 = graft.ops.AnnIvf.recallAtK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(atDefault === q153, "sweep diverges from q153 at the same depth")
+  }
 }

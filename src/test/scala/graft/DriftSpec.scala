@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import graft.ops.Drift
@@ -70,5 +71,45 @@ class DriftSpec extends SparkSpec {
       s"undirtied periods must sit below PSI 0.1 (got ${clean / 1e6})")
     assert(clean < dirtyTotal / 5,
       "the detector must separate planted drift from sampling noise")
+  }
+
+  test("categorical drift: never-seen current-period category dominates the signal") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q157_categorical_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCat = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(byCat.contains("X"), "planted new category missing")
+    val planted = byCat("X")
+    assert(planted > 0L)
+    assert(byCat.filterNot(_._1 == "X").values.forall(_ <= planted),
+      "the never-seen category must carry the largest PSI contribution")
+    // ref_cnt of the planted category is exactly 0 (it never existed
+    // before the cut)
+    val x = rows.find(_.getString(0) == "X").get
+    assert(x.getLong(1) === 0L && x.getLong(2) > 0L)
+  }
+
+  test("categorical drift: identical periods contribute exactly zero") {
+    import spark.implicits._
+    // same category mix on both sides of the cut -> every share pair is
+    // equal -> psi_q = 0 for every category
+    val facts = (0 until 100).flatMap { i =>
+      val cat = if (i % 3 == 0) "A" else "B"
+      Seq((cat, "1997-06-01"), (cat, "1998-06-01"))
+    }.toDF("status", "d").withColumn("d", col("d").cast("timestamp"))
+    val out = Drift.categoricalPsiDrift(facts, "status", "d", "1998-01-01")
+      .collect()
+    assert(out.length === 2)
+    out.foreach(r => assert(r.getLong(3) === 0L))
+  }
+
+  test("categorical drift: empty period yields the NULL sentinel") {
+    import spark.implicits._
+    val facts = Seq(("A", "1998-06-01"), ("B", "1998-07-01"))
+      .toDF("status", "d").withColumn("d", col("d").cast("timestamp"))
+    val out = Drift.categoricalPsiDrift(facts, "status", "d", "1998-01-01")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.isNullAt(3), "empty ref period must be the NULL sentinel"))
   }
 }

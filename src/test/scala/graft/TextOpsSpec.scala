@@ -476,4 +476,52 @@ class TextOpsSpec extends SparkSpec {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  test("extractText: boilerplate tags stripped, body kept, density and length rules") {
+    import spark.implicits._
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val html =
+      "<html><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/t\">Topics</a></nav>" +
+        "<p>" + body + "</p>" +
+        "<p>Share: <a href=\"/fb\">Facebook</a> <a href=\"/tw\">Twitter</a> <a href=\"/rss\">RSS</a></p>" +
+        "<p>ok</p>" +
+        "<footer>(c) 2026 <a href=\"/tos\">Terms</a></footer>" +
+        "</body></html>"
+    val out = TextOps.extractText(Seq((1L, html)).toDF("doc_id", "raw_html"))
+      .collect().head
+    assert(out.getString(1) === body, "article body must survive intact")
+    assert(out.getLong(2) === 1L, "exactly the body block is kept")
+    assert(out.getLong(3) === 4L, "nav, share bar, short block, footer dropped")
+  }
+
+  test("extractText: non-HTML passthrough is total (plain text, empty, null)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some("just a plain sentence with no markup at all")),
+      (2L, Some("")),
+      (3L, None: Option[String]),
+      // stray inline tag but NO block tags: tags stripped, text kept whole
+      (4L, Some("some <b>bold</b> text")))
+      .toDF("doc_id", "raw_html")
+    val rows = TextOps.extractText(docs).collect()
+    assert(rows(0).getString(1) === "just a plain sentence with no markup at all")
+    assert(rows(1).getString(1) === "")
+    assert(rows(2).getString(1) === "")
+    assert(rows(3).getString(1) === "some bold text")
+    rows.foreach { r =>
+      assert(r.getLong(2) === 0L && r.getLong(3) === 0L,
+        "passthrough rows classify no blocks")
+    }
+  }
+
+  test("extractText: a long low-link aside is still boilerplate by tag") {
+    import spark.implicits._
+    val aside = "<aside>" + ("sponsored words here " * 5).trim + "</aside>"
+    val html = "<p>short</p>" + aside
+    val out = TextOps.extractText(Seq((1L, html)).toDF("doc_id", "raw_html"))
+      .collect().head
+    assert(out.getString(1) === "", "aside dropped by TAG even when long and linkless")
+    assert(out.getLong(3) === 2L)
+  }
 }

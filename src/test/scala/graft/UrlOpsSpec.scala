@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.UrlOps
+
+/** Unit semantics of the URL canonicalizer (q156/q159 run the same code
+  * against the oracle; these pin the RFC/C4 edge rules one at a time).
+  */
+class UrlOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def canonOf(url: String): (String, String, String) = {
+    val r = UrlOps.canonicalize(Seq((1L, url)).toDF("doc_id", "url"))
+      .select("canon_url", "host", "domain").collect().head
+    (r.getString(0), r.getString(1), r.getString(2))
+  }
+
+  test("scheme and host lowercase; path case preserved") {
+    assert(canonOf("HTTP://WWW.Example.COM/Articles/X")._1 ==
+      "http://www.example.com/Articles/X")
+  }
+
+  test("default ports stripped per scheme; explicit non-defaults kept") {
+    assert(canonOf("http://x.com:80/a")._1 == "http://x.com/a")
+    assert(canonOf("https://x.com:443/a")._1 == "https://x.com/a")
+    assert(canonOf("http://x.com:443/a")._1 == "http://x.com:443/a",
+      ":443 is NOT http's default")
+    assert(canonOf("https://x.com:8080/a")._1 == "https://x.com:8080/a")
+  }
+
+  test("fragment stripped; empty path becomes /") {
+    assert(canonOf("http://x.com#frag")._1 == "http://x.com/")
+    assert(canonOf("http://x.com/p#a#b")._1 == "http://x.com/p")
+  }
+
+  test("query: utm_* and empties dropped, rest sorted; emptied query drops ?") {
+    assert(canonOf("http://x.com/p?b=2&a=1")._1 == "http://x.com/p?a=1&b=2")
+    assert(canonOf("http://x.com/p?utm_source=f&utm_medium=m")._1 ==
+      "http://x.com/p")
+    assert(canonOf("http://x.com/p?z=9&utm_x=1&&a=1")._1 ==
+      "http://x.com/p?a=1&z=9")
+    // query case is preserved (param names can be case-sensitive)
+    assert(canonOf("http://x.com/p?B=2&a=1")._1 == "http://x.com/p?B=2&a=1",
+      "uppercase sorts before lowercase — byte order, deterministic")
+  }
+
+  test("host and registered-domain keys") {
+    assert(canonOf("https://News.SRC7.COM:443/x")._2 == "news.src7.com")
+    assert(canonOf("https://News.SRC7.COM:443/x")._3 == "src7.com")
+    assert(canonOf("http://localhost/x")._3 == "",
+      "single-label host has no registered domain (two-label rule)")
+  }
+
+  test("totality: null, empty, and scheme-less input never throw") {
+    val rows = UrlOps.canonicalize(Seq(
+      (1L, Some("x.com/path?a=1")), // no scheme: host parses, scheme ''
+      (2L, None: Option[String]),
+      (3L, Some("")))
+      .toDF("doc_id", "url")).collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[String]("host") == "x.com")
+    assert(rows(0).getAs[String]("canon_url") == "://x.com/path?a=1")
+    assert(rows(1).getAs[String]("host") == "")
+    assert(rows(2).getAs[String]("canon_url") == ":///")
+  }
+
+  test("idempotence: canonicalizing a canonical URL is a no-op") {
+    val urls = Seq(
+      "HTTP://WWW.Example.COM:80/Articles/X/?utm_source=f&b=2&a=1#frag",
+      "https://News.SRC3.COM:8080/p?z=9&m=0#s")
+    urls.foreach { u =>
+      val once = canonOf(u)._1
+      assert(canonOf(once)._1 == once, s"not idempotent on $u -> $once")
+    }
+  }
+
+  test("q159 domain cap: www/news subdomains share one domain quota") {
+    val docs = Queries.t(spark, "/root/testdata/sf0.001", "documents")
+    val capped = UrlOps.domainCap(docs, k = 5)
+    val perDomain = capped.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(perDomain.nonEmpty)
+    assert(perDomain.forall(_._2 <= 5L), "cap exceeded")
+    // both subdomain forms of a source collapse into one domain key:
+    // sf0.001 has 20 sources and docs alternate www./news. by parity,
+    // so the number of domains must equal the number of sources
+    val nSources = docs.select("source").distinct().count()
+    assert(perDomain.length.toLong == nSources)
+  }
+}
