@@ -2719,6 +2719,86 @@ object Queries {
     (s, d) => graft.ops.UrlOps.domainCap(t(s, d, "documents")),
     Some(graft.ops.UrlOps.domainCapOracleSql()))
 
+  /** Exact two-sample KS drift (q147's nonparametric companion — no
+    * buckets, no smoothing): supremum CDF deviation via the distributed
+    * global cumulative sum (range partition + broadcast offsets — never
+    * a single-task ORDER BY window), deviations compared as exact
+    * longs, one quantized division at the end. Same dirtied fact as
+    * q147, so the two detectors are directly comparable.
+    */
+  private val q160 = QueryDef(
+    "q160_ks_drift",
+    (s, d) => {
+      val cut = "1998-01-01"
+      val dirtied = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          when(col("o_orderkey") % 7 === 0 &&
+              col("o_orderdate") >= lit(cut).cast("timestamp"),
+            col("o_totalprice") * 1.5)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      graft.ops.Drift.ksDrift(dirtied, "o_totalprice", "o_orderdate", cut)
+    },
+    Some(graft.ops.Drift.ordersKsDriftOracleSql()))
+
+  /** Crawl-to-corpus composed pipeline (q45's gates with q155's
+    * extraction as STAGE ZERO — the shape a real crawl ingest runs):
+    * raw markup → boilerplate-stripped text → exact-dedup keeper →
+    * stop-ratio and length quality gates, every stat computed on the
+    * EXTRACTED text, one lineage. The boilerplate ratio (dropped
+    * blocks / all blocks) rides along as the crawl-health signal.
+    */
+  private val q161 = QueryDef(
+    "q161_crawl_pipeline",
+    (s, d) => {
+      val w = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
+      graft.ops.TextOps.extractText(
+        t(s, d, "documents").withColumn("raw_html",
+          graft.ops.TextOps.syntheticHtml(col("doc_id"), col("text"))))
+        .select(
+          col("doc_id"), col("extracted"),
+          col("kept_blocks"), col("dropped_blocks"),
+          length(col("extracted")).cast("long").as("n_chars_ext"),
+          size(split(col("extracted"), " ")).cast("long").as("n_tokens"),
+          expr(s"size(filter(split(extracted, ' '), x -> x IN ($stopwordSqlList)))")
+            .cast("long").as("n_stop"),
+          sha2(col("extracted"), 256).as("digest"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .filter(col("kept_blocks") >= 1)
+        .filter(col("n_chars_ext").between(100, 520))
+        .withColumn("stop_ratio",
+          round(col("n_stop").cast("double") / col("n_tokens"), 4))
+        .filter(col("stop_ratio") >= 0.03)
+        .withColumn("boiler_ratio",
+          round(col("dropped_blocks").cast("double") /
+            (col("kept_blocks") + col("dropped_blocks")), 4))
+        .select(col("doc_id"), col("n_chars_ext"), col("n_tokens"),
+          col("stop_ratio"), col("boiler_ratio"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${graft.ops.TextOps.extractCtesSql()},
+            |scored AS (
+            |  SELECT doc_id,
+            |    CAST(len(extracted) AS BIGINT) AS n_chars_ext,
+            |    CAST(len(string_split(extracted, ' ')) AS BIGINT) AS n_tokens,
+            |    CAST(len(list_filter(string_split(extracted, ' '),
+            |      x -> x IN ($stopwordSqlList))) AS BIGINT) AS n_stop,
+            |    kept_blocks, dropped_blocks,
+            |    sha256(extracted) AS digest
+            |  FROM ext),
+            |keeper AS (
+            |  SELECT *, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+            |  FROM scored)
+            |SELECT doc_id, n_chars_ext, n_tokens,
+            |  round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+            |  round(CAST(dropped_blocks AS DOUBLE)
+            |    / (kept_blocks + dropped_blocks), 4) AS boiler_ratio
+            |FROM keeper
+            |WHERE rn = 1 AND kept_blocks >= 1
+            |  AND n_chars_ext BETWEEN 100 AND 520
+            |  AND round(CAST(n_stop AS DOUBLE) / n_tokens, 4) >= 0.03
+            |ORDER BY doc_id""".stripMargin))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -2750,5 +2830,6 @@ object Queries {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
-    q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159)
+    q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
+    q160, q161)
 }

@@ -531,6 +531,54 @@ object ScaleCurve {
         Cell(f, "q150_session_paths",
           () => graft.ops.Behavior.sessionPaths(
             Queries.t(spark, dir, "events")),
+          _.count()),
+        // triangle counting (q146): the kNN-graph build (nlist scaled ×f,
+        // the q138 prescription) + degree-oriented wedges — replicas
+        // reproduce the base neighborhood structure, so the triangle
+        // population grows ~linearly while OUTPUT is topK-bounded (rows
+        // flat at ≤50); sec must track the linear edge set, never the
+        // wedge space of a skewed unoriented join.
+        Cell(f, "q146_triangles",
+          () => graft.ops.Graph.triangleStats(
+            graft.ops.AnnIvf.knnGraph(emb, nlist = 16 * f)),
+          _.count()),
+        // source dup matrix (q151): the guarded full-corpus pair join
+        // folded to a (source, source) aggregate. Replicas KEEP the base
+        // source labels and near-dup pairs never cross replicas, so the
+        // matrix cells stay FLAT while each cell's pair count grows ×f —
+        // sum(pairs) is the linearity witness.
+        Cell(f, "q151_dup_matrix",
+          () => graft.ops.NearDup.sourceDupMatrix(docs),
+          _.agg(sum("pairs")).head().getLong(0)),
+        // ANN recall eval (q153): the probe-cell contract — 5 fixed
+        // queries against a corpus ×f (nlist scaled so the probed
+        // fraction stays bounded); output flat at |queries| rows, sec
+        // must track the exact leg's linear scan.
+        Cell(f, "q153_ann_recall",
+          () => graft.ops.AnnIvf.recallAtK(emb, nlist = 16 * f),
+          _.count()),
+        // HTML extraction (q155): a pure per-row map — rows exactly
+        // base × f (translate preserves text lengths, so every replica
+        // classifies blocks identically), sec must track the scan.
+        Cell(f, "q155_html_extract",
+          () => SparkEntry.queries("q155_html_extract")(spark, dir),
+          _.count()),
+        // URL canonicalization (q156): pure map, rows exactly base × f.
+        Cell(f, "q156_url_canonical",
+          () => SparkEntry.queries("q156_url_canonical")(spark, dir),
+          _.count()),
+        // nprobe sweep (q158): |nprobes| recall points from ONE probe
+        // pass (nlist ×f keeps per-cell work bounded); output flat at
+        // |nprobes| × |queries| rows, sec tracks the single corpus scan
+        // + the per-depth re-ranks over the checkpointed candidates.
+        Cell(f, "q158_nprobe_sweep",
+          () => graft.ops.AnnIvf.recallSweep(emb, nlist = 16 * f),
+          _.count()),
+        // domain cap (q159): map-side canonicalization + the sharded
+        // two-phase top-k — output flat at ≤ |domains| × k rows while
+        // the phase-1 windows absorb a corpus ×f; sec ≲ linear.
+        Cell(f, "q159_domain_cap",
+          () => graft.ops.UrlOps.domainCap(Queries.t(spark, dir, "documents")),
           _.count()))
     }
 

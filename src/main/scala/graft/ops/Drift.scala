@@ -165,6 +165,108 @@ object Drift {
        |FROM smoothed, totals
        |ORDER BY category""".stripMargin
 
+  /** Exact two-sample Kolmogorov–Smirnov drift statistic between the
+    * two periods of `valueCol` — PSI's nonparametric companion: no
+    * buckets, no smoothing, D = max over x of |F_ref(x) − F_cur(x)|,
+    * the supremum deviation of the two empirical CDFs. Where PSI needs
+    * a bucket width and concentrates on density shifts, KS is
+    * distribution-free and catches location/shape shifts a coarse
+    * bucketing can average away.
+    *
+    * Exactness at scale: the CDFs need a GLOBAL cumulative count in
+    * value order — the single-task `ORDER BY` window hazard. This rides
+    * [[Ranks.withGlobalCumSums]] (range partition + per-partition
+    * subtotals + broadcast offsets — every task sums N/P rows) over the
+    * per-distinct-value count frame, so the order is total by
+    * construction and the op is exact at any corpus size.
+    *
+    * Determinism: the deviation is compared as EXACT LONGS —
+    * |cum_ref·nc − cum_cur·nr| (counts < 2³¹ keep the product well
+    * inside long range); only the final reported statistic divides once
+    * and quantizes to integer millionths (the PSI discipline). Output:
+    * ONE row (ks_q, at_value, nr, nc) — the statistic, the value where
+    * the supremum is attained (min value on ties), and the period
+    * sizes. Degenerate empty period → NULL ks_q sentinel (the
+    * psiFromCounts contract).
+    */
+  def ksDrift(
+      facts: DataFrame,
+      valueCol: String,
+      dateCol: String,
+      cut: String): DataFrame = {
+    val cutTs = lit(cut).cast("timestamp")
+    val counts = facts
+      .filter(col(valueCol).isNotNull && col(dateCol).isNotNull)
+      .select(col(valueCol).as("v"), (col(dateCol) < cutTs).as("is_ref"))
+      .groupBy("v")
+      .agg(
+        count(when(col("is_ref"), 1)).as("ref_cnt"),
+        count(when(!col("is_ref"), 1)).as("cur_cnt"))
+    val cum = Ranks.withGlobalCumSums(
+      counts, Seq(col("v")),
+      Seq("ref_cnt" -> "cum_ref", "cur_cnt" -> "cum_cur"))
+    val totals = counts.agg(
+      sum(col("ref_cnt")).as("nr"), sum(col("cur_cnt")).as("nc"))
+    cum
+      .crossJoin(broadcast(totals)) // 1-row scalar
+      .select(col("v"), col("nr"), col("nc"),
+        abs(col("cum_ref") * col("nc") - col("cum_cur") * col("nr"))
+          .as("dev"))
+      .orderBy(desc("dev"), asc("v"))
+      .limit(1)
+      .select(
+        when(col("nr") > 0 && col("nc") > 0,
+          floor(col("dev").cast("double") /
+            (col("nr").cast("double") * col("nc").cast("double")) *
+            lit(1000000.0) + lit(0.5)).cast("long")).as("ks_q"),
+        col("v").as("at_value"), col("nr"), col("nc"))
+  }
+
+  /** DuckDB oracle for [[ksDrift]] over the q147 dirtied orders fact
+    * (same planted current-period 1.5× shift): identical per-value
+    * counts, window cumulative sums (total order by construction —
+    * distinct values), exact-long deviation compare, and final
+    * quantization.
+    */
+  def ordersKsDriftOracleSql(cut: String = "1998-01-01"): String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_orderdate,
+       |    CASE WHEN o_orderkey % 7 = 0
+       |           AND o_orderdate >= TIMESTAMP '$cut'
+       |         THEN o_totalprice * 1.5 ELSE o_totalprice END
+       |      AS o_totalprice
+       |  FROM orders),
+       |counts AS (
+       |  SELECT o_totalprice AS v,
+       |    CAST(count(*) FILTER (WHERE o_orderdate < TIMESTAMP '$cut')
+       |      AS BIGINT) AS ref_cnt,
+       |    CAST(count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '$cut')
+       |      AS BIGINT) AS cur_cnt
+       |  FROM o
+       |  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+       |  GROUP BY 1),
+       |cum AS (
+       |  SELECT v,
+       |    sum(ref_cnt) OVER (ORDER BY v
+       |      ROWS UNBOUNDED PRECEDING) AS cum_ref,
+       |    sum(cur_cnt) OVER (ORDER BY v
+       |      ROWS UNBOUNDED PRECEDING) AS cum_cur
+       |  FROM counts),
+       |totals AS (
+       |  SELECT sum(ref_cnt) AS nr, sum(cur_cnt) AS nc FROM counts),
+       |dev AS (
+       |  SELECT v, nr, nc,
+       |    abs(cum_ref * nc - cum_cur * nr) AS dev
+       |  FROM cum, totals
+       |  ORDER BY dev DESC, v ASC LIMIT 1)
+       |SELECT
+       |  CASE WHEN nr > 0 AND nc > 0 THEN
+       |    CAST(floor(CAST(dev AS DOUBLE) /
+       |      (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)) * 1000000.0 + 0.5)
+       |      AS BIGINT) END AS ks_q,
+       |  v AS at_value, CAST(nr AS BIGINT) AS nr, CAST(nc AS BIGINT) AS nc
+       |FROM dev""".stripMargin
+
   /** Fixed-width bucket histogram of `valueCol` — the persisted
     * reference artifact the streaming gate compares batches against.
     * Output: (bucket, cnt).

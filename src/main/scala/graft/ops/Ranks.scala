@@ -171,6 +171,78 @@ object Ranks {
     withCount.drop(PidCol, "__graft_off", "__graft_local")
   }
 
+  /** `df` plus exact global INCLUSIVE running totals of long `weights`
+    * over the total order `order` — the distributed replacement for
+    * `sum(w) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)` with no
+    * partition key (the same single-task hazard [[withGlobalRowNumber]]
+    * retires for row_number). Each `(in, out)` pair emits the running
+    * sum of `in` as `out`.
+    *
+    * Same two-pass shape: range partition on the sort key, per-partition
+    * weight SUBTOTALS collected (P rows × |weights| longs — bounded by
+    * cluster width), prefix-summed into per-partition starting offsets
+    * on the driver, broadcast back, and added to a pid-partitioned local
+    * running-sum window. EXACT for the same reason the rank is: range
+    * partition i wholly precedes partition j on the key.
+    *
+    * Ties: make `order` total (unique tie-break) — at equal keys the
+    * within-partition ROWS frame is order-dependent. (Callers that
+    * pre-aggregate to distinct keys, e.g. [[Drift.ksDrift]]'s per-value
+    * counts, are total by construction.)
+    */
+  def withGlobalCumSums(
+      df: DataFrame,
+      order: Seq[Column],
+      weights: Seq[(String, String)]): DataFrame = {
+    require(order.nonEmpty && weights.nonEmpty)
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val ranged0 = df.repartitionByRange(p, order: _*)
+      .withColumn(PidCol, spark_partition_id())
+    // checkpoint: pin the sampled range bounds between the subtotal
+    // action and the windowed plan (see rank()); reliable under a dir
+    val ranged =
+      if (spark.sparkContext.getCheckpointDir.isDefined) ranged0.checkpoint()
+      else ranged0.localCheckpoint()
+    val sumCols = weights.zipWithIndex.map { case ((in, _), i) =>
+      sum(col(in)).as(s"__graft_s$i")
+    }
+    val partials = ranged.groupBy(col(PidCol))
+      .agg(sumCols.head, sumCols.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) ->
+        weights.indices.map(i => if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)))
+      .sortBy(_._1)
+    val accs = Array.fill(weights.size)(0L)
+    val offsets = partials.map { case (pid, subs) =>
+      val row = org.apache.spark.sql.Row.fromSeq(
+        pid +: accs.toIndexedSeq)
+      weights.indices.foreach(i => accs(i) += subs(i))
+      row
+    }.toSeq
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(
+        PidCol, org.apache.spark.sql.types.IntegerType) +:
+        weights.indices.map(i => org.apache.spark.sql.types.StructField(
+          s"__graft_off$i", org.apache.spark.sql.types.LongType)))
+    val offDf = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(offsets: _*), offSchema))
+    val w = Window.partitionBy(col(PidCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localled = weights.zipWithIndex.foldLeft(ranged) {
+      case (d, ((in, _), i)) =>
+        d.withColumn(s"__graft_l$i", sum(col(in)).over(w))
+    }
+    val joined = localled.join(offDf, PidCol)
+    val withOuts = weights.zipWithIndex.foldLeft(joined) {
+      case (d, ((_, out), i)) =>
+        d.withColumn(out,
+          coalesce(col(s"__graft_l$i"), lit(0L)) + col(s"__graft_off$i"))
+    }
+    weights.indices.foldLeft(withOuts)((d, i) =>
+      d.drop(s"__graft_l$i", s"__graft_off$i")).drop(PidCol)
+  }
+
   private val RankCol = "__graft_rank"
   private val PidCol = "__graft_pid"
 

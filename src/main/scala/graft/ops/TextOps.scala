@@ -1269,23 +1269,21 @@ object TextOps {
       lit("<p>ok</p><footer>(c) 2026 Example <a href=\"/tos\">Terms</a> " +
         "<a href=\"/privacy\">Privacy</a></footer></body></html>"))
 
-  /** DuckDB oracle for [[extractText]] over [[syntheticHtml]]-wrapped
-    * documents: identical synthesis, block regexes, classification
-    * arithmetic, and join separator. (The oracle replays the with-blocks
-    * branch — the synthesis always emits markup; the no-block
-    * passthrough is spec-covered in TextOpsSpec.)
+  /** The [[extractText]]-over-[[syntheticHtml]] pipeline as DuckDB CTEs
+    * ending in `ext(doc_id, extracted, kept_blocks, dropped_blocks)` —
+    * shared by the q155 oracle and the composed crawl pipeline (q161).
     */
-  def extractTextOracleSql(minChars: Int = 25): String =
-    s"""WITH h AS (
-       |  SELECT doc_id,
-       |    '<html><body><nav><a href="/">Home</a> <a href="/topics">Topics</a> <a href="/contact">Contact</a></nav>'
-       |    || CASE WHEN doc_id % 3 = 0 THEN '<aside>Sponsored: <a href="/buy">click here</a> <a href="/win">win now</a></aside>' ELSE '' END
-       |    || '<h1>Document ' || doc_id || '</h1>'
-       |    || '<p>' || text || '</p>'
-       |    || CASE WHEN doc_id % 2 = 0 THEN '<p>Share: <a href="/fb">Facebook</a> <a href="/tw">Twitter</a> <a href="/rss">RSS</a></p>' ELSE '' END
-       |    || '<p>ok</p><footer>(c) 2026 Example <a href="/tos">Terms</a> <a href="/privacy">Privacy</a></footer></body></html>'
-       |      AS raw_html
-       |  FROM documents),
+  private[graft] def extractCtesSql(minChars: Int = 25): String =
+    s"""h AS (
+  SELECT doc_id,
+    '<html><body><nav><a href="/">Home</a> <a href="/topics">Topics</a> <a href="/contact">Contact</a></nav>' ||
+    CASE WHEN doc_id % 3 = 0 THEN '<aside>Sponsored: <a href="/buy">click here</a> <a href="/win">win now</a></aside>' ELSE '' END ||
+    '<h1>Document ' || doc_id || '</h1>' ||
+    '<p>' || text || '</p>' ||
+    CASE WHEN doc_id % 2 = 0 THEN '<p>Share: <a href="/fb">Facebook</a> <a href="/tw">Twitter</a> <a href="/rss">RSS</a></p>' ELSE '' END ||
+    '<p>ok</p><footer>(c) 2026 Example <a href="/tos">Terms</a> <a href="/privacy">Privacy</a></footer></body></html>'
+      AS raw_html
+  FROM documents),
        |b AS (
        |  SELECT doc_id,
        |    regexp_extract_all(raw_html, '$HtmlBlockPattern') AS blocks
@@ -1299,12 +1297,24 @@ object TextOps {
        |      AND coalesce(len(array_to_string(
        |            regexp_extract_all(x, '$HtmlAnchorTextPattern', 1), '')), 0) * 3
        |          < len(trim(regexp_replace(x, '$HtmlTagStripPattern', '', 'g')))) AS kept
-       |  FROM b)
-       |SELECT doc_id,
-       |  array_to_string(list_transform(kept,
-       |    x -> trim(regexp_replace(x, '$HtmlTagStripPattern', '', 'g'))), ' ')
-       |    AS extracted,
-       |  CAST(len(kept) AS BIGINT) AS kept_blocks,
-       |  CAST(len(blocks) - len(kept) AS BIGINT) AS dropped_blocks
-       |FROM k ORDER BY doc_id""".stripMargin
+       |  FROM b),
+       |ext AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(kept,
+       |      x -> trim(regexp_replace(x, '$HtmlTagStripPattern', '', 'g'))), ' ')
+       |      AS extracted,
+       |    CAST(len(kept) AS BIGINT) AS kept_blocks,
+       |    CAST(len(blocks) - len(kept) AS BIGINT) AS dropped_blocks
+       |  FROM k)""".stripMargin
+
+  /** DuckDB oracle for [[extractText]] over [[syntheticHtml]]-wrapped
+    * documents: identical synthesis, block regexes, classification
+    * arithmetic, and join separator. (The oracle replays the with-blocks
+    * branch — the synthesis always emits markup; the no-block
+    * passthrough is spec-covered in TextOpsSpec.)
+    */
+  def extractTextOracleSql(minChars: Int = 25): String =
+    s"""WITH ${extractCtesSql(minChars)}
+       |SELECT doc_id, extracted, kept_blocks, dropped_blocks
+       |FROM ext ORDER BY doc_id""".stripMargin
 }

@@ -112,4 +112,42 @@ class DriftSpec extends SparkSpec {
     assert(out.nonEmpty)
     out.foreach(r => assert(r.isNullAt(3), "empty ref period must be the NULL sentinel"))
   }
+
+  test("ksDrift hand fixtures: identical -> 0; disjoint -> exactly 1.0; half-shift exact") {
+    import spark.implicits._
+    def facts(ref: Seq[Double], cur: Seq[Double]) =
+      (ref.map(_ -> "1997-06-01") ++ cur.map(_ -> "1998-06-01"))
+        .toDF("v", "d").withColumn("d", col("d").cast("timestamp"))
+    def ks(ref: Seq[Double], cur: Seq[Double]): Long =
+      Drift.ksDrift(facts(ref, cur), "v", "d", "1998-01-01")
+        .collect().head.getLong(0)
+    assert(ks(Seq(1, 2, 3), Seq(1, 2, 3)) === 0L)
+    assert(ks(Seq(1, 2), Seq(3, 4)) === 1000000L,
+      "fully separated samples attain D = 1")
+    // ref {1,2,3,4}, cur {3,4,5,6}: D = |F_r - F_c| peaks at x=2: 2/4 - 0 = 0.5
+    assert(ks(Seq(1, 2, 3, 4), Seq(3, 4, 5, 6)) === 500000L)
+  }
+
+  test("ksDrift: argmax value is the MIN value on deviation ties") {
+    import spark.implicits._
+    // ref {1,2}, cur {2,3}: deviations are 2 at v=1 (|1·2−0·2|) and 2 at
+    // v=2 (|2·2−1·2|), 0 at v=3 — a genuine supremum tie; the contract
+    // reports the smallest attaining value (v=1) with D = 2/4 = 0.5
+    val f = (Seq(1.0, 2.0).map(_ -> "1997-06-01") ++ Seq(2.0, 3.0).map(_ -> "1998-06-01"))
+      .toDF("v", "d").withColumn("d", col("d").cast("timestamp"))
+    val r = Drift.ksDrift(f, "v", "d", "1998-01-01").collect().head
+    assert(r.getLong(0) === 500000L && r.getDouble(1) === 1.0)
+  }
+
+  test("q160: planted shift registers on KS; the clean twin sits lower") {
+    val sf = "/root/testdata/sf0.001"
+    val dirty = SparkEntry.queries("q160_ks_drift")(spark, sf)
+      .collect().head.getLong(0)
+    val clean = Drift.ksDrift(
+      Queries.t(spark, sf, "orders"),
+      "o_totalprice", "o_orderdate", "1998-01-01")
+      .collect().head.getLong(0)
+    assert(dirty > clean, s"planted KS $dirty must exceed clean $clean")
+    assert(dirty > 20000L, s"planted shift too weak to detect: $dirty")
+  }
 }

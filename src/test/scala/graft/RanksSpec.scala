@@ -154,4 +154,32 @@ class RanksSpec extends SparkSpec {
         p.getFileName.toString.startsWith("rdd-")).toSeq
     assert(rddDirs.nonEmpty, "reliable path did not checkpoint")
   }
+
+  test("withGlobalCumSums: bit-equal to the single-partition window form") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, (i % 7).toLong, (i % 3).toLong))
+      .toDF("k", "w1", "w2").repartition(13) // scrambled layout
+    val got = graft.ops.Ranks.withGlobalCumSums(
+      df, Seq(col("k")), Seq("w1" -> "c1", "w2" -> "c2"))
+      .select("k", "c1", "c2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("k")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val want = df
+      .withColumn("c1", sum(col("w1")).over(w))
+      .withColumn("c2", sum(col("w2")).over(w))
+      .select("k", "c1", "c2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("withGlobalCumSums: null weights contribute zero, never a null prefix") {
+    import spark.implicits._
+    val df = Seq((1L, None: Option[Long]), (2L, Some(5L)), (3L, None: Option[Long]))
+      .toDF("k", "w")
+    val got = graft.ops.Ranks.withGlobalCumSums(df, Seq(col("k")), Seq("w" -> "c"))
+      .select("k", "c").collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 0L), (2L, 5L), (3L, 5L)))
+  }
 }
