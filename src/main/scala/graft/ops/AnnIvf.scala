@@ -423,7 +423,13 @@ object AnnIvf {
     require(nprobes.nonEmpty && nprobes.forall(p => p >= 1 && p <= nlist),
       s"nprobes must be within [1, nlist=$nlist], got $nprobes")
     val cents = initCentroids(emb, nlist)
-    require(cents.nonEmpty, "empty corpus: no centroids to sweep")
+    // empty corpus -> empty quantizer: return the empty contract frame
+    // (the annTopK totality discipline — EmptyInputSpec)
+    if (cents.isEmpty)
+      return emb.select(
+        lit(0L).as("nprobe"), col("vec_id").as("query_id"),
+        lit(0L).as("n_exact"), lit(0L).as("hits"),
+        lit(0.0).as("recall")).limit(0)
     val maxProbe = nprobes.max
     val sc = scored(col("embedding"), cents)
     val valid = emb.filter(col("embedding").isNotNull)

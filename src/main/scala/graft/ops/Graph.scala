@@ -142,24 +142,27 @@ object Graph {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // integer div: Column `/` on longs is DOUBLE division
     val isSeed = col("v") % 2 === 1 && expr(s"(v div 2) % $seedMod") === 0
-    val seeds = deg.select(col("src").as("v"))
-      .filter(isSeed).agg(count(lit(1)).as("ns"))
-    // a NON-EMPTY graph with an empty seed set must fail loudly here:
-    // on Spark `r div ns` with ns = 0 yields NULL and the result
-    // silently empties, while the DuckDB oracle raises division-by-zero
-    // — fail the same way on both. An EMPTY graph is fine on both
-    // engines identically (no vertex row ever reaches the division), so
-    // totality on empty inputs is preserved (EmptyInputSpec).
+    // ONE collected (nv, ns) aggregate serves BOTH the empty-seed gate
+    // and the personalization denominator (inlined as a literal below —
+    // no crossJoin, no second seed-count aggregate in init's lineage;
+    // the r16 A/B traced q129's r15 elevation to the gate running as an
+    // EXTRA driver action next to the lazy seeds frame it duplicated).
+    // The gate: on a NON-EMPTY graph an empty seed set must fail loudly
+    // here — Spark's `r div 0` yields NULL and silently empties the
+    // result, while the DuckDB oracle raises division-by-zero; fail the
+    // same way on both. An EMPTY graph is fine on both engines
+    // identically (no vertex row reaches the division), so totality on
+    // empty inputs is preserved (EmptyInputSpec).
     val gate = deg.select(col("src").as("v"))
       .agg(count(lit(1)).as("nv"), count(when(isSeed, 1)).as("ns"))
       .collect()(0)
     require(gate.getLong(0) == 0L || gate.getLong(1) > 0L,
       s"personalizedPageRank: no supplier vertex satisfies suppkey % $seedMod == 0 — empty seed set")
+    val ns = math.max(gate.getLong(1), 1L) // empty graph: never consumed
     val init = deg.select(col("src").as("v"), col("deg"))
-      .crossJoin(broadcast(seeds)) // 1-row frame: the scalar-broadcast pattern
       .select(col("v"), col("deg"),
-        when(isSeed, expr(s"${Scale}L div ns")).otherwise(lit(0L)).as("r"),
-        when(isSeed, expr(s"((${Scale}L div ns) * 15) div 100"))
+        when(isSeed, lit(Scale / ns)).otherwise(lit(0L)).as("r"),
+        when(isSeed, lit(((Scale / ns) * 15) / 100))
           .otherwise(lit(0L)).as("base"))
       .persist()
     var ranks = init
