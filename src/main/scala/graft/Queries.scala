@@ -2799,6 +2799,22 @@ object Queries {
             |  AND round(CAST(n_stop AS DOUBLE) / n_tokens, 4) >= 0.03
             |ORDER BY doc_id""".stripMargin))
 
+  /** Exact TOKEN-weighted length percentiles (the mixing question —
+    * "what doc length covers p% of the tokens"; an unweighted
+    * percentile over-counts short docs): smallest value whose
+    * cumulative weight reaches p·W, via the distributed cumsum; the
+    * reach test is exact integers (cum·100 ≥ p·W), so no float
+    * boundary exists for the engines to disagree on.
+    */
+  private val q162 = QueryDef(
+    "q162_weighted_percentile",
+    (s, d) => graft.ops.Robust.weightedPercentiles(
+      t(s, d, "documents").select(
+        col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      "n_chars", "n_tokens"),
+    Some(graft.ops.Robust.documentsWeightedPercentilesOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -2831,5 +2847,5 @@ object Queries {
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
     q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
-    q160, q161)
+    q160, q161, q162)
 }

@@ -192,4 +192,85 @@ object Robust {
        |SELECT o_orderkey, o_totalprice, dev FROM devs
        |WHERE dev > $k * (SELECT m FROM mad)
        |ORDER BY dev DESC, o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // WEIGHTED percentiles (q162): "what document length covers p% of the
+  // TOKENS" — the mixing question a training-data pipeline actually
+  // asks (an unweighted length percentile over-counts short docs; the
+  // budget is in tokens, not documents). The weighted p-quantile is the
+  // smallest value v whose cumulative weight reaches p · W — exact at
+  // any scale via the distributed cumulative sum
+  // ([[Ranks.withGlobalCumSums]]: range partition + broadcast prefix
+  // offsets — never a single-task ORDER BY window).
+  //
+  // Determinism: the reach test is EXACT INTEGERS — cum · 100 ≥ p · W
+  // with p in whole percents — so there is no float boundary for the
+  // engines to disagree on; both sides then take min(v) per p.
+  // -------------------------------------------------------------------
+
+  /** Exact weighted percentiles of `valueCol` under `weightCol`:
+    * (p, value, cum_weight, total_weight) for each whole-percent p in
+    * `ps`, p asc — value = the smallest v with cumWeight(v) ≥ p·W/100.
+    * Rows with null value/weight or weight ≤ 0 are excluded (a zero
+    * weight can't move the quantile; a negative one is dirty data).
+    */
+  def weightedPercentiles(
+      df: DataFrame,
+      valueCol: String,
+      weightCol: String,
+      ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100))
+    val perValue = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .groupBy(col(valueCol).as("v"))
+      .agg(sum(col(weightCol)).cast("long").as("w"))
+    val cum = Ranks.withGlobalCumSums(
+      perValue, Seq(col("v")), Seq("w" -> "cum_w"))
+    val totals = perValue.agg(sum(col("w")).as("tw"))
+    val pTable = broadcast(
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(
+          ps.sorted.map(p => org.apache.spark.sql.Row(p.toLong)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "p", org.apache.spark.sql.types.LongType)))))
+    cum
+      .crossJoin(broadcast(totals)) // 1-row scalar
+      .join(pTable, col("cum_w") * 100 >= col("p") * col("tw")) // ≤|ps| matches/row
+      .groupBy(col("p"))
+      .agg(min(col("v")).as("value"))
+      .join(broadcast(totals.select(col("tw").as("total_weight"))))
+      .select(col("p"), col("value"), col("total_weight"))
+      .orderBy("p")
+  }
+
+  /** DuckDB oracle for [[weightedPercentiles]] over documents with
+    * value = n_chars and weight = whitespace token count — identical
+    * per-value aggregation, window cumsum, and integer reach test.
+    */
+  def documentsWeightedPercentilesOracleSql(
+      ps: Seq[Int] = Seq(50, 90, 99)): String = {
+    val pList = ps.sorted.mkString(", ")
+    s"""WITH w AS (
+       |  SELECT n_chars AS v,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wt
+       |  FROM documents
+       |  WHERE n_chars IS NOT NULL),
+       |pv AS (
+       |  SELECT v, CAST(sum(wt) AS BIGINT) AS w FROM w
+       |  WHERE wt > 0 GROUP BY 1),
+       |cum AS (
+       |  SELECT v,
+       |    sum(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_w
+       |  FROM pv),
+       |totals AS (SELECT sum(w) AS tw FROM pv),
+       |probes AS (SELECT unnest([$pList])::BIGINT AS p)
+       |SELECT p, min(v) AS value,
+       |  (SELECT CAST(tw AS BIGINT) FROM totals) AS total_weight
+       |FROM cum, totals, probes
+       |WHERE cum_w * 100 >= p * tw
+       |GROUP BY p
+       |ORDER BY p""".stripMargin
+  }
 }

@@ -111,4 +111,28 @@ class RobustSpec extends SparkSpec {
     assert(approx === exact)
     assert(exact.nonEmpty, "the dirtied fact must flag planted outliers")
   }
+
+  test("weighted percentiles: hand fixture + unit weights recover the rank quantile") {
+    import spark.implicits._
+    // values 1..4 with weights 1,1,1,7 -> W=10: cum(3)=3 < 5, so the
+    // token-weighted median is 4 (the heavy doc), where the unweighted
+    // median of the values would be 2.5-ish — exactly the distinction
+    // the operator exists to make
+    val heavy = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 7L)).toDF("v", "w")
+    val got = graft.ops.Robust.weightedPercentiles(heavy, "v", "w", Seq(50, 90, 99))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(50L -> 4L, 90L -> 4L, 99L -> 4L))
+    // unit weights over 1..100: the weighted p-quantile IS the rank
+    // quantile — smallest v with v >= p
+    val unit = (1L to 100L).map(v => (v, 1L)).toDF("v", "w")
+    val gotU = graft.ops.Robust.weightedPercentiles(unit, "v", "w", Seq(50, 90, 99))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotU === Map(50L -> 50L, 90L -> 90L, 99L -> 99L))
+    // dirty data: null and non-positive weights are excluded, total
+    val dirty = Seq((1L, Some(0L)), (2L, Some(-5L)), (3L, None: Option[Long]),
+      (4L, Some(2L))).toDF("v", "w")
+    val gotD = graft.ops.Robust.weightedPercentiles(dirty, "v", "w", Seq(50))
+      .collect()
+    assert(gotD.length === 1 && gotD.head.getLong(1) === 4L)
+  }
 }
