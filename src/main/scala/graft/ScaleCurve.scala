@@ -579,7 +579,27 @@ object ScaleCurve {
         // the phase-1 windows absorb a corpus ×f; sec ≲ linear.
         Cell(f, "q159_domain_cap",
           () => graft.ops.UrlOps.domainCap(Queries.t(spark, dir, "documents")),
-          _.count()))
+          _.count()),
+        // exact KS drift (q160): per-value counts + the range-
+        // partitioned cumsum over a value domain growing with the
+        // corpus; output fixed at 1 row — sec must track the two-pass
+        // sorts (every task N/P rows), never a single-task ORDER BY.
+        Cell(f, "q160_ks_drift",
+          () => SparkEntry.queries("q160_ks_drift")(spark, dir),
+          _.count()),
+        // crawl pipeline (q161): extraction + gates are pure maps, the
+        // digest window the only exchange — rows exactly linear (the
+        // translate bijection preserves every gate decision), sec ≲
+        // linear in the scan.
+        Cell(f, "q161_crawl_pipeline",
+          () => SparkEntry.queries("q161_crawl_pipeline")(spark, dir),
+          _.count()),
+        // weighted percentiles (q162): per-value aggregate + cumsum —
+        // output fixed at |ps| rows; the token-weight witness must be
+        // exactly linear (translate preserves token counts).
+        Cell(f, "q162_weighted_percentile",
+          () => SparkEntry.queries("q162_weighted_percentile")(spark, dir),
+          _.agg(max("total_weight")).head().getLong(0)))
     }
 
     def runOnce(c: Cell): Double = {

@@ -1442,6 +1442,38 @@ object StreamingEtl {
         .parquet(s"$reportDir/batch=$batchId")
     })
 
+  /** Streaming CATEGORICAL drift gate — q157's per-category PSI as the
+    * same per-batch contract check: micro-batch category counts scored
+    * against a persisted reference count table (category, cnt), report
+    * at `reportDir/batch=<id>`. Shares [[graft.ops.Drift.psiFromCounts]]
+    * with the batch form, so stream and batch scores are bit-equal by
+    * construction; same overwrite-idempotent replay discipline as
+    * [[runDriftGate]]. A category unseen in the reference (the
+    * new-status signal) survives via the full-outer join + half-count
+    * smoothing instead of being dropped.
+    */
+  def runCategoricalDriftGate(
+      stream: DataFrame,
+      checkpoint: String,
+      refCountsPath: String,
+      reportDir: String,
+      catCol: String): Unit =
+    runIndexAppend(stream, checkpoint, (batch, batchId) => {
+      val spark = batch.sparkSession
+      val ref = spark.read.parquet(refCountsPath)
+        .select(col("category"), col("cnt").as("ref_cnt"))
+      val cur = batch.filter(col(catCol).isNotNull)
+        .groupBy(col(catCol).as("category"))
+        .agg(count(lit(1)).as("cur_cnt"))
+      val counts = ref.join(cur, Seq("category"), "full_outer")
+        .select(col("category"),
+          coalesce(col("ref_cnt"), lit(0L)).as("ref_cnt"),
+          coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"))
+      graft.ops.Drift.psiFromCounts(counts, keyCol = "category")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$reportDir/batch=$batchId")
+    })
+
   def runDedupGate(
       stream: DataFrame,
       checkpoint: String,

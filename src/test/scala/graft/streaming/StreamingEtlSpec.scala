@@ -897,6 +897,42 @@ class StreamingEtlSpec extends SparkSpec {
     assert(got.map(_._4).sum > 100000L, "the planted drift must cross PSI 0.1")
   }
 
+  test("streaming categorical drift gate: per-batch report equals batch q157 on the same split") {
+    val sf = "/root/testdata/sf0.001"
+    val in = tmpDir("cdrift-in")
+    val refPath = tmpDir("cdrift-ref").toString + "/counts"
+    val reportDir = tmpDir("cdrift-rep").toString + "/reports"
+    val ckpt = tmpDir("cdrift-ckpt").toString
+
+    val cut = "1998-01-01"
+    val cutTs = lit(cut).cast("timestamp")
+    val dirtied = graft.Queries.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"),
+        when(col("o_orderkey") % 11 === 0 && col("o_orderdate") >= cutTs,
+          lit("X")).otherwise(col("o_orderstatus")).as("o_orderstatus"))
+    dirtied.filter(col("o_orderdate") < cutTs && col("o_orderstatus").isNotNull)
+      .groupBy(col("o_orderstatus").as("category"))
+      .agg(count(lit(1)).as("cnt"))
+      .write.parquet(refPath)
+    val cur = dirtied.filter(col("o_orderdate") >= cutTs)
+      .select("o_orderkey", "o_orderstatus")
+    writeFile(in, "a.json", cur.toJSON.collect().mkString("\n"))
+
+    val stream = spark.readStream.schema(cur.schema).json(in.toString)
+    StreamingEtl.runCategoricalDriftGate(stream, ckpt, refPath, reportDir,
+      "o_orderstatus")
+
+    val got = spark.read.parquet(s"$reportDir/batch=0").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val want = graft.SparkEntry.queries("q157_categorical_drift")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+    assert(got.exists(_._1 == "X"), "the planted never-seen category must surface")
+  }
+
   test("streaming CDC materializer: prev snapshot as initial state + change stream equals batch applyDelta") {
     import spark.implicits._
     val customer = graft.Queries.t(spark, "/root/testdata/sf0.001", "customer")
