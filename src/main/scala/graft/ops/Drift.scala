@@ -202,6 +202,16 @@ object Drift {
       .agg(
         count(when(col("is_ref"), 1)).as("ref_cnt"),
         count(when(!col("is_ref"), 1)).as("cur_cnt"))
+    ksFromCounts(counts)
+  }
+
+  /** The KS arithmetic over a prepared (v, ref_cnt, cur_cnt) frame —
+    * shared by the batch form above and the streaming gate
+    * ([[graft.streaming.StreamingEtl.runKsDriftGate]]), the
+    * [[psiFromCounts]] shared-core discipline: the two forms can never
+    * diverge. Output and degenerate-period contract as [[ksDrift]].
+    */
+  def ksFromCounts(counts: DataFrame): DataFrame = {
     val cum = Ranks.withGlobalCumSums(
       counts, Seq(col("v")),
       Seq("ref_cnt" -> "cum_ref", "cur_cnt" -> "cum_cur"))

@@ -1474,6 +1474,38 @@ object StreamingEtl {
         .parquet(s"$reportDir/batch=$batchId")
     })
 
+  /** Streaming KS drift gate — q160's exact two-sample statistic as the
+    * per-batch contract check: the micro-batch's per-value counts
+    * against a persisted reference count table (v, cnt), ONE summary
+    * row (ks_q, at_value, nr, nc) at `reportDir/batch=<id>`. Shares
+    * [[graft.ops.Drift.ksFromCounts]] with batch q160 (bit-equal by
+    * construction, spec-pinned); overwrite-idempotent replay like the
+    * PSI gates. Where the PSI gates need a bucket width or category
+    * domain, KS is distribution-free — the nonparametric gate for value
+    * columns whose shape (not just density per bucket) must hold.
+    */
+  def runKsDriftGate(
+      stream: DataFrame,
+      checkpoint: String,
+      refCountsPath: String,
+      reportDir: String,
+      valueCol: String): Unit =
+    runIndexAppend(stream, checkpoint, (batch, batchId) => {
+      val spark = batch.sparkSession
+      val ref = spark.read.parquet(refCountsPath)
+        .select(col("v"), col("cnt").as("ref_cnt"))
+      val cur = batch.filter(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).as("v"))
+        .agg(count(lit(1)).as("cur_cnt"))
+      val counts = ref.join(cur, Seq("v"), "full_outer")
+        .select(col("v"),
+          coalesce(col("ref_cnt"), lit(0L)).as("ref_cnt"),
+          coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"))
+      graft.ops.Drift.ksFromCounts(counts)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$reportDir/batch=$batchId")
+    })
+
   def runDedupGate(
       stream: DataFrame,
       checkpoint: String,

@@ -933,6 +933,40 @@ class StreamingEtlSpec extends SparkSpec {
     assert(got.exists(_._1 == "X"), "the planted never-seen category must surface")
   }
 
+  test("streaming KS drift gate: per-batch summary equals batch q160 on the same split") {
+    val sf = "/root/testdata/sf0.001"
+    val in = tmpDir("ksdrift-in")
+    val refPath = tmpDir("ksdrift-ref").toString + "/counts"
+    val reportDir = tmpDir("ksdrift-rep").toString + "/reports"
+    val ckpt = tmpDir("ksdrift-ckpt").toString
+
+    val cut = "1998-01-01"
+    val cutTs = lit(cut).cast("timestamp")
+    val dirtied = graft.Queries.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"),
+        when(col("o_orderkey") % 7 === 0 && col("o_orderdate") >= cutTs,
+          col("o_totalprice") * 1.5)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    dirtied.filter(col("o_orderdate") < cutTs && col("o_totalprice").isNotNull)
+      .groupBy(col("o_totalprice").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .write.parquet(refPath)
+    val cur = dirtied.filter(col("o_orderdate") >= cutTs)
+      .select("o_orderkey", "o_totalprice")
+    writeFile(in, "a.json", cur.toJSON.collect().mkString("\n"))
+
+    val stream = spark.readStream.schema(cur.schema).json(in.toString)
+    StreamingEtl.runKsDriftGate(stream, ckpt, refPath, reportDir,
+      "o_totalprice")
+
+    val got = spark.read.parquet(s"$reportDir/batch=0").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    val want = graft.SparkEntry.queries("q160_ks_drift")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === want.toSeq)
+    assert(got.head._1 > 20000L, "the planted shift must register on KS")
+  }
+
   test("streaming CDC materializer: prev snapshot as initial state + change stream equals batch applyDelta") {
     import spark.implicits._
     val customer = graft.Queries.t(spark, "/root/testdata/sf0.001", "customer")
