@@ -588,9 +588,11 @@ object ScaleCurve {
           () => SparkEntry.queries("q160_ks_drift")(spark, dir),
           _.count()),
         // crawl pipeline (q161): extraction + gates are pure maps, the
-        // digest window the only exchange — rows exactly linear (the
-        // translate bijection preserves every gate decision), sec ≲
-        // linear in the scan.
+        // digest window the only exchange. Rows are FLAT, not linear —
+        // the stop-ratio gate is keyed on real English stopwords, which
+        // the alphabet rotation destroys, so replicas 1..f-1 fail the
+        // gate by construction (the q89/q106 probe contract: rows flat,
+        // sec ≲ linear in the extraction scan — measured 1.27× at 10×).
         Cell(f, "q161_crawl_pipeline",
           () => SparkEntry.queries("q161_crawl_pipeline")(spark, dir),
           _.count()),
