@@ -2750,28 +2750,17 @@ object Queries {
   private val q161 = QueryDef(
     "q161_crawl_pipeline",
     (s, d) => {
+      // TextOps.crawlGate IS the stateless stage (shared bit-for-bit with
+      // StreamingEtl.runCrawlGate); only the digest keeper — the one
+      // stateful step — lives here. Gate-then-keep equals q161's original
+      // keep-then-gate: same-digest rows have identical gate columns.
       val w = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
-      graft.ops.TextOps.extractText(
+      graft.ops.TextOps.crawlGate(
         t(s, d, "documents").withColumn("raw_html",
-          graft.ops.TextOps.syntheticHtml(col("doc_id"), col("text"))))
-        .select(
-          col("doc_id"), col("extracted"),
-          col("kept_blocks"), col("dropped_blocks"),
-          length(col("extracted")).cast("long").as("n_chars_ext"),
-          size(split(col("extracted"), " ")).cast("long").as("n_tokens"),
-          expr(s"size(filter(split(extracted, ' '), x -> x IN ($stopwordSqlList)))")
-            .cast("long").as("n_stop"),
-          sha2(col("extracted"), 256).as("digest"))
+          graft.ops.TextOps.syntheticHtml(col("doc_id"), col("text"))),
+        stopwords)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .filter(col("kept_blocks") >= 1)
-        .filter(col("n_chars_ext").between(100, 520))
-        .withColumn("stop_ratio",
-          round(col("n_stop").cast("double") / col("n_tokens"), 4))
-        .filter(col("stop_ratio") >= 0.03)
-        .withColumn("boiler_ratio",
-          round(col("dropped_blocks").cast("double") /
-            (col("kept_blocks") + col("dropped_blocks")), 4))
         .select(col("doc_id"), col("n_chars_ext"), col("n_tokens"),
           col("stop_ratio"), col("boiler_ratio"))
         .orderBy("doc_id")

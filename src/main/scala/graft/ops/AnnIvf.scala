@@ -220,10 +220,7 @@ object AnnIvf {
     // RELIABLE checkpoint when a dir is set (a local checkpoint's blocks
     // die with their executor, aborting the multi-pass job at cluster
     // scale — the Clusters r5 contract), local otherwise
-    val knn =
-      if (emb.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        knn0.checkpoint()
-      else knn0.localCheckpoint()
+    val knn = Checkpoints.materialize(knn0)
     knn.as("f")
       .join(knn.as("r"),
         col("f.query_id") === col("r.neighbor_id") &&
@@ -457,10 +454,7 @@ object AnnIvf {
     // (candidates are bounded by the |queries| × probed-fraction
     // contract); RELIABLE checkpoint when a dir is set (the Clusters r5
     // contract), local otherwise
-    val sims =
-      if (emb.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        sims0.checkpoint()
-      else sims0.localCheckpoint()
+    val sims = Checkpoints.materialize(sims0)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine"), asc("neighbor_id"))
     val q = valid.filter(col("vec_id") < queryMax)
@@ -477,10 +471,7 @@ object AnnIvf {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id")
-    val exact =
-      if (emb.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        exact0.checkpoint()
-      else exact0.localCheckpoint()
+    val exact = Checkpoints.materialize(exact0)
     val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
     nprobes.sorted.map { p =>
       val approx = sims.filter(col("crn") <= p)

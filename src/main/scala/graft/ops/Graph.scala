@@ -402,10 +402,7 @@ object Graph {
     // checkpoint when a dir is set (a local checkpoint's blocks die with
     // their executor, aborting this multi-pass consumer at cluster
     // scale — the Clusters r5 contract), local otherwise
-    val e =
-      if (edges.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        e0.checkpoint()
-      else e0.localCheckpoint()
+    val e = Checkpoints.materialize(e0)
     val deg = e.select(col("u").as("s"))
       .unionAll(e.select(col("v").as("s")))
       .groupBy("s").agg(count(lit(1)).as("d"))

@@ -57,19 +57,60 @@ private[graft] object Lsh {
     */
   val DefaultPairBudget = 50000000L
 
-  /** Exact number of raw candidate pairs the unguarded self-equi-join on
+  /** Number of raw candidate pairs the unguarded self-equi-join on
     * `keys` would enumerate: Σ over bucket-key groups of C(n, 2). One
     * keyed count (map-side partials) folded to a 1-row sum — a scan of
     * the band frame, orders of magnitude cheaper than the join it sizes.
-    * n(n−1) is even, so the long division is exact.
+    *
+    * Computed in DOUBLE from the first multiply: long n(n−1) overflows
+    * negative past n ≈ 3.04e9 rows in ONE bucket — exactly the
+    * degenerate-hot-bucket regime this guard exists for — and a negative
+    * addend would let the summed estimate slip under the budget. A budget
+    * check needs magnitude, not exactness; the double form is exact
+    * anyway below 2^53 pairs (far past any budget anyone sets) and
+    * saturates to `Long.MaxValue` beyond, so an overflowing corpus always
+    * reads as over budget, never under.
     */
-  def estimatedPairs(bk: DataFrame, keys: Seq[String]): Long =
-    Option(
+  def estimatedPairs(bk: DataFrame, keys: Seq[String]): Long = {
+    val est = Option(
       bk.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("__n"))
+        .agg(count(lit(1)).cast("double").as("__n"))
         .agg(sum(col("__n") * (col("__n") - 1) / 2).as("__pairs"))
         .head().get(0))
-      .fold(0L)(_.asInstanceOf[Number].longValue())
+      .fold(0.0)(_.asInstanceOf[Number].doubleValue())
+    if (est >= Long.MaxValue.toDouble) Long.MaxValue else math.round(est)
+  }
+
+  /** The S-curve candidate probability of a (bands, rowsPerBand) MinHash
+    * plan at Jaccard similarity `s`: P = 1 − (1 − s^r)^b (Mining of
+    * Massive Datasets §3.4; the standard published analysis). Exposed so
+    * callers and specs reason about a plan's recall in one place.
+    */
+  def candidateProb(bands: Int, rowsPerBand: Int, s: Double): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand.toDouble), bands.toDouble)
+
+  /** (bands, rowsPerBand) for a target similarity threshold `tau` under
+    * a total signature budget of `nHashes` min-hashes — the S-curve
+    * solve users otherwise do by hand when τ changes. The curve
+    * P(candidate | s) = 1 − (1 − s^r)^b has its knee at τ ≈ (1/b)^(1/r)
+    * (MMDS §3.4.3): this takes the discrete argmin of |(1/b)^(1/r) − τ|
+    * over every (b, r) with b·r ≤ nHashes and b·r maximal for that r
+    * (unused hashes buy nothing), breaking ties toward MORE bands —
+    * bands shift the curve left, so the tie lands on the higher-recall
+    * side of τ. Pure driver-side arithmetic over ≤ nHashes candidates;
+    * nothing distributed. The default [[NearDup]] plan (64 hashes, 32
+    * bands of r=2, knee ≈ 0.18) is `bandPlan(0.18, 64)`; to RETUNE, feed
+    * the result into the banding stage as (Bands, K / Bands).
+    */
+  def bandPlan(tau: Double, nHashes: Int = 64): (Int, Int) = {
+    require(tau > 0.0 && tau < 1.0, s"tau must be in (0, 1), got $tau")
+    require(nHashes >= 2, s"need at least 2 hashes, got $nHashes")
+    val plans = (1 to nHashes).map(r => (nHashes / r, r))
+      .filter { case (b, _) => b >= 1 }
+    plans.minBy { case (b, r) =>
+      (math.abs(math.pow(1.0 / b, 1.0 / r) - tau), -b)
+    }
+  }
 
   /** Pair-blowup preflight for a full-corpus (`sliceMax = None`) candidate
     * join with NO hot-bucket cap — the q151 lesson generalized: an

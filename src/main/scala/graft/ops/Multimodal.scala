@@ -336,12 +336,12 @@ object Multimodal {
       sliceMax: Option[Long],
       hotBandMax: Option[Long]): DataFrame = {
     require(maxHamming <= 3, "4 x 16-bit bands are pigeonhole-complete only to hamming 3")
-    // localCheckpoint, not persist: the decode pass materializes ONCE
-    // (both candidate-join sides read the checkpointed blocks), and the
-    // blocks are reference-tracked away when the frame is dropped — a
-    // bare persist with no unpersist pins executor storage across every
-    // catalog run of a long-lived session (the r14 advisory)
-    val hashed = hashed0.localCheckpoint()
+    // checkpoint, not persist: the decode pass materializes ONCE (both
+    // candidate-join sides read the checkpointed blocks) and the blocks
+    // are reference-tracked away when the frame is dropped (the r14
+    // advisory); dir-aware RELIABLE form so an executor loss between the
+    // two join-side reads can't abort the run at cluster scale
+    val hashed = Checkpoints.materialize(hashed0)
     val banded = hashed.select(
       col("id"), col(hashCol),
       explode(array((0 until 4).map { b =>
@@ -733,10 +733,10 @@ object Multimodal {
       sliceMax: Option[Long] = Some(100L),
       hotBandMax: Option[Long] = None): DataFrame = {
     require(maxHamming <= 3, "4 x 16-bit bands are pigeonhole-complete only to hamming 3")
-    // localCheckpoint: the hash pass materializes ONCE for both join
-    // sides and the blocks are reference-tracked away (the
-    // hammingBandPairs rationale)
-    val frames = videoFrameHashes(items, frameBytes, maxFrames).localCheckpoint()
+    // dir-aware checkpoint: the hash pass materializes ONCE for both join
+    // sides, blocks reference-tracked away, reliable under executor loss
+    // (the hammingBandPairs rationale)
+    val frames = Checkpoints.materialize(videoFrameHashes(items, frameBytes, maxFrames))
     val banded = frames.select(
       col("id"), col("fidx"), col("vhash"),
       explode(array((0 until 4).map { b =>

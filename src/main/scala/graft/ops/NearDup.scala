@@ -33,10 +33,26 @@ object NearDup {
 
   /** Number of min-hashes (K) and bands; r = K / Bands = 2 rows per band.
     * P(candidate | jaccard = s) = 1 - (1 - s^2)^32: ≈1e-4 miss at s=0.5,
-    * ≈0.99998 hit at s=0.6.
+    * ≈0.99998 hit at s=0.6. To retune for a different threshold, use
+    * [[bandPlan]] — the documented way to derive (Bands, r) from a
+    * target τ instead of hand-solving the S-curve.
     */
   val K = 64
   val Bands = 32
+
+  /** (bands, rowsPerBand) for a target Jaccard threshold `tau` under a
+    * signature budget of `nHashes` min-hashes — see [[Lsh.bandPlan]]
+    * (the S-curve knee solve, MMDS §3.4.3). The default plan above is
+    * `bandPlan(0.18, 64) == (32, 2)`.
+    */
+  def bandPlan(tau: Double, nHashes: Int = K): (Int, Int) =
+    Lsh.bandPlan(tau, nHashes)
+
+  /** P(candidate | jaccard = s) under a (bands, rowsPerBand) plan —
+    * the recall curve [[bandPlan]] optimizes; see [[Lsh.candidateProb]].
+    */
+  def candidateProb(bands: Int, rowsPerBand: Int, s: Double): Double =
+    Lsh.candidateProb(bands, rowsPerBand, s)
 
   /** (a_i, b_i) of the hash family, reproducibly derived from md5 so the
     * same literals can be embedded in the DuckDB oracle text.

@@ -117,9 +117,7 @@ object Ranks {
     val ranged0 = df
       .repartitionByRange(p, (groupCols.map(col) ++ order): _*)
       .withColumn(PidCol, spark_partition_id())
-    val ranged =
-      if (spark.sparkContext.getCheckpointDir.isDefined) ranged0.checkpoint()
-      else ranged0.localCheckpoint()
+    val ranged = Checkpoints.materialize(ranged0)
     val countRows = ranged
       .groupBy((PidCol +: groupCols).map(col): _*)
       .agg(count(lit(1)).as("__graft_n"))
@@ -201,9 +199,7 @@ object Ranks {
       .withColumn(PidCol, spark_partition_id())
     // checkpoint: pin the sampled range bounds between the subtotal
     // action and the windowed plan (see rank()); reliable under a dir
-    val ranged =
-      if (spark.sparkContext.getCheckpointDir.isDefined) ranged0.checkpoint()
-      else ranged0.localCheckpoint()
+    val ranged = Checkpoints.materialize(ranged0)
     val sumCols = weights.zipWithIndex.map { case ((in, _), i) =>
       sum(col(in)).as(s"__graft_s$i")
     }
@@ -263,9 +259,7 @@ object Ranks {
     // the Clusters r5 lesson); local internal-row checkpoint otherwise.
     val ranged0 = df.repartitionByRange(p, order: _*)
       .withColumn(PidCol, spark_partition_id())
-    val ranged =
-      if (spark.sparkContext.getCheckpointDir.isDefined) ranged0.checkpoint()
-      else ranged0.localCheckpoint()
+    val ranged = Checkpoints.materialize(ranged0)
     val counts = ranged.groupBy(col(PidCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L

@@ -472,7 +472,9 @@ object Retrieval {
       .join(broadcast(terms), "tok")
       .select("query_id", "doc_id", "tok", "role").distinct()
       .select("query_id", "doc_id", "role")
-    val matched = if (hasNeg) matched0.localCheckpoint() else matched0
+    // negations read `matched` twice (hits + excluded) — materialize once,
+    // dir-aware reliable so the second read survives executor loss
+    val matched = if (hasNeg) Checkpoints.materialize(matched0) else matched0
     val hits = matched.filter(col("role") === "m")
       .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("got"))

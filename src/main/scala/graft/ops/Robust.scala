@@ -54,14 +54,14 @@ object Robust {
       .filter(col(valueCol).isNotNull)
     val medFrame =
       if (approx)
-        base.agg(expr(s"approx_percentile($valueCol, 0.5D, $accuracy)").as("med"))
+        base.agg(percentile_approx(col(valueCol), lit(0.5), lit(accuracy)).as("med"))
       else exactMedian(base, valueCol, keyCol)
     val devs = base
       .crossJoin(broadcast(medFrame)) // 1-row scalar
       .withColumn("dev", abs(col(valueCol) - col("med")))
     val madFrame =
       if (approx)
-        devs.agg(expr(s"approx_percentile(dev, 0.5D, $accuracy)").as("mad"))
+        devs.agg(percentile_approx(col("dev"), lit(0.5), lit(accuracy)).as("mad"))
       else exactMedian(devs.select(col(keyCol), col("dev")), "dev", keyCol)
         .withColumnRenamed("med", "mad")
     devs
@@ -239,8 +239,10 @@ object Robust {
       .crossJoin(broadcast(totals)) // 1-row scalar
       .join(pTable, col("cum_w") * 100 >= col("p") * col("tw")) // ≤|ps| matches/row
       .groupBy(col("p"))
-      .agg(min(col("v")).as("value"))
-      .join(broadcast(totals.select(col("tw").as("total_weight"))))
+      // tw is a constant riding every row of the cross join — carry it
+      // through the groupBy as max() instead of re-aggregating perValue a
+      // second time (the totals frame is one extra corpus scan otherwise)
+      .agg(min(col("v")).as("value"), max(col("tw")).as("total_weight"))
       .select(col("p"), col("value"), col("total_weight"))
       .orderBy("p")
   }

@@ -1055,8 +1055,8 @@ object TextOps {
   // (a, b)-keyed aggregate with map-side partials + a 1-ROW argmax
   // collect (TakeOrderedAndProject — the only driver traffic), then a
   // per-row greedy fold applying the merge (higher-order aggregate(),
-  // no UDF). State between iterations is localCheckpoint'd so lineage
-  // stays O(1) per iteration.
+  // no UDF). State between iterations is checkpointed (dir-aware
+  // reliable form) so lineage stays O(1) per iteration.
   // -------------------------------------------------------------------
 
   /** Adjacent symbol-pair counts of the CURRENT symbolization, weighted
@@ -1102,10 +1102,10 @@ object TextOps {
       nMerges: Int,
       minCount: Long = 2L): Seq[(Int, String, String, Long)] = {
     require(nMerges >= 1 && minCount >= 1)
-    var words = wordTable(docs)
-      .withColumn("syms", charSplit("w"))
-      .select("syms", "freq")
-      .localCheckpoint()
+    var words = Checkpoints.materialize(
+      wordTable(docs)
+        .withColumn("syms", charSplit("w"))
+        .select("syms", "freq"))
     val learned = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -1121,9 +1121,8 @@ object TextOps {
           val arr = row.getAs[scala.collection.Seq[String]]("ab")
           val (a, b) = (arr(0), arr(1))
           learned += ((step, a, b, row.getAs[Long]("cnt")))
-          words = words
-            .withColumn("syms", mergeFold(col("syms"), a, b))
-            .localCheckpoint()
+          words = Checkpoints.materialize(
+            words.withColumn("syms", mergeFold(col("syms"), a, b)))
           step += 1
       }
     }
@@ -1213,7 +1212,8 @@ object TextOps {
   def extractText(
       docs: DataFrame,
       htmlCol: String = "raw_html",
-      minChars: Int = 25): DataFrame = {
+      minChars: Int = 25,
+      sorted: Boolean = true): DataFrame = {
     val html = coalesce(col(htmlCol), lit(""))
     val blocks = regexp_extract_all(html, lit(HtmlBlockPattern), lit(0))
     def plainOf(b: Column): Column =
@@ -1232,7 +1232,10 @@ object TextOps {
         linkChars(b) * 3 < length(plainOf(b))
     }
     val kept = filter(blocks, keep _)
-    docs.select(
+    // sorted=false: the pure-map projection with NO global sort — the
+    // form a streaming micro-batch requires (orderBy is unsupported on
+    // a stream) and a composed pipeline re-sorts at its own tail anyway
+    val projected = docs.select(
       col("doc_id"),
       when(size(blocks) === 0,
         trim(regexp_replace(html, HtmlTagStripPattern, "")))
@@ -1243,7 +1246,53 @@ object TextOps {
       when(size(blocks) === 0, lit(0L))
         .otherwise((size(blocks) - size(kept)).cast("long"))
         .as("dropped_blocks"))
-      .orderBy("doc_id")
+    if (sorted) projected.orderBy("doc_id") else projected
+  }
+
+  /** STATELESS crawl-ingest gate — q161's per-row stages as ONE reusable
+    * function: raw markup → [[extractText]] → per-row stats on the
+    * EXTRACTED text → block/length/stop-ratio quality gates. Emits
+    * (doc_id, extracted, digest, n_chars_ext, n_tokens, stop_ratio,
+    * boiler_ratio). Every stage is a pure projection/filter — no
+    * aggregate, no window, no state — so the SAME function runs on a
+    * batch frame and on a readStream micro-batch
+    * ([[graft.streaming.StreamingEtl.runCrawlGate]]) with bit-equal
+    * outputs (the stream≡batch twin discipline). The sha-256 `digest`
+    * rides along so the stateful keeper composes downstream: q161's
+    * rn=1 window in batch, `dedupWithinWatermark` in a stream. Gates
+    * and the keeper commute — same-digest rows carry identical
+    * extracted text, hence identical gate columns — so gating before
+    * keeping admits exactly q161's rows.
+    */
+  def crawlGate(
+      docs: DataFrame,
+      stopwords: Seq[String],
+      htmlCol: String = "raw_html",
+      minChars: Long = 100L,
+      maxChars: Long = 520L,
+      minStopRatio: Double = 0.03): DataFrame = {
+    require(stopwords.nonEmpty && stopwords.forall(_.matches("[A-Za-z]+")))
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    extractText(docs, htmlCol, sorted = false)
+      .select(
+        col("doc_id"), col("extracted"),
+        col("kept_blocks"), col("dropped_blocks"),
+        length(col("extracted")).cast("long").as("n_chars_ext"),
+        size(split(col("extracted"), " ")).cast("long").as("n_tokens"),
+        expr(s"size(filter(split(extracted, ' '), x -> x IN ($stopList)))")
+          .cast("long").as("n_stop"),
+        sha2(col("extracted"), 256).as("digest"))
+      .filter(col("kept_blocks") >= 1)
+      .filter(col("n_chars_ext").between(minChars, maxChars))
+      .withColumn("stop_ratio",
+        round(col("n_stop").cast("double") / col("n_tokens"), 4))
+      .filter(col("stop_ratio") >= minStopRatio)
+      .withColumn("boiler_ratio",
+        round(col("dropped_blocks").cast("double") /
+          (col("kept_blocks") + col("dropped_blocks")), 4))
+      .select(col("doc_id"), col("extracted"), col("digest"),
+        col("n_chars_ext"), col("n_tokens"),
+        col("stop_ratio"), col("boiler_ratio"))
   }
 
   /** Deterministic raw-markup synthesis for q155 (the q147 dirtied-fact

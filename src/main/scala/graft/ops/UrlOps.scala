@@ -24,20 +24,84 @@ import org.apache.spark.sql.functions._
   *   - empty path becomes `/` (http://x.com and http://x.com/ are the
   *     same resource).
   *
-  * `domain` is the registered domain approximated as the last two host
-  * labels — the host-level dedup/cap key (a public-suffix list would
-  * refine co.uk-style hosts; same column contract).
+  * `domain` is the registered domain under a public-suffix snapshot:
+  * the last TWO host labels, except when those two labels are
+  * themselves a multi-label public suffix ([[multiLabelSuffixes]] — the
+  * ccSLD subset of the public suffix list: co.uk, com.au, ne.jp, …), in
+  * which case the last THREE labels are the registered domain. So
+  * `bbc.co.uk` keys as `bbc.co.uk` (not the whole `co.uk` registry) and
+  * `news.bbc.co.uk` joins `www.bbc.co.uk` under one quota — the
+  * host-level dedup/cap/PageRank-vertex key.
   *
   * Scale shape: pure per-row codegen'd string ops — a map at any corpus
-  * size, no shuffle, no UDF. RE2-compatible regexes only, so the DuckDB
+  * size, no shuffle, no UDF. RE2-compatible regexes only, and the
+  * suffix set is ONE literal IN-list both engines share, so the DuckDB
   * oracle replays every rule exactly.
   */
 object UrlOps {
 
+  /** Multi-label public suffixes (ccSLDs) under which the registered
+    * domain is three labels, not two — a curated snapshot of the
+    * publicly documented country-code second-level registries (the
+    * publicsuffix.org convention; the full PSL is a superset with the
+    * same semantics). One shared literal: the Spark `isin` and the
+    * DuckDB `IN` list are both generated from THIS sequence, so the two
+    * engines cannot disagree on membership.
+    */
+  val multiLabelSuffixes: Seq[String] = Seq(
+    // United Kingdom
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "nhs.uk",
+    // Australia
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+    // Japan
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "go.jp", "gr.jp", "lg.jp",
+    // Brazil
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    // New Zealand
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
+    // South Africa
+    "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
+    // China
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    // India
+    "co.in", "net.in", "org.in", "ac.in", "edu.in", "gov.in", "res.in",
+    // Korea
+    "co.kr", "ne.kr", "or.kr", "go.kr", "ac.kr",
+    // Mexico / Argentina / Turkey / Singapore / Hong Kong / Taiwan
+    "com.mx", "gob.mx", "org.mx", "net.mx", "edu.mx",
+    "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+    // Indonesia / Thailand / Malaysia / Philippines / Vietnam
+    "co.id", "or.id", "ac.id", "go.id",
+    "co.th", "or.th", "ac.th", "go.th",
+    "com.my", "com.ph", "com.vn",
+    // Ukraine / Israel / Egypt / Saudi Arabia / Pakistan
+    "com.ua", "in.ua", "org.ua", "co.il", "org.il", "ac.il",
+    "com.eg", "com.sa", "com.pk")
+
+  /** [[multiLabelSuffixes]] as the DuckDB IN-list literal. */
+  private[graft] val multiLabelSuffixesSql: String =
+    multiLabelSuffixes.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** Registered domain of a lowercased `host` Column under the
+    * public-suffix snapshot: last three labels when the last two are a
+    * multi-label suffix (and a third exists), last two otherwise. A host
+    * that IS a bare multi-label suffix (`co.uk`) has no registrant —
+    * it falls back to itself, one degenerate key per registry.
+    */
+  def registeredDomain(host: Column): Column = {
+    val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    val last3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    when(last2.isin(multiLabelSuffixes: _*) && last3 =!= "", last3)
+      .otherwise(last2)
+  }
+
   /** Attach (canon_url, host, domain) to `urls` from its `urlCol`.
-    * Total over dirty input: a null URL canonicalizes to null host /
-    * domain and an empty canon_url skeleton is avoided by coalescing to
-    * ''; a URL with no scheme keeps rest-parsing semantics (scheme '').
+    * Total over dirty input: a null or empty URL coalesces to '' and
+    * canonicalizes to EMPTY-STRING host/domain with the `":///"`
+    * canon_url skeleton (pinned by UrlOpsSpec — one degenerate key, not
+    * a null that silently drops from keyed aggregates); a URL with no
+    * scheme keeps rest-parsing semantics (scheme '').
     */
   def canonicalize(urls: DataFrame, urlCol: String = "url"): DataFrame = {
     val u = coalesce(col(urlCol), lit(""))
@@ -64,7 +128,7 @@ object UrlOps {
         when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
           .otherwise(lit(""))))
       .withColumn("host", host)
-      .withColumn("domain", regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+      .withColumn("domain", registeredDomain(host))
   }
 
   /** Deterministic raw-URL synthesis for q156 (the q147 dirtied-fact
@@ -72,8 +136,10 @@ object UrlOps {
     * messy forms a crawl frontier actually holds): mixed scheme/host
     * case, default and non-default ports, tracking params, unsorted
     * queries, fragments. Host varies by subdomain (www/news) while the
-    * registered domain is a function of `source` — so domain-level
-    * grouping is meaningful (q159).
+    * registered domain is a function of `source` and a rotating TLD —
+    * including ccSLD forms (.co.uk, .com.au, .ne.jp, .co.jp, .com.br)
+    * so the public-suffix path of [[registeredDomain]] is exercised by
+    * the q156/q159 oracles, not just the spec fixtures.
     */
   def syntheticUrl(docId: Column, source: Column): Column =
     concat(
@@ -81,7 +147,11 @@ object UrlOps {
         array(lit("HTTP://"), lit("https://"), lit("HTTPS://"), lit("http://")),
         (docId % 4 + 1).cast("int")),
       when(docId % 2 === 0, lit("WWW.")).otherwise(lit("News.")),
-      upper(source), lit(".COM"),
+      upper(source),
+      element_at(
+        array(lit(".COM"), lit(".CO.UK"), lit(".COM.AU"), lit(".NE.JP"),
+          lit(".ORG"), lit(".CO.JP"), lit(".COM.BR")),
+        (docId % 7 + 1).cast("int")),
       element_at(array(lit(":80"), lit(":443"), lit(":8080")),
         (docId % 3 + 1).cast("int")),
       lit("/Articles/"), docId.cast("string"),
@@ -96,7 +166,10 @@ object UrlOps {
     "CASE doc_id % 4 WHEN 0 THEN 'HTTP://' WHEN 1 THEN 'https://' " +
       "WHEN 2 THEN 'HTTPS://' ELSE 'http://' END || " +
       "CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'News.' END || " +
-      "upper(source) || '.COM' || " +
+      "upper(source) || " +
+      "CASE doc_id % 7 WHEN 0 THEN '.COM' WHEN 1 THEN '.CO.UK' " +
+      "WHEN 2 THEN '.COM.AU' WHEN 3 THEN '.NE.JP' WHEN 4 THEN '.ORG' " +
+      "WHEN 5 THEN '.CO.JP' ELSE '.COM.BR' END || " +
       "CASE doc_id % 3 WHEN 0 THEN ':80' WHEN 1 THEN ':443' ELSE ':8080' END || " +
       "'/Articles/' || doc_id || " +
       "CASE WHEN doc_id % 2 = 0 THEN '/?utm_source=feed&b=2&a=1' ELSE '?z=9&m=0' END || " +
@@ -141,7 +214,12 @@ object UrlOps {
        |         THEN '?' || array_to_string(params, '&') ELSE '' END
        |      AS canon_url,
        |    host,
-       |    regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain
+       |    CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
+       |              IN $multiLabelSuffixesSql
+       |          AND regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
+       |         THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)
+       |         ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
+       |    END AS domain
        |  FROM c2)""".stripMargin
 
   /** DuckDB oracle for q156: [[canonicalize]] over [[syntheticUrl]]. */

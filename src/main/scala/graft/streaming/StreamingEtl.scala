@@ -1047,6 +1047,28 @@ object StreamingEtl {
       .drop("_t")
   }
 
+  /** Streaming crawl-to-corpus gate — q161's stateless stages applied to
+    * a raw-HTML document stream, per micro-batch: boilerplate extraction
+    * ([[graft.ops.TextOps.extractText]]) composed with the block/length/
+    * stop-ratio quality gates, every stat computed on the EXTRACTED
+    * text. This IS [[graft.ops.TextOps.crawlGate]] — one definition, so
+    * the stream and the batch pipeline can never diverge (the stream ≡
+    * batch twin discipline; spec pins the outputs bit-equal on the same
+    * split). Stateless like [[corpusGate]]: pure per-row projection +
+    * filter, zero state operators — the emitted `digest` column is the
+    * composition point for the stateful keeper when exact dedup is
+    * wanted ([[dedupWithinWatermark]] on `digest` ≙ q161's rn=1 window).
+    */
+  def runCrawlGate(
+      raw: DataFrame,
+      stopwords: Seq[String],
+      htmlCol: String = "raw_html",
+      minChars: Long = 100L,
+      maxChars: Long = 520L,
+      minStopRatio: Double = 0.03): DataFrame =
+    graft.ops.TextOps.crawlGate(
+      raw, stopwords, htmlCol, minChars, maxChars, minStopRatio)
+
   /** Streaming exact dedup: keep the first row per `idCols` seen within
     * the watermark horizon. State is one entry per distinct key, expired
     * once the watermark passes — bounded, unlike a global

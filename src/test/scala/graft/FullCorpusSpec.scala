@@ -102,6 +102,36 @@ class FullCorpusSpec extends SparkSpec {
     assert(graft.ops.Lsh.estimatedPairs(bk.limit(0), Seq("k")) == 0L)
   }
 
+  // ---------------------------------------------------- (b, r) band plans
+
+  test("bandPlan: knee lands at tau; defaults recovered; recall ordering holds") {
+    import graft.ops.{Lsh, NearDup}
+    // the repo's own default plan is the solve at its documented knee
+    assert(NearDup.bandPlan(0.18, 64) == (32, 2))
+    def knee(p: (Int, Int)): Double = math.pow(1.0 / p._1, 1.0 / p._2)
+    // the chosen knee is the closest achievable to tau: no other (b, r)
+    // under the budget does better
+    for (tau <- Seq(0.1, 0.3, 0.5, 0.7, 0.9); n <- Seq(64, 128)) {
+      val plan = Lsh.bandPlan(tau, n)
+      assert(plan._1 * plan._2 <= n, s"over budget at tau=$tau n=$n")
+      val bestErr = (1 to n).map(r => math.abs(knee((n / r, r)) - tau)).min
+      assert(math.abs(knee(plan) - tau) <= bestErr + 1e-12,
+        s"tau=$tau n=$n chose $plan knee=${knee(plan)}")
+    }
+    // S-curve recall property: above the knee a pair is likelier to be a
+    // candidate than below it, and monotonically so
+    val (b, r) = Lsh.bandPlan(0.5, 128)
+    val below = Lsh.candidateProb(b, r, 0.3)
+    val at = Lsh.candidateProb(b, r, 0.5)
+    val above = Lsh.candidateProb(b, r, 0.7)
+    assert(below < at && at < above)
+    assert(above > 0.9, s"recall above the knee should be high, got $above")
+    assert(below < 0.5, s"candidates below the knee should be unlikely, got $below")
+    // monotone in tau: a higher threshold never yields MORE bands
+    val plans = Seq(0.1, 0.3, 0.5, 0.7, 0.9).map(Lsh.bandPlan(_, 128))
+    assert(plans.map(_._1) == plans.map(_._1).sorted.reverse, plans.toString)
+  }
+
   test("preflight: unguarded full-corpus call over budget fails fast with the estimate") {
     import spark.implicits._
     // degenerate corpus: every doc identical -> every band bucket holds all

@@ -52,6 +52,20 @@ class UrlOpsSpec extends SparkSpec {
       "single-label host has no registered domain (two-label rule)")
   }
 
+  test("registered domain under the public-suffix snapshot (ccSLDs)") {
+    // the r16 verdict case: bbc.co.uk must NOT collapse into co.uk
+    assert(canonOf("https://News.BBC.CO.UK/x")._3 == "bbc.co.uk")
+    assert(canonOf("http://www.smh.com.au/")._3 == "smh.com.au")
+    assert(canonOf("http://foo.asahi.ne.jp/")._3 == "asahi.ne.jp")
+    // deep subdomains still key on the registrant, not the deepest label
+    assert(canonOf("http://a.b.bbc.co.uk/")._3 == "bbc.co.uk")
+    // a 2-label TLD NOT in the snapshot keeps the two-label rule
+    assert(canonOf("http://example.io/")._3 == "example.io")
+    assert(canonOf("http://www.example.io/")._3 == "example.io")
+    // a bare multi-label suffix has no registrant: degenerate self-key
+    assert(canonOf("http://co.uk/")._3 == "co.uk")
+  }
+
   test("totality: null, empty, and scheme-less input never throw") {
     val rows = UrlOps.canonicalize(Seq(
       (1L, Some("x.com/path?a=1")), // no scheme: host parses, scheme ''
@@ -82,10 +96,15 @@ class UrlOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1))
     assert(perDomain.nonEmpty)
     assert(perDomain.forall(_._2 <= 5L), "cap exceeded")
-    // both subdomain forms of a source collapse into one domain key:
-    // sf0.001 has 20 sources and docs alternate www./news. by parity,
-    // so the number of domains must equal the number of sources
-    val nSources = docs.select("source").distinct().count()
-    assert(perDomain.length.toLong == nSources)
+    // both subdomain forms of a source collapse into one domain key,
+    // but ccSLD suffixes do NOT collapse across sources: the number of
+    // domain keys is exactly the distinct (source, doc_id % 7 TLD)
+    // combinations present, and no key carries a www./news. subdomain
+    assert(perDomain.forall { case (d, _) =>
+      !d.startsWith("www.") && !d.startsWith("news.")
+    })
+    val expected = docs
+      .select(lower(col("source")), col("doc_id") % 7).distinct().count()
+    assert(perDomain.length.toLong == expected)
   }
 }
