@@ -2804,6 +2804,37 @@ object Queries {
       "n_chars", "n_tokens"),
     Some(graft.ops.Robust.documentsWeightedPercentilesOracleSql()))
 
+  /** BPE-APPLY (the r16 verdict's missing tokenizer half): train 8
+    * merges on the corpus ([[graft.ops.TextOps.bpeMerges]], q145's
+    * machinery), then tokenize the corpus WITH the learned ranks and
+    * report per-doc tokenizer-token counts next to the whitespace
+    * proxy. The oracle replays TRAINING AND ENCODING end-to-end — eight
+    * unrolled argmax+replace stages over the distinct-word table (merge
+    * application is a literal replace over per-char-delimited symbol
+    * strings, whose left-to-right non-overlapping semantics are the
+    * greedy merge fold in both engines).
+    */
+  private val q163 = QueryDef(
+    "q163_bpe_encode",
+    (s, d) => graft.ops.TextOps.bpeEncode(t(s, d, "documents")),
+    Some(graft.ops.TextOps.bpeEncodeOracleSql()))
+
+  /** Token budget denominated in the TRAINED tokenizer's tokens — the
+    * q79 budget keep-test spending q163's counts instead of the
+    * whitespace proxy (real budgets are spent in tokenizer tokens; the
+    * two denominators admit materially different documents, A/B
+    * spec-pinned in TrainPipeSpec).
+    */
+  private val q164 = QueryDef(
+    "q164_bpe_budget",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = graft.ops.TextOps.bpeMerges(docs, nMerges = 8)
+        .map(m => (m._2, m._3))
+      graft.ops.TrainPipe.budgetSample(docs, merges = Some(merges))
+    },
+    Some(graft.ops.TrainPipe.bpeBudgetOracleSql()))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -2836,5 +2867,5 @@ object Queries {
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
     q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
-    q160, q161, q162)
+    q160, q161, q162, q163, q164)
 }

@@ -1129,6 +1129,165 @@ object TextOps {
     learned.result()
   }
 
+  // -------------------------------------------------------------------
+  // BPE APPLY (q163/q164): tokenize WITH a trained merge table — the
+  // half of the tokenizer the r16 verdict called out as missing: a real
+  // pipeline trains merges once, then denominates every budget in THAT
+  // tokenizer's tokens, not the q99 n-gram proxy's.
+  //
+  // Representation: a word's symbolization is the delimited string
+  //   ␁a␁␁b␁...  (␁ = U+0001; each symbol individually
+  // wrapped, segments concatenated), so applying merge (a, b) is ONE
+  // literal  replace("␁a␁␁b␁" → "␁ab␁").  Literal left-to-right
+  // non-overlapping replacement IS the greedy merge fold the trainer
+  // uses ([[bpeMerges]]' mergeFold): adjacent occurrences share no
+  // characters under per-symbol wrapping (unlike a space-separated
+  // form, where back-to-back matches fight over the shared delimiter),
+  // so one pass merges every occurrence exactly as the fold does —
+  // train and apply can never segment differently. Spark's replace()
+  // and DuckDB's replace() share these semantics, which is what lets
+  // the q163 oracle replay TRAINING AND ENCODING end-to-end in SQL
+  // (eight unrolled argmax+replace stages — see [[bpeEncodeOracleCtes]]).
+  //
+  // Scale shape: the merge chain folds over the DISTINCT-WORD table
+  // (the same Zipf trick training uses — the corpus is scanned once to
+  // build (word, freq); the M-deep replace chain runs on distinct words
+  // only), then one hash join maps word occurrences back to their
+  // subword counts. Chains longer than [[EncodeChunk]] merges are
+  // applied in checkpointed chunks so the codegen'd expression tree
+  // stays bounded at any vocabulary size.
+  // -------------------------------------------------------------------
+
+  /** Symbol delimiter (U+0001) for the BPE-apply representation — never
+    * occurs in whitespace-tokenized text columns in practice; merge
+    * symbols containing it would splice spuriously, so
+    * [[bpeEncodeWords]] rejects them up front.
+    */
+  val SymSep = "\u0001"
+
+  /** Merges applied per projection before a dir-aware checkpoint cuts
+    * the expression chain (M literal replaces nest M deep otherwise —
+    * fine at 32, pathological at a real 32k-merge vocabulary).
+    */
+  val EncodeChunk = 32
+
+  /** The trained merge table applied to every DISTINCT word of the
+    * corpus: (w, freq, toks) where toks is the word's final subword
+    * segmentation (array of symbols) under `merges` in rank order.
+    */
+  def bpeEncodeWords(
+      docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    require(merges.forall { case (a, b) =>
+      !a.contains(SymSep) && !b.contains(SymSep) },
+      "merge symbols may not contain the \\u0001 delimiter")
+    val sep2 = SymSep + SymSep
+    var words = wordTable(docs)
+      // per-char wrap: "abc" -> ␁a␁␁b␁␁c␁ (charSplit: exact chars, no
+      // empty fragments — split-by-'' limit semantics differ per engine)
+      .withColumn("s", concat(lit(SymSep),
+        array_join(charSplit("w"), sep2), lit(SymSep)))
+    merges.grouped(EncodeChunk).zipWithIndex.foreach { case (chunk, i) =>
+      if (i > 0) words = Checkpoints.materialize(words)
+      words = words.withColumn("s",
+        chunk.foldLeft(col("s")) { case (c, (a, b)) =>
+          replace(c, lit(SymSep + a + sep2 + b + SymSep),
+            lit(SymSep + a + b + SymSep))
+        })
+    }
+    words.select(col("w"), col("freq"),
+      split(trim(col("s"), SymSep), sep2).as("toks"))
+  }
+
+  /** Per-document tokenizer-token counts under a trained merge table:
+    * (doc_id, n_tokens_bpe, n_tokens_ws), doc_id asc — every doc kept
+    * (null/empty text counts 0, the left-join totality the budget
+    * queries need). n_tokens_ws rides along so the artifact itself
+    * shows the whitespace-proxy gap the tokenizer denominator closes.
+    */
+  def bpeTokenCounts(
+      docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val perWord = bpeEncodeWords(docs, merges)
+      .select(col("w"), size(col("toks")).cast("long").as("n_sym"))
+    val occ = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("w"))
+    val perDoc = occ.join(perWord, "w")
+      .groupBy("doc_id").agg(sum(col("n_sym")).as("n_bpe"))
+    docs.select(col("doc_id"),
+      coalesce(size(expr("filter(split(text, ' '), x -> x <> '')"))
+        .cast("long"), lit(0L)).as("n_tokens_ws"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bpe"), lit(0L)).as("n_tokens_bpe"),
+        col("n_tokens_ws"))
+      .orderBy("doc_id")
+  }
+
+  /** The q163 contract: train `nMerges` merges on the corpus itself
+    * ([[bpeMerges]]), then tokenize the corpus WITH them — the
+    * train-once/apply-everywhere loop of a real pipeline in one call.
+    */
+  def bpeEncode(docs: DataFrame, nMerges: Int = 8): DataFrame =
+    bpeTokenCounts(docs,
+      bpeMerges(docs, nMerges).map(m => (m._2, m._3)))
+
+  /** The DuckDB replay of [[bpeEncode]]'s training loop: CTEs w0..w`n`
+    * where w0 is the per-char-wrapped distinct-word table and stage k
+    * computes pair counts over w(k−1), takes the argmax (cnt desc, pair
+    * asc — the trainer's tie-break), and applies it as the same literal
+    * replace; a LEFT JOIN ON TRUE makes a sub-minCount stage a no-op
+    * exactly like the trainer's early stop. `chr(1)` is [[SymSep]].
+    */
+  private[graft] def bpeEncodeOracleCtes(nMerges: Int, minCount: Long): String = {
+    val stages = (1 to nMerges).map { k =>
+      s"""p$k AS (
+         |  SELECT l[i] AS a, l[i + 1] AS b, sum(freq) AS cnt
+         |  FROM (SELECT freq, string_split(trim(s, chr(1)), chr(1) || chr(1)) AS l
+         |        FROM w${k - 1}),
+         |       UNNEST(range(1, len(l))) AS t(i)
+         |  GROUP BY 1, 2),
+         |m$k AS (
+         |  SELECT a, b FROM p$k WHERE cnt >= $minCount
+         |  ORDER BY cnt DESC, a || ' ' || b ASC LIMIT 1),
+         |w$k AS (
+         |  SELECT w, freq,
+         |    CASE WHEN a IS NULL THEN s
+         |         ELSE replace(s, chr(1) || a || chr(1) || chr(1) || b || chr(1),
+         |                         chr(1) || a || b || chr(1)) END AS s
+         |  FROM w${k - 1} LEFT JOIN m$k ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""wt AS (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |    FROM documents WHERE text IS NOT NULL)
+       |  GROUP BY w),
+       |w0 AS (
+       |  SELECT w, freq,
+       |    chr(1) || array_to_string(string_split(w, ''), chr(1) || chr(1)) || chr(1) AS s
+       |  FROM wt),
+       |$stages,
+       |enc AS (
+       |  SELECT w,
+       |    (len(s) - len(replace(s, chr(1), ''))) // 2 AS n_sym
+       |  FROM w$nMerges),
+       |occ AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_bpe
+       |  FROM occ JOIN enc USING (w) GROUP BY doc_id)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[bpeEncode]] (q163). */
+  def bpeEncodeOracleSql(nMerges: Int = 8, minCount: Long = 2L): String =
+    s"""WITH ${bpeEncodeOracleCtes(nMerges, minCount)}
+       |SELECT d.doc_id,
+       |  COALESCE(n_bpe, 0) AS n_tokens_bpe,
+       |  COALESCE(CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |    AS BIGINT), 0) AS n_tokens_ws
+       |FROM documents d LEFT JOIN perdoc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** (word, freq) over the whitespace tokenizer — the corpus's single
     * full scan; every BPE iteration reads this table, not the corpus.
     */

@@ -363,21 +363,31 @@ object TrainPipe {
   def budgetSample(
       docs: DataFrame, budgetTokens: Long = 3000L,
       by: String = "lang",
-      subwordVocab: Option[Seq[String]] = None): DataFrame =
-    budgetFilter(
-      docs.select(
-        col("doc_id"), col(by),
-        // the budget's denominator: whitespace tokens by default (the
-        // q32 proxy), or TOKENIZER tokens via the q99 greedy-merge count
-        // when a merge vocabulary is supplied — real budgets are spent
-        // in tokenizer tokens, and the two denominators select
-        // materially different documents (A/B spec-pinned)
-        subwordVocab.fold(size(split(col("text"), " ")).cast("long"))(v =>
-          graft.functions.TextFunctions.bpeTokenCount(col("text"), v))
-          .as("n_tokens")),
-      budgetTokens, by)
+      subwordVocab: Option[Seq[String]] = None,
+      merges: Option[Seq[(String, String)]] = None): DataFrame = {
+    // the budget's denominator: whitespace tokens by default (the q32
+    // proxy), the q99 greedy n-gram count when a vocabulary is supplied,
+    // or — the real thing — TRAINED-TOKENIZER tokens when a merge table
+    // is supplied (TextOps.bpeTokenCounts: the q163 apply path). Real
+    // budgets are spent in tokenizer tokens; the denominators select
+    // materially different documents (A/B spec-pinned).
+    val denom = merges match {
+      case Some(m) =>
+        docs.select(col("doc_id"), col(by))
+          .join(graft.ops.TextOps.bpeTokenCounts(docs, m)
+            .select(col("doc_id"), col("n_tokens_bpe").as("n_tokens")),
+            "doc_id")
+      case None =>
+        docs.select(
+          col("doc_id"), col(by),
+          subwordVocab.fold(size(split(col("text"), " ")).cast("long"))(v =>
+            graft.functions.TextFunctions.bpeTokenCount(col("text"), v))
+            .as("n_tokens"))
+    }
+    budgetFilter(denom, budgetTokens, by)
       .select(col("doc_id"), col(by), col("n_tokens"))
       .orderBy("doc_id")
+  }
 
   /** DuckDB SQL replicating [[budgetSample]]. */
   def budgetOracleSql(budgetTokens: Long = 3000L, by: String = "lang"): String =
@@ -385,6 +395,27 @@ object TrainPipe {
        |  SELECT doc_id, $by,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
        |  FROM documents),
+       |tot AS (
+       |  SELECT $by, CAST(sum(n_tokens) AS BIGINT) AS total
+       |  FROM t GROUP BY 1)
+       |SELECT doc_id, t.$by, n_tokens
+       |FROM t JOIN tot ON t.$by = tot.$by
+       |WHERE ${duckHex7("'budget:' || doc_id")} % 10000 * total
+       |  < $budgetTokens * 10000
+       |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB SQL replicating [[budgetSample]] with the TRAINED-tokenizer
+    * denominator (q164): [[graft.ops.TextOps.bpeEncodeOracleCtes]]
+    * replays training + encoding, then the same integer keep test runs
+    * on those token counts.
+    */
+  def bpeBudgetOracleSql(
+      budgetTokens: Long = 3000L, by: String = "lang",
+      nMerges: Int = 8, minCount: Long = 2L): String =
+    s"""WITH ${graft.ops.TextOps.bpeEncodeOracleCtes(nMerges, minCount)},
+       |t AS (
+       |  SELECT d.doc_id, d.$by, COALESCE(n_bpe, 0) AS n_tokens
+       |  FROM documents d LEFT JOIN perdoc USING (doc_id)),
        |tot AS (
        |  SELECT $by, CAST(sum(n_tokens) AS BIGINT) AS total
        |  FROM t GROUP BY 1)

@@ -457,6 +457,66 @@ class TextOpsSpec extends SparkSpec {
     assert(m === Seq((1, "a", "b", 1L)))
   }
 
+  // ------------------------------------------------ BPE apply (q163/q164)
+
+  test("bpe apply: trained merges segment the ACL corpus as published") {
+    val merges = TextOps.bpeMerges(bpeCorpus, nMerges = 4)
+      .map(m => (m._2, m._3))
+    val segs = TextOps.bpeEncodeWords(bpeCorpus, merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    // es+est then lo+low: "lowest" would be [low, est]; the corpus's own
+    // words segment with the learned units
+    assert(segs("low") === Seq("low"))
+    assert(segs("lower") === Seq("low", "e", "r"))
+    assert(segs("newest") === Seq("n", "e", "w", "est"))
+    assert(segs("widest") === Seq("w", "i", "d", "est"))
+  }
+
+  test("bpe apply: greedy left-to-right parity with the trainer's fold") {
+    import spark.implicits._
+    // (a, a) applied to aaaaa must give [aa, aa, a] — the fold, not a
+    // re-scan that would pair the tail differently
+    val d = Seq((1L, "aaaaa")).toDF("doc_id", "text")
+    val segs = TextOps.bpeEncodeWords(d, Seq(("a", "a")))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(segs("aaaaa") === Seq("aa", "aa", "a"))
+    // adjacent non-overlapping occurrences all merge in rank order:
+    // (a,b) over abab -> [ab, ab]; then (ab,ab) -> [abab]
+    val d2 = Seq((1L, "abab")).toDF("doc_id", "text")
+    assert(TextOps.bpeEncodeWords(d2, Seq(("a", "b")))
+      .head().getSeq[String](2) === Seq("ab", "ab"))
+    assert(TextOps.bpeEncodeWords(d2, Seq(("a", "b"), ("ab", "ab")))
+      .head().getSeq[String](2) === Seq("abab"))
+  }
+
+  test("bpe apply: merge-rank segmentation differs from the q99 n-gram proxy") {
+    import spark.implicits._
+    // "the" under trained ranks (t,h),(th,e): ONE token [the].
+    // The q99 greedy proxy with vocabulary [he] matches longest n-grams
+    // left to right: t + he = TWO tokens. Same string, different
+    // tokenizers — the reason budgets must be denominated in the
+    // TRAINED tokenizer (q164), not the proxy.
+    val d = Seq((1L, "the")).toDF("doc_id", "text")
+    val bpe = TextOps.bpeTokenCounts(d, Seq(("t", "h"), ("th", "e")))
+      .head().getLong(1)
+    val proxy = d.select(graft.functions.TextFunctions
+      .bpeTokenCount(col("text"), Seq("he"))).head().getLong(0)
+    assert(bpe === 1L)
+    assert(proxy === 2L)
+  }
+
+  test("bpe token counts: total over null/empty text; delimiter guarded") {
+    import spark.implicits._
+    val d = Seq((1L, Some("low low")), (2L, None: Option[String]),
+      (3L, Some(""))).toDF("doc_id", "text")
+    val rows = TextOps.bpeTokenCounts(d, Seq(("l", "o"), ("lo", "w")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows === Array((1L, 2L, 2L), (2L, 0L, 0L), (3L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      TextOps.bpeEncodeWords(d, Seq(("a", TextOps.SymSep)))
+    }
+  }
+
   test("bpe pair counting: every adjacent occurrence counts (aaaa -> 3)") {
     import spark.implicits._
     val d = Seq((1L, "aaaa")).toDF("doc_id", "text")

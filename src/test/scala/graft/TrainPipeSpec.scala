@@ -149,6 +149,32 @@ class TrainPipeSpec extends SparkSpec {
     }
   }
 
+  test("budget denominated in trained-tokenizer tokens differs materially from the whitespace proxy") {
+    // the q164 point: every whitespace word is AT LEAST one subword
+    // token (usually several under only 8 merges), so tokenizer totals
+    // exceed whitespace totals, the keep test tightens, and the SAME
+    // budget admits a strictly smaller document set — exactly the
+    // over-admission a proxy-denominated budget hides
+    val merges = graft.ops.TextOps.bpeMerges(docs, nMerges = 8)
+      .map(m => (m._2, m._3))
+    assert(merges.nonEmpty)
+    val ws = TrainPipe.budgetSample(docs, budgetTokens = 300L)
+      .collect().map(_.getLong(0)).toSet
+    val bpe = TrainPipe.budgetSample(docs, budgetTokens = 300L,
+      merges = Some(merges))
+      .collect().map(_.getLong(0)).toSet
+    assert(bpe !== ws, "denominators selected identical documents")
+    // keep probability scales with budget/total and totals only grow
+    // under subword splitting, so the tokenizer selection is a subset
+    assert(bpe.subsetOf(ws))
+    assert(bpe.nonEmpty && ws.nonEmpty)
+    // and the reported n_tokens really are the tokenizer's, not ws
+    val perDoc = graft.ops.TextOps.bpeTokenCounts(docs, merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    perDoc.values.foreach { case (nb, nw) => assert(nb >= nw) }
+    assert(perDoc.values.exists { case (nb, nw) => nb > nw })
+  }
+
   test("budget sample plan: totals broadcast, no window / ordered prefix scan") {
     val df = TrainPipe.budgetSample(docs)
     df.collect()
