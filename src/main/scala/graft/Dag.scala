@@ -68,6 +68,33 @@ object Dag {
         s"dag run failed after the ingest ledger commit " +
           s"(${batch.processed.size} file(s) already ledgered)", cause)
 
+  /** Retention sweep over the persisted stores a long-lived deployment
+    * serves ([[graft.ops.StoreManifest]] stores: postings, ANN index,
+    * near-dup bands, SCD2 — they accumulate superseded data dirs until
+    * an explicit vacuum). Runs [[graft.ops.StoreManifest.vacuum]] on
+    * each dir; a store that fails to sweep is LOGGED and skipped, never
+    * failing the tick — retention is maintenance, the tick's data work
+    * has already committed, and the swept store still serves its
+    * current snapshot untouched (vacuum only deletes unreferenced
+    * dirs). Returns the dirs that swept cleanly.
+    */
+  def vacuumStores(
+      spark: SparkSession,
+      storeDirs: Seq[String],
+      keepVersions: Int = 2): Seq[String] = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    storeDirs.filter { dir =>
+      try { graft.ops.StoreManifest.vacuum(spark, dir, keepVersions); true }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          log.warn(s"store vacuum failed for $dir — superseded dirs " +
+            "retained until the next tick's sweep; serving snapshot " +
+            "unaffected", e)
+          false
+      }
+    }
+  }
+
   def run(
       spark: SparkSession,
       incomingDir: String,
@@ -77,7 +104,12 @@ object Dag {
       namePrefix: String = "loan_",
       nameSuffix: String = ".csv",
       coalesceOutput: Boolean = true,
-      now: Instant = Instant.now()): RunResult = {
+      now: Instant = Instant.now(),
+      // persisted-store retention: dirs swept AFTER the report stage
+      // each tick (the operational loop the stores' lifecycle needs —
+      // they grow superseded dirs until someone vacuums)
+      storeDirs: Seq[String] = Nil,
+      storeKeepVersions: Int = 2): RunResult = {
 
     val conf = spark.sparkContext.hadoopConfiguration
     val rawDir = s"$workDir/raw"
@@ -131,6 +163,10 @@ object Dag {
           finally out.close()
           Some(p.toString)
         }
+
+      // the retention sweep runs LAST — data work and report are done,
+      // and vacuumStores isolates per-store failures itself
+      if (storeDirs.nonEmpty) vacuumStores(spark, storeDirs, storeKeepVersions)
 
       RunResult(batch, etl, reportPath,
         reportPath.map(_ => Summary.subject(batch.processed.size)))
@@ -203,7 +239,9 @@ object Dag {
       sleep: Long => Unit = null,
       clock: () => Instant = () => Instant.now(),
       onRun: RunResult => Unit = _ => (),
-      control: LoopControl = new LoopControl): Unit = {
+      control: LoopControl = new LoopControl,
+      storeDirs: Seq[String] = Nil,
+      storeKeepVersions: Int = 2): Unit = {
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
     val doSleep: Long => Unit = if (sleep != null) sleep else control.await
     val intervalMs = intervalSeconds * 1000L
@@ -218,7 +256,8 @@ object Dag {
       // post-commit failure will never get
       val result =
         try Some(run(spark, incomingDir, workDir,
-          minAgeSeconds = minAgeSeconds, maxFileAgeMs = maxFileAgeMs, now = clock()))
+          minAgeSeconds = minAgeSeconds, maxFileAgeMs = maxFileAgeMs, now = clock(),
+          storeDirs = storeDirs, storeKeepVersions = storeKeepVersions))
         catch {
           case e: PostCommitFailure =>
             log.error(s"dag tick failed AFTER the ingest ledger commit — " +

@@ -224,6 +224,12 @@ object ScaleCurve {
       }
     }
 
+    // trained ONCE on the BASE corpus — the q163 cell applies a factor-
+    // independent tokenizer to every scaled corpus, as production would
+    val baseMerges: Seq[(String, String)] =
+      graft.ops.TextOps.bpeMerges(Queries.t(spark, base, "documents"), nMerges = 8)
+        .map(m => (m._2, m._3))
+
     // one measurement cell per (factor, operator); `mk` rebuilds the
     // frame fresh each run, `rowsOf` documents that OUTPUT grows linearly,
     // not just runtime (computed once, untimed — noop caches nothing)
@@ -601,7 +607,43 @@ object ScaleCurve {
         // exactly linear (translate preserves token counts).
         Cell(f, "q162_weighted_percentile",
           () => SparkEntry.queries("q162_weighted_percentile")(spark, dir),
-          _.agg(max("total_weight")).head().getLong(0)))
+          _.agg(max("total_weight")).head().getLong(0)),
+        // crawl pipeline, ROTATION-SURVIVING gate witness (the r16
+        // stretch): the plain q161 cell is honest but rows-flat by
+        // construction (rotation destroys the English stopword key, so
+        // replicas 1..f-1 fail the stop-ratio gate). Here the stopword
+        // list is expanded with each replica's ROTATED stopword forms, so
+        // every replica carries the base corpus's stop-ratio structure
+        // and the downstream gates + digest keeper are exercised at full
+        // volume: rows must scale ~linearly (exactly f x base up to the
+        // rare accidental cross-replica token collision).
+        Cell(f, "q161_crawl_rotstop",
+          () => {
+            val stop0 = Seq("the", "a", "and", "of", "to")
+            val rotStops = (0 until f).flatMap(r =>
+              stop0.map(_.map(c => Lower((Lower.indexOf(c) + r) % 26))))
+              .distinct
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("digest")).orderBy(col("doc_id"))
+            graft.ops.TextOps.crawlGate(
+              docs.withColumn("raw_html", graft.ops.TextOps
+                .syntheticHtml(col("doc_id"), col("text"))),
+              rotStops)
+              .withColumn("rn", row_number().over(w))
+              .filter(col("rn") === 1)
+              .select("doc_id", "n_chars_ext", "n_tokens",
+                "stop_ratio", "boiler_ratio")
+          },
+          _.count()),
+        // BPE APPLY (q163's apply half, train-once/apply-everywhere): the
+        // merge table is trained ONCE on the base corpus (factor-
+        // independent, like a real tokenizer) and applied to the scaled
+        // corpus — the replace chain folds over the distinct-word table
+        // (which grows ~f x) and the occurrence join over the full
+        // corpus. Row witness = every document, exactly linear.
+        Cell(f, "q163_bpe_apply",
+          () => graft.ops.TextOps.bpeTokenCounts(docs, baseMerges),
+          _.count()))
     }
 
     def runOnce(c: Cell): Double = {

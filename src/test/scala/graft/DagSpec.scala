@@ -331,4 +331,52 @@ class DagSpec extends SparkSpec {
       java.nio.file.Paths.get(work.resolve("report.html").toString))
     assert(html.contains("loan_new.csv") && !html.contains("loan_old.csv"))
   }
+
+  test("store vacuum scheduling: the tick sweeps superseded dirs; serving snapshot unchanged; failures isolated") {
+    import spark.implicits._
+    import graft.ops.StoreManifest
+    import graft.ops.StoreManifest.Snapshot
+    val incoming = tmpDir("dagvac_in"); val work = tmpDir("dagvac_work")
+    writeFile(incoming, "loan_v.csv",
+      """loan_id,customer_id,application_date,loan_amount,interest_rate,term_months,status,loan_type,currency,branch
+        |L1,C1,2024-01-15 10:30:00,1000.0,12.5,12,APPROVED,AUTO,PKR,A
+        |""".stripMargin)
+    // two stores with history + an orphan from a "crashed" mutation
+    val storeA = tmpDir("dagvac_storeA").toString
+    val storeB = tmpDir("dagvac_storeB").toString
+    Seq(1L).toDF("id").write.parquet(s"$storeA/d-v000000001")
+    Seq(2L).toDF("id").write.parquet(s"$storeA/d-v000000002")
+    Seq(3L).toDF("id").write.parquet(s"$storeA/d-v000000003")
+    Seq(9L).toDF("id").write.parquet(s"$storeA/orphan-v000000009")
+    StoreManifest.publish(spark, storeA, Snapshot(1L, -1L, Map("d" -> Seq("d-v000000001"))))
+    StoreManifest.publish(spark, storeA, Snapshot(2L, -1L, Map("d" -> Seq("d-v000000002"))))
+    StoreManifest.publish(spark, storeA, Snapshot(3L, -1L, Map("d" -> Seq("d-v000000003"))))
+    Seq(7L).toDF("id").write.parquet(s"$storeB/p-v000000001")
+    StoreManifest.publish(spark, storeB, Snapshot(1L, -1L, Map("p" -> Seq("p-v000000001"))))
+
+    val before = StoreManifest.currentSnapshot(spark, storeA).get
+    // a nonexistent third store must not fail the tick (failure isolation)
+    val run = Dag.run(spark, incoming.toString, work.toString,
+      minAgeSeconds = 0L,
+      storeDirs = Seq(storeA, storeB, "/nonexistent/not-a-store"),
+      storeKeepVersions = 1)
+    assert(run.batch.processed.map(_.filename) === Seq("loan_v.csv"))
+
+    // superseded + orphan dirs swept; ONLY the current snapshot's remain
+    val namesA = new java.io.File(storeA).listFiles().map(_.getName).toSet
+    assert(namesA === Set("_manifest", "d-v000000003"), namesA.toString)
+    // serving snapshot identical pre/post sweep, and still reads
+    val after = StoreManifest.currentSnapshot(spark, storeA).get
+    assert(after === before)
+    assert(StoreManifest.readComponent(spark, storeA, after, "d").get
+      .collect().map(_.getLong(0)).toSeq === Seq(3L))
+    // a store already at retention is untouched
+    assert(new java.io.File(storeB).listFiles().map(_.getName).toSet ===
+      Set("_manifest", "p-v000000001"))
+    // the sweep also composes on the loop path
+    Dag.runLoop(spark, incoming.toString, work.toString,
+      intervalSeconds = 1L, minAgeSeconds = 0L, iterations = 1L,
+      sleep = _ => (), storeDirs = Seq(storeA), storeKeepVersions = 1)
+    assert(StoreManifest.currentSnapshot(spark, storeA).get === before)
+  }
 }
