@@ -137,4 +137,46 @@ class RandomizedSpec extends SparkSpec {
       assert(got == exact, s"seed=$seed k=$k cap=$cap")
     }
   }
+
+  /** Driver-side greedy merge fold — the published BPE apply, one merge
+    * at a time over the whole symbol list (the oracle for
+    * [[TextOps.bpeEncodeWords]]' literal-replace representation).
+    */
+  private def refEncode(word: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(word.map(_.toString): Seq[String]) { case (syms, (a, b)) =>
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b)
+          acc.dropRight(1) :+ (a + b)
+        else acc :+ x
+      }
+    }
+
+  test("bpeEncodeWords matches the driver-side greedy fold on random words and merge chains (6 seeds)") {
+    for (seed <- 20 to 25) {
+      val rnd = new scala.util.Random(seed)
+      val alphabet = "ab" + (if (rnd.nextBoolean()) "c" else "")
+      def word() = (0 until 1 + rnd.nextInt(12))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val words = Seq.fill(12)(word()).distinct
+      // adversarial merge chains over a tiny alphabet: self-merges
+      // (a,a), chains onto merged symbols (aa,b), repeats — drawn from
+      // symbols reachable at each step so later merges can actually fire
+      var reachable = alphabet.map(_.toString).toVector
+      val merges = (0 until 1 + rnd.nextInt(6)).map { _ =>
+        val a = reachable(rnd.nextInt(reachable.size))
+        val b = reachable(rnd.nextInt(reachable.size))
+        reachable :+= (a + b)
+        (a, b)
+      }
+      val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("doc_id", "text")
+      val got = TextOps.bpeEncodeWords(docs, merges)
+        .collect().map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+      words.foreach { w =>
+        val want = refEncode(w, merges).toList
+        assert(got(w) == want,
+          s"seed=$seed word=$w merges=$merges: ${got(w)} vs $want")
+      }
+    }
+  }
 }
