@@ -1231,6 +1231,40 @@ object TextOps {
     bpeTokenCounts(docs,
       bpeMerges(docs, nMerges).map(m => (m._2, m._3)))
 
+  /** Per-ROW tokenizer token count under a trained merge table — the
+    * streaming-safe form of [[bpeTokenCounts]]: no distinct-word join,
+    * no shuffle, ONE codegen'd expression (wrap each char, fold the
+    * merge chain as literal replaces per word occurrence, count
+    * delimiter pairs), so a stateless gate ([[graft.streaming
+    * .StreamingEtl.corpusGate]](merges = …)) can spend budgets in
+    * TRAINED tokens per micro-batch. The batch form's Zipf-amortized
+    * distinct-word join is cheaper per token at corpus scale — prefer
+    * it wherever a shuffle is allowed. Bit-equal to the batch counts by
+    * the shared replace semantics (spec-pinned).
+    */
+  def bpeTokenCountCol(text: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.forall { case (a, b) =>
+      !a.contains(SymSep) && !b.contains(SymSep) },
+      "merge symbols may not contain the \\u0001 delimiter")
+    val sep2 = SymSep + SymSep
+    def enc(w: Column): Column = {
+      // ␁c␁ per char — adjacent chars meet as ␁␁, outer edges single ␁;
+      // (?s) so a stray control char still wraps instead of desyncing
+      val wrapped = regexp_replace(w, "(?s)(.)", SymSep + "$1" + SymSep)
+      val folded = merges.foldLeft(wrapped) { case (c, (a, b)) =>
+        replace(c, lit(SymSep + a + sep2 + b + SymSep),
+          lit(SymSep + a + b + SymSep))
+      }
+      ((length(folded) - length(replace(folded, lit(SymSep), lit("")))) / 2)
+        .cast("long")
+    }
+    coalesce(
+      aggregate(
+        transform(filter(split(text, " "), w => w =!= ""), enc _),
+        lit(0L), (acc, x) => acc + x),
+      lit(0L))
+  }
+
   /** The DuckDB replay of [[bpeEncode]]'s training loop: CTEs w0..w`n`
     * where w0 is the per-char-wrapped distinct-word table and stage k
     * computes pair counts over w(k−1), takes the argmax (cnt desc, pair

@@ -1012,7 +1012,12 @@ object StreamingEtl {
       rates: Seq[(String, Int)] = graft.ops.TrainPipe.DefaultRates,
       minTokens: Int = 3,
       maxDupTokFrac: Double = 0.75,
-      w: Int = 3): DataFrame = {
+      w: Int = 3,
+      // trained-tokenizer denomination (the q164 discipline, streaming
+      // form): when a merge table is supplied, n_tokens and the
+      // minTokens gate are spent in TRAINED tokens via the per-row
+      // apply expression — still a pure map, still stateless
+      merges: Option[Seq[(String, String)]] = None): DataFrame = {
     // bind the tokenization to ONE column first: HOF lambda bodies are
     // not loop-invariant-hoisted, so inlining split(text) inside the
     // gram transform would re-tokenize the document once per window
@@ -1020,7 +1025,9 @@ object StreamingEtl {
     // (the TrainPipe.gramsOf discipline)
     val tokenized = docs.withColumn("_t", split(col("text"), " "))
     val t = col("_t")
-    val nTokens = size(t).cast("long")
+    val nTokens = merges
+      .fold(size(t).cast("long"))(m =>
+        graft.ops.TextOps.bpeTokenCountCol(col("text"), m))
     val dupFrac = round(
       lit(1.0) - size(array_distinct(t)).cast("double") / size(t), 4)
     val grams = when(size(t) >= w,

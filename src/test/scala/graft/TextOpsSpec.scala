@@ -505,6 +505,26 @@ class TextOpsSpec extends SparkSpec {
     assert(proxy === 2L)
   }
 
+  test("bpeTokenCountCol (per-row apply) is bit-equal to the join-based batch counts") {
+    import spark.implicits._
+    val merges = TextOps.bpeMerges(bpeCorpus, nMerges = 4)
+      .map(m => (m._2, m._3))
+    val dirty = bpeCorpus.unionByName(Seq(
+      (900L, null: String), (901L, ""), (902L, "  low   newest "))
+      .toDF("doc_id", "text"))
+    val viaJoin = TextOps.bpeTokenCounts(dirty, merges)
+      .select("doc_id", "n_tokens_bpe")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perRow = dirty.select(col("doc_id"),
+      TextOps.bpeTokenCountCol(col("text"), merges).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perRow === viaJoin)
+    // and the empty merge chain degrades to per-word char counts
+    assert(Seq(("ab cde")).toDF("text")
+      .select(TextOps.bpeTokenCountCol(col("text"), Seq.empty))
+      .head().getLong(0) === 5L)
+  }
+
   test("bpe token counts: total over null/empty text; delimiter guarded") {
     import spark.implicits._
     val d = Seq((1L, Some("low low")), (2L, None: Option[String]),

@@ -1073,6 +1073,45 @@ class StreamingEtlSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpusGate with trained-tokenizer denomination: stateless, equals batch, spends trained tokens") {
+    import spark.implicits._
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val trainCorpus = Seq.fill(6)("newest").zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = graft.ops.TextOps.bpeMerges(trainCorpus, nMerges = 2)
+      .map(m => (m._2, m._3)) // all pairs tie at 6 -> pair-asc: (e,s), (e,w)
+    val rows =
+      """{"doc_id":1,"text":"newest newest newest newest","lang":"fr"}
+        |{"doc_id":2,"text":"xy zq","lang":"fr"}
+        |""".stripMargin
+    val in = tmpDir("bpegate-in")
+    writeFile(in, "docs.json", rows)
+
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      StreamingEtl.corpusGate(df, minTokens = 5, merges = Some(merges))
+
+    val q = gate(StreamingEtl.jsonFileStream(spark, in.toString, docsSchema))
+      .writeStream.format("memory").queryName("bpe_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("bpe_gate")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens"))
+        .sortBy(_._1).toSeq
+      // doc 1: "newest" = [n,ew,es,t] = 4 trained tokens x 4 words = 16
+      // (4 whitespace tokens would FAIL minTokens=5 — the denominators
+      // really differ); doc 2: 4 chars ("xy" 2 + "zq" 2) < 5 -> gated
+      assert(streamed === Seq(1L -> 16L))
+      val batch = gate(spark.read.schema(docsSchema).json(in.toString))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens"))
+        .sortBy(_._1).toSeq
+      assert(batch === streamed)
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("runCrawlGate: streaming crawl gate equals batch q161's gate columns; zero state operators") {
     val stop = Seq("the", "a", "and", "of", "to")
     val docsSchema = StructType(Seq(
