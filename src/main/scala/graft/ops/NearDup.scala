@@ -122,6 +122,58 @@ object NearDup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.k1").as("k1"), col("bk.k2").as("k2"))
   }
 
+  /** Band keys under an EXPLICIT (bands, rowsPerBand) plan —
+    * [[bandPlan]]'s output CONSUMED: band i's key is its r consecutive
+    * min-hashes joined into one string. The default [[bands]] is the
+    * (32, 2) special case with the key split into (k1, k2) columns (the
+    * oracle-pinned layout); this generalized form serves retuned
+    * thresholds. The verify stage is exact Jaccard either way, so a
+    * plan moves candidate RECALL along the S-curve — it can never make
+    * a reported pair wrong.
+    */
+  def bandsWith(sig: DataFrame, plan: (Int, Int)): DataFrame = {
+    val (b, r) = plan
+    require(b >= 1 && r >= 1 && b * r <= K,
+      s"plan ($b, $r) exceeds the $K-hash signature budget")
+    val bandStructs = (0 until b).map { i =>
+      struct(lit(i).as("band"),
+        concat_ws(":", (0 until r).map(j => col(s"m${i * r + j}")): _*)
+          .as("bkey"))
+    }
+    sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** [[lshNearDupPairs]] under an explicit (bands, rowsPerBand) plan —
+    * the τ-retuned form: `lshNearDupPairsPlanned(docs, bandPlan(tau))`.
+    * Identical candidate-join/guard/preflight/verify machinery, banding
+    * swapped for [[bandsWith]]; `plan = (32, 2)` reproduces the default
+    * operator's output exactly (spec-pinned).
+    */
+  def lshNearDupPairsPlanned(
+      docs: DataFrame,
+      plan: (Int, Int),
+      sliceMax: Option[Long] = Some(100L),
+      threshold: Double = 0.5,
+      hotBandMax: Option[Long] = None,
+      pairBudget: Option[Long] = Some(Lsh.DefaultPairBudget)): DataFrame = {
+    val tok = tokens(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bk = bandsWith(signatures(tok), plan)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keys = Seq("band", "bkey")
+    if (sliceMax.isEmpty && hotBandMax.isEmpty)
+      Lsh.preflightFullCorpus(bk, keys, pairBudget)
+    val guarded = Lsh.guardHotBuckets(bk, keys, hotBandMax)
+    val lhs = guarded.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+    val cand = Lsh.candidateJoin(guarded, lhs, keys, "doc_a", sliceMax)
+      .filter(col("doc_a") < col("doc_id"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+    verifiedJaccard(cand, tok, "doc_a", "doc_b", threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Candidate pairs (doc_a < doc_b), verified with exact Jaccard ≥
     * `threshold`. Output: (doc_a, doc_b, jaccard) ordered.
     *

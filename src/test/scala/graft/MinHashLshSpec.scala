@@ -29,6 +29,38 @@ class MinHashLshSpec extends SparkSpec {
     assert((lsh -- exact).isEmpty, "LSH emitted a pair the exact baseline did not")
   }
 
+  test("planned banding: (32,2) reproduces the default operator; a high-tau plan trades recall along the S-curve") {
+    val docs = Queries.t(spark, sf, "documents")
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bandPlan's knee solve feeds bandsWith: the default plan is the
+    // (32, 2) point, and the planned operator reproduces the default
+    // operator's output EXACTLY there (same bands, same keys, same
+    // verify arithmetic — only the key layout differs)
+    assert(graft.ops.NearDup.bandPlan(0.18) === ((32, 2)))
+    val default = pairsOf(graft.ops.NearDup.lshNearDupPairs(docs))
+    val planned = pairsOf(graft.ops.NearDup.lshNearDupPairsPlanned(docs, (32, 2)))
+    assert(planned === default)
+    assert(default.nonEmpty)
+    // a high-tau plan (fewer bands, deeper rows: knee ~0.9) keeps only
+    // high-similarity candidates: a SUBSET of the default's verified
+    // pairs, and every exact duplicate (j = 1.0 -> candidate prob 1.0
+    // under ANY plan) survives
+    val highTau = graft.ops.NearDup.bandPlan(0.9)
+    assert(highTau._2 > 2, s"expected deeper rows at tau=0.9, got $highTau")
+    val strict = pairsOf(graft.ops.NearDup.lshNearDupPairsPlanned(docs, highTau))
+    assert(strict.subsetOf(default))
+    val exactDups = pairsOf(graft.ops.NearDup.lshNearDupPairs(docs, threshold = 1.0))
+    assert(exactDups.subsetOf(strict),
+      "an exact duplicate pair must survive any band plan")
+    // the budget guard still applies
+    intercept[IllegalArgumentException] {
+      graft.ops.NearDup.bandsWith(
+        graft.ops.NearDup.signatures(graft.ops.NearDup.tokens(docs)), (33, 2))
+    }
+  }
+
   test("q25 physical plan has no nested-loop or cartesian join") {
     val plan = SparkEntry.queries("q25_minhash_lsh")(spark, sf)
       .queryExecution.executedPlan.toString
