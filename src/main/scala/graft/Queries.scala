@@ -2835,6 +2835,20 @@ object Queries {
     },
     Some(graft.ops.TrainPipe.bpeBudgetOracleSql()))
 
+  /** MinHash LSH near-dup under a RETUNED band plan — `bandPlan(0.35)`
+    * consumed end-to-end (the S-curve knee solve → generalized banding
+    * → same exact-Jaccard verify), oracle-replayed at the same plan.
+    * A literal at build time: the plan is a pure function of (τ, K).
+    */
+  private val q165 = QueryDef(
+    "q165_lsh_planned", {
+      val plan = graft.ops.NearDup.bandPlan(0.35)
+      (s, d) => graft.ops.NearDup.lshNearDupPairsPlanned(
+        t(s, d, "documents"), plan)
+    },
+    Some(graft.ops.NearDup.plannedOracleSql(
+      graft.ops.NearDup.bandPlan(0.35))))
+
   /** JSON field extraction from the events.props payload. */
   private val q28 = QueryDef(
     "q28_json_extract",
@@ -2867,5 +2881,5 @@ object Queries {
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
     q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
-    q160, q161, q162, q163, q164)
+    q160, q161, q162, q163, q164, q165)
 }

@@ -773,6 +773,56 @@ object NearDup {
        |WHERE jaccard >= $threshold ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** DuckDB oracle for [[lshNearDupPairsPlanned]]: [[oracleSql]] with
+    * the banding generalized to (bands, rowsPerBand) — band b's key is
+    * its r min-hashes cast to VARCHAR and ':'-joined, exactly
+    * [[bandsWith]]'s concat_ws. Same verify arithmetic.
+    */
+  def plannedOracleSql(
+      plan: (Int, Int),
+      sliceMax: Long = 100L,
+      threshold: Double = 0.5): String = {
+    val (bN, r) = plan
+    require(bN >= 1 && r >= 1 && bN * r <= K)
+    val minCols = seeds.zipWithIndex
+      .map { case ((a, b), i) => s"min((x*$a+$b)%$P) AS m$i" }
+      .mkString(",\n    ")
+    val sigList = (0 until K).map(i => s"m$i").mkString("[", ", ", "]")
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+       |  FROM documents),
+       |tx AS (
+       |  SELECT doc_id, CAST(list_reduce(
+       |    list_transform(range(1, 8),
+       |      i -> instr('0123456789abcdef', substr(md5(tok), i, 1)) - 1),
+       |    (acc, v) -> acc * 16 + v) AS BIGINT) AS x
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tok)),
+       |mins AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM tx GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b,
+       |    array_to_string(list_transform(range(0, $r),
+       |      j -> CAST(sig[$r*b + j + 1] AS VARCHAR)), ':') AS bkey
+       |  FROM (SELECT doc_id, $sigList AS sig FROM mins),
+       |       (SELECT unnest(range(0, $bN)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM bands a JOIN bands c
+       |    ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id
+       |  WHERE a.doc_id < $sliceMax),
+       |ver AS (
+       |  SELECT doc_a, doc_b,
+       |    round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) AS jaccard
+       |  FROM cand
+       |  JOIN tok ta ON ta.doc_id = doc_a
+       |  JOIN tok tb ON tb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, jaccard FROM ver
+       |WHERE jaccard >= $threshold ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // -------------------------------------------------------------------
   // Cross-source duplication matrix (q151): WHICH crawls duplicate each
   // other — the provenance question a curation team asks before buying
