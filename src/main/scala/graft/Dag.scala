@@ -319,17 +319,24 @@ object Dag {
 
   def main(args: Array[String]): Unit = {
     // `--interval <seconds>` anywhere in the arg list turns the one-shot
-    // run into the reference's every-N-seconds loop
-    val (flagArgs, positional) = {
-      val i = args.indexOf("--interval")
-      if (i < 0) (None, args.toSeq)
+    // run into the reference's every-N-seconds loop; `--vacuum-stores
+    // <dir,dir,...>` schedules the per-tick retention sweep over the
+    // named persisted stores (see [[vacuumStores]])
+    def takeFlag(as: Seq[String], name: String): (Option[String], Seq[String]) = {
+      val i = as.indexOf(name)
+      if (i < 0) (None, as)
       else {
-        require(i + 1 < args.length, "--interval requires a <seconds> value")
-        (Some(args(i + 1).toLong), args.toSeq.patch(i, Nil, 2))
+        require(i + 1 < as.length, s"$name requires a value")
+        (Some(as(i + 1)), as.patch(i, Nil, 2))
       }
     }
+    val (intervalFlag, rest) = takeFlag(args.toSeq, "--interval")
+    val (storesFlag, positional) = takeFlag(rest, "--vacuum-stores")
+    val flagArgs = intervalFlag.map(_.toLong)
+    val storeDirs = storesFlag.toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
     require(positional.length >= 2,
-      "usage: graft.Dag <incomingDir> <workDir> [minAgeSeconds] [maxFileAgeMs] [--interval <seconds>]")
+      "usage: graft.Dag <incomingDir> <workDir> [minAgeSeconds] [maxFileAgeMs] " +
+        "[--interval <seconds>] [--vacuum-stores <dir,dir,...>]")
     val minAge = positional.lift(2).map(_.toLong).getOrElse(60L)
     val maxAge = positional.lift(3).map(_.toLong).getOrElse(Long.MaxValue)
     val spark = Sessions.builder("GraftDag").getOrCreate()
@@ -355,11 +362,12 @@ object Dag {
           "graft-dag-shutdown"))
         try runLoop(spark, positional(0), positional(1), interval,
           minAgeSeconds = minAge, maxFileAgeMs = maxAge, onRun = printRun,
-          control = control)
+          control = control, storeDirs = storeDirs)
         finally exited.countDown()
       case None =>
         printRun(run(spark, positional(0), positional(1),
-          minAgeSeconds = minAge, maxFileAgeMs = maxAge))
+          minAgeSeconds = minAge, maxFileAgeMs = maxAge,
+          storeDirs = storeDirs))
     } finally spark.stop()
   }
 }
