@@ -1042,9 +1042,10 @@ object TextOps {
   // BPE merge training (q145): byte-pair-encoding tokenizer training as
   // published (Sennrich, Haddow & Birch, ACL 2016) — iteratively count
   // adjacent symbol pairs over the corpus and merge the most frequent.
-  // The q99 subword counter CONSUMES a vocabulary; this is the operator
-  // that LEARNS one — the piece of a training-data pipeline that runs
-  // over the full corpus and therefore must distribute.
+  // The q99 subword counter CONSUMES a proxy vocabulary; this is the
+  // operator that LEARNS real merge ranks — and the BPE APPLY section
+  // below ([[bpeEncodeWords]], q163) tokenizes WITH them, closing the
+  // train-once/apply-everywhere loop ([[TokenizerStore]] persists it).
   //
   // Shape, scale-first (the standard distributed formulation): pair
   // counting runs over the DISTINCT-WORD table weighted by word
