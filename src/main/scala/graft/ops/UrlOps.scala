@@ -15,6 +15,9 @@ import org.apache.spark.sql.functions._
   *   - scheme and host lowercased; path and query case preserved
   *     (paths are case-sensitive);
   *   - fragment stripped (never sent to the server);
+  *   - userinfo stripped (user:pass@host, RFC 3986 §3.2.1): two URLs
+  *     differing only in credentials are one page, and credentials must
+  *     not persist into canonical keys;
   *   - default port stripped (:80 on http, :443 on https); any other
   *     explicit port kept;
   *   - query params: empties and `utm_*` tracking params dropped, the
@@ -108,7 +111,12 @@ object UrlOps {
     val nofrag = regexp_replace(u, "#.*$", "")
     val scheme = lower(regexp_extract(nofrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = regexp_replace(nofrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val hostport = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    // userinfo (user:pass@host — RFC 3986 §3.2.1) stripped before the
+    // port split: a crawl frontier occasionally carries it, and leaving
+    // it in would fragment the host/domain keys and break the port
+    // detection (the ':' of user:pass wins the regex otherwise)
+    val hostport = regexp_replace(
+      lower(regexp_extract(rest, "^([^/?]*)", 1)), "^[^@]*@", "")
     val host = regexp_replace(hostport, ":[0-9]+$", "")
     val port = regexp_extract(hostport, ":([0-9]+)$", 1)
     val pathq = regexp_replace(rest, "^[^/?]*", "")
@@ -191,7 +199,8 @@ object UrlOps {
        |  FROM u),
        |c1 AS (
        |  SELECT doc_id, n_chars, url, scheme,
-       |    lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+       |    regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)),
+       |      '^[^@]*@', '') AS hostport,
        |    regexp_replace(rest, '^[^/?]*', '') AS pathq
        |  FROM c0),
        |c2 AS (
