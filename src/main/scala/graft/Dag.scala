@@ -327,6 +327,11 @@ object Dag {
       if (i < 0) (None, as)
       else {
         require(i + 1 < as.length, s"$name requires a value")
+        // a following flag is NOT a value: '--vacuum-stores --interval 60'
+        // would otherwise silently eat '--interval' as the store list and
+        // run one-shot with a bogus store dir instead of erroring
+        require(!as(i + 1).startsWith("--"),
+          s"$name requires a value, got flag '${as(i + 1)}'")
         (Some(as(i + 1)), as.patch(i, Nil, 2))
       }
     }

@@ -158,9 +158,8 @@ object NearDup {
       threshold: Double = 0.5,
       hotBandMax: Option[Long] = None,
       pairBudget: Option[Long] = Some(Lsh.DefaultPairBudget)): DataFrame = {
-    val tok = tokens(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bk = bandsWith(signatures(tok), plan)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tok = Checkpoints.materialize(tokens(docs))
+    val bk = Checkpoints.materialize(bandsWith(signatures(tok), plan))
     val keys = Seq("band", "bkey")
     if (sliceMax.isEmpty && hotBandMax.isEmpty)
       Lsh.preflightFullCorpus(bk, keys, pairBudget)
@@ -200,13 +199,16 @@ object NearDup {
       pairBudget: Option[Long] = Some(Lsh.DefaultPairBudget)): DataFrame = {
     // Both `tok` and `bk` are consumed more than once (tok: signatures + the
     // two verification attaches; bk: both sides of the candidate self-join).
-    // Persist them so each lineage is computed exactly once — without this the
-    // 64-min-hash aggregate runs twice and tokenization three times. Sizes are
-    // bounded: bk is 4 longs × Bands per doc, tok is the token sets
-    // (fingerprint-scale, not corpus-scale). At cluster scale the same frames
-    // are the ones you would materialize to storage between stages.
-    val tok = tokens(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bk = bands(signatures(tok)).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize them so each lineage is computed exactly once — without this
+    // the 64-min-hash aggregate runs twice and tokenization three times. Sizes
+    // are bounded: bk is 4 longs × Bands per doc, tok is the token sets
+    // (fingerprint-scale, not corpus-scale). Checkpoints.materialize, not a
+    // bare persist: an un-unpersisted persist pins executor storage for the
+    // life of the session (the r14 advisory), while a checkpointed frame's
+    // blocks are reference-tracked away when the frame is dropped. At cluster
+    // scale these are the frames you would materialize to storage anyway.
+    val tok = Checkpoints.materialize(tokens(docs))
+    val bk = Checkpoints.materialize(bands(signatures(tok)))
     // safe-by-default (the q151 lesson): a full-corpus call with NO hot-
     // bucket cap sizes its own candidate space first and fails fast with
     // the estimate instead of enumerating a quadratic blowup (bk is

@@ -26,7 +26,13 @@ object TokenizerStore {
   /** Train on `docs` ([[TextOps.bpeMerges]]) and publish the learned
     * table as the store's next version. Returns the published version.
     * A concurrent writer racing to the same version is rejected by the
-    * manifest's exists-check — last-writer-loses, never a clobber.
+    * manifest's exists-check — last-writer-loses, never a clobber. The
+    * data dir is ATTEMPT-UNIQUE (name carries a random tag), so two
+    * racers computing the same `next` write disjoint dirs and the
+    * loser can never clobber or interleave with the dir the winner's
+    * published manifest references (the immutability invariant
+    * [[StoreManifest]] relies on); the loser's orphan dir is
+    * unreferenced by every manifest and swept by the next `vacuum`.
     */
   def trainAndPublish(
       spark: SparkSession,
@@ -37,11 +43,12 @@ object TokenizerStore {
     val learned = TextOps.bpeMerges(docs, nMerges, minCount)
     val next = StoreManifest.currentSnapshot(spark, dir)
       .map(_.version + 1L).getOrElse(1L)
-    val dataDir = StoreManifest.componentDir(Component, next)
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"${StoreManifest.componentDir(Component, next)}-$attempt"
     import spark.implicits._
     learned.toDF("step", "left", "right", "cnt")
       .coalesce(1) // one row per merge: a single small file per version
-      .write.mode("overwrite").parquet(s"$dir/$dataDir")
+      .write.parquet(s"$dir/$dataDir") // errorifexists: the dir is ours alone
     StoreManifest.publish(spark, dir,
       StoreManifest.Snapshot(next, -1L, Map(Component -> Seq(dataDir))))
     next

@@ -114,9 +114,12 @@ object UrlOps {
     // userinfo (user:pass@host — RFC 3986 §3.2.1) stripped before the
     // port split: a crawl frontier occasionally carries it, and leaving
     // it in would fragment the host/domain keys and break the port
-    // detection (the ':' of user:pass wins the regex otherwise)
+    // detection (the ':' of user:pass wins the regex otherwise). The
+    // strip is GREEDY ('^.*@'): RFC 3986 / WHATWG place the host after
+    // the LAST '@' of the authority, so a dirty 'http://a@b@c.com/'
+    // keys host as 'c.com', not 'b@c.com'
     val hostport = regexp_replace(
-      lower(regexp_extract(rest, "^([^/?]*)", 1)), "^[^@]*@", "")
+      lower(regexp_extract(rest, "^([^/?]*)", 1)), "^.*@", "")
     val host = regexp_replace(hostport, ":[0-9]+$", "")
     val port = regexp_extract(hostport, ":([0-9]+)$", 1)
     val pathq = regexp_replace(rest, "^[^/?]*", "")
@@ -200,7 +203,7 @@ object UrlOps {
        |c1 AS (
        |  SELECT doc_id, n_chars, url, scheme,
        |    regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)),
-       |      '^[^@]*@', '') AS hostport,
+       |      '^.*@', '') AS hostport,
        |    regexp_replace(rest, '^[^/?]*', '') AS pathq
        |  FROM c0),
        |c2 AS (

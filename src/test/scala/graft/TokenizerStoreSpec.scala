@@ -66,9 +66,14 @@ class TokenizerStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TokenizerStore.mergesAt(spark, dir, 1L) // retired by retention
     }
-    // the swept store keeps exactly the serving version's data dir
+    // the swept store keeps exactly the serving version's data dir (the
+    // name carries the publishing attempt's unique tag — see
+    // trainAndPublish: racers write disjoint dirs, losers become
+    // vacuum-swept orphans)
     val names = new java.io.File(dir).listFiles().map(_.getName).toSet
-    assert(names === Set("_manifest", "merges-v000000002"))
+    assert(names.size == 2 && names.contains("_manifest") &&
+      names.exists(_.startsWith("merges-v000000002-")),
+      s"swept store must keep only the manifest and v2's data dir: $names")
   }
 
   test("a never-published store serves the empty tokenizer") {

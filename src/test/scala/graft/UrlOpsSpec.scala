@@ -37,6 +37,11 @@ class UrlOpsSpec extends SparkSpec {
     // the userinfo ':' must not be mistaken for a port separator
     assert(canonOf("http://u:p@x.com:8080/a")._1 == "http://x.com:8080/a")
     assert(canonOf("http://u:p@x.com:80/a")._1 == "http://x.com/a")
+    // greedy strip (RFC 3986/WHATWG): the host starts after the LAST '@'
+    // of the authority — a dirty frontier 'a@b@c.com' keys as 'c.com'
+    val (_, h2, d2) = canonOf("http://a@b@c.com/")
+    assert(h2 == "c.com" && d2 == "c.com",
+      "host must start after the last '@' of the authority")
   }
 
   test("fragment stripped; empty path becomes /") {
