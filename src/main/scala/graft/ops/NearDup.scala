@@ -360,7 +360,11 @@ object NearDup {
       docs: DataFrame,
       threshold: Double = 0.8,
       sliceMax: Option[Long] = Some(100L),
-      hotPostingMax: Option[Long] = None): DataFrame = {
+      hotPostingMax: Option[Long] = None,
+      // arbitrary contained-side predicate (overrides sliceMax when set)
+      // — the scale-curve's replica-spanning growing probe needs
+      // `doc_id % stride < k`, which a plain id ceiling can't express
+      slicePredicate: Option[Column] = None): DataFrame = {
     val tok = tokens(docs).filter(size(col("toks")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val posting = tok.select(col("doc_id"), size(col("toks")).as("n"),
@@ -382,7 +386,10 @@ object NearDup {
     // pairs) — erring only toward a slightly longer prefix, which can
     // never lose a pair
     def mMin(n: Column): Column = ceil(n * lit(threshold - 1e-4))
-    val aSide = sliceMax.fold(guarded)(m => guarded.filter(col("doc_id") < m))
+    val aSide = slicePredicate match {
+      case Some(p) => guarded.filter(p)
+      case None => sliceMax.fold(guarded)(m => guarded.filter(col("doc_id") < m))
+    }
     val cand = aSide
       .filter(col("rk") <= col("n") - mMin(col("n")) + 1)
       .select(col("doc_id").as("doc_a"), col("n").as("na"), col("tok"))
