@@ -78,13 +78,19 @@ object Graph {
     def small(df: DataFrame): DataFrame =
       if (broadcastRanks) broadcast(df) else df
     // pairs are distinct, so per-src edge count IS the degree
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val n = deg.agg(count(lit(1)).as("n"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    // |V| as a collected literal (the q129 gate discipline — a bounded
+    // 1-value action, not driver data work): the former 1-row broadcast
+    // crossJoin recomputed deg inside its own broadcast subquery, racing
+    // init's materialization into DUPLICATE edge-build scans (r18
+    // profile: two concurrent 64-task full-input stages at query start).
+    // deg.count() warms the edges and deg caches once, sequentially, and
+    // the integer arithmetic on the driver is the same `div`.
+    val n = math.max(deg.count(), 1L) // empty graph: init has no rows
     val init = deg.select(col("src").as("v"), col("deg"))
-      .crossJoin(broadcast(n)) // 1-row frame: the scalar-broadcast pattern
       .select(col("v"), col("deg"),
-        expr(s"${Scale}L div n").as("r"),
-        expr(s"((${Scale}L div n) * 15) div 100").as("base"))
+        lit(Scale / n).as("r"),
+        lit(((Scale / n) * 15) / 100).as("base"))
       .persist() // referenced every iteration (deg + teleport base)
     var ranks = init
     for (_ <- 1 to iters) {
@@ -139,7 +145,10 @@ object Graph {
       .persist()
     def small(df: DataFrame): DataFrame =
       if (broadcastRanks) broadcast(df) else df
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // persisted: the gate action below materializes deg once; init then
+    // reads the cache instead of re-aggregating the edges (r18 profile
+    // showed the duplicate 64-task aggregate)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
     // integer div: Column `/` on longs is DOUBLE division
     val isSeed = col("v") % 2 === 1 && expr(s"(v div 2) % $seedMod") === 0
     // ONE collected (nv, ns) aggregate serves BOTH the empty-seed gate
@@ -297,13 +306,14 @@ object Graph {
       .persist()
     def small(df: DataFrame): DataFrame =
       if (broadcastRanks) broadcast(df) else df
-    val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("wtot"))
-    val n = deg.agg(count(lit(1)).as("n"))
+    val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("wtot")).persist()
+    // |V| as a collected literal — see [[pageRank]] (the r18 duplicate
+    // edge-scan fix); same bounded 1-value action, same exact `div`.
+    val n = math.max(deg.count(), 1L) // empty graph: init has no rows
     val init = deg.select(col("src").as("v"), col("wtot"))
-      .crossJoin(broadcast(n)) // 1-row frame: the scalar-broadcast pattern
       .select(col("v"), col("wtot"),
-        expr(s"${Scale}L div n").as("r"),
-        expr(s"((${Scale}L div n) * 15) div 100").as("base"))
+        lit(Scale / n).as("r"),
+        lit(((Scale / n) * 15) / 100).as("base"))
       .persist()
     var ranks = init
     for (_ <- 1 to iters) {

@@ -149,7 +149,9 @@ object NearDup {
     * the τ-retuned form: `lshNearDupPairsPlanned(docs, bandPlan(tau))`.
     * Identical candidate-join/guard/preflight/verify machinery, banding
     * swapped for [[bandsWith]]; `plan = (32, 2)` reproduces the default
-    * operator's output exactly (spec-pinned).
+    * operator's output exactly (spec-pinned). Cache lifetime is
+    * CALLER-OWNED — see the persist-vs-materialize note in
+    * [[lshNearDupPairs]] (the r18 3.5× A/B).
     */
   def lshNearDupPairsPlanned(
       docs: DataFrame,
@@ -158,8 +160,8 @@ object NearDup {
       threshold: Double = 0.5,
       hotBandMax: Option[Long] = None,
       pairBudget: Option[Long] = Some(Lsh.DefaultPairBudget)): DataFrame = {
-    val tok = Checkpoints.materialize(tokens(docs))
-    val bk = Checkpoints.materialize(bandsWith(signatures(tok), plan))
+    val tok = tokens(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bk = bandsWith(signatures(tok), plan).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keys = Seq("band", "bkey")
     if (sliceMax.isEmpty && hotBandMax.isEmpty)
       Lsh.preflightFullCorpus(bk, keys, pairBudget)
@@ -199,16 +201,22 @@ object NearDup {
       pairBudget: Option[Long] = Some(Lsh.DefaultPairBudget)): DataFrame = {
     // Both `tok` and `bk` are consumed more than once (tok: signatures + the
     // two verification attaches; bk: both sides of the candidate self-join).
-    // Materialize them so each lineage is computed exactly once — without this
+    // Persist them so each lineage is computed exactly once — without this
     // the 64-min-hash aggregate runs twice and tokenization three times. Sizes
     // are bounded: bk is 4 longs × Bands per doc, tok is the token sets
-    // (fingerprint-scale, not corpus-scale). Checkpoints.materialize, not a
-    // bare persist: an un-unpersisted persist pins executor storage for the
-    // life of the session (the r14 advisory), while a checkpointed frame's
-    // blocks are reference-tracked away when the frame is dropped. At cluster
-    // scale these are the frames you would materialize to storage anyway.
-    val tok = Checkpoints.materialize(tokens(docs))
-    val bk = Checkpoints.materialize(bands(signatures(tok)))
+    // (fingerprint-scale, not corpus-scale). persist, NOT
+    // Checkpoints.materialize: the r18 isolated A/B (3.5× — 2.86 s vs 9.7 s
+    // at sf0.1) traced a localCheckpoint swap to two plan changes — the
+    // LogicalRDD's unknown stats stop the verified-candidate frame from
+    // broadcasting (the build side flips to tok), and the CPU-bound exact-
+    // Jaccard verify then runs on the AQE byte-coalesced 3-task distinct
+    // output instead of map-side over the 32 cached columnar partitions.
+    // Cache lifetime is CALLER-OWNED (the [[incrementalNearDupPairs]] /
+    // [[containmentPairs]] discipline): the returned plan is lazy, so a
+    // long-lived session clears these via spark.catalog.clearCache() when
+    // done with the result.
+    val tok = tokens(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bk = bands(signatures(tok)).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // safe-by-default (the q151 lesson): a full-corpus call with NO hot-
     // bucket cap sizes its own candidate space first and fails fast with
     // the estimate instead of enumerating a quadratic blowup (bk is
@@ -233,6 +241,15 @@ object NearDup {
       rightCol: String,
       threshold: Double): DataFrame =
     cand
+      // explicit-width respread (the q89 verify finding, r18): candidate
+      // pairs are two longs each, so AQE byte-coalescing folds the
+      // upstream distinct to 1-3 partitions — and the exact-Jaccard
+      // verify (array intersect/union over full token sets, the real
+      // CPU of the query) then serializes onto those few tasks
+      // (measured: q151's whole verify ran as ONE 1.7 s task). The
+      // id-pair shuffle this costs is fingerprint-scale at any corpus
+      // size; the verify is the stage that must be cluster-wide.
+      .repartition(cand.sparkSession.sparkContext.defaultParallelism, col(leftCol))
       .join(tok.select(col("doc_id").as(leftCol), col("toks").as("ta")), leftCol)
       .join(tok.select(col("doc_id").as(rightCol), col("toks").as("tb")), rightCol)
       .withColumn(
@@ -374,8 +391,16 @@ object NearDup {
     val dfreq = posting.groupBy("tok").agg(count(lit(1)).as("df"))
     // every doc's tokens ranked under ONE global (df asc, tok asc) total
     // order — a doc_id-partitioned window (bounded per doc); both join
-    // sides derive from this frame, which the two-sided lemma requires
+    // sides derive from this frame, which the two-sided lemma requires.
+    // The repartition is EXPLICIT-width on the window key (the r13 q97 /
+    // signatures discipline): the window's own exchange carries few
+    // bytes (postings compress well) but the per-row rank sort is the
+    // CPU-heavy pass, and AQE's byte-targeted coalescing was measured
+    // (r18 profile) folding it to ONE task — 5.9 s of a 10.7 s query on
+    // a 32-core box. Window.partitionBy(doc_id) reuses this exact
+    // partitioning, so no second exchange appears.
     val ranked = posting.join(dfreq, Seq("tok"))
+      .repartition(tok.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df").asc, col("tok").asc)))
     val guarded = hotPostingMax.fold(ranked)(m => ranked.filter(col("df") <= m))
@@ -403,6 +428,13 @@ object NearDup {
         col("rb") <= col("nb") - mMin(col("na")) + 1)
       .select(col("doc_a"), col("doc_b"))
       .distinct()
+      // explicit-width respread before the exact verify: the candidate
+      // frame is a few bytes per pair, so AQE byte-coalescing folds the
+      // distinct output to one partition — and the verify (array
+      // intersections over full token sets, the query's real CPU) then
+      // runs single-task (measured 4.7 s of the r18 10.7 s profile).
+      // The id-pair shuffle this costs is fingerprint-scale.
+      .repartition(tok.sparkSession.sparkContext.defaultParallelism, col("doc_a"))
     cand
       .join(tok.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
       .join(tok.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
