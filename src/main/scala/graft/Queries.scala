@@ -508,9 +508,14 @@ object Queries {
     "q23_ngram_jaccard",
     (s, d) => {
       val docs = t(s, d, "documents")
-      val tok = docs.select(
-        col("doc_id"),
-        array_distinct(split(col("text"), " ")).as("toks"))
+      // Spread.widen (r18): the corpus-side explode + broadcast-join
+      // stream pipelines onto the scan layout — one split on a small
+      // corpus, measured as a single 1.4 s task; no-op on a wide scan
+      val tok = graft.ops.Spread.widen(
+        docs.select(
+          col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("toks")),
+        col("doc_id"))
       val ta = tok
         .filter(col("doc_id") < 100)
         .select(

@@ -162,7 +162,13 @@ object AnnIvf {
     // filter): without this they'd score null against every centroid, win
     // the min-centroid tie-break, and surface as null-cosine neighbors the
     // oracle (whose unnest of NULL yields no rows) never produces.
-    val valid = emb.filter(col("embedding").isNotNull)
+    // Spread.widen: the probe join and its exact-cosine scoring pipeline
+    // onto this frame's layout, and a small corpus is ONE scan split —
+    // the r18 profile measured q138's whole probe/score/rank pass as a
+    // single 2.1 s task on a 32-core box. Conditional, so a production
+    // scan (already wide) pays no exchange; both join sides derive from
+    // the same respread frame, so the physical plan reuses one exchange.
+    val valid = Spread.widen(emb.filter(col("embedding").isNotNull), col("vec_id"))
     // norms ride with each side (once per vector, not per candidate
     // pair — bit-identical sqrt(dot(v,v)) either way; the AnnLsh
     // fused-norm discipline)

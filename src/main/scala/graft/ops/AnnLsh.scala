@@ -95,7 +95,7 @@ object AnnLsh {
     // frame means the verify stage is TWO joins (one per pair side), not
     // four — each join here shuffles/broadcasts the candidate set, so
     // halving the join count halves the verify stages (A/B'd on q64/q35)
-    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val vecs = Spread.widen(emb.select(col("vec_id"), col("embedding")), col("vec_id"))
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bk = buckets(vecs, dim)
@@ -162,7 +162,7 @@ object AnnLsh {
     // Norms are per-vector, not per-pair: computed once alongside the
     // persisted vectors, so the verify stage is one join per pair side
     // (two total) and the per-pair work is a single dot.
-    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val vecs = Spread.widen(emb.select(col("vec_id"), col("embedding")), col("vec_id"))
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bk = buckets(vecs, dim)

@@ -110,8 +110,8 @@ object AnnPq {
     val ksubEff = cb.head.length
     val n2Lit = typedLit(reconNorms2Q(cb))
 
-    val clean = emb.filter(col("embedding").isNotNull &&
-      size(col("embedding")) === m * subDim)
+    val clean = Spread.widen(emb.filter(col("embedding").isNotNull &&
+      size(col("embedding")) === m * subDim), col("vec_id"))
 
     // 1. corpus → code table (map-side; the only corpus-scale artifact)
     val codes = clean
@@ -210,8 +210,8 @@ object AnnPq {
       nQueries: Int = NQueries,
       shortlist: Int = Shortlist,
       topK: Int = TopK): DataFrame = {
-    val clean = emb.filter(col("embedding").isNotNull &&
-      size(col("embedding")) === m * subDim)
+    val clean = Spread.widen(emb.filter(col("embedding").isNotNull &&
+      size(col("embedding")) === m * subDim), col("vec_id"))
     val cb = codebook(emb, m, ksub, subDim)
     // centroids drawn from the SAME length-filtered frame the oracle's
     // ex CTE sees, so a dirty sub-nlist vector can't skew the quantizer
@@ -338,8 +338,8 @@ object AnnPq {
       nlist: Int = AnnIvf.NList): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val clean = emb.filter(col("embedding").isNotNull &&
-      size(col("embedding")) === m * subDim)
+    val clean = Spread.widen(emb.filter(col("embedding").isNotNull &&
+      size(col("embedding")) === m * subDim), col("vec_id"))
     val cb = codebook(emb, m, ksub, subDim)
     val cents = AnnIvf.initCentroids(clean, nlist)
     require(cb.nonEmpty && cents.nonEmpty,
@@ -497,8 +497,8 @@ object AnnPq {
       .readComponent(spark, dir, snap, "codes", Some(CodesSchema)).get
     val codeTable = indexTombstones(spark, dir, snap).fold(stored)(t =>
       stored.join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti"))
-    val clean = emb.filter(col("embedding").isNotNull &&
-      size(col("embedding")) === m * subDim)
+    val clean = Spread.widen(emb.filter(col("embedding").isNotNull &&
+      size(col("embedding")) === m * subDim), col("vec_id"))
     searchIvfPq(codeTable, clean, cb, cents,
       m, subDim, nprobe, nQueries, shortlist, topK)
   }

@@ -392,8 +392,13 @@ object TextOps {
     * would be a pure-overhead range exchange).
     */
   private def removalSpansCore(docs: DataFrame, w: Int): DataFrame = {
-    val grams = docs
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    // Spread.widen (r18): the w-gram expansion (a span string per token
+    // position) pipelines onto this frame's layout, and a small corpus
+    // is one scan split — q84/q88 profiles showed the gram map as 1-task
+    // ~1 s stages; no-op once the scan itself is wide.
+    val grams = Spread.widen(
+      docs.select(col("doc_id"), split(col("text"), " ").as("t")),
+      col("doc_id"))
       // sequence(a, b) DESCENDS when b < a (same guard as repeatedSpans)
       .filter(size(col("t")) >= w)
       .select(col("doc_id"), posexplode(expr(
@@ -456,8 +461,9 @@ object TextOps {
       .select(col("doc_id"),
         explode(expr(s"sequence(pos, pos + ${w - 1})")).as("idx"))
       .distinct()
-    val toks = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+    val toks = Spread.widen(
+      docs.select(col("doc_id"), split(col("text"), " ").as("t")), col("doc_id"))
+      .select(col("doc_id"), posexplode(col("t")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("idx"), col("col").as("tok"))
     val rebuilt = toks
       .join(covered, Seq("doc_id", "idx"), "left_anti")
