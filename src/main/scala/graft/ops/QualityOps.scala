@@ -98,7 +98,12 @@ object QualityOps {
       docs: DataFrame,
       maxDupTokFrac: Double,
       maxTopBigramFrac: Double): DataFrame = {
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    // Spread.widen (r18): the token/bigram expansions below are the
+    // gate's CPU and pipeline onto the scan layout — one split on a
+    // small corpus; no-op once the scan is wide
+    val toks = Spread.widen(
+      docs.select(col("doc_id"), split(col("text"), " ").as("t")),
+      col("doc_id"))
     val tokStats = toks
       .select(col("doc_id"), explode(col("t")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
@@ -173,6 +178,10 @@ object QualityOps {
       docs: DataFrame,
       vocabSize: Int,
       minCommonFrac: Double): DataFrame = {
+    // (r18: a Spread.widen here was A/B'd and REVERTED — the extra
+    // text exchange cost more than the explode/agg it parallelized on
+    // this sub-second row; the aggregate's map-side partials already
+    // shrink the shuffle)
     val toks = docs.select(
       col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val vocab = toks
@@ -305,6 +314,8 @@ object QualityOps {
     * Docs with < 2 tokens score 0 (no evidence ⇒ not an outlier).
     */
   def lmSurprisal(docs: DataFrame, maxMeanSurprisal: Double = 6.0): DataFrame = {
+    // (r18: a Spread.widen here was A/B'd and REVERTED — see
+    // freqQualityCore)
     val toks = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("t"))

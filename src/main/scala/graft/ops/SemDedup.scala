@@ -84,11 +84,7 @@ object SemDedup {
   private def assignFrame(
       emb: DataFrame, cents: Seq[(Long, Array[Float])]): DataFrame = {
     val sc = AnnIvf.scored(col("embedding"), cents)
-    // Spread.widen (the r18 annTopK finding): the within-cell self-join's
-    // exact-cosine pass runs over this frame's layout, and a small corpus
-    // is one scan split — respread so the persisted assignment (and every
-    // pass over it) is cluster-wide; no-op once the scan itself is wide.
-    Spread.widen(emb.filter(col("embedding").isNotNull), col("vec_id"))
+    emb.filter(col("embedding").isNotNull)
       .select(
         col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),

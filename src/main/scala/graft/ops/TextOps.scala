@@ -611,8 +611,13 @@ object TextOps {
     * driver only ever sees `vocabSize` rows.
     */
   def subwordVocab(docs: DataFrame, vocabSize: Int = 256): Seq[String] = {
-    val words = docs
-      .filter(col("text").isNotNull)
+    // Spread.widen (r18): the 2..6-gram expansion (every substring of
+    // every word) is the vocabulary build's CPU and pipelines onto the
+    // scan layout — one split on a small corpus, measured as q99's
+    // single 2.0 s task; no-op once the scan is wide
+    val words = Spread.widen(
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .select(explode(split(col("text"), " ")).as("w"))
     val grams = words.select(explode(flatten(transform(
       sequence(lit(2), lit(6)),
