@@ -165,10 +165,18 @@ object AnnIvf {
     // Spread.widen: the probe join and its exact-cosine scoring pipeline
     // onto this frame's layout, and a small corpus is ONE scan split —
     // the r18 profile measured q138's whole probe/score/rank pass as a
-    // single 2.1 s task on a 32-core box. Conditional, so a production
-    // scan (already wide) pays no exchange; both join sides derive from
-    // the same respread frame, so the physical plan reuses one exchange.
-    val valid = Spread.widen(emb.filter(col("embedding").isNotNull), col("vec_id"))
+    // single 2.1 s task on a 32-core box. Conditional twice over: the
+    // helper is a no-op on an already-wide scan, and the respread only
+    // applies when the QUERY side is corpus-scale (the q138 knnGraph
+    // mode, where candidates ~ n·nprobe·cell) — for a queryMax-bounded
+    // probe the candidate work is query-bounded and the exchange
+    // measured net-negative (q44 1.35×, q153 1.23× in the r18 close
+    // bench). Both join sides derive from the same respread frame, so
+    // the physical plan reuses one exchange.
+    val filtered = emb.filter(col("embedding").isNotNull)
+    val valid =
+      if (queryMax == Long.MaxValue) Spread.widen(filtered, col("vec_id"))
+      else filtered
     // norms ride with each side (once per vector, not per candidate
     // pair — bit-identical sqrt(dot(v,v)) either way; the AnnLsh
     // fused-norm discipline)

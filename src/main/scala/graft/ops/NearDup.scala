@@ -171,7 +171,7 @@ object NearDup {
       .filter(col("doc_a") < col("doc_id"))
       .select(col("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
-    verifiedJaccard(cand, tok, "doc_a", "doc_b", threshold)
+    verifiedJaccard(cand, tok, "doc_a", "doc_b", threshold, wide = true)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -224,7 +224,7 @@ object NearDup {
     if (sliceMax.isEmpty && hotBandMax.isEmpty)
       Lsh.preflightFullCorpus(bk, Seq("band", "k1", "k2"), pairBudget)
     val cand = candidatesFromBands(bk, sliceMax, hotBandMax)
-    verifiedJaccard(cand, tok, "doc_a", "doc_b", threshold)
+    verifiedJaccard(cand, tok, "doc_a", "doc_b", threshold, wide = true)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -239,17 +239,22 @@ object NearDup {
       tok: DataFrame,
       leftCol: String,
       rightCol: String,
-      threshold: Double): DataFrame =
-    cand
-      // explicit-width respread (the q89 verify finding, r18): candidate
-      // pairs are two longs each, so AQE byte-coalescing folds the
-      // upstream distinct to 1-3 partitions — and the exact-Jaccard
-      // verify (array intersect/union over full token sets, the real
-      // CPU of the query) then serializes onto those few tasks
-      // (measured: q151's whole verify ran as ONE 1.7 s task). The
-      // id-pair shuffle this costs is fingerprint-scale at any corpus
-      // size; the verify is the stage that must be cluster-wide.
-      .repartition(cand.sparkSession.sparkContext.defaultParallelism, col(leftCol))
+      threshold: Double,
+      // explicit-width respread of the candidates before the verify (the
+      // q89 finding, r18): candidate pairs are two longs each, so AQE
+      // byte-coalescing folds the upstream distinct to 1-3 partitions —
+      // and the exact-Jaccard verify (array intersect/union over full
+      // token sets, the real CPU) serializes onto those few tasks
+      // (measured: q151's whole verify ran as ONE 1.7 s task). ON for
+      // the corpus-scale candidate sets (full-corpus q25/q165/q151
+      // modes); OFF for the incremental probe (q78), whose delta-sized
+      // candidates verify map-side against the persisted tok cache and
+      // where the extra exchange measured 1.4× (r18 close bench).
+      wide: Boolean): DataFrame =
+    (if (wide)
+       cand.repartition(
+         cand.sparkSession.sparkContext.defaultParallelism, col(leftCol))
+     else cand)
       .join(tok.select(col("doc_id").as(leftCol), col("toks").as("ta")), leftCol)
       .join(tok.select(col("doc_id").as(rightCol), col("toks").as("tb")), rightCol)
       .withColumn(
@@ -319,7 +324,7 @@ object NearDup {
       .join(broadcast(deltaBk), Seq("band", "k1", "k2"))
       .select(col("new_id"), col("doc_id").as("base_id"))
       .distinct()
-    verifiedJaccard(cand, tok, "new_id", "base_id", threshold)
+    verifiedJaccard(cand, tok, "new_id", "base_id", threshold, wide = false)
       .select(col("new_id").as("doc_id"), col("base_id").as("dup_of"), col("jaccard"))
       .orderBy("doc_id", "dup_of")
   }
@@ -617,7 +622,7 @@ object NearDup {
     // doc_ids are disjoint, so one unioned token frame serves both
     // verify attaches — the exact arithmetic stays verifiedJaccard's
     verifiedJaccard(cand, baseTok.unionByName(deltaTok),
-      "new_id", "base_id", threshold)
+      "new_id", "base_id", threshold, wide = false)
       .select(col("new_id").as("doc_id"), col("base_id").as("dup_of"), col("jaccard"))
       .orderBy("doc_id", "dup_of")
   }
