@@ -71,16 +71,14 @@ object Retrieval {
       .toDF("query_id", "tok")
 
     // in-row doc length: the SAME token test the tf stream applies.
-    // Spread.widen (r18): the tokenize/explode/match stream pipelines
-    // onto this frame's layout, and a small corpus is one scan split —
-    // the q135 profile measured the whole lexical leg as one 1.25 s
-    // task; no-op once the scan itself is wide.
-    val body = Spread.widen(
-      docs
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"),
-          expr("filter(split(text, ' '), x -> x <> '')").as("toks")),
-      col("doc_id"))
+    // (r18: a Spread.widen here was A/B'd and REVERTED — the matched
+    // sliver is query-vocab-bounded, so the heavy explode dies at the
+    // broadcast join map-side and the added text exchange cost more
+    // than it parallelized on this ~1.5 s row.)
+    val body = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("long").as("dl"))
 
