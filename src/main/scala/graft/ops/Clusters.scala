@@ -123,23 +123,43 @@ object Clusters {
     var changed = true
     while (changed && iter < maxIter) {
       // one round = join + ONE aggregate. The propagated labels flow
-      // straight from the join into the final groupBy — min() is
-      // associative, so the aggregate's map-side combine performs the
-      // same per-neighbor reduction an intermediate groupBy(a) would,
-      // without its extra shuffle. Nodes without neighbors survive via
-      // the labels branch of the union, and min over both branches is
-      // exactly least(own-label, neighbor-min).
-      val propagated = edges
-        .join(labels.select(col("v").as("b"), col("lbl").as("nlbl")), "b")
-        .select(col("a").as("v"), col("nlbl").as("lbl"))
-      val next = truncate(
-        labels.union(propagated).groupBy("v").agg(min("lbl").as("lbl")))
+      // straight from the join into the groupBy — min() is associative,
+      // so the aggregate's map-side combine performs the per-neighbor
+      // reduction without an extra shuffle. The former
+      // `labels.union(propagated)` own-label branch is PROVABLY
+      // redundant (r19): edges are bidirectional and init is the fused
+      // min(own, neighbors), so lbl_t(v) = min over v's t-hop ball, and
+      // for any neighbor u the (t)-ball of u contains the (t)-ball of v
+      // via the back-edge — hence min over neighbors' lbl_t ≤ lbl_t(v),
+      // i.e. neighbor-min EQUALS min(own, neighbor-min) every round, and
+      // every node survives because every node is an `a` endpoint.
+      // Dropping the branch removes a full labels-side scan per round
+      // and makes round batching recompute-free (each round's frame is
+      // referenced exactly once by the next).
+      //
+      // Rounds are BATCHED two per convergence check (r19): the
+      // truncate + label-sum action pair is the loop's driver-paced
+      // latency, and labels only ever decrease, so the sum over TWO
+      // rounds is still strictly decreasing until the fixpoint —
+      // equality proves both rounds were no-ops (a fixpoint persists).
+      // The worst case computes one redundant no-op round past
+      // convergence; near-dup diameters are 2-3, so halving the action
+      // count wins at every scale while the per-round shuffle work is
+      // unchanged.
+      val rounds = math.min(2, maxIter - iter)
+      var lbl = labels
+      for (_ <- 1 to rounds) {
+        lbl = edges
+          .join(lbl.select(col("v").as("b"), col("lbl").as("nlbl")), "b")
+          .groupBy(col("a").as("v")).agg(min(col("nlbl")).as("lbl"))
+      }
+      val next = truncate(lbl)
       val nextSum = labelSum(next._1) // materializes `next` before freeing prev
       changed = nextSum != prevSum
       prevSum = nextSum
       cur._2() // release the superseded round's storage
       cur = next
-      iter += 1
+      iter += rounds
     }
     edges.unpersist()
     labels.select(col("v"), col("lbl").as("cluster_id"))

@@ -37,6 +37,14 @@ import org.apache.spark.sql.functions._
   * bit-equal output (GraphSpec pins it), edges pre-partitioned on src
   * so AQE handles hub skew. Iterations are unrolled into ONE lineage
   * (fixed count, no driver-side convergence loop reading results back).
+  *
+  * Two caller-facing caveats (r18 ADVICE): the pagerank builders are
+  * EAGER — the |V| gate is a bounded 1-value `deg.count()` during
+  * DataFrame construction, so |V| is frozen at build time (the returned
+  * frame is not a lazy view of mutable inputs); and the edges/deg/init
+  * persists have CALLER-OWNED lifetime (the [[NearDup]] discipline) — a
+  * long-lived session clears them via `spark.catalog.clearCache()` when
+  * done with the result.
   */
 object Graph {
 
@@ -68,10 +76,18 @@ object Graph {
         (col("o_custkey") * 2).as("cu"),
         (col("l_suppkey") * 2 + 1).as("su"))
       .distinct()
-    // undirected: both directions; persisted — each iteration joins it
+    // undirected: both directions via one explode over the distinct pair
+    // set (r19) — the former union of two selects was two SEPARATE
+    // subtrees, each recomputing the orders⋈lineitem join + distinct to
+    // build the cache (Spark shares no common subexpressions across a
+    // union), and the cached frame carried both branches' partitions.
+    // Same edge multiset; persisted — each iteration joins it
     // (caller-owned lifetime, the signature-store discipline)
-    val edges = pairs.select(col("cu").as("src"), col("su").as("dst"))
-      .union(pairs.select(col("su").as("src"), col("cu").as("dst")))
+    val edges = pairs
+      .select(explode(array(
+        struct(col("cu").as("src"), col("su").as("dst")),
+        struct(col("su").as("src"), col("cu").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     // the broadcast hint is a no-op plan-wise when the other side is
     // already broadcast; applied to the RANK side only, never edges
@@ -140,8 +156,12 @@ object Graph {
         (col("o_custkey") * 2).as("cu"),
         (col("l_suppkey") * 2 + 1).as("su"))
       .distinct()
-    val edges = pairs.select(col("cu").as("src"), col("su").as("dst"))
-      .union(pairs.select(col("su").as("src"), col("cu").as("dst")))
+    // one explode, not a two-branch union — see [[pageRank]] (r19)
+    val edges = pairs
+      .select(explode(array(
+        struct(col("cu").as("src"), col("su").as("dst")),
+        struct(col("su").as("src"), col("cu").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     def small(df: DataFrame): DataFrame =
       if (broadcastRanks) broadcast(df) else df
@@ -301,8 +321,12 @@ object Graph {
         (col("l_suppkey") * 2 + 1).as("su"))
       .groupBy(col("cu"), col("su"))
       .agg(count(lit(1)).as("w"))
-    val edges = pairs.select(col("cu").as("src"), col("su").as("dst"), col("w"))
-      .union(pairs.select(col("su").as("src"), col("cu").as("dst"), col("w")))
+    // one explode, not a two-branch union — see [[pageRank]] (r19)
+    val edges = pairs
+      .select(explode(array(
+        struct(col("cu").as("src"), col("su").as("dst"), col("w")),
+        struct(col("su").as("src"), col("cu").as("dst"), col("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
       .persist()
     def small(df: DataFrame): DataFrame =
       if (broadcastRanks) broadcast(df) else df

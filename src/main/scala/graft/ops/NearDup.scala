@@ -171,7 +171,9 @@ object NearDup {
       .filter(col("doc_a") < col("doc_id"))
       .select(col("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
-    verifiedJaccard(cand, tok, "doc_a", "doc_b", threshold, wide = true)
+    // wide only for the full-corpus candidate set — see [[lshNearDupPairs]]
+    verifiedJaccard(cand, tok, "doc_a", "doc_b", threshold,
+      wide = sliceMax.isEmpty)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -198,7 +200,26 @@ object NearDup {
       sliceMax: Option[Long] = Some(100L),
       threshold: Double = 0.5,
       hotBandMax: Option[Long] = None,
-      pairBudget: Option[Long] = Some(Lsh.DefaultPairBudget)): DataFrame = {
+      pairBudget: Option[Long] = Some(Lsh.DefaultPairBudget)): DataFrame =
+    lshNearDupPairsReleasable(docs, sliceMax, threshold, hotBandMax,
+      pairBudget)._1
+
+  /** [[lshNearDupPairs]] plus a release thunk that unpersists the two
+    * internal caches (tok, band keys) — for callers that CANNOT own the
+    * cache lifetime: a long-lived streaming loop calling the plain form
+    * once per micro-batch would pin two new frames in the block manager
+    * every batch for the life of the stream (the r18 ADVICE leak;
+    * DataFrame persists are held by the CacheManager, not reference-
+    * tracked away like localCheckpoint blocks). Call the thunk after
+    * the result has been fully consumed (written/collected) — the
+    * returned plan reads both caches lazily.
+    */
+  def lshNearDupPairsReleasable(
+      docs: DataFrame,
+      sliceMax: Option[Long] = Some(100L),
+      threshold: Double = 0.5,
+      hotBandMax: Option[Long] = None,
+      pairBudget: Option[Long] = Some(Lsh.DefaultPairBudget)): (DataFrame, () => Unit) = {
     // Both `tok` and `bk` are consumed more than once (tok: signatures + the
     // two verification attaches; bk: both sides of the candidate self-join).
     // Persist them so each lineage is computed exactly once — without this
@@ -224,8 +245,19 @@ object NearDup {
     if (sliceMax.isEmpty && hotBandMax.isEmpty)
       Lsh.preflightFullCorpus(bk, Seq("band", "k1", "k2"), pairBudget)
     val cand = candidatesFromBands(bk, sliceMax, hotBandMax)
-    verifiedJaccard(cand, tok, "doc_a", "doc_b", threshold, wide = true)
+    // wide = MODE-derived (r19, the VERDICT's width condition): the
+    // respread pays off exactly when the candidate set is corpus-scale —
+    // the full-corpus self-join modes (q151's sourceDupMatrix, unsliced
+    // q25) whose verify CPU otherwise lands on the AQE-coalesced 1-3
+    // task distinct. A sliceMax-bounded probe's candidates are
+    // slice-scale (the q78 regime): they verify map-side against the
+    // persisted tok cache, and the r18 close bench measured the extra
+    // exchange at 1.2-1.4× net-negative there (q25 0.69×, q78 1.42×
+    // pre-gate) — so bounded modes run wide=false, as r17 did.
+    val result = verifiedJaccard(cand, tok, "doc_a", "doc_b", threshold,
+      wide = sliceMax.isEmpty)
       .orderBy("doc_a", "doc_b")
+    (result, () => { tok.unpersist(false); bk.unpersist(false); () })
   }
 
   /** Attach both token sets to candidate pairs (`leftCol`, `rightCol`),
@@ -600,7 +632,19 @@ object NearDup {
       storePath: String,
       delta: DataFrame,
       threshold: Double = 0.5,
-      asOfVersion: Option[Long] = None): DataFrame = {
+      asOfVersion: Option[Long] = None): DataFrame =
+    incrementalNearDupPairsFromStoreReleasable(
+      storePath, delta, threshold, asOfVersion)._1
+
+  /** [[incrementalNearDupPairsFromStore]] plus a release thunk for the
+    * internal delta-token persist — the streaming micro-batch caller's
+    * form (see [[lshNearDupPairsReleasable]] for the leak rationale).
+    */
+  def incrementalNearDupPairsFromStoreReleasable(
+      storePath: String,
+      delta: DataFrame,
+      threshold: Double = 0.5,
+      asOfVersion: Option[Long] = None): (DataFrame, () => Unit) = {
     val spark = delta.sparkSession
     val snap = asOfVersion
       .map(v => StoreManifest.snapshotAt(spark, storePath, v))
@@ -621,10 +665,11 @@ object NearDup {
       .distinct()
     // doc_ids are disjoint, so one unioned token frame serves both
     // verify attaches — the exact arithmetic stays verifiedJaccard's
-    verifiedJaccard(cand, baseTok.unionByName(deltaTok),
+    val result = verifiedJaccard(cand, baseTok.unionByName(deltaTok),
       "new_id", "base_id", threshold, wide = false)
       .select(col("new_id").as("doc_id"), col("base_id").as("dup_of"), col("jaccard"))
       .orderBy("doc_id", "dup_of")
+    (result, () => { deltaTok.unpersist(false); () })
   }
 
   /** Full-corpus duplicate clusters at LINEAR candidate cost — the shape a

@@ -68,7 +68,7 @@ object SemDedup {
         col("vec_id").as("cluster_id"), lit(1).as("keep")).limit(0)
     val assigned = assignFrame(emb, cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cc = Clusters.connectedComponents(cellPairs(assigned, threshold))
+    val cc = Clusters.connectedComponents(cellPairs(assigned, threshold, nlist))
     assigned.select(col("vec_id"), col("list_id"))
       .join(cc.select(col("v").as("vec_id"), col("cluster_id")), Seq("vec_id"))
       .withColumn("keep", (col("vec_id") === col("cluster_id")).cast("int"))
@@ -92,21 +92,44 @@ object SemDedup {
   }
 
   /** Within-cell dup edges (a, b), a < b, exact cosine ≥ `threshold` at
-    * the oracle-pinned 4dp — ONE list_id-keyed shuffle per side,
-    * AQE-skew-splittable hot cells.
+    * the oracle-pinned 4dp.
+    *
+    * SALTED self-join (guide §2.5, r19): a plain list_id-keyed self-join
+    * has at most `nlist` distinct join keys, so its parallelism — and
+    * the exact-cosine verify CPU, the operator's real cost — is bounded
+    * by nlist tasks no matter how wide the cluster (the r18 A/B that
+    * rejected an input respread traced to exactly this bound; AQE's
+    * skew split cannot split a single join KEY). The left side gets a
+    * deterministic shard = xxhash64(vec_id) mod k; the right side is
+    * replicated to every shard; joining on (list_id, shard) spreads each
+    * cell's O(cell²) verify over k tasks while producing every (a, b)
+    * pair exactly once (a's shard is unique). k is SCALE-ADAPTIVE:
+    * ceil(2·parallelism / nlist), so a production nlist ≫ cores (the
+    * SemDeDup regime, ~10⁵ cells) gives k = 1 — no replication, the
+    * original single-shuffle join — and only a coarse local quantizer
+    * pays the k-fold replication of one side.
     */
-  private def cellPairs(assigned: DataFrame, threshold: Double): DataFrame =
+  private def cellPairs(
+      assigned: DataFrame, threshold: Double, nlist: Int): DataFrame = {
+    val width = assigned.sparkSession.sparkContext.defaultParallelism
+    val k = math.max(1L,
+      math.ceil(2.0 * width / math.max(nlist, 1)).toLong)
     assigned
-      .select(col("list_id"), col("vec_id").as("a"),
+      .select(col("list_id"),
+        pmod(xxhash64(col("vec_id")), lit(k)).as("shard"),
+        col("vec_id").as("a"),
         col("embedding").as("va"), col("nrm").as("na"))
       .join(assigned
-        .select(col("list_id"), col("vec_id").as("b"),
+        .select(col("list_id"),
+          explode(sequence(lit(0L), lit(k - 1))).as("shard"),
+          col("vec_id").as("b"),
           col("embedding").as("vb"), col("nrm").as("nb")),
-        Seq("list_id"))
+        Seq("list_id", "shard"))
       .filter(col("a") < col("b"))
       .filter(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
         >= threshold)
       .select(col("a"), col("b"))
+  }
 
   /** Crossing dup pairs between an assigned base and an assigned DELTA
     * sharing the same quantizer: the delta side broadcasts (a nightly
@@ -239,7 +262,7 @@ object SemDedup {
       assigned.write.partitionBy("list_id")
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$path/${StoreManifest.componentDir("assigned", 1L)}")
-      cellPairs(assigned, threshold).write
+      cellPairs(assigned, threshold, nlist).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$path/${StoreManifest.componentDir("edges", 1L)}")
     } finally assigned.unpersist(false)
@@ -290,7 +313,7 @@ object SemDedup {
       crossingPairs(baseAssigned, deltaAssigned, threshold)
         .select(least(col("new_id"), col("base_id")).as("a"),
           greatest(col("new_id"), col("base_id")).as("b"))
-        .unionByName(cellPairs(deltaAssigned, threshold))
+        .unionByName(cellPairs(deltaAssigned, threshold, cents.size))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$path/${StoreManifest.componentDir("edges", v)}")
       StoreManifest.publish(spark, path, cur
@@ -464,7 +487,7 @@ object SemDedup {
         greatest(col("new_id"), col("base_id")).as("b"))
     val edges = baseEdges
       .unionByName(crossing)
-      .unionByName(cellPairs(deltaAssigned, threshold))
+      .unionByName(cellPairs(deltaAssigned, threshold, cents.size))
     val cc = Clusters.connectedComponents(edges)
     baseAssigned.select(col("vec_id"), col("list_id"))
       .unionByName(deltaAssigned.select(col("vec_id"), col("list_id")))

@@ -26,10 +26,30 @@ private[graft] object Spread {
     * physical layout has fewer partitions than that; `df` unchanged
     * otherwise. The key must be deterministic (retried tasks must
     * reproduce the same row placement — SPARK-38388).
+    *
+    * The `.rdd` width probe is only planning-time work on SCAN-ROOTED
+    * frames (filter/projection chains over a source scan). Under AQE,
+    * converting a frame whose plan contains exchanges finalizes the
+    * adaptive plan and eagerly MATERIALIZES its query stages — shuffle
+    * maps run, broadcast builds run — at build time, with no exchange
+    * reuse at the real action (the r18 ADVICE item; it was LIVE, not
+    * latent: [[TrainPipe.fullPipeline]] feeds the persisted keeper frame
+    * into [[QualityOps.repetitionCore]]'s widen, and the probe executed
+    * the whole keeper-window subtree during query construction). So an
+    * exchange-ful frame is returned UNCHANGED: its post-shuffle width is
+    * runtime-chosen (AQE) and unknowable without executing, and a caller
+    * that routes an exchanged frame here must guarantee cluster width
+    * itself with an explicit-width repartition on the exchange it
+    * already pays (fullPipeline now does exactly that).
     */
   def widen(df: DataFrame, key: Column): DataFrame = {
     val width = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= width) df
+    val scanRooted = df.queryExecution.sparkPlan.find {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _ => false
+    }.isEmpty
+    if (!scanRooted) df
+    else if (df.rdd.getNumPartitions >= width) df
     else df.repartition(width, key)
   }
 }

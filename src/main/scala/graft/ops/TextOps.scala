@@ -1112,11 +1112,22 @@ object TextOps {
   def bpeMerges(
       docs: DataFrame,
       nMerges: Int,
-      minCount: Long = 2L): Seq[(Int, String, String, Long)] = {
+      minCount: Long = 2L): Seq[(Int, String, String, Long)] =
+    bpeMergesFromWords(wordTable(docs), nMerges, minCount)
+
+  /** [[bpeMerges]] over a pre-built (w, freq) word table — the shared
+    * form [[bpeEncode]] uses so train + apply pay for ONE corpus
+    * scan/word aggregate instead of each building its own (r19: the two
+    * `wordTable(docs)` subtrees were separate lineages, so the corpus
+    * explode + groupBy ran twice per q163 run).
+    */
+  private[ops] def bpeMergesFromWords(
+      wt: DataFrame,
+      nMerges: Int,
+      minCount: Long): Seq[(Int, String, String, Long)] = {
     require(nMerges >= 1 && minCount >= 1)
     var words = Checkpoints.materialize(
-      wordTable(docs)
-        .withColumn("syms", charSplit("w"))
+      wt.withColumn("syms", charSplit("w"))
         .select("syms", "freq"))
     val learned = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
@@ -1188,12 +1199,19 @@ object TextOps {
     * segmentation (array of symbols) under `merges` in rank order.
     */
   def bpeEncodeWords(
-      docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+      docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    bpeEncodeWordsFrom(wordTable(docs), merges)
+
+  /** [[bpeEncodeWords]] over a pre-built (w, freq) word table — see
+    * [[bpeMergesFromWords]] for why the table is shared.
+    */
+  private[ops] def bpeEncodeWordsFrom(
+      wt: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     require(merges.forall { case (a, b) =>
       !a.contains(SymSep) && !b.contains(SymSep) },
       "merge symbols may not contain the \\u0001 delimiter")
     val sep2 = SymSep + SymSep
-    var words = wordTable(docs)
+    var words = wt
       // per-char wrap: "abc" -> ␁a␁␁b␁␁c␁ (charSplit: exact chars, no
       // empty fragments — split-by-'' limit semantics differ per engine)
       .withColumn("s", concat(lit(SymSep),
@@ -1217,8 +1235,13 @@ object TextOps {
     * shows the whitespace-proxy gap the tokenizer denominator closes.
     */
   def bpeTokenCounts(
-      docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    val perWord = bpeEncodeWords(docs, merges)
+      docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    bpeTokenCountsWith(docs, wordTable(docs), merges)
+
+  private def bpeTokenCountsWith(
+      docs: DataFrame, wt: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val perWord = bpeEncodeWordsFrom(wt, merges)
       .select(col("w"), size(col("toks")).cast("long").as("n_sym"))
     val occ = docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
@@ -1238,10 +1261,15 @@ object TextOps {
   /** The q163 contract: train `nMerges` merges on the corpus itself
     * ([[bpeMerges]]), then tokenize the corpus WITH them — the
     * train-once/apply-everywhere loop of a real pipeline in one call.
+    * The (w, freq) word table is built and materialized ONCE and shared
+    * by training and encoding (r19) — the corpus is scanned for words a
+    * single time per run instead of once per phase.
     */
-  def bpeEncode(docs: DataFrame, nMerges: Int = 8): DataFrame =
-    bpeTokenCounts(docs,
-      bpeMerges(docs, nMerges).map(m => (m._2, m._3)))
+  def bpeEncode(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    val wt = Checkpoints.materialize(wordTable(docs))
+    bpeTokenCountsWith(docs, wt,
+      bpeMergesFromWords(wt, nMerges, minCount = 2L).map(m => (m._2, m._3)))
+  }
 
   /** Per-ROW tokenizer token count under a trained merge table — the
     * streaming-safe form of [[bpeTokenCounts]]: no distinct-word join,

@@ -666,6 +666,17 @@ object TrainPipe {
     // gate branch reads the materialization (see the ledger above)
     val kept = docs
       .withColumn("digest", sha2(col("text"), 256))
+      // explicit-width digest exchange (the q89 finding, r19): the keeper
+      // window's own hash(digest) exchange is byte-targeted-coalesced by
+      // AQE to 1-2 tasks on a small corpus (digest+text compress well),
+      // serializing the sha2+window pass AND leaving the persisted kept
+      // frame 1-2 partitions wide — so every gate branch's token/bigram
+      // explode (the pipeline's CPU) ran nearly single-task too. The
+      // window reuses this exact partitioning (same key), so it is the
+      // SAME exchange the plan already paid, just AQE-proof; at real
+      // corpus width the exchange carries cluster-wide bytes anyway.
+      .repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, col("digest"))
       .withColumn("keeper_id",
         min("doc_id").over(Window.partitionBy("digest")))
       .filter(col("doc_id") === col("keeper_id"))

@@ -1548,13 +1548,20 @@ object StreamingEtl {
           s"signature store $storePath does not exist — write the base corpus first"))
       if (batchId > cur.batchWatermark) {
         val docs = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // releasable form (r19, the r18 ADVICE leak): the plain call
+        // persists tok/bands internally with caller-owned lifetime, and
+        // this loop runs once per micro-batch — without the release every
+        // batch would pin two more frames in the block manager for the
+        // life of the stream
+        val (withinPairs, releaseWithin) = graft.ops.NearDup
+          .lshNearDupPairsReleasable(docs, sliceMax = None, threshold = threshold)
+        val (storePairs, releaseStore) = graft.ops.NearDup
+          .incrementalNearDupPairsFromStoreReleasable(storePath, docs, threshold)
         try {
-          val storeDups = graft.ops.NearDup
-            .incrementalNearDupPairsFromStore(storePath, docs, threshold)
+          val storeDups = storePairs
             .select(col("doc_id"), col("dup_of"), col("jaccard"),
               lit("store").as("origin"))
-          val withinDups = graft.ops.NearDup
-            .lshNearDupPairs(docs, sliceMax = None, threshold = threshold)
+          val withinDups = withinPairs
             .select(col("doc_b").as("doc_id"), col("doc_a").as("dup_of"),
               col("jaccard"), lit("batch").as("origin"))
           val decisions = storeDups.unionByName(withinDups)
@@ -1570,7 +1577,7 @@ object StreamingEtl {
               Seq("doc_id"), "left_anti")
             graft.ops.NearDup.appendSignatureStore(keepers, storePath, batchId = batchId)
           } finally decisions.unpersist(false)
-        } finally docs.unpersist(false)
+        } finally { releaseWithin(); releaseStore(); docs.unpersist(false) }
       }
     })
 }
