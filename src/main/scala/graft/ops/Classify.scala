@@ -49,29 +49,22 @@ object Classify {
     */
   def nbClassify(docs: DataFrame, labelCol: String = "lang"): DataFrame = {
     val base = docs.select(col("doc_id"), col(labelCol).as("label"))
-    // r19 restructure (guide §2.3/§2.4), same outputs: the token
-    // explosion previously ran as FOUR separate subtrees (class counts,
-    // vocabulary count, the grid's distinct, and the inference stream —
-    // Spark shares no common subexpressions across a DAG). Now ONE
-    // explosion folds into a per-(doc, tok) multiplicity aggregate
-    // (map-side combine; the shuffle carries doc-distinct tokens),
-    // persisted and reused by training and inference; class counts are
-    // re-aggregated from it (sum of per-doc multiplicities ≡ occurrence
-    // count), the vocabulary is its distinct tok set, and the inference
-    // sum re-weights the per-type score by multiplicity (sum(m·q) ≡ the
-    // occurrence-stream sum — exact longs, order-free). Persist lifetime
-    // is caller-owned (the [[graft.ops.NearDup]] discipline).
-    val dtok = docs
+    // (r19: a restructure that folded the four explosion subtrees into
+    // one persisted per-(doc, tok) multiplicity aggregate was A/B'd and
+    // REVERTED — 2.02 → 4.60 s in the full-catalog bench. Per-doc tokens
+    // are mostly unique here, so the (doc_id, tok)-keyed exchange +
+    // cache carried occurrence-scale bytes, while each recomputed
+    // explosion dies into a map-side partial aggregate or broadcast-join
+    // sliver that shuffles almost nothing.)
+    val toks = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col(labelCol).as("label"),
         explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id", "label", "tok").agg(count(lit(1)).as("m"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // training: per-class occurrence counts + totals, corpus vocabulary,
     // doc-count priors — four count aggregates, nothing else
-    val ct = dtok.groupBy("label", "tok").agg(sum(col("m")).as("c"))
+    val ct = toks.groupBy("label", "tok").agg(count(lit(1)).as("c"))
     val nl = ct.groupBy("label").agg(sum("c").as("n_l"))
-    val vocabAndDocs = dtok.agg(countDistinct(col("tok")).as("v"))
+    val vocabAndDocs = toks.agg(countDistinct(col("tok")).as("v"))
       .crossJoin(broadcast(base.agg(count(lit(1)).as("n_docs"))))
     val prior = base.groupBy("label").agg(count(lit(1)).as("docs_l"))
       .crossJoin(broadcast(vocabAndDocs))
@@ -82,7 +75,7 @@ object Classify {
     // dense (token x label) grid: unseen (tok, label) cells score with
     // c = 0 — without them a class missing one token would silently
     // skip the penalty term instead of paying it
-    val grid = dtok.select("tok").distinct()
+    val grid = toks.select("tok").distinct()
       .crossJoin(broadcast(nl.select("label")))
       .join(ct, Seq("label", "tok"), "left")
       .na.fill(Map("c" -> 0L))
@@ -93,13 +86,13 @@ object Classify {
           log((col("n_l") + col("v")).cast("double"))) * 10000.0 + 0.5)
           .cast("long"))
       .select(col("tok"), col("label").as("cand"), col("q"))
-    // inference: doc-distinct token types join the grid (vocabulary-sized
-    // => broadcast), per-(doc, candidate) exact-long multiplicity-
-    // weighted sums, priors added, argmax with min-label ties
-    val sums = dtok.select(col("doc_id"), col("tok"), col("m"))
+    // inference: token stream joins the grid (vocabulary-sized =>
+    // broadcast), per-(doc, candidate) exact-long sums, priors added,
+    // argmax with min-label ties
+    val sums = toks.select(col("doc_id"), col("tok"))
       .join(broadcast(grid), Seq("tok"))
       .groupBy("doc_id", "cand")
-      .agg(sum(col("m") * col("q")).as("sum_q"))
+      .agg(sum("q").as("sum_q"))
     val scored = base
       .crossJoin(broadcast(prior.withColumnRenamed("label", "cand")))
       .join(sums, Seq("doc_id", "cand"), "left")

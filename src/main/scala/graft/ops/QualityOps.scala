@@ -315,52 +315,38 @@ object QualityOps {
     */
   def lmSurprisal(docs: DataFrame, maxMeanSurprisal: Double = 6.0): DataFrame = {
     // (r18: a Spread.widen here was A/B'd and REVERTED — see
-    // freqQualityCore)
-    //
-    // r19 restructure (guide §2.3/§2.4), same outputs: the former shape
-    // computed the bigram explosion TWICE (once under the cab aggregate,
-    // once as the scored join's probe side — Spark shares no common
-    // subexpressions across a DAG) and the unigram explosion+aggregate
-    // twice (uni joined + vocab's 1-row count over it), and the model
-    // joins carried every bigram OCCURRENCE. Now: ONE bigram explosion
-    // folded into a per-(doc, bigram) multiplicity aggregate (map-side
-    // combine — the shuffle carries doc-distinct bigram types), persisted
-    // and read by both the cab aggregate and the per-doc attach; uni is
-    // persisted so vocab's count reads the cache; the surprisal q is
-    // computed per bigram TYPE and re-weighted by multiplicity
-    // (sum over occurrences of q ≡ sum(m·q), count(*) ≡ sum(m) — exact
-    // longs, order-free). Persist lifetime is caller-owned (the
-    // [[graft.ops.NearDup]] discipline).
+    // freqQualityCore. r19: a restructure that folded the bigram stream
+    // into a per-(doc, bigram) multiplicity aggregate + persisted model
+    // frames was A/B'd and REVERTED too — 1.57 → 2.85 s in the full-
+    // catalog bench: per-doc bigrams are mostly unique here, so the
+    // (doc_id, ab)-keyed exchange + cache carried occurrence-scale bytes
+    // while the recomputed explosions it saved die into map-side partial
+    // aggregates that shuffle almost nothing.)
     val toks = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
     val uni = toks
       .select(explode(col("t")).as("a"))
       .groupBy("a").agg(count(lit(1)).as("ca"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = uni.agg(count(lit(1)).as("v"))
-    val docBi = toks
+    val bi = toks
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS a, concat_ws(' ', element_at(t, i), element_at(t, i + 1)) AS ab))"))
         .as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.ab").as("ab"))
-      .groupBy("doc_id", "a", "ab").agg(count(lit(1)).as("m"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cb = docBi.groupBy("a", "ab").agg(sum(col("m")).as("cab"))
-    val typeQ = cb
+    val cb = bi.groupBy("ab").agg(count(lit(1)).as("cab"))
+    val scored = bi
+      .join(cb, Seq("ab"))
       .join(uni, Seq("a"))
       .crossJoin(broadcast(vocab))
-      // per-TYPE quantized surprisal: exact-integer model counts in, one
+      // per-row quantized surprisal: exact-integer model counts in, one
       // long out — the only floats live inside this projection
       .withColumn("q",
         floor((log(col("ca").cast("double") + col("v")) -
           log(col("cab").cast("double") + 1.0)) * 10000.0 + 0.5).cast("long"))
-      .select(col("a"), col("ab"), col("q"))
-    val scored = docBi
-      .join(typeQ, Seq("a", "ab"))
       .groupBy("doc_id")
-      .agg(sum(col("m")).as("n_bigrams"), sum(col("m") * col("q")).as("sum_q"))
+      .agg(count(lit(1)).as("n_bigrams"), sum("q").as("sum_q"))
     docs
       .select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
