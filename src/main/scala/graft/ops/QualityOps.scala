@@ -853,13 +853,44 @@ object QualityOps {
       .filter(col("n_tok") > 0)
       .withColumn("ttr", col("n_dist") / col("n_tok"))
       .withColumn("stop_ratio", col("n_stop") / col("n_tok"))
-    val r1 = Ranks.withGlobalRowNumber(
-      sig, Seq(desc("n_tok"), asc("doc_id")), "r_len")
-    val r2 = Ranks.withGlobalRowNumber(
-      r1, Seq(desc("ttr"), asc("doc_id")), "r_ttr")
-    val r3 = Ranks.withGlobalRowNumber(
-      r2, Seq(asc("stop_ratio"), asc("doc_id")), "r_stop")
-    r3
+    // r19: the three signal ranks were CHAINED (r2 ranked r1's output,
+    // r3 ranked r2's) purely to accumulate columns — each leg range-
+    // exchanged and checkpointed the full widening frame, serially. The
+    // signals are independent, so rank each over its own (doc_id,
+    // metric) projection of the ONE materialized signal frame and join
+    // the rank columns back on doc_id (same total orders, same rank
+    // values). The legs are independent multi-action pipelines, so they
+    // build concurrently (guide §2.6 — the q119 pattern; isolated A/B
+    // there: 0.853 vs 0.993 s). The sig persist is materialized by a
+    // bounded count() before the legs start so they race on nothing;
+    // lifetime caller-owned.
+    val sigP = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigP.count()
+    def leg(metric: String, order: Seq[org.apache.spark.sql.Column],
+        out: String) =
+      Ranks.withGlobalRowNumber(
+        sigP.select(col("doc_id"), col(metric)), order, out)
+        .select(col("doc_id"), col(out))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val (rLen, rTtr, rStop) =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val a = scala.concurrent.Future(
+          leg("n_tok", Seq(desc("n_tok"), asc("doc_id")), "r_len"))
+        val b = scala.concurrent.Future(
+          leg("ttr", Seq(desc("ttr"), asc("doc_id")), "r_ttr"))
+        val c = scala.concurrent.Future(
+          leg("stop_ratio", Seq(asc("stop_ratio"), asc("doc_id")), "r_stop"))
+        import scala.concurrent.duration.Duration
+        (scala.concurrent.Await.result(a, Duration.Inf),
+          scala.concurrent.Await.result(b, Duration.Inf),
+          scala.concurrent.Await.result(c, Duration.Inf))
+      } finally pool.shutdown()
+    sigP.select(col("doc_id"))
+      .join(rLen, "doc_id")
+      .join(rTtr, "doc_id")
+      .join(rStop, "doc_id")
       .withColumn("combined",
         col("r_len") + col("r_ttr") + col("r_stop"))
       .orderBy(asc("combined"), asc("doc_id"))

@@ -86,10 +86,18 @@ object Retrieval {
     val scalars = body.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
 
-    // matched sliver: only tokens that appear in some query survive
+    // matched sliver: only tokens that appear in some query survive.
+    // PERSISTED (r19): both the tf aggregate and the document-frequency
+    // aggregate consume it, and without the cache each consumer re-ran
+    // the full corpus tokenize + explode + broadcast probe (Spark shares
+    // no common subexpressions across a DAG). The sliver is query-vocab-
+    // bounded — tiny at any corpus size — so caching it trades one
+    // corpus pass for a bounded block; lifetime caller-owned (the
+    // [[graft.ops.NearDup]] discipline).
     val matched = body
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
       .join(broadcast(qterms), "tok")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val tf = matched
       .groupBy("doc_id", "query_id", "tok")
