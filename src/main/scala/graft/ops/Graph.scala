@@ -51,6 +51,31 @@ object Graph {
   /** Fixed-point scale: 1e12 ≪ Long.Max/85, so damping never overflows. */
   val Scale: Long = 1000000000000L
 
+  /** Edge rows per cached-edge partition — ~2-3 longs/row ⇒ ~64-100 MB
+    * tasks, the guide's partition-size band.
+    */
+  private val EdgeRowsPerTask: Long = 4000000L
+
+  /** DATA-derived width for the persisted edge frame (guide §2 —
+    * scale-adaptive partitioning, not a core-count constant): the
+    * iteration loop scans the cached edges once per iteration, and a
+    * cached plan is EXEMPT from AQE partition coalescing
+    * (canChangeCachedPlanOutputPartitioning defaults false), so without
+    * this the cache inherits `spark.sql.shuffle.partitions` = cluster
+    * width and a small graph pays per-core task overhead × iterations ×
+    * cores — measured here as the q102 INVERSE core scaling (32-core
+    * run 1.8× slower than 8-core on identical data; the r18 driver saw
+    * 0.23× scaling). `m` is the measured edge count (free — it rides
+    * the existing |V| gate aggregate), so a production-scale graph gets
+    * `defaultParallelism` and the repartition below becomes the same
+    * width the exchange would have anyway.
+    */
+  private def edgeWidth(spark: org.apache.spark.sql.SparkSession,
+      m: Long): Int =
+    math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      math.max(1L, (m + EdgeRowsPerTask - 1) / EdgeRowsPerTask)).toInt
+
   /** PageRank over the bipartite customer–supplier trade graph (edge =
     * "this customer ordered from this supplier", made undirected so
     * neither side is a sink), `iters` damped iterations (d = 0.85),
@@ -81,28 +106,40 @@ object Graph {
     // subtrees, each recomputing the orders⋈lineitem join + distinct to
     // build the cache (Spark shares no common subexpressions across a
     // union), and the cached frame carried both branches' partitions.
-    // Same edge multiset; persisted — each iteration joins it
-    // (caller-owned lifetime, the signature-store discipline)
-    val edges = pairs
+    // pairs persisted so the degree pass and the edge-cache build read
+    // ONE join+distinct; all persists caller-owned (the signature-store
+    // discipline).
+    val pairsP = pairs.persist()
+    val edges0 = pairsP
       .select(explode(array(
         struct(col("cu").as("src"), col("su").as("dst")),
         struct(col("su").as("src"), col("cu").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist()
     // the broadcast hint is a no-op plan-wise when the other side is
     // already broadcast; applied to the RANK side only, never edges
     def small(df: DataFrame): DataFrame =
       if (broadcastRanks) broadcast(df) else df
     // pairs are distinct, so per-src edge count IS the degree
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
-    // |V| as a collected literal (the q129 gate discipline — a bounded
-    // 1-value action, not driver data work): the former 1-row broadcast
-    // crossJoin recomputed deg inside its own broadcast subquery, racing
-    // init's materialization into DUPLICATE edge-build scans (r18
-    // profile: two concurrent 64-task full-input stages at query start).
-    // deg.count() warms the edges and deg caches once, sequentially, and
-    // the integer arithmetic on the driver is the same `div`.
-    val n = math.max(deg.count(), 1L) // empty graph: init has no rows
+    val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    // |V| and |E| as collected literals (the q129 gate discipline — a
+    // bounded 1-row action, not driver data work): the former 1-row
+    // broadcast crossJoin recomputed deg inside its own broadcast
+    // subquery, racing init's materialization into DUPLICATE edge-build
+    // scans (r18 profile: two concurrent 64-task full-input stages at
+    // query start). |E| = sum(deg) rides the same aggregate for free and
+    // sizes the cached edge layout below.
+    val gate = deg
+      .agg(count(lit(1)).as("n"), coalesce(sum("deg"), lit(0L)).as("m"))
+      .collect()(0)
+    val n = math.max(gate.getLong(0), 1L) // empty graph: init has no rows
+    // persisted at the DATA-derived width (see [[edgeWidth]]); at
+    // production |E| this is defaultParallelism and the repartition is a
+    // no-op choice of the same width
+    val w = edgeWidth(orders.sparkSession, gate.getLong(1))
+    val edges =
+      (if (w < orders.sparkSession.sparkContext.defaultParallelism)
+         edges0.repartition(w, col("src"))
+       else edges0).persist()
     val init = deg.select(col("src").as("v"), col("deg"))
       .select(col("v"), col("deg"),
         lit(Scale / n).as("r"),
@@ -156,19 +193,21 @@ object Graph {
         (col("o_custkey") * 2).as("cu"),
         (col("l_suppkey") * 2 + 1).as("su"))
       .distinct()
-    // one explode, not a two-branch union — see [[pageRank]] (r19)
-    val edges = pairs
+    // one explode, not a two-branch union; pairs persisted so the degree
+    // pass and the edge-cache build share one join+distinct — see
+    // [[pageRank]] (r19)
+    val pairsP = pairs.persist()
+    val edges0 = pairsP
       .select(explode(array(
         struct(col("cu").as("src"), col("su").as("dst")),
         struct(col("su").as("src"), col("cu").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist()
     def small(df: DataFrame): DataFrame =
       if (broadcastRanks) broadcast(df) else df
     // persisted: the gate action below materializes deg once; init then
     // reads the cache instead of re-aggregating the edges (r18 profile
     // showed the duplicate 64-task aggregate)
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
     // integer div: Column `/` on longs is DOUBLE division
     val isSeed = col("v") % 2 === 1 && expr(s"(v div 2) % $seedMod") === 0
     // ONE collected (nv, ns) aggregate serves BOTH the empty-seed gate
@@ -182,12 +221,20 @@ object Graph {
     // same way on both. An EMPTY graph is fine on both engines
     // identically (no vertex row reaches the division), so totality on
     // empty inputs is preserved (EmptyInputSpec).
-    val gate = deg.select(col("src").as("v"))
-      .agg(count(lit(1)).as("nv"), count(when(isSeed, 1)).as("ns"))
+    val gate = deg.select(col("src").as("v"), col("deg"))
+      .agg(count(lit(1)).as("nv"), count(when(isSeed, 1)).as("ns"),
+        coalesce(sum("deg"), lit(0L)).as("m"))
       .collect()(0)
     require(gate.getLong(0) == 0L || gate.getLong(1) > 0L,
       s"personalizedPageRank: no supplier vertex satisfies suppkey % $seedMod == 0 — empty seed set")
     val ns = math.max(gate.getLong(1), 1L) // empty graph: never consumed
+    // cached edges at the DATA-derived width (|E| = sum(deg) rides the
+    // gate aggregate for free) — see [[edgeWidth]]
+    val w = edgeWidth(orders.sparkSession, gate.getLong(2))
+    val edges =
+      (if (w < orders.sparkSession.sparkContext.defaultParallelism)
+         edges0.repartition(w, col("src"))
+       else edges0).persist()
     val init = deg.select(col("src").as("v"), col("deg"))
       .select(col("v"), col("deg"),
         when(isSeed, lit(Scale / ns)).otherwise(lit(0L)).as("r"),
@@ -321,19 +368,33 @@ object Graph {
         (col("l_suppkey") * 2 + 1).as("su"))
       .groupBy(col("cu"), col("su"))
       .agg(count(lit(1)).as("w"))
-    // one explode, not a two-branch union — see [[pageRank]] (r19)
-    val edges = pairs
+    // one explode, not a two-branch union; pairs persisted so the degree
+    // pass and the edge-cache build share one join+aggregate — see
+    // [[pageRank]] (r19)
+    val pairsP = pairs.persist()
+    val edges0 = pairsP
       .select(explode(array(
         struct(col("cu").as("src"), col("su").as("dst"), col("w")),
         struct(col("su").as("src"), col("cu").as("dst"), col("w")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
-      .persist()
     def small(df: DataFrame): DataFrame =
       if (broadcastRanks) broadcast(df) else df
-    val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("wtot")).persist()
-    // |V| as a collected literal — see [[pageRank]] (the r18 duplicate
-    // edge-scan fix); same bounded 1-value action, same exact `div`.
-    val n = math.max(deg.count(), 1L) // empty graph: init has no rows
+    // ecnt rides the aggregate so |E| is collected by the same gate
+    // action that collects |V| (sizes the cached edge layout below)
+    val deg = edges0.groupBy(col("src"))
+      .agg(sum(col("w")).as("wtot"), count(lit(1)).as("ecnt")).persist()
+    // |V| and |E| as collected literals — see [[pageRank]] (the r18
+    // duplicate edge-scan fix); same bounded 1-row action, same exact
+    // `div`.
+    val gate = deg
+      .agg(count(lit(1)).as("n"), coalesce(sum("ecnt"), lit(0L)).as("m"))
+      .collect()(0)
+    val n = math.max(gate.getLong(0), 1L) // empty graph: init has no rows
+    val w0 = edgeWidth(orders.sparkSession, gate.getLong(1))
+    val edges =
+      (if (w0 < orders.sparkSession.sparkContext.defaultParallelism)
+         edges0.repartition(w0, col("src"))
+       else edges0).persist()
     val init = deg.select(col("src").as("v"), col("wtot"))
       .select(col("v"), col("wtot"),
         lit(Scale / n).as("r"),
